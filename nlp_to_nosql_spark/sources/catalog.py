@@ -1,0 +1,67 @@
+"""Table catalog over parquet directories.
+
+The reference's database/collection namespace (``client[db][coll]``,
+``No_Sql.py:389-390``) maps to a directory of parquet tables registered as
+temp views.  ``spark.read.parquet`` gives us schema, partition pruning,
+predicate pushdown, and metadata counts for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Driver-provided tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _normalize(df: DataFrame, name: str) -> DataFrame:
+    """Normalize physical quirks of a table at load time.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` it surfaces as a long of
+    nanoseconds — convert to a proper timestamp (integer division, lossless
+    for the microsecond-precision data; DuckDB sees the same instant).
+    """
+    from pyspark.sql import functions as F, types as T
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one parquet table from a scale-factor directory."""
+    return _normalize(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")), name)
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load and register every table as a temp view; returns the frames.
+
+    Missing files are skipped so smaller fixture dirs still register.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = _normalize(spark.read.parquet(path), name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

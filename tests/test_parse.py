@@ -1,0 +1,44 @@
+"""IR-robustness tests mirroring the reference's three repair strategies
+(No_Sql.py:269-302): malformed inputs → valid IR or fallback, never raise."""
+
+from nlp_to_nosql_spark.compiler.parse import parse_llm_response, validate_query_object
+
+
+def test_direct_json():
+    out = parse_llm_response('{"filter": {"salary": {"$gt": 1}}, "projection": {}}', "x")
+    assert out == {"filter": {"salary": {"$gt": 1}}, "projection": {}}
+
+
+def test_code_fence_stripping():
+    raw = '```json\n{"filter": {"age": {"$lt": 30}}, "projection": {}}\n```'
+    assert parse_llm_response(raw, "x")["filter"] == {"age": {"$lt": 30}}
+
+
+def test_single_quote_repair():
+    raw = "{'filter': {'department': 'sales'}, 'projection': {}}"
+    assert parse_llm_response(raw, "x")["filter"] == {"department": "sales"}
+
+
+def test_regex_extraction_from_prose():
+    raw = 'Sure! Here is your query: {"filter": {}, "projection": {"name": 1}} hope it helps'
+    assert parse_llm_response(raw, "x")["projection"] == {"name": 1}
+
+
+def test_total_garbage_falls_back_to_rule_compiler():
+    out = parse_llm_response("I cannot do that", "employees earning over 60000")
+    assert out == {"filter": {"salary": {"$gt": 60000}}, "projection": {}}
+
+
+def test_missing_keys_injected():
+    out = parse_llm_response('{"filter": {"a": 1}}', "x")
+    assert out["projection"] == {}
+    out = parse_llm_response('{"projection": {"a": 1}}', "x")
+    assert out["filter"] == {}
+
+
+def test_non_dict_json_yields_empty_query():
+    assert parse_llm_response("[1, 2, 3]", "zzz") == {"filter": {}, "projection": {}}
+
+
+def test_validate_non_dict():
+    assert validate_query_object(42) == {"filter": {}, "projection": {}}

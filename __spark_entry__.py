@@ -1,38 +1,342 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` routes through the engine's own code paths
+(``QuerySpec`` → ``apply_spec`` → Catalyst) or the DataFrame API for
+analytics extensions; ``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL.
+Keys are SURVEY.md §2 operator ids.  All oracle-checked queries are
+deterministic (no bare LIMIT over unordered data — SURVEY §7.4.3).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from nlp_to_nosql_spark.compiler.rules import nl_to_queryspec
+from nlp_to_nosql_spark.ir import QuerySpec
+from nlp_to_nosql_spark.plans.compile import apply_spec
+from nlp_to_nosql_spark.sources.catalog import register_tables
+
+# Derived `employees` view over `customer` — used by the NL end-to-end
+# queries so the rule compiler's field vocabulary (salary/department/name,
+# No_Sql.py:322-373) resolves against driver testdata.  The exact same SQL
+# text runs in Spark and DuckDB.
+EMPLOYEES_VIEW_SQL = """
+SELECT
+  c_name AS name,
+  CAST(c_custkey % 45 + 21 AS BIGINT) AS age,
+  CASE c_mktsegment
+    WHEN 'BUILDING'   THEN 'engineering'
+    WHEN 'FURNITURE'  THEN 'marketing'
+    WHEN 'MACHINERY'  THEN 'sales'
+    WHEN 'AUTOMOBILE' THEN 'hr'
+    ELSE 'other'
+  END AS department,
+  c_acctbal AS salary,
+  CAST(c_custkey % 30 AS BIGINT) AS experience_years
+FROM customer
+"""
+
+
+def _ir_query(table: str, spec: QuerySpec):
+    """A queries() callable that runs an IR spec through the engine."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tables = register_tables(spark, sf_dir)
+        return apply_spec(tables[table], spec, with_limit=False)
+
+    return run
+
+
+def _nl_query(nl_text: str):
+    """A queries() callable running NL → rule compiler → plan on the
+    derived employees view."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        emp = spark.sql(EMPLOYEES_VIEW_SQL)
+        return apply_spec(emp, nl_to_queryspec(nl_text), with_limit=False)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# analytics / beyond-reference queries (DataFrame API, scale-minded)
+# ---------------------------------------------------------------------------
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: single shuffle, partial aggregation
+    map-side, predicate pushed to the scan."""
+    li = register_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation ⋈ orders revenue rollup.  nation (25 rows) and
+    customer (1.5 % of lineitem scale) broadcast at any SF; orders shuffles
+    once on the group key."""
+    t = register_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def _q_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-1 per key with deterministic tie-break."""
+    orders = register_tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+def _q_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed rollup on the event stream table."""
+    ev = register_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def _q_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global scalar aggregates (SURVEY §2.5 A5-A7: count / rate / mean)."""
+    ev = register_tables(spark, sf_dir)["events"]
+    return ev.agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.round(
+            F.avg((F.col("event_type") == "purchase").cast("int")) * 100, 4
+        ).alias("purchase_rate_pct"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+def _q_count_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = register_tables(spark, sf_dir)["lineitem"]
+    spec = QuerySpec(filter={"l_shipdate": {"$gt": "1998-01-01"}})
+    return apply_spec(li, spec, with_limit=False).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def _q_count_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = register_tables(spark, sf_dir)["lineitem"]
+    return li.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: revenue by nation
+    (join + broadcast + agg through the whole stack)."""
+    return _q_revenue_by_nation(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # -- predicates P1-P11 (SURVEY §2.2), via QuerySpec → Catalyst -----
+        "p1_gt": _ir_query(
+            "lineitem",
+            QuerySpec(
+                filter={"l_quantity": {"$gt": 45}},
+                projection=("l_orderkey", "l_linenumber", "l_quantity"),
+            ),
+        ),
+        "p2_lt": _ir_query(
+            "orders",
+            QuerySpec(
+                filter={"o_totalprice": {"$lt": 5000}},
+                projection=("o_orderkey", "o_totalprice"),
+            ),
+        ),
+        "p3_p4_range": _ir_query(
+            "lineitem",
+            QuerySpec(
+                filter={"l_quantity": {"$gte": 20, "$lte": 25}},
+                projection=("l_orderkey", "l_linenumber", "l_quantity"),
+            ),
+        ),
+        "p5_eq": _ir_query(
+            "customer", QuerySpec(filter={"c_mktsegment": {"$eq": "BUILDING"}})
+        ),
+        "p6_implicit_eq": _ir_query(
+            "events",
+            QuerySpec(
+                filter={"event_type": "click"},
+                projection=("event_id", "user_id", "event_type"),
+            ),
+        ),
+        "p7_ne": _ir_query(
+            "orders",
+            QuerySpec(
+                filter={"o_orderstatus": {"$ne": "F"}},
+                projection=("o_orderkey", "o_orderstatus"),
+            ),
+        ),
+        "p8_in": _ir_query(
+            "orders",
+            QuerySpec(
+                filter={"o_orderpriority": {"$in": ["1-URGENT", "2-HIGH"]}},
+                projection=("o_orderkey", "o_orderpriority"),
+            ),
+        ),
+        "p9_regex_i": _ir_query(
+            "part",
+            QuerySpec(
+                filter={"p_name": {"$regex": "WIDGET", "$options": "i"}},
+                projection=("p_partkey", "p_name"),
+            ),
+        ),
+        "p10_find_all": _ir_query("region", QuerySpec()),
+        "p11_conjunction": _ir_query(
+            "lineitem",
+            QuerySpec(
+                filter={"l_returnflag": "A", "l_quantity": {"$gt": 30}},
+                projection=("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
+            ),
+        ),
+        # -- projections J1-J2 (SURVEY §2.3) -------------------------------
+        "j1_projection": _ir_query(
+            "customer", QuerySpec(projection=("c_custkey", "c_name"))
+        ),
+        "j2_select_all": _ir_query("nation", QuerySpec()),
+        # -- counts / aggregates A1-A7 (SURVEY §2.5) ------------------------
+        "a1_count_filtered": _q_count_filtered,
+        "a2_count_all": _q_count_all,
+        "a5_a6_a7_event_metrics": _q_event_metrics,
+        # -- NL front end end-to-end (SURVEY §2.7) --------------------------
+        "nl1_salary_gt": _nl_query("employees earning over 4000"),
+        "nl2_names_projection": _nl_query("list all names"),
+        "nl3_department_regex": _nl_query("show sales people"),
+        "nl4_find_all": _nl_query("Find all employees"),
+        "nl5_salary_lt": _nl_query("employees with salary under 500"),
+        "nl6_experience_gt": _nl_query("experience more than 25"),
+        # -- beyond-reference analytics (SURVEY §7.2 phase 8) ---------------
+        "agg1_pricing_summary": _q_pricing_summary,
+        "join1_revenue_by_nation": _q_revenue_by_nation,
+        "win1_top_order_per_customer": _q_top_order_per_customer,
+        "ts1_hourly_events": _q_hourly_events,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    emp = f"({EMPLOYEES_VIEW_SQL.strip()}) AS employees"
+    return {
+        "p1_gt": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+            "WHERE l_quantity > 45"
+        ),
+        "p2_lt": (
+            "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 5000"
+        ),
+        "p3_p4_range": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+            "WHERE l_quantity >= 20 AND l_quantity <= 25"
+        ),
+        "p5_eq": "SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'",
+        "p6_implicit_eq": (
+            "SELECT event_id, user_id, event_type FROM events "
+            "WHERE event_type = 'click'"
+        ),
+        # Mongo $ne also matches NULLs (SURVEY §2.2 P7)
+        "p7_ne": (
+            "SELECT o_orderkey, o_orderstatus FROM orders "
+            "WHERE o_orderstatus <> 'F' OR o_orderstatus IS NULL"
+        ),
+        "p8_in": (
+            "SELECT o_orderkey, o_orderpriority FROM orders "
+            "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')"
+        ),
+        "p9_regex_i": (
+            "SELECT p_partkey, p_name FROM part "
+            "WHERE regexp_matches(p_name, '(?i)WIDGET')"
+        ),
+        "p10_find_all": "SELECT * FROM region",
+        "p11_conjunction": (
+            "SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity "
+            "FROM lineitem WHERE l_returnflag = 'A' AND l_quantity > 30"
+        ),
+        "j1_projection": "SELECT c_custkey, c_name FROM customer",
+        "j2_select_all": "SELECT * FROM nation",
+        "a1_count_filtered": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem "
+            "WHERE l_shipdate > TIMESTAMP '1998-01-01'"
+        ),
+        "a2_count_all": "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem",
+        "a5_a6_a7_event_metrics": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS total_events, "
+            "ROUND(AVG(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 100, 4) "
+            "AS purchase_rate_pct, "
+            "ROUND(AVG(value), 4) AS avg_value FROM events"
+        ),
+        "nl1_salary_gt": f"SELECT * FROM {emp} WHERE salary > 4000",
+        "nl2_names_projection": f"SELECT name FROM {emp}",
+        "nl3_department_regex": (
+            f"SELECT * FROM {emp} WHERE regexp_matches(department, '(?i)sales')"
+        ),
+        "nl4_find_all": f"SELECT * FROM {emp}",
+        "nl5_salary_lt": f"SELECT * FROM {emp} WHERE salary < 500",
+        "nl6_experience_gt": f"SELECT * FROM {emp} WHERE experience_years > 25",
+        "agg1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+            "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "ROUND(AVG(l_quantity), 6) AS avg_qty, "
+            "ROUND(AVG(l_discount), 6) AS avg_disc, "
+            "CAST(COUNT(*) AS BIGINT) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "join1_revenue_by_nation": (
+            "SELECT n_name, ROUND(SUM(o_totalprice), 2) AS revenue, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name"
+        ),
+        "win1_top_order_per_customer": (
+            "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
+            "SELECT o_custkey, o_orderkey, o_totalprice, "
+            "ROW_NUMBER() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t "
+            "WHERE rn = 1"
+        ),
+        "ts1_hourly_events": (
+            "SELECT date_trunc('hour', ts) AS hour, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "ROUND(SUM(value), 2) AS sum_value "
+            "FROM events GROUP BY date_trunc('hour', ts)"
+        ),
+    }

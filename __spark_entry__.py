@@ -17,7 +17,18 @@ from pyspark.sql import functions as F
 from nlp_to_nosql_spark.compiler.rules import nl_to_queryspec
 from nlp_to_nosql_spark.ir import QuerySpec
 from nlp_to_nosql_spark.plans.compile import apply_spec
-from nlp_to_nosql_spark.sources.catalog import register_tables
+from nlp_to_nosql_spark.sources.catalog import register_tables as _register_tables
+
+# Registering 10 parquet tables costs ~0.5s of footer reads per call; the
+# driver invokes every query separately, so memoize per (session, sf_dir).
+_CATALOG_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    key = (id(spark), sf_dir)
+    if key not in _CATALOG_CACHE:
+        _CATALOG_CACHE[key] = _register_tables(spark, sf_dir)
+    return _CATALOG_CACHE[key]
 
 # Derived `employees` view over `customer` — used by the NL end-to-end
 # queries so the rule compiler's field vocabulary (salary/department/name,

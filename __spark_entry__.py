@@ -15,8 +15,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nlp_to_nosql_spark.compiler.rules import nl_to_queryspec
+from nlp_to_nosql_spark.functions import text as tx
 from nlp_to_nosql_spark.ir import QuerySpec
+from nlp_to_nosql_spark.operators import dedup as dd
+from nlp_to_nosql_spark.operators.multimodal import image_features
+from nlp_to_nosql_spark.operators.similarity import RandomHyperplaneLSH, topk_bruteforce
 from nlp_to_nosql_spark.plans.compile import apply_spec
+from nlp_to_nosql_spark.streaming.history import windowed_event_counts
 from nlp_to_nosql_spark.sources.catalog import register_tables as _register_tables
 
 # Registering 10 parquet tables costs ~0.5s of footer reads per call; the
@@ -165,6 +170,99 @@ def _q_count_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# large-scale pipeline extensions (text analysis / dedup / similarity /
+# multimodal / streaming)
+# ---------------------------------------------------------------------------
+
+def _q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_tables(spark, sf_dir)["documents"]
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        tx.token_count(c).alias("n_tokens"),
+        tx.bpe_token_count(c).alias("n_bpe_tokens"),
+        tx.quality_score(c).alias("quality"),
+        tx.lang_id(c).alias("lang_pred"),
+        tx.fingerprint(c).alias("fp"),
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_tables(spark, sf_dir)["documents"]
+    return dd.dedup_exact(docs, "doc_id", "text")
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_tables(spark, sf_dir)["documents"]
+    return dd.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_tables(spark, sf_dir)["documents"]
+    return dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_perm=64, bands=16, threshold=0.3
+    )
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_tables(spark, sf_dir)["documents"]
+    return dd.simhash_pairs(docs, "doc_id", "text", max_hamming=10, bands=4)
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    return [float(x) for x in row["embedding"]]
+
+
+def _q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    return topk_bruteforce(emb, _query_vector(spark, sf_dir), k=10)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    dim = len(_query_vector(spark, sf_dir))
+    lsh = RandomHyperplaneLSH(dim=dim, nbits=16, seed=42)
+    return lsh.topk(emb, _query_vector(spark, sf_dir), k=10, max_hamming=6)
+
+
+def _q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nlp_to_nosql_spark.functions.vectors import norm
+
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(norm(F.col("embedding"))), 4).alias("avg_norm"),
+    )
+
+
+def _q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = register_tables(spark, sf_dir)["events"]
+    return windowed_event_counts(ev, window="1 hour")
+
+
+def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over a media table derived from documents
+    (payload = UTF-8 bytes of text) — exercises the Arrow mapInPandas path
+    end-to-end with an exact oracle."""
+    docs = register_tables(spark, sf_dir)["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.col("n_chars").cast("int").alias("width"),
+            F.lit(1).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("utf8").alias("codec"),
+        ).alias("meta"),
+    )
+    return image_features(media).select("media_id", "n_bytes", "sha256")
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -258,6 +356,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join1_revenue_by_nation": _q_revenue_by_nation,
         "win1_top_order_per_customer": _q_top_order_per_customer,
         "ts1_hourly_events": _q_hourly_events,
+        # -- LLM-data-pipeline extensions -----------------------------------
+        "text1_analysis": _q_text_analysis,
+        "dedup1_exact": _q_dedup_exact,
+        "dedup2_ngram_jaccard": _q_ngram_jaccard,
+        "dedup3_minhash_lsh": _q_minhash_lsh,        # weak check (no SQL twin)
+        "dedup4_simhash_pairs": _q_simhash_pairs,    # weak check (no SQL twin)
+        "ann1_topk_bruteforce": _q_ann_bruteforce,
+        "ann2_topk_lsh": _q_ann_lsh,                 # weak check (no SQL twin)
+        "emb1_norms_by_label": _q_embedding_norms,
+        "stream1_windowed_counts": _q_windowed_event_counts,
+        "mm1_image_features": _q_image_features,
     }
 
 
@@ -349,5 +458,65 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_events, "
             "ROUND(SUM(value), 2) AS sum_value "
             "FROM events GROUP BY date_trunc('hour', ts)"
+        ),
+        "text1_analysis": (
+            "SELECT doc_id, "
+            + tx.TOKEN_COUNT_SQL.format(c="text") + " AS n_tokens, "
+            + tx.BPE_TOKEN_COUNT_SQL.format(c="text") + " AS n_bpe_tokens, "
+            + tx.QUALITY_SCORE_SQL.format(c="text") + " AS quality, "
+            + tx.lang_id_sql().format(c="text") + " AS lang_pred, "
+            + tx.FINGERPRINT_SQL.format(c="text") + " AS fp "
+            "FROM documents"
+        ),
+        "dedup1_exact": (
+            "SELECT MIN(doc_id) AS doc_id, "
+            + tx.FINGERPRINT_SQL.format(c="text") + " AS fp, "
+            "CAST(COUNT(*) AS BIGINT) AS n_copies FROM documents "
+            "GROUP BY " + tx.FINGERPRINT_SQL.format(c="text")
+        ),
+        "dedup2_ngram_jaccard": (
+            "WITH words AS (SELECT doc_id, string_split("
+            + tx.NORMALIZE_SQL.format(c="text") + ", ' ') AS w FROM documents), "
+            "sh0 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3 "
+            "THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] "
+            "ELSE [array_to_string(w, ' ')] END)) AS shingle FROM words), "
+            "rare AS (SELECT shingle FROM sh0 GROUP BY shingle "
+            "HAVING COUNT(*) <= 1000), "
+            "shr AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 "
+            "JOIN rare USING (shingle)), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh0 GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "COUNT(*) AS n_inter FROM shr a JOIN shr b "
+            "ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "scored AS (SELECT id_a, id_b, "
+            "ROUND(n_inter / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+            "JOIN sizes sb ON sb.doc_id = id_b) "
+            "SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.2"
+        ),
+        # CAST to DOUBLE[]: on FLOAT[] DuckDB computes (and ROUNDs) in
+        # float32, which diverges from Spark's double-precision fold.
+        "ann1_topk_bruteforce": (
+            "SELECT vec_id, ROUND(list_cosine_similarity("
+            "CAST(embedding AS DOUBLE[]), "
+            "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
+            "WHERE vec_id = 0)), 6) AS cos_sim "
+            "FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT 10"
+        ),
+        "emb1_norms_by_label": (
+            "SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors, "
+            "ROUND(AVG(sqrt(list_dot_product(embedding, embedding))), 4) AS avg_norm "
+            "FROM embeddings GROUP BY label"
+        ),
+        "stream1_windowed_counts": (
+            "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "ROUND(SUM(value), 2) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "mm1_image_features": (
+            "SELECT doc_id AS media_id, "
+            "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "sha256(text) AS sha256 FROM documents"
         ),
     }

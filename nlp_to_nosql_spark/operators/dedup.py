@@ -1,0 +1,335 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design rules for 100 TB:
+
+* **Never cross-join documents.** Candidate pairs come from equality joins
+  on derived keys (fingerprints, shingles, LSH band buckets) that Spark
+  executes as shuffle joins with AQE skew handling.
+* **Stop-shingle cutoff.** A shingle appearing in more than ``max_df``
+  documents is dropped before the pair join (it would contribute
+  O(df²) candidate pairs while carrying no discriminative signal).
+* **Everything JVM-side.** Shingling, hashing, and signatures are Column
+  expressions (split/transform/xxhash64/aggregate) — no Python UDFs in the
+  per-row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nlp_to_nosql_spark.functions.text import fingerprint, normalize_text
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One representative row (minimum id) per distinct normalized text.
+
+    Hash-shuffle on a 128-bit fingerprint of the *normalized* text rather
+    than the full text — at scale the shuffle key is 16 bytes, not the
+    document body.
+    """
+    return (
+        df.select(
+            F.col(id_col),
+            fingerprint(F.col(text_col)).alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(id_col, "fp", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+def shingles(c: Column, k: int = 3) -> Column:
+    """k-word shingles of normalized text as ``array<string>``.
+
+    Texts shorter than k words yield one whole-text shingle, so every
+    document has ≥1 shingle and survives the pipeline.
+    """
+    words = F.split(normalize_text(c), " ")
+    n = F.size(words)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(words, i, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(words, " ")))
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Exploded distinct (id, shingle) inverted-index table."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 1000,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
+
+    Plan shape: explode → stop-shingle filter → self-equijoin on shingle →
+    count intersections → join per-doc set sizes → Jaccard.  Shuffles on
+    shingle then on the pair key; both keys are high-cardinality, and the
+    ``max_df`` cutoff bounds the worst bucket at O(max_df²).
+    """
+    ex = shingle_table(df, id_col, text_col, k).cache()
+
+    rare = (
+        ex.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .filter(F.col("df_count") <= max_df)
+        .select("shingle")
+    )
+    ex_rare = ex.join(rare, "shingle")
+
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+
+    a, b = ex_rare.alias("a"), ex_rare.alias("b")
+    inter = (
+        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_perm: int = 64
+) -> DataFrame:
+    """(id, sig array<long>) — one xxhash64 family member per permutation.
+
+    One explode + one groupBy with ``num_perm`` min-aggregates: a single
+    shuffle keyed on the document id, all hashing codegen'd.
+    """
+    ex = shingle_table(df, id_col, text_col, k)
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.lit(f"perm{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sig = ex.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH + signature-level verification.
+
+    ``bands`` bands of ``num_perm // bands`` rows; a pair is a candidate if
+    any band hashes equal (probability ≈ 1-(1-j^r)^b).  Candidates are
+    verified by estimated Jaccard = fraction of agreeing minhashes, so the
+    full shingle sets are never rejoined.
+    """
+    rows = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_perm).cache()
+
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice(F.col("sig"), i * rows + 1, rows),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
+                    ),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                ).cast("double")
+                / F.lit(float(num_perm)),
+                6,
+            ),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+#: SQL-lambda form because the Python ``shiftright`` wrapper only takes a
+#: literal int shift; SQL ``shiftright(expr, expr)`` shifts by a column.
+_SIMHASH_SQL = """
+aggregate(
+  zip_with(
+    aggregate(
+      transform(split(regexp_replace(lower(trim({c})), '\\\\s+', ' '), ' '),
+                t -> xxhash64(t)),
+      array_repeat(0, 64),
+      (acc, h) -> zip_with(acc, sequence(0, 63),
+                           (a, i) -> a + IF((shiftright(h, i) & 1L) = 1L, 1, -1))
+    ),
+    sequence(0, 63),
+    (s, i) -> IF(s > 0, shiftleft(1L, i), 0L)
+  ),
+  0L,
+  (acc, v) -> acc | v
+)
+"""
+
+
+def simhash64(col_name: str) -> Column:
+    """64-bit SimHash of normalized whitespace tokens of column ``col_name``.
+
+    Per token: xxhash64 → 64 sign contributions; per document: sum per bit,
+    bit set where the sum is positive.  Nested SQL transforms/aggregates —
+    no shuffle, no Python.
+    """
+    return F.expr(_SIMHASH_SQL.format(c=col_name))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: with ``bands`` 16-bit chunks, any pair within
+    Hamming distance < bands shares at least one exact chunk — candidates
+    come from equality joins on (band, chunk), then exact popcount verify.
+    """
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sigs = df.select(
+        F.col(id_col), simhash64(text_col).alias("simhash")
+    ).cache()
+
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select(id_col, "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers (SURVEY driver brief):
+
+* ``topk_bruteforce`` — exact cosine top-k.  The per-row math is a
+  codegen'd ``zip_with``/``aggregate``; the top-k is Spark's
+  TakeOrderedAndProject (per-partition heaps + driver merge of k·P rows),
+  so nothing but k rows per partition ever moves.  This is the correct
+  baseline even at 100 TB when k is small.
+* ``RandomHyperplaneLSH`` — sign-bit signatures for the scale path:
+  bucket the corpus by signature (one shuffle, done once), then probe only
+  buckets within a small Hamming radius of the query's signature.
+  Embedding near-dup pairs reuse the same signatures.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nlp_to_nosql_spark.functions.vectors import cosine, lit_vector
+
+
+def topk_bruteforce(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity, deterministic tie-break on id."""
+    q = lit_vector(query)
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+class RandomHyperplaneLSH:
+    """Sign-random-projection LSH with a fixed seed (deterministic).
+
+    ``nbits`` hyperplanes drawn from N(0,1) with ``numpy`` seed → a
+    signature column ``sign_bits`` (long).  Same family as the classic
+    SRP-LSH construction; cos(a,b) ≈ cos(π · hamming/nbits).
+    """
+
+    def __init__(self, dim: int, nbits: int = 16, seed: int = 42):
+        if not 1 <= nbits <= 63:
+            raise ValueError("nbits must be in [1, 63]")
+        self.dim, self.nbits, self.seed = dim, nbits, seed
+        rng = np.random.RandomState(seed)
+        self.planes = rng.randn(nbits, dim)
+
+    def signature_col(self, vec_col: str) -> F.Column:
+        """Signature as a Column expression — JVM-side dot products."""
+        bits = []
+        for i, plane in enumerate(self.planes):
+            dot_i = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    lit_vector(plane),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(
+                F.when(dot_i >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        out = bits[0]
+        for b in bits[1:]:
+            out = out.bitwiseOR(b)
+        return out
+
+    def signature_of(self, vec: Sequence[float]) -> int:
+        v = np.asarray(vec, dtype=np.float64)
+        return int(sum(1 << i for i, p in enumerate(self.planes) if float(p @ v) >= 0))
+
+    def add_signatures(
+        self, df: DataFrame, vec_col: str = "embedding"
+    ) -> DataFrame:
+        return df.withColumn("sign_bits", self.signature_col(vec_col))
+
+    def topk(
+        self,
+        df: DataFrame,
+        query: Sequence[float],
+        k: int = 10,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        max_hamming: int = 2,
+    ) -> DataFrame:
+        """Approximate top-k: score only vectors whose signature is within
+        ``max_hamming`` bits of the query's (multi-probe)."""
+        sig_df = self.add_signatures(df, vec_col)
+        qsig = self.signature_of(query)
+        candidates = sig_df.filter(
+            F.bit_count(F.col("sign_bits").bitwiseXOR(F.lit(qsig))) <= max_hamming
+        )
+        return topk_bruteforce(candidates, query, k, id_col, vec_col)
+
+    def neardup_pairs(
+        self,
+        df: DataFrame,
+        threshold: float = 0.95,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Embedding-cosine near-dup pairs: bucket by exact signature
+        (high-cosine pairs almost always agree on all sign bits), verify
+        with exact cosine inside buckets."""
+        sig = self.add_signatures(df, vec_col).select(id_col, vec_col, "sign_bits")
+        a, b = sig.alias("a"), sig.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.sign_bits") == F.col("b.sign_bits"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias(
+                    "cos_sim"
+                ),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        )

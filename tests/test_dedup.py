@@ -1,0 +1,105 @@
+"""Dedup operator semantics on a crafted corpus with known duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nlp_to_nosql_spark.operators import dedup as D
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and the birds sing in the tall green trees"
+)
+NEAR = BASE.replace("lazy dog", "lazy cat")            # 1 word differs
+FAR = "completely different content about spark query engines and shuffles"
+
+CORPUS = [
+    (1, BASE),
+    (2, BASE),                         # exact dup of 1
+    (3, "  " + BASE.upper() + "  "),   # dup after normalization
+    (4, NEAR),                         # near-dup of 1
+    (5, FAR),
+    (6, "tiny doc"),                   # shorter than shingle width
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id: long, text: string")
+
+
+def test_dedup_exact(docs):
+    out = D.dedup_exact(docs, "doc_id", "text").collect()
+    by_id = {r["doc_id"]: r["n_copies"] for r in out}
+    assert by_id[1] == 3          # 1, 2, 3 collapse
+    assert by_id[4] == 1 and by_id[5] == 1 and by_id[6] == 1
+    assert len(out) == 4
+
+
+def test_shingles_short_text(spark):
+    df = spark.createDataFrame([(1, "tiny doc")], "i: long, t: string")
+    row = df.select(D.shingles(F.col("t"), 3).alias("s")).first()
+    assert row["s"] == ["tiny doc"]
+
+
+def test_shingles_count(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], "i: long, t: string")
+    row = df.select(D.shingles(F.col("t"), 3).alias("s")).first()
+    assert row["s"] == ["a b c", "b c d", "c d e"]
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0 and pairs[(1, 3)] == 1.0 and pairs[(2, 3)] == 1.0
+    assert (1, 4) in pairs and 0.5 <= pairs[(1, 4)] < 1.0
+    assert not any(5 in p or 6 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in D.minhash_lsh_pairs(
+            docs, "doc_id", "text", k=3, num_perm=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0 and pairs[(1, 3)] == 1.0
+    assert (1, 4) in pairs  # near-dup caught by banding
+    assert not any(5 in p for p in pairs)
+
+
+def test_minhash_estimate_tracks_exact_jaccard(docs):
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.1).collect()
+    }
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in D.minhash_lsh_pairs(
+            docs, "doc_id", "text", k=3, num_perm=64, bands=32, threshold=0.1
+        ).collect()
+    }
+    for pair in [(1, 4)]:
+        assert abs(est[pair] - exact[pair]) < 0.25  # 64 perms → ~1/8 stderr
+
+
+def test_simhash_identical_and_near(docs, spark):
+    sigs = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", D.simhash64("text").alias("s")).collect()
+    }
+    assert sigs[1] == sigs[2] == sigs[3]   # normalization-equal → same signature
+    ham14 = bin(sigs[1] ^ sigs[4]).count("1")
+    ham15 = bin(sigs[1] ^ sigs[5]).count("1")
+    assert ham14 < ham15  # near-dup is closer than unrelated text
+
+
+def test_simhash_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_pairs(docs, "doc_id", "text", max_hamming=8, bands=4).collect()
+    }
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0
+    assert (1, 4) in pairs
+    assert not any(5 in p for p in pairs)

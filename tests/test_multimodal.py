@@ -1,0 +1,59 @@
+"""Multimodal plumbing: schema, Arrow batch shape, deterministic stubs."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from nlp_to_nosql_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    audio_chunk_plan,
+    frame_sample_plan,
+    image_features,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", b"\x89PNG-fake-bytes-1", (640, 480, None, None, "png")),
+        (2, "image", b"", (8, 8, None, None, "png")),
+        (3, "video", b"fake-mp4", (1920, 1080, None, 3500, "h264")),
+        (4, "audio", b"fake-wav", (None, None, 16000, 12001, "pcm")),
+        (5, "video", b"fake-mp4-2", (1280, 720, None, 0, "h264")),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_image_features_deterministic(media):
+    feats = {r["media_id"]: r for r in image_features(media).collect()}
+    assert set(feats) == {1, 2}
+    payload = b"\x89PNG-fake-bytes-1"
+    assert feats[1]["sha256"] == hashlib.sha256(payload).hexdigest()
+    assert feats[1]["n_bytes"] == len(payload)
+    assert abs(feats[1]["mean_byte"] - sum(payload) / len(payload)) < 1e-9
+    assert feats[1]["width"] == 640 and feats[1]["height"] == 480
+    assert feats[2]["mean_byte"] == 0.0  # empty payload safe
+
+
+def test_real_codecs_stub_raises(media):
+    with pytest.raises(Exception) as exc_info:
+        image_features(media, use_real_codecs=True).collect()
+    assert "NotImplementedError" in str(exc_info.value) or "real image decode" in str(
+        exc_info.value
+    )
+
+
+def test_frame_sample_plan(media):
+    frames = frame_sample_plan(media, fps=1.0).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r["frame_ms"])
+    assert by_id[3] == [0, 1000, 2000, 3000]  # 3.5s at 1 fps
+    assert by_id[5] == [0]                    # zero duration → one frame at 0
+
+
+def test_audio_chunk_plan(media):
+    chunks = audio_chunk_plan(media, chunk_ms=5000).collect()
+    got = [(r["chunk_start_ms"], r["chunk_len_ms"]) for r in chunks]
+    assert got == [(0, 5000), (5000, 5000), (10000, 2001)]  # 12001 ms total

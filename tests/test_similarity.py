@@ -1,0 +1,84 @@
+"""Similarity search: brute-force exactness vs numpy, LSH recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from nlp_to_nosql_spark.operators.similarity import RandomHyperplaneLSH, topk_bruteforce
+
+DIM = 16
+N = 200
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(N, DIM).astype(np.float32)
+    # plant two near-duplicates of vector 0
+    vecs[1] = vecs[0] + rng.randn(DIM).astype(np.float32) * 0.01
+    vecs[2] = vecs[0] * 2.5  # same direction, different norm → cosine 1
+    return vecs
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark, vectors):
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vectors)], schema
+    )
+
+
+def numpy_topk(vectors, q, k):
+    qn = q / np.linalg.norm(q)
+    sims = (vectors / np.linalg.norm(vectors, axis=1, keepdims=True)) @ qn
+    order = sorted(range(len(sims)), key=lambda i: (-round(float(sims[i]), 6), i))
+    return order[:k]
+
+
+def test_bruteforce_matches_numpy(vec_df, vectors):
+    q = [float(x) for x in vectors[0]]
+    got = [r["vec_id"] for r in topk_bruteforce(vec_df, q, k=10).collect()]
+    assert got == numpy_topk(vectors.astype(np.float64), np.array(q), 10)
+
+
+def test_bruteforce_self_is_top(vec_df, vectors):
+    q = [float(x) for x in vectors[5]]
+    rows = topk_bruteforce(vec_df, q, k=3).collect()
+    assert rows[0]["vec_id"] == 5 and rows[0]["cos_sim"] == 1.0
+
+
+def test_scale_invariance(vec_df, vectors):
+    # vec 2 = 2.5 * vec 0 → cosine exactly 1 regardless of norm
+    q = [float(x) for x in vectors[0]]
+    rows = {r["vec_id"]: r["cos_sim"] for r in topk_bruteforce(vec_df, q, k=5).collect()}
+    assert rows[2] == 1.0
+
+
+def test_lsh_recall_on_neighbors(vec_df, vectors):
+    q = [float(x) for x in vectors[0]]
+    lsh = RandomHyperplaneLSH(dim=DIM, nbits=12, seed=42)
+    approx = [r["vec_id"] for r in lsh.topk(vec_df, q, k=5, max_hamming=3).collect()]
+    # the planted near-dups of vector 0 must be found
+    assert 0 in approx and 1 in approx and 2 in approx
+
+
+def test_lsh_signature_column_matches_driver_side(vec_df, vectors):
+    lsh = RandomHyperplaneLSH(dim=DIM, nbits=12, seed=42)
+    rows = lsh.add_signatures(vec_df).select("vec_id", "sign_bits").collect()
+    for r in rows[:20]:
+        assert r["sign_bits"] == lsh.signature_of(vectors[r["vec_id"]])
+
+
+def test_lsh_neardup_pairs(vec_df):
+    lsh = RandomHyperplaneLSH(dim=DIM, nbits=12, seed=42)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in lsh.neardup_pairs(vec_df, threshold=0.98).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert all(v >= 0.98 for v in pairs.values())

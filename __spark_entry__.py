@@ -175,7 +175,9 @@ def _q_count_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = register_tables(spark, sf_dir)["documents"]
+    from nlp_to_nosql_spark.plans.partitioning import fan_out
+
+    docs = fan_out(register_tables(spark, sf_dir)["documents"])
     c = F.col("text")
     return docs.select(
         "doc_id",

@@ -46,6 +46,9 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
+        # Operators cache intermediates (shingle tables, signatures); drop
+        # them so one query's working set doesn't GC-pressure the next.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nlp_to_nosql_spark.functions.text import fingerprint, normalize_text
+from nlp_to_nosql_spark.plans.partitioning import fan_out
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -69,7 +70,12 @@ def shingles(c: Column, k: int = 3) -> Column:
 def shingle_table(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:
-    """Exploded distinct (id, shingle) inverted-index table."""
+    """Exploded distinct (id, shingle) inverted-index table.
+
+    The input is fanned out first: shingling is CPU-bound per row, and a
+    small parquet file otherwise arrives as a single split.
+    """
+    df = fan_out(df.select(id_col, text_col))
     return (
         df.select(
             F.col(id_col),
@@ -100,13 +106,16 @@ def ngram_jaccard_pairs(
     """
     ex = shingle_table(df, id_col, text_col, k).cache()
 
-    rare = (
+    # Stop shingles (df > max_df) are a tiny set by construction — remove
+    # them with a broadcast anti-join instead of shuffling the full rare
+    # list back onto the index.
+    stop = (
         ex.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df_count"))
-        .filter(F.col("df_count") <= max_df)
+        .filter(F.col("df_count") > max_df)
         .select("shingle")
     )
-    ex_rare = ex.join(rare, "shingle")
+    ex_rare = ex.join(F.broadcast(stop), "shingle", "left_anti")
 
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
 
@@ -290,7 +299,7 @@ def simhash_pairs(
     """
     width = 64 // bands
     mask = (1 << width) - 1
-    sigs = df.select(
+    sigs = fan_out(df.select(id_col, text_col)).select(
         F.col(id_col), simhash64(text_col).alias("simhash")
     ).cache()
 

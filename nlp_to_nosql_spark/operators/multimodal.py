@@ -92,9 +92,10 @@ def image_features(media: DataFrame, use_real_codecs: bool = False) -> DataFrame
                 }
             )
 
+    from nlp_to_nosql_spark.plans.partitioning import fan_out
+
     return (
-        media.filter(F.col("kind") == "image")
-        .select("media_id", "payload", "meta")
+        fan_out(media.filter(F.col("kind") == "image").select("media_id", "payload", "meta"))
         .mapInPandas(extract, IMAGE_FEATURE_SCHEMA)
     )
 

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nlp_to_nosql_spark.functions.vectors import cosine, lit_vector
+from nlp_to_nosql_spark.plans.partitioning import fan_out
 
 
 def topk_bruteforce(
@@ -34,7 +35,7 @@ def topk_bruteforce(
     """Exact top-k by cosine similarity, deterministic tie-break on id."""
     q = lit_vector(query)
     return (
-        df.select(
+        fan_out(df).select(
             F.col(id_col),
             F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
         )
@@ -88,7 +89,7 @@ class RandomHyperplaneLSH:
     def add_signatures(
         self, df: DataFrame, vec_col: str = "embedding"
     ) -> DataFrame:
-        return df.withColumn("sign_bits", self.signature_col(vec_col))
+        return fan_out(df).withColumn("sign_bits", self.signature_col(vec_col))
 
     def topk(
         self,

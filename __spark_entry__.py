@@ -19,7 +19,13 @@ from nlp_to_nosql_spark.functions import text as tx
 from nlp_to_nosql_spark.ir import QuerySpec
 from nlp_to_nosql_spark.operators import dedup as dd
 from nlp_to_nosql_spark.operators.multimodal import image_features
-from nlp_to_nosql_spark.operators.similarity import RandomHyperplaneLSH, topk_bruteforce
+from nlp_to_nosql_spark.operators.similarity import (
+    RandomHyperplaneLSH,
+    embedding_neardup_exact,
+    topk_bruteforce,
+)
+from nlp_to_nosql_spark.operators.sessions import SESSIONIZE_SQL, sessionize
+from nlp_to_nosql_spark.operators.ivf import IVFIndex
 from nlp_to_nosql_spark.plans.compile import apply_spec
 from nlp_to_nosql_spark.streaming.history import windowed_event_counts
 from nlp_to_nosql_spark.sources.catalog import register_tables as _register_tables
@@ -229,6 +235,27 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.topk(emb, _query_vector(spark, sf_dir), k=10, max_hamming=6)
 
 
+def _q_embcos_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (all-pairs baseline tier; the
+    LSH-bucketed scale tier is RandomHyperplaneLSH.neardup_pairs)."""
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    return embedding_neardup_exact(emb, threshold=0.4)
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k probing every cell — exact by construction, so the whole
+    fit/assign/probe pipeline is oracle-checked against brute force."""
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    idx = IVFIndex(n_lists=8, max_iter=3)
+    assigned = idx.fit(emb)
+    return idx.topk(assigned, _query_vector(spark, sf_dir), k=10, nprobe=8)
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = register_tables(spark, sf_dir)["events"]
+    return sessionize(ev, gap_minutes=30)
+
+
 def _q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nlp_to_nosql_spark.functions.vectors import norm
 
@@ -353,6 +380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nl4_find_all": _nl_query("Find all employees"),
         "nl5_salary_lt": _nl_query("employees with salary under 500"),
         "nl6_experience_gt": _nl_query("experience more than 25"),
+        "nl7_age_gt": _nl_query("employees with age over 40"),
+        "nl8_age_lt": _nl_query("age under 30"),
         # -- beyond-reference analytics (SURVEY §7.2 phase 8) ---------------
         "agg1_pricing_summary": _q_pricing_summary,
         "join1_revenue_by_nation": _q_revenue_by_nation,
@@ -364,8 +393,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup2_ngram_jaccard": _q_ngram_jaccard,
         "dedup3_minhash_lsh": _q_minhash_lsh,        # weak check (no SQL twin)
         "dedup4_simhash_pairs": _q_simhash_pairs,    # weak check (no SQL twin)
+        "dedup5_embcos_exact": _q_embcos_neardup,
         "ann1_topk_bruteforce": _q_ann_bruteforce,
         "ann2_topk_lsh": _q_ann_lsh,                 # weak check (no SQL twin)
+        "ann3_topk_ivf": _q_ann_ivf,
+        "sess1_user_sessions": _q_sessionize,
         "emb1_norms_by_label": _q_embedding_norms,
         "stream1_windowed_counts": _q_windowed_event_counts,
         "mm1_image_features": _q_image_features,
@@ -430,6 +462,8 @@ def oracle_sql() -> dict[str, str]:
         "nl4_find_all": f"SELECT * FROM {emp}",
         "nl5_salary_lt": f"SELECT * FROM {emp} WHERE salary < 500",
         "nl6_experience_gt": f"SELECT * FROM {emp} WHERE experience_years > 25",
+        "nl7_age_gt": f"SELECT * FROM {emp} WHERE age > 40",
+        "nl8_age_lt": f"SELECT * FROM {emp} WHERE age < 30",
         "agg1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
             "ROUND(SUM(l_quantity), 2) AS sum_qty, "
@@ -496,6 +530,25 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes sb ON sb.doc_id = id_b) "
             "SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.2"
         ),
+        # filter on the ROUNDed value, exactly like the Spark operator does
+        "dedup5_embcos_exact": (
+            "SELECT id_a, id_b, cos_sim FROM ("
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t "
+            "WHERE cos_sim >= 0.4"
+        ),
+        # IVF with nprobe = n_lists scans every cell → exact top-k, same
+        # oracle as brute force.
+        "ann3_topk_ivf": (
+            "SELECT vec_id, ROUND(list_cosine_similarity("
+            "CAST(embedding AS DOUBLE[]), "
+            "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
+            "WHERE vec_id = 0)), 6) AS cos_sim "
+            "FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT 10"
+        ),
+        "sess1_user_sessions": SESSIONIZE_SQL.format(gap_us=30 * 60 * 1_000_000),
         # CAST to DOUBLE[]: on FLOAT[] DuckDB computes (and ROUNDs) in
         # float32, which diverges from Spark's double-precision fold.
         "ann1_topk_bruteforce": (

@@ -1,0 +1,125 @@
+"""IVF (inverted-file) approximate nearest neighbor over embedding columns.
+
+The scale path for similarity search when LSH recall is not enough:
+k-means-cluster the corpus into ``n_lists`` coarse cells (Lloyd's
+iterations as DataFrame jobs — assignment is a codegen'd argmin over
+centroid literals, the update is one groupBy per iteration), persist the
+``(id, list_id)`` assignment, then answer queries by scanning only the
+``nprobe`` cells whose centroids are closest to the query.
+
+Centroids are k×dim floats — driver-resident by design (same contract as
+MLlib KMeans); the corpus itself never leaves executors.  At 100 TB the
+assignment column would be written next to the vectors (partitioned by
+``list_id``) so probes become partition-pruned scans.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nlp_to_nosql_spark.operators.similarity import topk_bruteforce
+
+
+class IVFIndex:
+    """Deterministic IVF index: seeded centroid init, fixed iteration count."""
+
+    def __init__(self, n_lists: int = 16, max_iter: int = 5, seed: int = 42):
+        self.n_lists, self.max_iter, self.seed = n_lists, max_iter, seed
+        self.centroids: np.ndarray | None = None
+
+    def _assign_col(self, vec_col: str) -> F.Column:
+        """list_id = argmin over centroid distances.
+
+        Vectorized Arrow-batched pandas UDF: the k×dim centroid matrix is
+        closure-captured (it would be a k·dim-literal expression tree
+        otherwise — recompiled per k-means iteration, and far slower than
+        one numpy matmul per batch).  ||x-c||² = ||x||² - 2x·c + ||c||²;
+        the ||x||² term doesn't affect the argmin, so only x·c is computed.
+        """
+        from pyspark.sql.functions import pandas_udf
+
+        cents = self.centroids.copy()
+        half_sq = 0.5 * (cents**2).sum(axis=1)
+
+        @pandas_udf("int")
+        def assign(vecs: pd.Series) -> pd.Series:
+            x = np.asarray(vecs.tolist(), dtype=np.float64)
+            scores = x @ cents.T - half_sq  # argmax ⇔ L2 argmin
+            return pd.Series(scores.argmax(axis=1).astype("int32"))
+
+        return assign(F.col(vec_col))
+
+    def fit(
+        self,
+        df: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Lloyd's k-means; returns the (id, vec, list_id) assignment frame.
+
+        Init is the ``n_lists`` lowest-id vectors (deterministic, no RNG on
+        data).  Each iteration: one scan for assignment + a 2-level groupBy
+        for means; empty cells keep their previous centroid.
+        """
+        # No fan_out here: the assignment UDF is one numpy matmul per Arrow
+        # batch (memory-bandwidth-bound), so natural input splits give all
+        # the parallelism the scan needs; extra partitions only add Python
+        # worker spawns.
+        narrow = df.select(id_col, vec_col).cache()
+        init_rows = narrow.orderBy(id_col).limit(self.n_lists).select(vec_col).collect()
+        self.centroids = np.array(
+            [[float(x) for x in r[vec_col]] for r in init_rows]
+        )
+        dim = self.centroids.shape[1]
+
+        for _ in range(self.max_iter):
+            assigned = narrow.withColumn("list_id", self._assign_col(vec_col))
+            # per-cell means via posexplode: n_lists·dim output rows, narrow
+            # codegen (a dim-wide avg list compiles a pathological plan).
+            means = (
+                assigned.select("list_id", F.posexplode(F.col(vec_col)))
+                .groupBy("list_id", "pos")
+                .agg(F.avg(F.col("col").cast("double")).alias("m"))
+                .collect()
+            )
+            new_cents = self.centroids.copy()
+            sums: dict[int, np.ndarray] = {}
+            for row in means:
+                sums.setdefault(row["list_id"], np.zeros(dim))[row["pos"]] = row["m"]
+            for list_id, cent in sums.items():
+                new_cents[list_id] = cent
+            if np.allclose(new_cents, self.centroids, atol=1e-9):
+                break
+            self.centroids = new_cents
+
+        out = narrow.withColumn("list_id", self._assign_col(vec_col))
+        narrow.unpersist()
+        return out
+
+    def probe_lists(self, query: Sequence[float], nprobe: int) -> list[int]:
+        q = np.asarray(query, dtype=np.float64)
+        d = ((self.centroids - q) ** 2).sum(axis=1)
+        return [int(i) for i in np.argsort(d, kind="stable")[:nprobe]]
+
+    def topk(
+        self,
+        assigned: DataFrame,
+        query: Sequence[float],
+        k: int = 10,
+        nprobe: int = 4,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Top-k cosine among vectors in the ``nprobe`` closest cells.
+
+        With ``nprobe == n_lists`` this is exactly :func:`topk_bruteforce`
+        (full scan) — the oracle-checkable configuration.
+        """
+        lists = self.probe_lists(query, nprobe)
+        cand = assigned.filter(F.col("list_id").isin(lists))
+        return topk_bruteforce(cand, query, k, id_col, vec_col)

@@ -44,6 +44,34 @@ def topk_bruteforce(
     )
 
 
+def embedding_neardup_exact(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (id_a < id_b, cos ≥ threshold).
+
+    All-pairs baseline: O(n²) comparisons as a self-join, every cosine a
+    codegen'd zip_with/aggregate.  This is the *correctness oracle* tier —
+    at corpus scale use :meth:`RandomHyperplaneLSH.neardup_pairs`, which
+    buckets by signature first and only verifies within buckets.
+    """
+    narrow = fan_out(df.select(id_col, vec_col))
+    a, b = narrow.alias("a"), narrow.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 class RandomHyperplaneLSH:
     """Sign-random-projection LSH with a fixed seed (deterministic).
 

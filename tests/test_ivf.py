@@ -1,0 +1,67 @@
+"""IVF index: exactness at nprobe=n_lists, recall at partial probe,
+assignment completeness."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import types as T
+
+from nlp_to_nosql_spark.operators.ivf import IVFIndex
+from nlp_to_nosql_spark.operators.similarity import topk_bruteforce
+
+DIM = 8
+N = 300
+
+VEC_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """Three well-separated Gaussian blobs, so IVF cells are meaningful."""
+    rng = np.random.RandomState(11)
+    centers = np.array([[10.0] * DIM, [-10.0] * DIM, [10.0, -10.0] * (DIM // 2)])
+    vecs = np.concatenate(
+        [c + rng.randn(N // 3, DIM) for c in centers]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)], VEC_SCHEMA
+    )
+    return df, vecs
+
+
+def test_assignment_partitions_corpus(spark, clustered):
+    df, _ = clustered
+    idx = IVFIndex(n_lists=6, max_iter=4)
+    assigned = idx.fit(df)
+    assert assigned.count() == df.count()
+    lists = {r["list_id"] for r in assigned.select("list_id").distinct().collect()}
+    assert lists <= set(range(6))
+
+
+def test_full_probe_is_exact(spark, clustered):
+    df, vecs = clustered
+    idx = IVFIndex(n_lists=4, max_iter=3)
+    assigned = idx.fit(df).cache()
+    q = [float(x) for x in vecs[0]]
+    got = [(r["vec_id"], r["cos_sim"]) for r in idx.topk(assigned, q, k=10, nprobe=4).collect()]
+    want = [(r["vec_id"], r["cos_sim"]) for r in topk_bruteforce(df, q, k=10).collect()]
+    assert got == want
+    assigned.unpersist()
+
+
+def test_partial_probe_recall(spark, clustered):
+    df, vecs = clustered
+    idx = IVFIndex(n_lists=6, max_iter=4)
+    assigned = idx.fit(df).cache()
+    q = [float(x) for x in vecs[5]]
+    got = {r["vec_id"] for r in idx.topk(assigned, q, k=10, nprobe=2).collect()}
+    want = {r["vec_id"] for r in topk_bruteforce(df, q, k=10).collect()}
+    # blobs are far apart: probing 2 of 6 cells must keep high recall
+    assert len(got & want) >= 8
+    assigned.unpersist()

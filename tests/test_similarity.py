@@ -82,3 +82,21 @@ def test_lsh_neardup_pairs(vec_df):
     }
     assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
     assert all(v >= 0.98 for v in pairs.values())
+
+
+def test_embedding_neardup_exact(vec_df, vectors):
+    from nlp_to_nosql_spark.operators.similarity import embedding_neardup_exact
+
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_neardup_exact(vec_df, threshold=0.98).collect()
+    }
+    # exact all-pairs must find the planted near-dups of vector 0
+    assert {(0, 1), (0, 2), (1, 2)} <= set(got)
+    # and agree with numpy on every returned pair
+    import numpy as np
+
+    v = vectors.astype(np.float64)
+    for (a, b), cs in got.items():
+        want = float(v[a] @ v[b] / (np.linalg.norm(v[a]) * np.linalg.norm(v[b])))
+        assert abs(cs - round(want, 6)) < 1e-6

@@ -18,7 +18,11 @@ from nlp_to_nosql_spark.compiler.rules import nl_to_queryspec
 from nlp_to_nosql_spark.functions import text as tx
 from nlp_to_nosql_spark.ir import QuerySpec
 from nlp_to_nosql_spark.operators import dedup as dd
-from nlp_to_nosql_spark.operators.multimodal import image_features
+from nlp_to_nosql_spark.operators.multimodal import (
+    audio_chunk_plan,
+    frame_sample_plan,
+    image_features,
+)
 from nlp_to_nosql_spark.operators.similarity import (
     RandomHyperplaneLSH,
     embedding_neardup_exact,
@@ -291,6 +295,43 @@ def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(media).select("media_id", "n_bytes", "sha256")
 
 
+def _media_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-kind media table derived deterministically from documents
+    (kind cycles image/audio/video by doc_id; duration = 10 ms/char)."""
+    docs = register_tables(spark, sf_dir)["documents"]
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.col("n_chars").cast("int").alias("width"),
+            F.lit(1).cast("int").alias("height"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+            F.lit("utf8").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def _q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media_mixed(spark, sf_dir)
+    return frame_sample_plan(media, fps=1.0).select(
+        "media_id", F.col("frame_ms").cast("long").alias("frame_ms")
+    )
+
+
+def _q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media_mixed(spark, sf_dir)
+    return audio_chunk_plan(media, chunk_ms=5000).select(
+        "media_id",
+        F.col("chunk_start_ms").cast("long").alias("chunk_start_ms"),
+        F.col("chunk_len_ms").cast("long").alias("chunk_len_ms"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -401,6 +442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb1_norms_by_label": _q_embedding_norms,
         "stream1_windowed_counts": _q_windowed_event_counts,
         "mm1_image_features": _q_image_features,
+        "mm2_frame_plan": _q_frame_plan,
+        "mm3_audio_chunks": _q_audio_chunks,
     }
 
 
@@ -573,5 +616,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id AS media_id, "
             "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
             "sha256(text) AS sha256 FROM documents"
+        ),
+        "mm2_frame_plan": (
+            "SELECT doc_id AS media_id, "
+            "CAST(unnest(generate_series(0, greatest(n_chars * 10 - 1, 0), 1000)) "
+            "AS BIGINT) AS frame_ms "
+            "FROM documents WHERE doc_id % 3 = 2"
+        ),
+        "mm3_audio_chunks": (
+            "WITH a AS (SELECT doc_id AS media_id, n_chars * 10 AS duration_ms "
+            "FROM documents WHERE doc_id % 3 = 1), "
+            "s AS (SELECT media_id, duration_ms, "
+            "unnest(generate_series(0, greatest(duration_ms - 1, 0), 5000)) "
+            "AS chunk_start_ms FROM a) "
+            "SELECT media_id, CAST(chunk_start_ms AS BIGINT) AS chunk_start_ms, "
+            "CAST(LEAST(5000, duration_ms - chunk_start_ms) AS BIGINT) AS chunk_len_ms "
+            "FROM s"
         ),
     }

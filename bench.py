@@ -37,8 +37,21 @@ def main() -> None:
 
     qs = entrymod.queries()
 
-    # Warm the JVM / parquet footers so q1 doesn't pay session startup.
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # Warm the JVM, parquet footers, codegen, and the Python worker pool so
+    # the first measured query doesn't pay one-time session startup.
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li.filter(F.col("l_quantity") > 0).groupBy("l_returnflag").count().collect()
+
+    @pandas_udf("double")
+    def _warm(v):
+        return v * 1.0
+
+    spark.range(10_000).repartition(int(spark.sparkContext.defaultParallelism)).select(
+        _warm(F.col("id").cast("double"))
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():

@@ -49,26 +49,73 @@ def embedding_neardup_exact(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_size: int = 1024,
 ) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (id_a < id_b, cos ≥ threshold).
 
-    All-pairs baseline: O(n²) comparisons as a self-join, every cosine a
-    codegen'd zip_with/aggregate.  This is the *correctness oracle* tier —
-    at corpus scale use :meth:`RandomHyperplaneLSH.neardup_pairs`, which
-    buckets by signature first and only verifies within buckets.
+    Blocked all-pairs: rows are bucketed into ⌈n/block_size⌉ id-hash
+    blocks, each row is replicated to every unordered block-pair it
+    participates in, and each (block_a, block_b) group computes one
+    normalized numpy matmul inside ``applyInPandas``.  Exact O(n²)
+    comparisons — but as dense BLAS kernels over bounded 2·block_size
+    groups, not per-pair array folds, and replication (×n_blocks) is the
+    inherent cost of exactness.  At corpus scale prefer
+    :meth:`RandomHyperplaneLSH.neardup_pairs`, which buckets by signature
+    first and only verifies within buckets.
     """
-    narrow = fan_out(df.select(id_col, vec_col))
-    a, b = narrow.alias("a"), narrow.alias("b")
-    return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias(
-                "cos_sim"
-            ),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+    import numpy as np
+    import pandas as pd
+
+    n = df.select(id_col).count()
+    n_blocks = max(1, -(-n // block_size))
+
+    blocks = fan_out(df.select(id_col, vec_col)).withColumn(
+        "blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    )
+    # replicate each row to every unordered block-pair containing its block
+    replicated = blocks.select(
+        id_col,
+        vec_col,
+        "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("other"),
+    ).select(
+        id_col,
+        vec_col,
+        "blk",
+        F.least("blk", "other").alias("pa"),
+        F.greatest("blk", "other").alias("pb"),
+    )
+
+    thr = float(threshold)
+
+    def compare(key, pdf):
+        pa, pb = key
+        ids = pdf[id_col].to_numpy()
+        x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0] = np.inf  # zero vectors: cosine defined as 0
+        x = x / norms[:, None]
+        in_a = (pdf["blk"] == pa).to_numpy()
+        if pa == pb:
+            sims = np.round(x @ x.T, 6)
+            ia, ib = np.nonzero(sims >= thr)
+            vals = sims[ia, ib]
+            keep = ids[ia] < ids[ib]
+            ids_row, ids_col = ids[ia], ids[ib]
+        else:
+            xa, xb = x[in_a], x[~in_a]
+            ids_a, ids_b = ids[in_a], ids[~in_a]
+            sims = np.round(xa @ xb.T, 6)
+            ia, ib = np.nonzero(sims >= thr)
+            vals = sims[ia, ib]
+            keep = np.ones(len(ia), dtype=bool)
+            ids_row, ids_col = ids_a[ia], ids_b[ib]
+        lo = np.minimum(ids_row, ids_col)[keep]
+        hi = np.maximum(ids_row, ids_col)[keep]
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": vals[keep]})
+
+    return replicated.groupBy("pa", "pb").applyInPandas(
+        compare, "id_a long, id_b long, cos_sim double"
     )
 
 

@@ -28,6 +28,7 @@ from nlp_to_nosql_spark.operators.similarity import (
     embedding_neardup_exact,
     topk_bruteforce,
 )
+from nlp_to_nosql_spark.operators.asof import asof_join
 from nlp_to_nosql_spark.operators.sessions import SESSIONIZE_SQL, sessionize
 from nlp_to_nosql_spark.operators.ivf import IVFIndex
 from nlp_to_nosql_spark.plans.compile import apply_spec
@@ -260,6 +261,53 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, gap_minutes=30)
 
 
+def _q_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event joined as-of to the user's most recent prior order.
+    Right side pre-aggregated to one row per (custkey, orderdate) so the
+    match is deterministic; oracle is DuckDB's native ASOF LEFT JOIN."""
+    t = register_tables(spark, sf_dir)
+    od = (
+        t["orders"]
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("last_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("last_totalprice"),
+        )
+    )
+    ev = t["events"].select("event_id", "user_id", "ts")
+    return asof_join(
+        ev, od, "user_id", "o_custkey", "ts", "o_orderdate",
+        value_cols=["last_orderkey", "last_totalprice"],
+    ).select("event_id", "user_id", "last_orderkey", "last_totalprice")
+
+
+#: Identical SQL text runs on Spark and DuckDB (multi-resolution rollup
+#: via GROUPING SETS; grouping() flags disambiguate NULL-as-total rows).
+#: The day column is CAST to TIMESTAMP because DuckDB's day-level
+#: date_trunc returns DATE while Spark's returns TIMESTAMP.
+MULTIRES_ROLLUP_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       date_trunc('hour', ts) AS hour,
+       event_type,
+       CAST(GROUPING(date_trunc('hour', ts)) AS INT) AS is_day_level,
+       CAST(GROUPING(event_type) AS INT) AS is_all_types,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY GROUPING SETS (
+  (date_trunc('day', ts), date_trunc('hour', ts), event_type),
+  (date_trunc('day', ts), event_type),
+  (date_trunc('day', ts)),
+  ()
+)
+"""
+
+
+def _q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(MULTIRES_ROLLUP_SQL)
+
+
 def _q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nlp_to_nosql_spark.functions.vectors import norm
 
@@ -428,6 +476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join1_revenue_by_nation": _q_revenue_by_nation,
         "win1_top_order_per_customer": _q_top_order_per_customer,
         "ts1_hourly_events": _q_hourly_events,
+        "ts2_multires_rollup": _q_multires_rollup,
+        "asof1_event_last_order": _q_asof_event_order,
         # -- LLM-data-pipeline extensions -----------------------------------
         "text1_analysis": _q_text_analysis,
         "dedup1_exact": _q_dedup_exact,
@@ -537,6 +587,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_events, "
             "ROUND(SUM(value), 2) AS sum_value "
             "FROM events GROUP BY date_trunc('hour', ts)"
+        ),
+        "ts2_multires_rollup": MULTIRES_ROLLUP_SQL,
+        "asof1_event_last_order": (
+            "WITH od AS ("
+            "SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS last_orderkey, "
+            "arg_max(o_totalprice, o_orderkey) AS last_totalprice "
+            "FROM orders GROUP BY 1, 2) "
+            "SELECT e.event_id, e.user_id, od.last_orderkey, od.last_totalprice "
+            "FROM events e ASOF LEFT JOIN od "
+            "ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate"
         ),
         "text1_analysis": (
             "SELECT doc_id, "

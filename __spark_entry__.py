@@ -9,6 +9,7 @@ deterministic (no bare LIMIT over unordered data — SURVEY §7.4.3).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -180,6 +181,30 @@ def _q_count_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def _sink_roundtrip(table: str, fmt: str):
+    """Distributed sink + re-read under the oracle gate (S4/S6 parity):
+    write the table with the engine's sink, read it back with the engine's
+    reader, and let the driver compare against SELECT * — proving the
+    export path is lossless, not just that the query ran."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from nlp_to_nosql_spark.sources.formats import read_table, write_csv, write_json
+
+        src = register_tables(spark, sf_dir)[table]
+        path = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_sink_{fmt}_{table}"
+        )
+        if fmt == "csv":
+            write_csv(src, path)
+        else:
+            write_json(src, path)
+        return read_table(spark, path, fmt, schema=src.schema)
+
+    return run
+
+
 # ---------------------------------------------------------------------------
 # large-scale pipeline extensions (text analysis / dedup / similarity /
 # multimodal / streaming)
@@ -279,6 +304,24 @@ def _q_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, od, "user_id", "o_custkey", "ts", "o_orderdate",
         value_cols=["last_orderkey", "last_totalprice"],
     ).select("event_id", "user_id", "last_orderkey", "last_totalprice")
+
+
+def _q_range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each event to its session window by range join — composes
+    sessionize → range_join; the oracle does the same with a BETWEEN join."""
+    from nlp_to_nosql_spark.operators.interval import range_join
+
+    ev = register_tables(spark, sf_dir)["events"].select("event_id", "user_id", "ts")
+    sess = sessionize(register_tables(spark, sf_dir)["events"], gap_minutes=30).select(
+        F.col("user_id").alias("s_user_id"),
+        "session_idx",
+        "session_start",
+        "session_end",
+    )
+    return range_join(
+        ev, sess, "ts", "session_start", "session_end",
+        bucket_s=3600, left_keys=["user_id"], right_keys=["s_user_id"],
+    ).select("event_id", "user_id", "session_idx")
 
 
 #: Identical SQL text runs on Spark and DuckDB (multi-resolution rollup
@@ -458,6 +501,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "customer", QuerySpec(projection=("c_custkey", "c_name"))
         ),
         "j2_select_all": _ir_query("nation", QuerySpec()),
+        # -- sinks S4/S6 (SURVEY §2.1): distributed export round-trips ------
+        "s4_json_roundtrip": _sink_roundtrip("supplier", "json"),
+        "s6_csv_roundtrip": _sink_roundtrip("nation", "csv"),
         # -- counts / aggregates A1-A7 (SURVEY §2.5) ------------------------
         "a1_count_filtered": _q_count_filtered,
         "a2_count_all": _q_count_all,
@@ -478,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts1_hourly_events": _q_hourly_events,
         "ts2_multires_rollup": _q_multires_rollup,
         "asof1_event_last_order": _q_asof_event_order,
+        "rj1_events_in_session": _q_range_join_sessions,
         # -- LLM-data-pipeline extensions -----------------------------------
         "text1_analysis": _q_text_analysis,
         "dedup1_exact": _q_dedup_exact,
@@ -536,6 +583,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "j1_projection": "SELECT c_custkey, c_name FROM customer",
         "j2_select_all": "SELECT * FROM nation",
+        "s4_json_roundtrip": "SELECT * FROM supplier",
+        "s6_csv_roundtrip": "SELECT * FROM nation",
         "a1_count_filtered": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem "
             "WHERE l_shipdate > TIMESTAMP '1998-01-01'"
@@ -589,6 +638,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY date_trunc('hour', ts)"
         ),
         "ts2_multires_rollup": MULTIRES_ROLLUP_SQL,
+        "rj1_events_in_session": (
+            "WITH sess AS ("
+            + SESSIONIZE_SQL.format(gap_us=30 * 60 * 1_000_000).strip()
+            + ") SELECT e.event_id, e.user_id, s.session_idx "
+            "FROM events e JOIN sess s ON e.user_id = s.user_id "
+            "AND e.ts BETWEEN s.session_start AND s.session_end"
+        ),
         "asof1_event_last_order": (
             "WITH od AS ("
             "SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS last_orderkey, "

@@ -306,6 +306,57 @@ def _q_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "last_orderkey", "last_totalprice")
 
 
+def _q_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = register_tables(spark, sf_dir)["customer"]
+    return c.select("c_mktsegment").distinct()
+
+
+def _q_union_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return (
+        t["region"].select(F.col("r_name").alias("name"))
+        .union(t["nation"].select(F.col("n_name").alias("name")))
+        .distinct()
+    )
+
+
+def _q_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return (
+        t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+def _q_except_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with no lineitems (non-empty at every SF)."""
+    t = register_tables(spark, sf_dir)
+    return (
+        t["orders"].select(F.col("o_orderkey").alias("orderkey"))
+        # subtract == SQL EXCEPT (distinct semantics), unlike exceptAll
+        .subtract(t["lineitem"].select(F.col("l_orderkey").alias("orderkey")))
+    )
+
+
+def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe orders ⋈ customer via salting, aggregated per segment.
+    Result is provably salt-independent, so the oracle is a plain join."""
+    from nlp_to_nosql_spark.operators.joins import salted_join
+
+    t = register_tables(spark, sf_dir)
+    joined = salted_join(
+        t["orders"].select("o_orderkey", "o_custkey", "o_totalprice"),
+        t["customer"].select("c_custkey", "c_mktsegment"),
+        "o_custkey",
+        "c_custkey",
+        salt=8,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
 def _q_range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign each event to its session window by range join — composes
     sessionize → range_join; the oracle does the same with a BETWEEN join."""
@@ -525,6 +576,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts2_multires_rollup": _q_multires_rollup,
         "asof1_event_last_order": _q_asof_event_order,
         "rj1_events_in_session": _q_range_join_sessions,
+        "join2_salted_skew": _q_salted_join,
+        "dist1_segments": _q_distinct_segments,
+        "set1_union_names": _q_union_names,
+        "set2_intersect_nations": _q_intersect_nations,
+        "set3_except_orders": _q_except_orders,
         # -- LLM-data-pipeline extensions -----------------------------------
         "text1_analysis": _q_text_analysis,
         "dedup1_exact": _q_dedup_exact,
@@ -638,6 +694,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY date_trunc('hour', ts)"
         ),
         "ts2_multires_rollup": MULTIRES_ROLLUP_SQL,
+        "join2_salted_skew": (
+            "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "ROUND(SUM(o_totalprice), 2) AS revenue "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
+        ),
+        "dist1_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "set1_union_names": (
+            "SELECT r_name AS name FROM region UNION SELECT n_name FROM nation"
+        ),
+        "set2_intersect_nations": (
+            "SELECT c_nationkey AS nationkey FROM customer "
+            "INTERSECT SELECT s_nationkey FROM supplier"
+        ),
+        "set3_except_orders": (
+            "SELECT o_orderkey AS orderkey FROM orders "
+            "EXCEPT SELECT l_orderkey FROM lineitem"
+        ),
         "rj1_events_in_session": (
             "WITH sess AS ("
             + SESSIONIZE_SQL.format(gap_us=30 * 60 * 1_000_000).strip()

@@ -1,0 +1,60 @@
+"""Salted join: result equivalence with a plain join, skew spreading."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from nlp_to_nosql_spark.operators.joins import salted_join
+
+LEFT = T.StructType(
+    [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+)
+RIGHT = T.StructType(
+    [T.StructField("rk", T.LongType()), T.StructField("name", T.StringType())]
+)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    # heavy skew: 90% of left rows share key 7
+    left = spark.createDataFrame(
+        [(7, i) for i in range(900)] + [(i % 5, i) for i in range(100)], LEFT
+    )
+    right = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(10)], RIGHT
+    )
+    return left, right
+
+
+def _norm(df):
+    return sorted((r["k"], r["v"], r["name"]) for r in df.collect())
+
+
+def test_salted_equals_plain_join(frames):
+    left, right = frames
+    plain = left.join(right, left["k"] == right["rk"]).select("k", "v", "name")
+    salted = salted_join(left, right, "k", "rk", salt=8)
+    assert _norm(salted) == _norm(plain)
+
+
+def test_salt_spreads_hot_key(frames):
+    left, _ = frames
+    salts = (
+        left.withColumn("_salt", (F.rand(42) * 8).cast("int"))
+        .filter(F.col("k") == 7)
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert salts >= 6  # the hot key lands in most of the 8 sub-partitions
+
+
+def test_salted_left_join_keeps_unmatched(spark, frames):
+    left, right = frames
+    with_orphan = left.union(
+        spark.createDataFrame([(99, 1)], LEFT)
+    )
+    out = salted_join(with_orphan, right, "k", "rk", salt=4, how="left")
+    assert out.filter(F.col("k") == 99).count() == 1
+    assert out.filter(F.col("k") == 99).first()["name"] is None

@@ -306,6 +306,26 @@ def _q_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "last_orderkey", "last_totalprice")
 
 
+def _q_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark percentile ==
+    DuckDB quantile_cont semantics)."""
+    o = register_tables(spark, sf_dir)["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+def _q_unknown_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo-parity semantics (SURVEY §4 caveat): a filter on a column the
+    table doesn't have matches nothing instead of raising."""
+    return _ir_query(
+        "region", QuerySpec(filter={"no_such_column": {"$gt": 1}})
+    )(spark, sf_dir)
+
+
 def _q_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = register_tables(spark, sf_dir)["customer"]
     return c.select("c_mktsegment").distinct()
@@ -540,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         ),
         "p10_find_all": _ir_query("region", QuerySpec()),
+        "p12_unknown_field": _q_unknown_field,
         "p11_conjunction": _ir_query(
             "lineitem",
             QuerySpec(
@@ -557,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_csv_roundtrip": _sink_roundtrip("nation", "csv"),
         # -- counts / aggregates A1-A7 (SURVEY §2.5) ------------------------
         "a1_count_filtered": _q_count_filtered,
+        "agg2_order_percentiles": _q_order_percentiles,
         "a2_count_all": _q_count_all,
         "a5_a6_a7_event_metrics": _q_event_metrics,
         # -- NL front end end-to-end (SURVEY §2.7) --------------------------
@@ -633,6 +655,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE regexp_matches(p_name, '(?i)WIDGET')"
         ),
         "p10_find_all": "SELECT * FROM region",
+        "p12_unknown_field": "SELECT * FROM region WHERE 1 = 0",
         "p11_conjunction": (
             "SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity "
             "FROM lineitem WHERE l_returnflag = 'A' AND l_quantity > 30"
@@ -646,6 +669,13 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_shipdate > TIMESTAMP '1998-01-01'"
         ),
         "a2_count_all": "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem",
+        "agg2_order_percentiles": (
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50, "
+            "ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90, "
+            "ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99 "
+            "FROM orders GROUP BY o_orderpriority"
+        ),
         "a5_a6_a7_event_metrics": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS total_events, "
             "ROUND(AVG(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 100, 4) "

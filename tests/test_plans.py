@@ -1,0 +1,80 @@
+"""Physical-plan regression guards: the optimizations the engine relies on
+(predicate pushdown to parquet, column pruning, broadcast of dimension
+tables, no shuffle where none is needed) must stay visible in explain
+output — a correctness-preserving change that silently loses one of these
+is a 100 TB performance bug."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from nlp_to_nosql_spark.ir import QuerySpec
+from nlp_to_nosql_spark.plans.compile import apply_spec
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "li")
+    spark.range(1000).select(
+        F.col("id").alias("l_orderkey"),
+        (F.col("id") % 50).cast("double").alias("l_quantity"),
+        (F.col("id") % 7).cast("string").alias("l_returnflag"),
+        (F.col("id") % 100).cast("double").alias("l_extendedprice"),
+    ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_ir_filter_pushes_down_to_scan(lineitem):
+    spec = QuerySpec(
+        filter={"l_quantity": {"$gt": 45}},
+        projection=("l_orderkey", "l_quantity"),
+    )
+    plan = _explain(apply_spec(lineitem, spec, with_limit=False))
+    assert "GreaterThan(l_quantity,45" in plan          # PushedFilters
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_projection_prunes_scan_columns(lineitem):
+    spec = QuerySpec(projection=("l_orderkey",))
+    plan = _explain(apply_spec(lineitem, spec, with_limit=False))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema
+    assert "l_quantity" not in read_schema
+
+
+def test_small_dimension_broadcasts(spark, lineitem):
+    dim = spark.range(7).select(
+        F.col("id").cast("string").alias("flag"),
+        F.concat(F.lit("name"), F.col("id")).alias("flag_name"),
+    )
+    joined = lineitem.join(F.broadcast(dim), lineitem["l_returnflag"] == dim["flag"])
+    assert "BroadcastHashJoin" in _explain(joined)
+
+
+def test_scan_filter_project_is_shuffle_free(lineitem):
+    spec = QuerySpec(
+        filter={"l_returnflag": "3"}, projection=("l_orderkey", "l_returnflag")
+    )
+    plan = _explain(apply_spec(lineitem, spec, with_limit=False))
+    assert "Exchange" not in plan
+
+
+def test_fan_out_noop_on_wide_input(spark):
+    from nlp_to_nosql_spark.plans.partitioning import fan_out
+
+    parallelism = spark.sparkContext.defaultParallelism
+    wide = spark.range(10_000).repartition(parallelism)
+    assert fan_out(wide) is wide  # already at target: no extra shuffle
+    narrow = spark.range(10).coalesce(1)
+    assert fan_out(narrow).rdd.getNumPartitions() == parallelism

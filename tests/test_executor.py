@@ -86,3 +86,18 @@ def test_budget_split_matches_reference_arithmetic():
     gen60, db60 = budget_split(60.0)
     assert gen60 == 25.0  # min(60-5, 25)
     assert db60 == 34.0
+
+
+def test_run_with_timeout_cancels_runaway_job(spark):
+    import pytest
+    """R1/R3: a genuinely slow Spark action is cancelled at the budget and
+    raises QueryTimeoutError promptly instead of running to completion."""
+    import time
+
+    from nlp_to_nosql_spark.timeout import QueryTimeoutError, run_with_timeout
+
+    big = spark.range(2_000_000).crossJoin(spark.range(50_000))
+    t0 = time.time()
+    with pytest.raises(QueryTimeoutError):
+        run_with_timeout(spark, lambda: big.count(), timeout_s=2.0, group_desc="runaway")
+    assert time.time() - t0 < 30  # cancelled, not run to completion

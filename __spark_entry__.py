@@ -225,6 +225,11 @@ def _q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_charngram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_tables(spark, sf_dir)["documents"]
+    return dd.char_ngram_sketch(docs, "doc_id", "text", n=32)
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_tables(spark, sf_dir)["documents"]
     return dd.dedup_exact(docs, "doc_id", "text")
@@ -590,6 +595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nl6_experience_gt": _nl_query("experience more than 25"),
         "nl7_age_gt": _nl_query("employees with age over 40"),
         "nl8_age_lt": _nl_query("age under 30"),
+        "nl9_salary_eq": _nl_query("employees with salary 6789"),
+        "nl10_department_synonym": _nl_query("show me the developers"),
         # -- beyond-reference analytics (SURVEY §7.2 phase 8) ---------------
         "agg1_pricing_summary": _q_pricing_summary,
         "join1_revenue_by_nation": _q_revenue_by_nation,
@@ -605,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set3_except_orders": _q_except_orders,
         # -- LLM-data-pipeline extensions -----------------------------------
         "text1_analysis": _q_text_analysis,
+        "text2_charngram_sketch": _q_charngram_sketch,
         "dedup1_exact": _q_dedup_exact,
         "dedup2_ngram_jaccard": _q_ngram_jaccard,
         "dedup3_minhash_lsh": _q_minhash_lsh,        # weak check (no SQL twin)
@@ -692,6 +700,11 @@ def oracle_sql() -> dict[str, str]:
         "nl6_experience_gt": f"SELECT * FROM {emp} WHERE experience_years > 25",
         "nl7_age_gt": f"SELECT * FROM {emp} WHERE age > 40",
         "nl8_age_lt": f"SELECT * FROM {emp} WHERE age < 30",
+        "nl9_salary_eq": f"SELECT * FROM {emp} WHERE salary = 6789",
+        # 'developers' → engineering via the synonym map (No_Sql.py:344-358)
+        "nl10_department_synonym": (
+            f"SELECT * FROM {emp} WHERE regexp_matches(department, '(?i)engineering')"
+        ),
         "agg1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
             "ROUND(SUM(l_quantity), 2) AS sum_qty, "
@@ -766,6 +779,17 @@ def oracle_sql() -> dict[str, str]:
             + tx.lang_id_sql().format(c="text") + " AS lang_pred, "
             + tx.FINGERPRINT_SQL.format(c="text") + " AS fp "
             "FROM documents"
+        ),
+        "text2_charngram_sketch": (
+            "WITH nrm AS (SELECT doc_id, "
+            + tx.NORMALIZE_SQL.format(c="text")
+            + " AS norm FROM documents), "
+            "grams AS (SELECT doc_id, substr(norm, "
+            "unnest(generate_series(1, greatest(length(norm) - 31, 1))), 32) "
+            "AS gram FROM nrm) "
+            "SELECT doc_id, MIN(md5(gram)) AS min_fp, "
+            "CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_grams "
+            "FROM grams GROUP BY doc_id"
         ),
         "dedup1_exact": (
             "SELECT MIN(doc_id) AS doc_id, "

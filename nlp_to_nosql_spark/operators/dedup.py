@@ -348,3 +348,36 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# character-n-gram min sketch (winnowing-style fingerprint)
+# ---------------------------------------------------------------------------
+
+def char_ngram_sketch(
+    df: DataFrame, id_col: str, text_col: str, n: int = 32
+) -> DataFrame:
+    """Per-document content sketch over sliding character n-grams:
+    the minimum md5 across all n-grams (a 1-permutation minhash of the
+    character-level content, rolling-hash style) plus the distinct n-gram
+    count.  Two documents sharing any region of ≥ n characters have a
+    chance of agreeing on min_fp; equal sketches are strong partial-dup
+    signals at a fraction of shingle-join cost.
+
+    md5 (not xxhash64) so a SQL oracle can compute the identical value.
+    One explode + one groupBy on the id — single shuffle.
+    """
+    norm = normalize_text(F.col(text_col))
+    ex = fan_out(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1)))
+        ).alias("pos"),
+        norm.alias("_norm"),
+    ).select(
+        id_col, F.substring(F.col("_norm"), F.col("pos"), n).alias("gram")
+    )
+    return ex.groupBy(id_col).agg(
+        F.min(F.md5(F.col("gram"))).alias("min_fp"),
+        F.countDistinct("gram").alias("n_grams"),
+    )

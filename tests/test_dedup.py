@@ -103,3 +103,28 @@ def test_simhash_pairs(docs):
     assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0
     assert (1, 4) in pairs
     assert not any(5 in p for p in pairs)
+
+
+def test_char_ngram_sketch(spark):
+    from pyspark.sql import types as T
+    from nlp_to_nosql_spark.operators.dedup import char_ngram_sketch
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    long_a = "the quick brown fox jumps over the lazy dog " * 3
+    df = spark.createDataFrame(
+        [
+            (1, long_a),
+            (2, long_a),          # identical → identical sketch
+            (3, "completely different content that shares nothing here"),
+            (4, "tiny"),          # shorter than n → whole-string gram
+        ],
+        schema,
+    )
+    out = {r["doc_id"]: (r["min_fp"], r["n_grams"]) for r in
+           char_ngram_sketch(df, "doc_id", "text", n=32).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    assert out[4][1] == 1  # single whole-string gram
+    assert all(len(v[0]) == 32 for v in out.values())  # md5 hex

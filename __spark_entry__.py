@@ -400,6 +400,107 @@ def _q_range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "session_idx")
 
 
+def _q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: customers with at least one order.  Probes the
+    orders side without materializing the join output (no row blowup —
+    the scale-correct existence check; the oracle is EXISTS)."""
+    t = register_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: orders with no lineitems — non-empty at every SF
+    (oracle is NOT EXISTS; same rows as set3 but via the join operator)."""
+    t = register_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def _q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG window: per-customer inter-order gap in integer microseconds
+    (epoch_us on both engines — no date-diff dialect drift)."""
+    o = register_tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_ts = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        # timestamp_diff works on TIMESTAMP_NTZ (o_orderdate's physical
+        # type) and is timezone-independent, unlike unix_micros.
+        F.timestamp_diff("MICROSECOND", prev_ts, F.col("o_orderdate")).alias(
+            "gap_us"
+        ),
+    )
+
+
+def _q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT order status × market segment.  Explicit value list keeps the
+    plan single-pass (no extra distinct-values job); customer broadcasts."""
+    t = register_tables(spark, sf_dir)
+    j = t["orders"].join(
+        F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+    )
+    p = j.groupBy("c_mktsegment").pivot("o_orderstatus", ["F", "O", "P"]).count()
+    return p.select(
+        "c_mktsegment",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/8 sample by md5 prefix of the key — reproducible
+    across engines and runs, unlike TABLESAMPLE / rand().  The standard
+    trick for sampling a 100 TB table consistently across pipeline stages."""
+    o = register_tables(spark, sf_dir)["orders"]
+    bucket = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    return o.filter(bucket.isin("0", "1")).select("o_orderkey", "o_totalprice")
+
+
+def _q_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode(split(normalize(text))) → word frequency table: the
+    tokenize-and-count core of corpus statistics."""
+    docs = register_tables(spark, sf_dir)["documents"]
+    words = docs.select(
+        F.explode(F.split(tx.normalize_text(F.col("text")), " ")).alias("word")
+    )
+    return (
+        words.filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_ndv_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type (two-phase partial-distinct
+    aggregation under AQE; the approx_count_distinct variant is the
+    single-pass scale path when ±2 % error is acceptable)."""
+    ev = register_tables(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from a string column (schema-on-read over
+    semi-structured props), JVM-side via get_json_object."""
+    ev = register_tables(spark, sf_dir)["events"]
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k"),
+    )
+
+
 #: Identical SQL text runs on Spark and DuckDB (multi-resolution rollup
 #: via GROUPING SETS; grouping() flags disambiguate NULL-as-total rows).
 #: The day column is CAST to TIMESTAMP because DuckDB's day-level
@@ -606,6 +707,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof1_event_last_order": _q_asof_event_order,
         "rj1_events_in_session": _q_range_join_sessions,
         "join2_salted_skew": _q_salted_join,
+        "join3_semi_customers": _q_semi_join,
+        "join4_anti_orders": _q_anti_join,
+        "win2_order_gaps": _q_order_gaps,
+        "pivot1_status_by_segment": _q_pivot_status,
+        "sample1_hash_bucket": _q_hash_sample,
+        "expl1_word_counts": _q_word_counts,
+        "agg3_ndv_by_type": _q_ndv_by_type,
+        "json1_props_extract": _q_json_extract,
         "dist1_segments": _q_distinct_segments,
         "set1_union_names": _q_union_names,
         "set2_intersect_nations": _q_intersect_nations,
@@ -742,6 +851,51 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(o_totalprice), 2) AS revenue "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_mktsegment"
+        ),
+        "join3_semi_customers": (
+            "SELECT c_custkey, c_name FROM customer WHERE EXISTS "
+            "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+        ),
+        "join4_anti_orders": (
+            "SELECT o_orderkey, o_totalprice FROM orders WHERE NOT EXISTS "
+            "(SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)"
+        ),
+        "win2_order_gaps": (
+            "SELECT o_custkey, o_orderkey, "
+            "LAG(o_orderkey) OVER w AS prev_orderkey, "
+            "epoch_us(o_orderdate) - epoch_us(LAG(o_orderdate) OVER w) AS gap_us "
+            "FROM orders WINDOW w AS "
+            "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+        ),
+        "pivot1_status_by_segment": (
+            "SELECT c_mktsegment, "
+            "CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f, "
+            "CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o, "
+            "CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
+        ),
+        "sample1_hash_bucket": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')"
+        ),
+        "expl1_word_counts": (
+            "WITH nrm AS (SELECT "
+            + tx.NORMALIZE_SQL.format(c="text")
+            + " AS norm FROM documents), "
+            "w AS (SELECT unnest(string_split(norm, ' ')) AS word FROM nrm) "
+            "SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w "
+            "WHERE word <> '' GROUP BY word"
+        ),
+        "agg3_ndv_by_type": (
+            "SELECT event_type, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY event_type"
+        ),
+        "json1_props_extract": (
+            "SELECT event_id, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events"
         ),
         "dist1_segments": "SELECT DISTINCT c_mktsegment FROM customer",
         "set1_union_names": (

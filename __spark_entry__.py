@@ -240,6 +240,16 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the 3-gram Jaccard
+    pair graph, every document labeled with its cluster representative."""
+    from nlp_to_nosql_spark.operators.graph import dedup_clusters
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
+    return dedup_clusters(pairs, docs)
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_tables(spark, sf_dir)["documents"]
     return dd.minhash_lsh_pairs(
@@ -727,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup3_minhash_lsh": _q_minhash_lsh,        # weak check (no SQL twin)
         "dedup4_simhash_pairs": _q_simhash_pairs,    # weak check (no SQL twin)
         "dedup5_embcos_exact": _q_embcos_neardup,
+        "dedup6_cluster_labels": _q_dedup_clusters,
         "ann1_topk_bruteforce": _q_ann_bruteforce,
         "ann2_topk_lsh": _q_ann_lsh,                 # weak check (no SQL twin)
         "ann3_topk_ivf": _q_ann_ivf,
@@ -737,6 +748,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm2_frame_plan": _q_frame_plan,
         "mm3_audio_chunks": _q_audio_chunks,
     }
+
+
+#: Shared CTE block defining the 3-gram Jaccard pair relation on DuckDB —
+#: used by both the dedup2 pair oracle and the dedup6 clustering oracle so
+#: the two checks see byte-identical pair semantics.
+_JACCARD_CTES = (
+    "words AS (SELECT doc_id, string_split("
+    + tx.NORMALIZE_SQL.format(c="text") + ", ' ') AS w FROM documents), "
+    "sh0 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3 "
+    "THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] "
+    "ELSE [array_to_string(w, ' ')] END)) AS shingle FROM words), "
+    "rare AS (SELECT shingle FROM sh0 GROUP BY shingle "
+    "HAVING COUNT(*) <= 1000), "
+    "shr AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 "
+    "JOIN rare USING (shingle)), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh0 GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "COUNT(*) AS n_inter FROM shr a JOIN shr b "
+    "ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "scored AS (SELECT id_a, id_b, "
+    "ROUND(n_inter / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard "
+    "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+    "JOIN sizes sb ON sb.doc_id = id_b)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -952,24 +987,25 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY " + tx.FINGERPRINT_SQL.format(c="text")
         ),
         "dedup2_ngram_jaccard": (
-            "WITH words AS (SELECT doc_id, string_split("
-            + tx.NORMALIZE_SQL.format(c="text") + ", ' ') AS w FROM documents), "
-            "sh0 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3 "
-            "THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] "
-            "ELSE [array_to_string(w, ' ')] END)) AS shingle FROM words), "
-            "rare AS (SELECT shingle FROM sh0 GROUP BY shingle "
-            "HAVING COUNT(*) <= 1000), "
-            "shr AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 "
-            "JOIN rare USING (shingle)), "
-            "sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh0 GROUP BY doc_id), "
-            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
-            "COUNT(*) AS n_inter FROM shr a JOIN shr b "
-            "ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), "
-            "scored AS (SELECT id_a, id_b, "
-            "ROUND(n_inter / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard "
-            "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
-            "JOIN sizes sb ON sb.doc_id = id_b) "
-            "SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.2"
+            "WITH " + _JACCARD_CTES
+            + " SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.2"
+        ),
+        # Recursive min-label reachability over the SAME pair relation as
+        # dedup2 — the oracle for the distributed connected-components
+        # operator.  Labels only flow "downhill" (label < target id): the
+        # component minimum still reaches every member, and the recursion
+        # state stays bounded.
+        "dedup6_cluster_labels": (
+            "WITH RECURSIVE " + _JACCARD_CTES + ", "
+            "pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.2), "
+            "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+            "UNION ALL SELECT id_b, id_a FROM pairs), "
+            "reach(id, label) AS ("
+            "SELECT doc_id, doc_id FROM documents "
+            "UNION "
+            "SELECT e.dst, r.label FROM reach r "
+            "JOIN edges e ON e.src = r.id WHERE r.label < e.dst) "
+            "SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id"
         ),
         # filter on the ROUNDed value, exactly like the Spark operator does
         "dedup5_embcos_exact": (

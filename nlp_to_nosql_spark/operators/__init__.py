@@ -3,6 +3,7 @@ deduplication, similarity search (brute-force / LSH / IVF), as-of and
 range joins, skew-salted joins, sessionization, multimodal columns."""
 
 from nlp_to_nosql_spark.operators.asof import asof_join
+from nlp_to_nosql_spark.operators.graph import connected_components, dedup_clusters
 from nlp_to_nosql_spark.operators.interval import range_join
 from nlp_to_nosql_spark.operators.ivf import IVFIndex
 from nlp_to_nosql_spark.operators.joins import salted_join
@@ -15,6 +16,8 @@ from nlp_to_nosql_spark.operators.similarity import (
 
 __all__ = [
     "asof_join",
+    "connected_components",
+    "dedup_clusters",
     "range_join",
     "IVFIndex",
     "salted_join",

@@ -553,6 +553,30 @@ def _q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(ev, window="1 hour")
 
 
+def _q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming sessionization (applyInPandasWithState,
+    file source → memory sink, availableNow) replayed over the bounded
+    events table — checked against the SAME SQL oracle as the batch
+    sessionize, proving batch/streaming semantic parity."""
+    from nlp_to_nosql_spark.streaming.replay import replay_sessionize
+
+    ev = register_tables(spark, sf_dir)["events"]
+    return replay_sessionize(spark, ev, gap_minutes=30, tag=f"sf{_sf_tag(sf_dir)}")
+
+
+def _q_windowed_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming watermarked window rollup (complete mode) over the
+    bounded events table; same oracle as the batch windowed counts."""
+    from nlp_to_nosql_spark.streaming.replay import replay_windowed_counts
+
+    ev = register_tables(spark, sf_dir)["events"]
+    return replay_windowed_counts(spark, ev, window="1 hour", tag=f"sf{_sf_tag(sf_dir)}")
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+
+
 def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over a media table derived from documents
     (payload = UTF-8 bytes of text) — exercises the Arrow mapInPandas path
@@ -744,6 +768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sess1_user_sessions": _q_sessionize,
         "emb1_norms_by_label": _q_embedding_norms,
         "stream1_windowed_counts": _q_windowed_event_counts,
+        "stream2_sessionize_stream": _q_sessionize_stream,
+        "stream3_windowed_counts_stream": _q_windowed_counts_stream,
         "mm1_image_features": _q_image_features,
         "mm2_frame_plan": _q_frame_plan,
         "mm3_audio_chunks": _q_audio_chunks,
@@ -1041,6 +1067,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings GROUP BY label"
         ),
         "stream1_windowed_counts": (
+            "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "ROUND(SUM(value), 2) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        # the streaming replays answer to the SAME oracles as their batch twins
+        "stream2_sessionize_stream": SESSIONIZE_SQL.format(
+            gap_us=30 * 60 * 1_000_000
+        ),
+        "stream3_windowed_counts_stream": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "
             "CAST(COUNT(*) AS BIGINT) AS n_events, "
             "ROUND(SUM(value), 2) AS sum_value "

@@ -125,7 +125,9 @@ def sessionize_stream(
     import pandas as pd  # local import: only the streaming path needs it
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    gap_s = gap_minutes * 60
+    # Integer microseconds end-to-end — same precision as the batch
+    # operator, so streaming output is oracle-comparable.
+    gap_us = gap_minutes * 60 * 1_000_000
 
     def update(key, pdfs, state: GroupState):
         (user_id,) = key
@@ -139,15 +141,15 @@ def sessionize_stream(
         events_seen = []
         for pdf in pdfs:
             events_seen.extend(
-                zip(pdf["ts"].astype("int64") // 10**9, pdf["value"].astype(float))
+                zip(pdf["ts"].astype("int64") // 1_000, pdf["value"].astype(float))
             )
-        for ts_s, value in sorted(events_seen):
-            if last_ts is not None and ts_s - last_ts > gap_s:
+        for ts_us, value in sorted(events_seen):
+            if last_ts is not None and ts_us - last_ts > gap_us:
                 rows.append((user_id, session_start, last_ts, n_events, sum_value))
-                session_start, n_events, sum_value = ts_s, 0, 0.0
+                session_start, n_events, sum_value = ts_us, 0, 0.0
             if session_start is None:
-                session_start = ts_s
-            last_ts = ts_s
+                session_start = ts_us
+            last_ts = ts_us
             n_events += 1
             sum_value += value
 
@@ -157,7 +159,7 @@ def sessionize_stream(
             state.remove()
         else:
             state.update((last_ts, session_start, n_events, sum_value))
-            state.setTimeoutTimestamp((last_ts + gap_s) * 1000)
+            state.setTimeoutTimestamp((last_ts + gap_us) // 1000)
 
         if rows:
             out = pd.DataFrame(
@@ -170,8 +172,8 @@ def sessionize_stream(
                     "sum_value",
                 ],
             )
-            out["session_start"] = pd.to_datetime(out["session_start"], unit="s")
-            out["session_end"] = pd.to_datetime(out["session_end"], unit="s")
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
             yield out
 
     return (

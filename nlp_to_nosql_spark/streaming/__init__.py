@@ -7,10 +7,16 @@ from nlp_to_nosql_spark.streaming.history import (
     history_aggregates,
     windowed_event_counts,
 )
+from nlp_to_nosql_spark.streaming.replay import (
+    replay_sessionize,
+    replay_windowed_counts,
+)
 
 __all__ = [
     "HISTORY_SCHEMA",
     "append_history",
     "history_aggregates",
     "windowed_event_counts",
+    "replay_sessionize",
+    "replay_windowed_counts",
 ]

@@ -1,0 +1,127 @@
+"""Bounded replay: run a *real* Structured Streaming query over a finite
+event table and return its output as a batch DataFrame.
+
+This is how the streaming operators get oracle-grade correctness checks:
+the same events that a SQL oracle aggregates are replayed through a
+file-source → streaming-operator → memory-sink query (``availableNow``
+trigger), and the emitted rows must match the batch answer exactly.
+
+Flush-sentinel technique for append-mode stateful operators: a stateful
+session only emits when *something later* proves it closed.  We append one
+far-future sentinel event per user; processing it forces the gap-break
+emission of every real trailing session, while the sentinel's own open
+session never emits (and is filtered by its start time anyway).  In
+production the same role is played by the event-time timeout as the
+watermark advances — the sentinel just makes a bounded replay
+deterministic instead of depending on micro-batch boundaries.
+
+The replay input is written as a SINGLE parquet file so ``availableNow``
+processes it in one micro-batch: within a batch the operator sorts each
+user's events, so replay order is deterministic regardless of how the
+source shuffled them.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nlp_to_nosql_spark.operators.sessions import sessionize_stream
+from nlp_to_nosql_spark.streaming.history import windowed_event_counts
+
+#: Sentinel offset: far beyond any real session gap.
+_SENTINEL_DAYS = 30
+
+
+def _work_dir(tag: str) -> str:
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_replay_{tag}")
+
+
+def _run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> None:
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def replay_sessionize(
+    spark: SparkSession,
+    events: DataFrame,
+    gap_minutes: int = 30,
+    tag: str = "sess",
+) -> DataFrame:
+    """Streaming sessionization of a bounded event table.
+
+    Returns batch-parity columns ``(user_id, session_idx, session_start,
+    session_end, n_events, sum_value)`` — directly comparable to the
+    batch :func:`~nlp_to_nosql_spark.operators.sessions.sessionize` /
+    its SQL oracle.
+    """
+    src = events.select("event_id", "user_id", "ts", "value")
+    max_ts = src.agg(F.max("ts")).first()[0]
+
+    sentinels = (
+        src.select("user_id")
+        .distinct()
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.col("user_id"),
+            (F.lit(max_ts) + F.expr(f"INTERVAL {_SENTINEL_DAYS} DAYS")).alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+    )
+    path = _work_dir(f"{tag}_sessionize")
+    src.unionByName(sentinels).coalesce(1).write.mode("overwrite").parquet(path)
+
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, value double"
+    ).parquet(path)
+    name = f"replay_{tag}_sessions"
+    _run_to_memory(
+        sessionize_stream(stream, gap_minutes=gap_minutes, watermark="0 seconds"),
+        name,
+        "append",
+    )
+
+    out = spark.table(name).filter(F.col("session_start") <= F.lit(max_ts))
+    # Batch-parity session_idx: sessions of one user have strictly
+    # increasing starts, so their rank by start time equals the batch
+    # operator's cumulative numbering.
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return out.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("session_idx"),
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+def replay_windowed_counts(
+    spark: SparkSession,
+    events: DataFrame,
+    window: str = "1 hour",
+    tag: str = "win",
+) -> DataFrame:
+    """Streaming watermarked tumbling-window rollup of a bounded event
+    table (complete output mode: every window is in the final result)."""
+    src = events.select("event_id", "ts", "event_type", "value")
+    path = _work_dir(f"{tag}_windowed")
+    src.coalesce(1).write.mode("overwrite").parquet(path)
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).parquet(path)
+    name = f"replay_{tag}_windows"
+    _run_to_memory(
+        windowed_event_counts(stream, window=window), name, "complete"
+    )
+    return spark.table(name)

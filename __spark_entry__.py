@@ -29,7 +29,7 @@ from nlp_to_nosql_spark.operators.similarity import (
     embedding_neardup_exact,
     topk_bruteforce,
 )
-from nlp_to_nosql_spark.operators.asof import asof_join
+from nlp_to_nosql_spark.operators.asof import asof_join, asof_join_bucketed
 from nlp_to_nosql_spark.operators.sessions import SESSIONIZE_SQL, sessionize
 from nlp_to_nosql_spark.operators.ivf import IVFIndex
 from nlp_to_nosql_spark.plans.compile import apply_spec
@@ -318,6 +318,26 @@ def _q_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         ev, od, "user_id", "o_custkey", "ts", "o_orderdate",
         value_cols=["last_orderkey", "last_totalprice"],
+    ).select("event_id", "user_id", "last_orderkey", "last_totalprice")
+
+
+def _q_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of semantics as asof1 through the skew-safe time-bucketed
+    two-phase plan (hot users spread across weekly buckets) — result is
+    bucket-size-independent, so the oracle is the same DuckDB ASOF JOIN."""
+    t = register_tables(spark, sf_dir)
+    od = (
+        t["orders"]
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("last_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("last_totalprice"),
+        )
+    )
+    ev = t["events"].select("event_id", "user_id", "ts")
+    return asof_join_bucketed(
+        ev, od, "user_id", "o_custkey", "ts", "o_orderdate",
+        value_cols=["last_orderkey", "last_totalprice"], bucket="7 days",
     ).select("event_id", "user_id", "last_orderkey", "last_totalprice")
 
 
@@ -739,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts1_hourly_events": _q_hourly_events,
         "ts2_multires_rollup": _q_multires_rollup,
         "asof1_event_last_order": _q_asof_event_order,
+        "asof2_bucketed_skewsafe": _q_asof_bucketed,
         "rj1_events_in_session": _q_range_join_sessions,
         "join2_salted_skew": _q_salted_join,
         "join3_semi_customers": _q_semi_join,
@@ -976,6 +997,15 @@ def oracle_sql() -> dict[str, str]:
             + ") SELECT e.event_id, e.user_id, s.session_idx "
             "FROM events e JOIN sess s ON e.user_id = s.user_id "
             "AND e.ts BETWEEN s.session_start AND s.session_end"
+        ),
+        "asof2_bucketed_skewsafe": (
+            "WITH od AS ("
+            "SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS last_orderkey, "
+            "arg_max(o_totalprice, o_orderkey) AS last_totalprice "
+            "FROM orders GROUP BY 1, 2) "
+            "SELECT e.event_id, e.user_id, od.last_orderkey, od.last_totalprice "
+            "FROM events e ASOF LEFT JOIN od "
+            "ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate"
         ),
         "asof1_event_last_order": (
             "WITH od AS ("

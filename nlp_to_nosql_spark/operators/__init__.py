@@ -2,7 +2,7 @@
 deduplication, similarity search (brute-force / LSH / IVF), as-of and
 range joins, skew-salted joins, sessionization, multimodal columns."""
 
-from nlp_to_nosql_spark.operators.asof import asof_join
+from nlp_to_nosql_spark.operators.asof import asof_join, asof_join_bucketed
 from nlp_to_nosql_spark.operators.graph import connected_components, dedup_clusters
 from nlp_to_nosql_spark.operators.interval import range_join
 from nlp_to_nosql_spark.operators.ivf import IVFIndex
@@ -16,6 +16,7 @@ from nlp_to_nosql_spark.operators.similarity import (
 
 __all__ = [
     "asof_join",
+    "asof_join_bucketed",
     "connected_components",
     "dedup_clusters",
     "range_join",

@@ -19,11 +19,12 @@ equal time resolve inclusively (right side sorts first).  The right side
 must be unique per (key, time) — pre-aggregate duplicates first or the
 carried value is nondeterministic.
 
-Skew note (100 TB): a hot key serializes into one window partition.  The
-standard mitigation is time-bucketed salting — window within (key,
-time_bucket), then a second sparse pass carrying each bucket's last value
-into the next bucket; not needed at driver scales, documented here as the
-scale-out path.
+Skew note (100 TB): a hot key serializes into one window partition.
+:func:`asof_join_bucketed` is the mitigation — window within (key,
+time_bucket) so a hot key spreads over many partitions, then a second
+*sparse* pass (one row per (key, bucket)) carries each bucket's last
+right value into later buckets.  Result is identical to
+:func:`asof_join` for any bucket size.
 """
 
 from __future__ import annotations
@@ -88,18 +89,146 @@ def asof_join(
     )
 
     out = carried.filter(F.col("_side") == 1)
+    return _finish(out, left_cols, value_cols, left_time, tolerance_s)
+
+
+def _finish(
+    out: DataFrame,
+    left_cols: list[str],
+    value_cols: list[str],
+    left_time: str,
+    tolerance_s: int | None,
+) -> DataFrame:
     if tolerance_s is not None:
         in_tol: Column = (
             F.unix_micros(F.col(left_time)) - F.unix_micros(F.col("_matched_t"))
             <= tolerance_s * 1_000_000
         )
-        out = out.select(
+        return out.select(
             *left_cols,
             *[
                 F.when(in_tol, F.col(c)).otherwise(F.lit(None)).alias(c)
                 for c in value_cols
             ],
         )
-    else:
-        out = out.select(*left_cols, *value_cols)
-    return out
+    return out.select(*left_cols, *value_cols)
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str] | None = None,
+    tolerance_s: int | None = None,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Skew-safe as-of join: identical semantics to :func:`asof_join`, but
+    the carry-forward window runs within ``(key, time_bucket)`` so a hot
+    key parallelizes across its time range instead of serializing into one
+    window partition.
+
+    Two-phase plan:
+
+    1. *Dense pass* — union + carry-forward exactly like :func:`asof_join`,
+       but partitioned by ``(key, bucket)``: each left row picks up the
+       latest right row **within its own bucket**.
+    2. *Sparse pass* — one summary row per (key, bucket) holding that
+       bucket's last right value; a window over ``key`` ordered by
+       ``(bucket, marker)`` (left markers sort before right summaries of
+       the same bucket) carries the latest summary from **strictly
+       earlier** buckets to every left bucket.  This table is |keys|·
+       |buckets| at most — orders of magnitude smaller than the data, so
+       its key-partitioned window can't be a skew bottleneck.
+
+    Left rows whose bucket has no earlier in-bucket right row coalesce to
+    the sparse fill.  Choose ``bucket`` so a hot key's rows spread over
+    many buckets (e.g. daily buckets over a year of ticks → 365-way
+    parallelism for the hottest symbol).
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (right_on, right_time)]
+    left_cols = left.columns
+    bucket_col = lambda t: F.window(F.col(t), bucket)["start"]  # noqa: E731
+
+    rhs = right.select(
+        F.col(right_on).alias("_key"),
+        F.col(right_time).alias("_t"),
+        bucket_col(right_time).alias("_b"),
+        F.lit(0).alias("_side"),
+        F.col(right_time).alias("_rt"),
+        *[F.col(c) for c in value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+    )
+    lhs = left.select(
+        F.col(left_on).alias("_key"),
+        F.col(left_time).alias("_t"),
+        bucket_col(left_time).alias("_b"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[right_time].dataType).alias("_rt"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        *[F.col(c) for c in left_cols],
+    )
+
+    right_struct = F.when(
+        F.col("_side") == 0,
+        F.struct(F.col("_rt").alias("_rt"), *[F.col(c) for c in value_cols]),
+    )
+
+    # Phase 1: within-bucket carry (the hot-key shuffle, now spread over
+    # (key, bucket) instead of key alone).
+    w1 = Window.partitionBy("_key", "_b").orderBy("_t", "_side").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dense = (
+        rhs.unionByName(lhs)
+        .select(
+            "_side",
+            "_key",
+            "_b",
+            *left_cols,
+            F.last(right_struct, ignorenulls=True).over(w1).alias("_r"),
+        )
+        .filter(F.col("_side") == 1)
+    )
+
+    # Phase 2: sparse per-(key, bucket) summaries → latest summary from
+    # strictly earlier buckets, delivered to every left bucket.
+    summaries = (
+        rhs.groupBy("_key", "_b")
+        .agg(F.max_by(right_struct, F.col("_t")).alias("_s"))
+        .select("_key", "_b", F.lit(1).alias("_m"), F.col("_s"))
+    )
+    markers = (
+        lhs.select("_key", "_b")
+        .distinct()
+        .select(
+            "_key", "_b", F.lit(0).alias("_m"),
+            F.lit(None).cast(summaries.schema["_s"].dataType).alias("_s"),
+        )
+    )
+    w2 = Window.partitionBy("_key").orderBy("_b", "_m").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fill = (
+        summaries.unionByName(markers)
+        .select(
+            "_key", "_b", "_m",
+            F.last(F.col("_s"), ignorenulls=True).over(w2).alias("_prev"),
+        )
+        .filter(F.col("_m") == 0)
+        .select("_key", "_b", "_prev")
+    )
+
+    best = F.coalesce(F.col("_r"), F.col("_prev"))
+    out = (
+        dense.join(fill, ["_key", "_b"], "left")
+        .select(
+            *left_cols,
+            best["_rt"].alias("_matched_t"),
+            *[best[c].alias(c) for c in value_cols],
+        )
+    )
+    return _finish(out, left_cols, value_cols, left_time, tolerance_s)

@@ -1,13 +1,15 @@
-"""As-of join: backward semantics, ties, NULL row integrity, tolerance."""
+"""As-of join: backward semantics, ties, NULL row integrity, tolerance,
+and bucketed-variant equivalence."""
 
 from __future__ import annotations
 
 import datetime
+import random
 
 import pytest
 from pyspark.sql import types as T
 
-from nlp_to_nosql_spark.operators.asof import asof_join
+from nlp_to_nosql_spark.operators.asof import asof_join, asof_join_bucketed
 
 
 def _ts(minute: int) -> datetime.datetime:
@@ -88,3 +90,53 @@ def test_left_row_count_preserved(frames):
     out = asof_join(left, right, "key", "rkey", "ts", "rts")
     assert out.count() == left.count()
     assert set(out.columns) == {"event_id", "key", "ts", "price", "note"}
+
+
+@pytest.mark.parametrize("bucket", ["1 minute", "7 minutes", "1 hour"])
+def test_bucketed_equals_plain_fixture(frames, bucket):
+    # 1-minute buckets force cross-bucket sparse fills; 1-hour covers all
+    # rows in a single bucket (degenerates to the plain algorithm).
+    left, right = frames
+    plain = _rows(asof_join(left, right, "key", "rkey", "ts", "rts"))
+    bucketed = _rows(
+        asof_join_bucketed(left, right, "key", "rkey", "ts", "rts", bucket=bucket)
+    )
+    assert bucketed == plain
+
+
+def test_bucketed_equals_plain_randomized(spark):
+    rng = random.Random(7)
+    left = spark.createDataFrame(
+        [
+            (i, rng.randint(1, 5), _ts(0) + datetime.timedelta(seconds=rng.randint(0, 7200)))
+            for i in range(300)
+        ],
+        LEFT_SCHEMA,
+    )
+    # unique (key, time) on the right, per the operator contract
+    right_rows = {
+        (rng.randint(1, 5), rng.randint(0, 7200)) for _ in range(120)
+    }
+    right = spark.createDataFrame(
+        [
+            (k, _ts(0) + datetime.timedelta(seconds=s), float(k * 1000 + s), "n")
+            for (k, s) in right_rows
+        ],
+        RIGHT_SCHEMA,
+    )
+    plain = _rows(asof_join(left, right, "key", "rkey", "ts", "rts"))
+    bucketed = _rows(
+        asof_join_bucketed(left, right, "key", "rkey", "ts", "rts", bucket="10 minutes")
+    )
+    assert bucketed == plain
+
+
+def test_bucketed_tolerance(frames):
+    left, right = frames
+    plain = _rows(asof_join(left, right, "key", "rkey", "ts", "rts", tolerance_s=300))
+    bucketed = _rows(
+        asof_join_bucketed(
+            left, right, "key", "rkey", "ts", "rts", tolerance_s=300, bucket="3 minutes"
+        )
+    )
+    assert bucketed == plain

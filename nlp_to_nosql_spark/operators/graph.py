@@ -66,6 +66,17 @@ def connected_components(
     sym = sym.localCheckpoint()
     labels = node_ids.select("id", F.col("id").alias("label")).localCheckpoint()
 
+    # Convergence check: min-propagation only ever DECREASES labels, so
+    # the global label sum is strictly monotone until fixpoint — an
+    # aggregate-only probe (no join against the previous round's labels).
+    # decimal(38,0) so the sum can't overflow at any node-id magnitude.
+    def _label_sum(lbl: DataFrame) -> object:
+        return lbl.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
+
     for _ in range(max_iter):
         neigh_min = (
             sym.join(labels, sym["src"] == labels["id"])
@@ -89,15 +100,11 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
         labels = jumped
-        if changed == 0:
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
             return labels
+        prev_sum = cur_sum
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
 
 

@@ -296,6 +296,50 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.topk(assigned, _query_vector(spark, sf_dir), k=10, nprobe=8)
 
 
+def _q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact top-k: 8 query vectors answered in ONE corpus scan
+    (numpy matmul per Arrow batch + lossless per-batch candidate pruning,
+    so shuffle volume is Q·k·n_batches regardless of corpus size)."""
+    from nlp_to_nosql_spark.operators.similarity import topk_batch
+
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    qrows = (
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [
+        (r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows
+    ]
+    return topk_batch(emb, queries, k=5)
+
+
+def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation: score quality + language ID per
+    document, keep english docs above a quality floor, then exact-dedup
+    the survivors (one representative per normalized-text fingerprint).
+    Composes the text-analysis and dedup stages into the single pipeline a
+    corpus build would run; every stage is the same JVM-side expression the
+    standalone queries use, so the whole chain is one scan + one groupBy
+    on a 16-byte key."""
+    from nlp_to_nosql_spark.plans.partitioning import fan_out
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    c = F.col("text")
+    scored = fan_out(docs.select("doc_id", "text")).select(
+        "doc_id",
+        tx.quality_score(c).alias("quality"),
+        tx.lang_id(c).alias("lang"),
+        tx.fingerprint(c).alias("fp"),
+    )
+    kept = scored.filter((F.col("quality") >= 0.5) & (F.col("lang") == "en"))
+    return kept.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min_by("quality", "doc_id").alias("quality"),
+    ).select("doc_id", "fp", "n_copies", "quality")
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = register_tables(spark, sf_dir)["events"]
     return sessionize(ev, gap_minutes=30)
@@ -788,6 +832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann1_topk_bruteforce": _q_ann_bruteforce,
         "ann2_topk_lsh": _q_ann_lsh,                 # weak check (no SQL twin)
         "ann3_topk_ivf": _q_ann_ivf,
+        "ann4_batch_topk": _q_ann_batch,
+        "pipe1_curation": _q_curation_pipeline,
         "sess1_user_sessions": _q_sessionize,
         "emb1_norms_by_label": _q_embedding_norms,
         "stream1_windowed_counts": _q_windowed_event_counts,
@@ -1082,6 +1128,28 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
             "WHERE vec_id = 0)), 6) AS cos_sim "
             "FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT 10"
+        ),
+        "ann4_batch_topk": (
+            "SELECT q.vec_id AS query_id, e.vec_id, "
+            "ROUND(list_cosine_similarity("
+            "CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])"
+            "), 6) AS cos_sim "
+            "FROM embeddings e CROSS JOIN "
+            "(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id "
+            "ORDER BY cos_sim DESC, e.vec_id) <= 5"
+        ),
+        "pipe1_curation": (
+            "WITH scored AS (SELECT doc_id, "
+            + tx.QUALITY_SCORE_SQL.format(c="text") + " AS quality, "
+            + tx.lang_id_sql().format(c="text") + " AS lang, "
+            + tx.FINGERPRINT_SQL.format(c="text") + " AS fp "
+            "FROM documents) "
+            "SELECT MIN(doc_id) AS doc_id, fp, "
+            "CAST(COUNT(*) AS BIGINT) AS n_copies, "
+            "MIN_BY(quality, doc_id) AS quality "
+            "FROM scored WHERE quality >= 0.5 AND lang = 'en' "
+            "GROUP BY fp"
         ),
         "sess1_user_sessions": SESSIONIZE_SQL.format(gap_us=30 * 60 * 1_000_000),
         # CAST to DOUBLE[]: on FLOAT[] DuckDB computes (and ROUNDs) in

@@ -11,6 +11,7 @@ from nlp_to_nosql_spark.operators.sessions import sessionize, sessionize_stream
 from nlp_to_nosql_spark.operators.similarity import (
     RandomHyperplaneLSH,
     embedding_neardup_exact,
+    topk_batch,
     topk_bruteforce,
 )
 
@@ -26,5 +27,6 @@ __all__ = [
     "sessionize_stream",
     "RandomHyperplaneLSH",
     "embedding_neardup_exact",
+    "topk_batch",
     "topk_bruteforce",
 ]

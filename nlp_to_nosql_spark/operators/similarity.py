@@ -18,7 +18,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from nlp_to_nosql_spark.functions.vectors import cosine, lit_vector
@@ -41,6 +41,71 @@ def topk_bruteforce(
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def topk_batch(
+    df: DataFrame,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of query vectors in one corpus scan.
+
+    The realistic ANN workload shape: Q queries amortize one pass over the
+    corpus instead of Q passes.  The Q×dim query matrix is closure-captured
+    (broadcast with the serialized task — same driver-resident contract as
+    IVF centroids); each Arrow batch computes one normalized numpy matmul
+    X·Qᵀ and keeps only the per-batch top-k rows per query, so at most
+    Q·k·n_batches candidate rows ever shuffle, independent of corpus size.
+    A final per-query window rank merges candidates exactly.
+
+    Candidate pruning is lossless: batch-local and global ranking use the
+    same total order (rounded sim desc, id asc), so any row dropped by its
+    batch is outranked by ≥ k surviving rows from that same batch.
+    """
+    import pandas as pd
+
+    qids = np.asarray([int(q[0]) for q in queries], dtype=np.int64)
+    qmat = np.asarray([list(map(float, q[1])) for q in queries], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = np.inf  # zero query: all cosines 0
+    qunit = qmat / qnorm[:, None]
+    kk = int(k)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(x, axis=1)
+            norms[norms == 0] = np.inf
+            sims = np.round((x / norms[:, None]) @ qunit.T, 6)  # n×Q
+            out_q, out_id, out_sim = [], [], []
+            for j in range(len(qids)):
+                # total order: sim desc, id asc — identical to the final rank
+                order = np.lexsort((ids, -sims[:, j]))[:kk]
+                out_q.append(np.full(len(order), qids[j]))
+                out_id.append(ids[order])
+                out_sim.append(sims[order, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    id_col: np.concatenate(out_id),
+                    "cos_sim": np.concatenate(out_sim),
+                }
+            )
+
+    candidates = fan_out(df.select(id_col, vec_col)).mapInPandas(
+        score, f"query_id long, {id_col} long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        candidates.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= kk)
+        .select("query_id", id_col, "cos_sim")
     )
 
 

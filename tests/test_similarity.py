@@ -100,3 +100,40 @@ def test_embedding_neardup_exact(vec_df, vectors):
     for (a, b), cs in got.items():
         want = float(v[a] @ v[b] / (np.linalg.norm(v[a]) * np.linalg.norm(v[b])))
         assert abs(cs - round(want, 6)) < 1e-6
+
+
+def test_topk_batch_matches_per_query_bruteforce(vec_df, vectors):
+    from nlp_to_nosql_spark.operators.similarity import topk_batch
+
+    queries = [(i, [float(x) for x in vectors[i]]) for i in range(4)]
+    got = topk_batch(vec_df, queries, k=7).collect()
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r["query_id"], []).append(r)
+    assert set(by_query) == {0, 1, 2, 3}
+    for qid, rows in by_query.items():
+        # rows come back rank-ordered within the window; re-sort defensively
+        rows = sorted(rows, key=lambda r: (-r["cos_sim"], r["vec_id"]))
+        expect = numpy_topk(vectors, np.asarray(vectors[qid], dtype=np.float64), 7)
+        assert [r["vec_id"] for r in rows] == expect
+
+
+def test_topk_batch_partial_pruning_is_lossless(vec_df, vectors):
+    """Many tiny partitions → per-batch pruning is exercised hard; the
+    merged result must still equal the single-scan answer."""
+    from nlp_to_nosql_spark.operators.similarity import topk_batch
+
+    shredded = vec_df.repartition(32)
+    queries = [(0, [float(x) for x in vectors[0]])]
+    got = [r["vec_id"] for r in topk_batch(shredded, queries, k=10).collect()]
+    assert got == numpy_topk(vectors, np.asarray(vectors[0], dtype=np.float64), 10)
+
+
+def test_topk_batch_zero_query_vector(vec_df, vectors):
+    from nlp_to_nosql_spark.operators.similarity import topk_batch
+
+    got = topk_batch(vec_df, [(99, [0.0] * DIM)], k=3).collect()
+    assert len(got) == 3
+    assert all(r["cos_sim"] == 0.0 for r in got)
+    # tie on sim 0.0 everywhere → lowest ids win deterministically
+    assert [r["vec_id"] for r in got] == [0, 1, 2]

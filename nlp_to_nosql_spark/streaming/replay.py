@@ -40,15 +40,32 @@ def _work_dir(tag: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"spark_graft_replay_{tag}")
 
 
+#: State/shuffle partition count for replay runs.  Stateful streaming
+#: cost is dominated by per-state-partition overhead (one Python worker
+#: dispatch + one state-store commit per partition per micro-batch), so a
+#: bounded replay sizes partitions to its input volume — the same
+#: "shuffle partitions follow data size" rule as batch; a production
+#: deployment over unbounded input would raise it with executor count.
+#: Measured at sf0.1: 8 partitions run the sessionize replay 3× faster
+#: than 32.
+_REPLAY_PARTITIONS = 8
+
+
 def _run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> None:
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_REPLAY_PARTITIONS))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def replay_sessionize(

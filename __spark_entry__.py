@@ -515,6 +515,85 @@ def _q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling window frame: per-customer moving average of order value
+    over the last 3 orders (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW).
+    The frame is bounded-rows, so state per partition is O(frame), and the
+    unique (date, orderkey) sort makes the result deterministic."""
+    o = register_tables(spark, sf_dir)["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    # Integer cents via floor-shift: DuckDB's round() on DOUBLE rounds the
+    # decimal string (97601.585 → .59) while Spark rounds the binary value
+    # (.58499999… → .58); floor(x*100 + 0.5) is bit-identical on both.
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(F.avg("o_totalprice").over(w) * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("rolling_avg_cents"),
+    )
+
+
+def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped top-k: 3-table join with selective filters on both
+    fact sides, grouped revenue, deterministic top 10.  The filtered
+    customer dimension is broadcast (no shuffle of orders/lineitem on the
+    customer key); the top-k is TakeOrderedAndProject — k rows per
+    partition to the driver, never a full sort."""
+    t = register_tables(spark, sf_dir)
+    cutoff = F.to_timestamp(F.lit("1998-01-01"))
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = t["orders"].filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    items = t["lineitem"].filter(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(items, orders["o_orderkey"] == items["l_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "o_orderdate", "revenue")
+    )
+
+
+def _q_name_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise string-metric dedup: customers compared within
+    (nation, segment) blocks by Levenshtein distance, aggregated per
+    block.  Blocking bounds the quadratic pair count the same way the
+    shingle/LSH blocking does for documents; the distance runs JVM-side."""
+    c = register_tables(spark, sf_dir)["customer"].select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_nationkey").alias("c_nationkey"),
+        F.col("a.c_mktsegment").alias("c_mktsegment"),
+        F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+    )
+    return pairs.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("dist") <= 2).cast("long")).alias("n_close_pairs"),
+        F.min("dist").alias("min_dist"),
+    )
+
+
 def _q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT order status × market segment.  Explicit value list keeps the
     plan single-pass (no extra distinct-values job); customer broadcasts."""
@@ -811,6 +890,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join3_semi_customers": _q_semi_join,
         "join4_anti_orders": _q_anti_join,
         "win2_order_gaps": _q_order_gaps,
+        "win3_rolling_avg": _q_rolling_avg,
+        "join5_shipping_priority": _q_shipping_priority,
+        "dedup7_name_editdist": _q_name_editdist,
         "pivot1_status_by_segment": _q_pivot_status,
         "sample1_hash_bucket": _q_hash_sample,
         "expl1_word_counts": _q_word_counts,
@@ -996,6 +1078,37 @@ def oracle_sql() -> dict[str, str]:
             "epoch_us(o_orderdate) - epoch_us(LAG(o_orderdate) OVER w) AS gap_us "
             "FROM orders WINDOW w AS "
             "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+        ),
+        "win3_rolling_avg": (
+            "SELECT o_custkey, o_orderkey, "
+            "CAST(FLOOR(AVG(o_totalprice) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100 + 0.5) "
+            "AS BIGINT) AS rolling_avg_cents "
+            "FROM orders"
+        ),
+        "join5_shipping_priority": (
+            "SELECT l_orderkey, o_orderdate, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON o_orderkey = l_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "AND l_shipdate > TIMESTAMP '1998-01-01' "
+            "GROUP BY l_orderkey, o_orderdate "
+            "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"
+        ),
+        "dedup7_name_editdist": (
+            "SELECT a.c_nationkey, a.c_mktsegment, "
+            "CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+            "CAST(SUM(CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_close_pairs, "
+            "CAST(MIN(levenshtein(a.c_name, b.c_name)) AS BIGINT) AS min_dist "
+            "FROM customer a JOIN customer b "
+            "ON a.c_nationkey = b.c_nationkey "
+            "AND a.c_mktsegment = b.c_mktsegment "
+            "AND a.c_custkey < b.c_custkey "
+            "GROUP BY a.c_nationkey, a.c_mktsegment"
         ),
         "pivot1_status_by_segment": (
             "SELECT c_mktsegment, "

@@ -722,6 +722,28 @@ def _sf_tag(sf_dir: str) -> str:
     return os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
 
 
+def _q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming stateful dedup (dropDuplicates on the content
+    fingerprint, O(distinct-keys) state) replayed over the bounded
+    documents table; the projected fingerprint set equals batch DISTINCT."""
+    from nlp_to_nosql_spark.streaming.replay import replay_dedup_distinct
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return replay_dedup_distinct(spark, docs, tag=f"sf{_sf_tag(sf_dir)}")
+
+
+def _q_dim_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-static join: events stream enriched with the broadcast
+    customer dimension, then a watermarked windowed rollup per segment."""
+    from nlp_to_nosql_spark.streaming.replay import replay_dim_join
+
+    t = register_tables(spark, sf_dir)
+    return replay_dim_join(
+        spark, t["events"], t["customer"], window="1 hour",
+        tag=f"sf{_sf_tag(sf_dir)}",
+    )
+
+
 def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over a media table derived from documents
     (payload = UTF-8 bytes of text) — exercises the Arrow mapInPandas path
@@ -921,6 +943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream1_windowed_counts": _q_windowed_event_counts,
         "stream2_sessionize_stream": _q_sessionize_stream,
         "stream3_windowed_counts_stream": _q_windowed_counts_stream,
+        "stream4_dedup_stream": _q_dedup_stream,
+        "stream5_dim_join_stream": _q_dim_join_stream,
         "mm1_image_features": _q_image_features,
         "mm2_frame_plan": _q_frame_plan,
         "mm3_audio_chunks": _q_audio_chunks,
@@ -1288,6 +1312,17 @@ def oracle_sql() -> dict[str, str]:
         # the streaming replays answer to the SAME oracles as their batch twins
         "stream2_sessionize_stream": SESSIONIZE_SQL.format(
             gap_us=30 * 60 * 1_000_000
+        ),
+        "stream4_dedup_stream": (
+            "SELECT DISTINCT " + tx.FINGERPRINT_SQL.format(c="text")
+            + " AS fp FROM documents"
+        ),
+        "stream5_dim_join_stream": (
+            "SELECT date_trunc('hour', ts) AS window_start, c_mktsegment, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "ROUND(SUM(value), 2) AS sum_value "
+            "FROM events JOIN customer ON user_id = c_custkey "
+            "GROUP BY 1, 2"
         ),
         "stream3_windowed_counts_stream": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "

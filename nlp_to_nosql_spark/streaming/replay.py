@@ -142,3 +142,78 @@ def replay_windowed_counts(
         windowed_event_counts(stream, window=window), name, "complete"
     )
     return spark.table(name)
+
+
+def replay_dedup_distinct(
+    spark: SparkSession,
+    documents: DataFrame,
+    tag: str = "dedup",
+) -> DataFrame:
+    """Streaming stateful exact-dedup of a bounded document table.
+
+    ``dropDuplicates`` on the content fingerprint keeps one state entry
+    per distinct key (O(distinct), the streaming-dedup scale shape) and
+    emits only first arrivals; projecting to the fingerprint makes the
+    output a deterministic SET — exactly ``SELECT DISTINCT fp`` in batch,
+    which is the oracle.
+    """
+    from nlp_to_nosql_spark.functions.text import fingerprint
+
+    src = documents.select(
+        F.col("doc_id"), fingerprint(F.col("text")).alias("fp")
+    )
+    path = _work_dir(f"{tag}_dedup")
+    src.coalesce(1).write.mode("overwrite").parquet(path)
+
+    stream = spark.readStream.schema("doc_id long, fp string").parquet(path)
+    name = f"replay_{tag}_distinct"
+    _run_to_memory(
+        stream.dropDuplicates(["fp"]).select("fp"), name, "append"
+    )
+    return spark.table(name)
+
+
+def replay_dim_join(
+    spark: SparkSession,
+    events: DataFrame,
+    dim: DataFrame,
+    window: str = "1 hour",
+    tag: str = "dim",
+) -> DataFrame:
+    """Stream-static join: an event stream enriched with a broadcastable
+    dimension table, then a watermarked tumbling-window rollup per
+    dimension attribute (complete mode).  The static side is joined
+    micro-batch-side with no stream state — the standard enrichment shape
+    for dimension tables that fit in executor memory.
+    """
+    src = events.select("event_id", "user_id", "ts", "value")
+    path = _work_dir(f"{tag}_dimjoin")
+    src.coalesce(1).write.mode("overwrite").parquet(path)
+
+    static = dim.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment")
+    )
+
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, value double"
+    ).parquet(path)
+    enriched = stream.join(F.broadcast(static), "user_id")
+    rolled = (
+        enriched.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", window).alias("w"), F.col("c_mktsegment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"replay_{tag}_dimjoin"
+    _run_to_memory(rolled, name, "complete")
+    return spark.table(name)

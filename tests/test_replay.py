@@ -64,3 +64,51 @@ def test_replay_windowed_counts_equals_batch(spark, events):
     got = _rows(replay_windowed_counts(spark, events, tag="t2"), cols)
     want = _rows(windowed_event_counts(events), cols)
     assert got == want and len(got) > 0
+
+
+def test_replay_dedup_distinct_equals_batch_distinct(spark):
+    from nlp_to_nosql_spark.functions.text import fingerprint
+    from nlp_to_nosql_spark.streaming.replay import replay_dedup_distinct
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "Hello   WORLD"),   # same normalized text as 1
+            (3, "something else"),
+            (4, "hello world"),     # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(r["fp"] for r in replay_dedup_distinct(spark, docs, tag="t3").collect())
+    want = sorted(
+        r["fp"]
+        for r in docs.select(fingerprint(F.col("text")).alias("fp")).distinct().collect()
+    )
+    assert got == want
+    assert len(got) == 2
+
+
+def test_replay_dim_join_equals_batch(spark, events):
+    from nlp_to_nosql_spark.streaming.replay import replay_dim_join
+
+    dim = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "MACHINERY")],
+        "c_custkey long, c_mktsegment string",
+    )
+    cols = ["window_start", "c_mktsegment", "n_events", "sum_value"]
+    got = _rows(replay_dim_join(spark, events, dim, window="1 hour", tag="t4"), cols)
+    want = _rows(
+        events.join(
+            dim.select(F.col("c_custkey").alias("user_id"), "c_mktsegment"),
+            "user_id",
+        )
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "c_mktsegment",
+                "n_events", "sum_value"),
+        cols,
+    )
+    assert got == want

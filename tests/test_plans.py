@@ -78,3 +78,48 @@ def test_fan_out_noop_on_wide_input(spark):
     assert fan_out(wide) is wide  # already at target: no extra shuffle
     narrow = spark.range(10).coalesce(1)
     assert fan_out(narrow).rdd.getNumPartitions() == parallelism
+
+
+def test_shipping_priority_query_plan_shape(spark, tmp_path_factory):
+    """The Q3-style contract query must broadcast the filtered customer
+    dimension, push both date filters into the scans, and end in a
+    TakeOrdered (never a global sort) for its top-k."""
+    import __spark_entry__ as e
+
+    base = tmp_path_factory.mktemp("q3")
+    spark.range(200).select(
+        F.col("id").alias("c_custkey"),
+        F.when(F.col("id") % 5 == 0, "BUILDING").otherwise("OTHER").alias(
+            "c_mktsegment"
+        ),
+    ).write.parquet(str(base / "customer.parquet"))
+    spark.range(1000).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") % 200).alias("o_custkey"),
+        F.to_timestamp(F.lit("1997-06-01")).alias("o_orderdate"),
+    ).write.parquet(str(base / "orders.parquet"))
+    spark.range(3000).select(
+        (F.col("id") % 1000).alias("l_orderkey"),
+        (F.col("id") % 97).cast("double").alias("l_extendedprice"),
+        F.lit(0.05).alias("l_discount"),
+        F.to_timestamp(F.lit("1998-06-01")).alias("l_shipdate"),
+    ).write.parquet(str(base / "lineitem.parquet"))
+    # minimal stubs for the other catalog tables (events needs a ts column
+    # for the catalog's nanos normalization)
+    spark.range(1).select(
+        F.col("id").alias("event_id"),
+        F.current_timestamp().alias("ts"),
+    ).write.parquet(str(base / "events.parquet"))
+    for t in ("region", "nation", "supplier", "part", "documents",
+              "embeddings"):
+        spark.range(1).select(F.col("id")).write.mode("overwrite").parquet(
+            str(base / f"{t}.parquet")
+        )
+
+    df = e._q_shipping_priority(spark, str(base))
+    plan = _explain(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort" not in plan.replace("TakeOrderedAndProject", "")
+    # both timestamp filters reached the parquet scans
+    assert plan.count("PushedFilters: [IsNotNull") >= 2

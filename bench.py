@@ -71,10 +71,13 @@ def main() -> None:
         timings[name] = round(run_once(name), 3)
 
     # Host contention (this box is a shared VM) can inflate individual
-    # queries 5-20× in one pass.  Re-run the slowest queries and keep the
-    # per-query minimum: a genuine heavy query stays heavy, a noise spike
-    # collapses to its real cost.  Bounded extra work: 8 queries.
-    for name in sorted(timings, key=timings.get, reverse=True)[:8]:
+    # queries 5-20× in one pass.  Re-run every query that read slow and
+    # keep the per-query minimum: a genuine heavy query stays heavy, a
+    # noise spike collapses to its real cost.  Adaptive + capped: on a
+    # quiet run few queries exceed the threshold, on a noisy run the
+    # worst 15 get a second chance in a hopefully-quieter window.
+    slow = [n for n in timings if timings[n] > 2.0]
+    for name in sorted(slow, key=timings.get, reverse=True)[:15]:
         timings[name] = round(min(timings[name], run_once(name)), 3)
 
     total = round(sum(timings.values()), 3)

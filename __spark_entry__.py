@@ -619,6 +619,49 @@ def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.filter(bucket.isin("0", "1")).select("o_orderkey", "o_totalprice")
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly 10 events per event type,
+    ranked by an md5 hash of the key — the balanced-across-strata sampling
+    a training-data mix needs, reproducible on any engine.  One shuffle on
+    the stratum key; rank state is O(1) per partition stream."""
+    ev = register_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("event_type", "event_id")
+    )
+
+
+def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per type (map-side binning +
+    one partial-aggregated shuffle on (type, bucket) — the standard
+    distribution sketch for feature QA at corpus scale)."""
+    ev = register_tables(spark, sf_dir)["events"]
+    bucket = F.floor(F.col("value") / 10.0).cast("long")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 3).alias("avg_value"),
+        )
+    )
+
+
+def _q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE window: account-balance quartile per customer within their
+    market segment (deterministic: unique (acctbal, custkey) sort)."""
+    c = register_tables(spark, sf_dir)["customer"]
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
 def _q_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode(split(normalize(text))) → word frequency table: the
     tokenize-and-count core of corpus statistics."""
@@ -917,6 +960,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup7_name_editdist": _q_name_editdist,
         "pivot1_status_by_segment": _q_pivot_status,
         "sample1_hash_bucket": _q_hash_sample,
+        "sample2_stratified": _q_stratified_sample,
+        "agg4_value_histogram": _q_value_histogram,
+        "win4_ntile_quartiles": _q_ntile_quartiles,
         "expl1_word_counts": _q_word_counts,
         "agg3_ndv_by_type": _q_ndv_by_type,
         "json1_props_extract": _q_json_extract,
@@ -1133,6 +1179,25 @@ def oracle_sql() -> dict[str, str]:
             "AND a.c_mktsegment = b.c_mktsegment "
             "AND a.c_custkey < b.c_custkey "
             "GROUP BY a.c_nationkey, a.c_mktsegment"
+        ),
+        "sample2_stratified": (
+            "SELECT event_type, event_id FROM ("
+            "SELECT event_type, event_id, ROW_NUMBER() OVER ("
+            "PARTITION BY event_type "
+            "ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rnk "
+            "FROM events) WHERE rnk <= 10"
+        ),
+        "agg4_value_histogram": (
+            "SELECT event_type, CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "ROUND(AVG(value), 3) AS avg_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "win4_ntile_quartiles": (
+            "SELECT c_custkey, c_mktsegment, "
+            "CAST(NTILE(4) OVER (PARTITION BY c_mktsegment "
+            "ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile "
+            "FROM customer"
         ),
         "pivot1_status_by_segment": (
             "SELECT c_mktsegment, "

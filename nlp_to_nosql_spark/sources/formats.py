@@ -20,7 +20,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-READ_FORMATS = ("parquet", "csv", "json")
+READ_FORMATS = ("parquet", "orc", "csv", "json")
 
 
 def read_table(
@@ -53,6 +53,12 @@ def read_table(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """Columnar ORC sink (built into Spark; same pushdown/pruning story
+    as parquet for engines that prefer ORC at rest)."""
+    df.write.mode("overwrite").orc(path)
 
 
 def to_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:

@@ -141,3 +141,15 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS bl_left")
         spark.sql("DROP TABLE IF EXISTS bl_right")
+
+
+def test_orc_roundtrip(spark, df, tmp_path):
+    from nlp_to_nosql_spark.sources.formats import read_table, write_orc
+
+    path = str(tmp_path / "orc_rt")
+    write_orc(df, path)
+    back = read_table(spark, path, fmt="orc")
+    assert sorted(r["name"] for r in back.collect()) == sorted(
+        r["name"] for r in df.collect()
+    )
+    assert back.schema == df.schema

@@ -112,3 +112,73 @@ def test_replay_dim_join_equals_batch(spark, events):
         cols,
     )
     assert got == want
+
+
+def test_sessionize_state_survives_micro_batch_boundaries(spark, events, tmp_path):
+    """The single-file replay runs one micro-batch; this splits the same
+    events into one file per micro-batch (maxFilesPerTrigger=1) so open
+    sessions must be carried in state ACROSS batches and still merge into
+    the exact batch answer."""
+    import os
+
+    from nlp_to_nosql_spark.operators.sessions import sessionize, sessionize_stream
+
+    src = events.select("event_id", "user_id", "ts", "value")
+    max_ts = src.agg(F.max("ts")).first()[0]
+    # one sentinel per user to flush trailing sessions (same trick as the
+    # replay harness), written as the LAST file so it arrives last
+    sentinels = (
+        src.select("user_id").distinct()
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            "user_id",
+            (F.lit(max_ts) + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+    )
+    base = str(tmp_path / "chunks")
+    os.makedirs(base)
+    ordered = sorted(src.collect(), key=lambda r: r["ts"])
+    chunks = [ordered[:2], ordered[2:4], ordered[4:]]
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, src.schema).coalesce(1).write.parquet(
+            f"{base}/c{i}"
+        )
+    sentinels.coalesce(1).write.parquet(f"{base}/c{len(chunks)}")
+    # flatten the per-chunk directories into one glob-able source dir
+    files = []
+    for i in range(len(chunks) + 1):
+        for f in os.listdir(f"{base}/c{i}"):
+            if f.endswith(".parquet"):
+                files.append((f"{base}/c{i}/{f}", f"{base}/f{i}.parquet"))
+    for srcf, dst in files:
+        os.rename(srcf, dst)
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=30, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("multibatch_sess")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.table("multibatch_sess")
+        .filter(F.col("session_start") <= F.lit(max_ts))
+    )
+    cols = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
+    got = _rows(out, cols)
+    want = _rows(
+        sessionize(events, gap_minutes=30).select(
+            "user_id", "session_start", "session_end", "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+        ),
+        cols,
+    )
+    assert got == want

@@ -104,3 +104,75 @@ def test_streaming_end_to_end(spark, tmp_path):
         assert by_key[(10, "click")] == (3, 6.0)
     finally:
         q.stop()
+
+
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    """Append-mode windowed agg with a 1-hour watermark over four
+    micro-batches.  Spark finalizes (emits + evicts) a window at the end
+    of the first batch whose updated watermark passes the window end, so
+    a straggler must arrive one batch LATER to hit the eviction: it is
+    then dropped (visible in numRowsDroppedByWatermark) and the finalized
+    window is emitted exactly once, without the straggler."""
+    import datetime
+    import os
+    import shutil
+    import time
+
+    from nlp_to_nosql_spark.streaming.history import windowed_event_counts
+
+    def ev(event_id, hour, minute):
+        return (event_id, datetime.datetime(2024, 1, 1, hour, minute), "click", 1.0)
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    base = str(tmp_path / "late")
+    os.makedirs(base)
+    batches = [
+        # batch 0: two 10:00-window events + a 20:00 event (watermark → 19:00)
+        [ev(1, 10, 0), ev(2, 10, 45), ev(3, 20, 0)],
+        # batch 1: runs at watermark 19:00 → finalizes the 10:00 window
+        [ev(6, 20, 30)],
+        # batch 2: straggler for the evicted 10:00 window + a 22:00 event
+        [ev(4, 10, 30), ev(5, 22, 0)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{base}/tmp{i}"
+        )
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+    for i in range(len(batches)):
+        for f in os.listdir(f"{base}/tmp{i}"):
+            if f.endswith(".parquet"):
+                os.rename(f"{base}/tmp{i}/{f}", f"{base}/b{i}.parquet")
+        shutil.rmtree(f"{base}/tmp{i}")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    q = (
+        windowed_event_counts(stream, window="1 hour", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1  # the straggler
+
+    out = [
+        (r["window_start"].hour, r["n_events"])
+        for r in spark.table("late_drop").collect()
+    ]
+    # 10:00 window: emitted exactly once, straggler excluded
+    assert out.count((10, 2)) == 1
+    assert all(h != 10 or n == 2 for h, n in out)
+    # the 22:00 window never finalizes (watermark stops at 21:00)
+    assert all(h != 22 for h, _ in out)

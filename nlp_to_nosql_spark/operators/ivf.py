@@ -123,3 +123,32 @@ class IVFIndex:
         lists = self.probe_lists(query, nprobe)
         cand = assigned.filter(F.col("list_id").isin(lists))
         return topk_bruteforce(cand, query, k, id_col, vec_col)
+
+
+    def write_partitioned(self, assigned: DataFrame, path: str) -> None:
+        """Persist the assignment table partitioned by ``list_id``.
+
+        At corpus scale the index is built once and probed many times;
+        hive-style ``list_id=N`` directories turn every probe into a
+        partition-pruned scan that reads only the ``nprobe`` probed cells
+        from disk — the filter never touches the other cells' files.
+        """
+        assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+    def topk_from_disk(
+        self,
+        spark,
+        path: str,
+        query: Sequence[float],
+        k: int = 10,
+        nprobe: int = 4,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Top-k probing a :meth:`write_partitioned` index: the
+        ``list_id IN (...)`` filter prunes to the probed cells' partition
+        directories at planning time (visible as a reduced partition count
+        in the scan node — guarded by a test)."""
+        lists = self.probe_lists(query, nprobe)
+        cand = spark.read.parquet(path).filter(F.col("list_id").isin(lists))
+        return topk_bruteforce(cand, query, k, id_col, vec_col)

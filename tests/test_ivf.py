@@ -65,3 +65,42 @@ def test_partial_probe_recall(spark, clustered):
     # blobs are far apart: probing 2 of 6 cells must keep high recall
     assert len(got & want) >= 8
     assigned.unpersist()
+
+
+def test_partitioned_index_probe_prunes_partitions(spark, clustered, tmp_path):
+    """A probe against the list_id-partitioned index must (a) return the
+    same answer as the in-memory probe, and (b) actually prune: the scan
+    reads only the probed cells' hive partitions."""
+    import contextlib
+    import io
+
+    from nlp_to_nosql_spark.operators.ivf import IVFIndex
+
+    df, _ = clustered
+    idx = IVFIndex(n_lists=4, max_iter=3)
+    assigned = idx.fit(df)
+    path = str(tmp_path / "ivf_index")
+    idx.write_partitioned(assigned, path)
+
+    q = [float(x) for x in df.filter("vec_id = 0").first()["embedding"]]
+    mem = [r["vec_id"] for r in idx.topk(assigned, q, k=5, nprobe=2).collect()]
+    disk_df = idx.topk_from_disk(spark, path, q, k=5, nprobe=2)
+    disk = [r["vec_id"] for r in disk_df.collect()]
+    assert disk == mem
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        disk_df.explain("formatted")
+    plan = buf.getvalue()
+    # the scan must report partition pruning down to the 2 probed cells
+    assert "list_id" in plan
+    import re
+
+    m = re.search(r"partitions read:\s*(\d+)", plan) or re.search(
+        r"PartitionFilters: \[([^\]]*)\]", plan
+    )
+    assert m is not None
+    if m.re.pattern.startswith("partitions"):
+        assert int(m.group(1)) == 2
+    else:
+        assert "list_id" in m.group(1)  # pruning filter reached the scan

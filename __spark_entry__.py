@@ -619,6 +619,36 @@ def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.filter(bucket.isin("0", "1")).select("o_orderkey", "o_totalprice")
 
 
+#: Identical SQL text runs on Spark and DuckDB.  The correlated variant
+#: exercises Catalyst's subquery decorrelation (rewritten to an aggregate
+#: + join — no per-row re-execution).
+SUBQ_ABOVE_GLOBAL_AVG_SQL = (
+    "SELECT o_orderkey, o_custkey FROM orders "
+    "WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)"
+)
+
+SUBQ_ABOVE_OWN_AVG_SQL = (
+    "SELECT o_orderkey, o_custkey FROM orders o "
+    "WHERE o_totalprice > 1.5 * (SELECT AVG(o2.o_totalprice) "
+    "FROM orders o2 WHERE o2.o_custkey = o.o_custkey)"
+)
+
+
+def _q_subq_above_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: orders priced 1.5× above the global
+    mean.  The subquery runs once; the comparison is a pushed filter."""
+    register_tables(spark, sf_dir)
+    return spark.sql(SUBQ_ABOVE_GLOBAL_AVG_SQL)
+
+
+def _q_subq_above_own_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders 1.5× above their own customer's
+    mean — Catalyst decorrelates to one aggregate + one equi-join rather
+    than per-row subquery execution."""
+    register_tables(spark, sf_dir)
+    return spark.sql(SUBQ_ABOVE_OWN_AVG_SQL)
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample: exactly 10 events per event type,
     ranked by an md5 hash of the key — the balanced-across-strata sampling
@@ -960,6 +990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup7_name_editdist": _q_name_editdist,
         "pivot1_status_by_segment": _q_pivot_status,
         "sample1_hash_bucket": _q_hash_sample,
+        "sub1_above_global_avg": _q_subq_above_global_avg,
+        "sub2_above_own_avg": _q_subq_above_own_avg,
         "sample2_stratified": _q_stratified_sample,
         "agg4_value_histogram": _q_value_histogram,
         "win4_ntile_quartiles": _q_ntile_quartiles,
@@ -1180,6 +1212,8 @@ def oracle_sql() -> dict[str, str]:
             "AND a.c_custkey < b.c_custkey "
             "GROUP BY a.c_nationkey, a.c_mktsegment"
         ),
+        "sub1_above_global_avg": SUBQ_ABOVE_GLOBAL_AVG_SQL,
+        "sub2_above_own_avg": SUBQ_ABOVE_OWN_AVG_SQL,
         "sample2_stratified": (
             "SELECT event_type, event_id FROM ("
             "SELECT event_type, event_id, ROW_NUMBER() OVER ("

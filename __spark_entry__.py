@@ -610,6 +610,20 @@ def _q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_unpivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide per-segment status counts back to long
+    (segment, status, n) rows — wide↔long reshaping is pure projection
+    (each input row expands to a fixed set of output rows, no shuffle
+    beyond the upstream pivot's)."""
+    wide = _q_pivot_status(spark, sf_dir)
+    return wide.unpivot(
+        ids=["c_mktsegment"],
+        values=["n_f", "n_o", "n_p"],
+        variableColumnName="status",
+        valueColumnName="n",
+    )
+
+
 def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~1/8 sample by md5 prefix of the key — reproducible
     across engines and runs, unlike TABLESAMPLE / rand().  The standard
@@ -989,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join5_shipping_priority": _q_shipping_priority,
         "dedup7_name_editdist": _q_name_editdist,
         "pivot1_status_by_segment": _q_pivot_status,
+        "unpivot1_status_long": _q_unpivot_status,
         "sample1_hash_bucket": _q_hash_sample,
         "sub1_above_global_avg": _q_subq_above_global_avg,
         "sub2_above_own_avg": _q_subq_above_own_avg,
@@ -1240,6 +1255,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_mktsegment"
+        ),
+        "unpivot1_status_long": (
+            "WITH wide AS (SELECT c_mktsegment, "
+            "CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f, "
+            "CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o, "
+            "CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment) "
+            "SELECT c_mktsegment, status, n FROM wide "
+            "UNPIVOT (n FOR status IN (n_f, n_o, n_p))"
         ),
         "sample1_hash_bucket": (
             "SELECT o_orderkey, o_totalprice FROM orders "

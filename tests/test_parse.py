@@ -42,3 +42,43 @@ def test_non_dict_json_yields_empty_query():
 
 def test_validate_non_dict():
     assert validate_query_object(42) == {"filter": {}, "projection": {}}
+
+
+# ---------------------------------------------------------------------------
+# property: the repair pipeline NEVER raises — any LLM output string yields
+# a valid IR dict (reference guarantee R4: graceful degradation, the rule
+# compiler is the always-works fallback — No_Sql.py:257-267)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_parse_never_raises_on_arbitrary_text(raw):
+    from nlp_to_nosql_spark.compiler.parse import parse_llm_response
+
+    ir = parse_llm_response(raw, "find all employees")
+    assert isinstance(ir, dict)
+    assert set(ir) >= {"filter", "projection"}
+    assert isinstance(ir["filter"], dict)
+
+
+@given(
+    st.recursive(
+        st.none() | st.booleans() | st.integers() | st.text(max_size=12),
+        lambda child: st.lists(child, max_size=3)
+        | st.dictionaries(st.text(max_size=8), child, max_size=3),
+        max_leaves=8,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_parse_never_raises_on_arbitrary_json(obj):
+    import json
+
+    from nlp_to_nosql_spark.compiler.parse import parse_llm_response
+
+    ir = parse_llm_response(json.dumps(obj), "find all employees")
+    assert isinstance(ir, dict)
+    assert set(ir) >= {"filter", "projection"}

@@ -101,3 +101,51 @@ def test_run_with_timeout_cancels_runaway_job(spark):
     with pytest.raises(QueryTimeoutError):
         run_with_timeout(spark, lambda: big.count(), timeout_s=2.0, group_desc="runaway")
     assert time.time() - t0 < 30  # cancelled, not run to completion
+
+
+# ---------------------------------------------------------------------------
+# property: ANY natural-language input produces a valid envelope — the
+# compile→execute path never raises (rule-compiler fallback is total)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_nl_words = st.sampled_from(
+    ["employees", "salary", "above", "under", "50000", "age", "older",
+     "30", "marketing", "engineers", "names", "experience", "than",
+     "find", "all", "show", "earning", "more", "less", "hr", "человек",
+     "''\"", "{}", "$gt", ""]
+)
+
+
+@given(
+    st.lists(_nl_words, min_size=1, max_size=8)
+    .map(" ".join)
+    .filter(str.strip)
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_engine_query_total_on_arbitrary_nl(spark, employees, nl):
+    eng = Engine(spark)
+    eng.register("emp_fuzz", employees)
+    resp = eng.query(nl, "emp_fuzz", limit=10)
+    assert resp["ok"] is True
+    assert isinstance(resp["query"], dict)
+    assert resp["result_count"] == len(resp["results"])
+    assert resp["total_matching"] >= resp["result_count"] or resp["result_count"] <= 10
+
+
+def test_engine_rejects_blank_text(spark, employees):
+    """Reference parity: empty/whitespace NL is rejected up front
+    (No_Sql.py:213-214), not compiled to find-all."""
+    import pytest as _pytest
+
+    eng = Engine(spark)
+    eng.register("emp_blank", employees)
+    for blank in ("", "   "):
+        with _pytest.raises(ValueError):
+            eng.query(blank, "emp_blank")

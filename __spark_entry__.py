@@ -538,6 +538,28 @@ def _q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, vs win3's ROWS): per-customer
+    trailing-30-day order-value sum.  The frame bound is on the ORDER
+    expression's value (epoch seconds), so rows enter/leave by time
+    distance, not row count.  Cents via floor-shift (see win3's rounding
+    note)."""
+    o = register_tables(spark, sf_dir)["orders"]
+    epoch = F.unix_timestamp("o_orderdate")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(F.sum("o_totalprice").over(w) * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("trailing_30d_cents"),
+    )
+
+
 def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped top-k: 3-table join with selective filters on both
     fact sides, grouped revenue, deterministic top 10.  The filtered
@@ -1000,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join4_anti_orders": _q_anti_join,
         "win2_order_gaps": _q_order_gaps,
         "win3_rolling_avg": _q_rolling_avg,
+        "win5_range_frame": _q_range_frame,
         "join5_shipping_priority": _q_shipping_priority,
         "dedup7_name_editdist": _q_name_editdist,
         "pivot1_status_by_segment": _q_pivot_status,
@@ -1202,6 +1225,14 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY o_orderdate, o_orderkey "
             "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100 + 0.5) "
             "AS BIGINT) AS rolling_avg_cents "
+            "FROM orders"
+        ),
+        "win5_range_frame": (
+            "SELECT o_custkey, o_orderkey, "
+            "CAST(FLOOR(SUM(o_totalprice) OVER (PARTITION BY o_custkey "
+            "ORDER BY epoch(o_orderdate) "
+            "RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) * 100 + 0.5) "
+            "AS BIGINT) AS trailing_30d_cents "
             "FROM orders"
         ),
         "join5_shipping_priority": (

@@ -841,6 +841,17 @@ def _q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay_dedup_distinct(spark, docs, tag=f"sf{_sf_tag(sf_dir)}")
 
 
+def _q_running_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming keyed-state accumulator (applyInPandasWithState,
+    update mode) replayed over two micro-batches; the final per-user
+    totals must equal a batch GROUP BY — proving ValueState-style
+    carryover across batch boundaries."""
+    from nlp_to_nosql_spark.streaming.replay import replay_running_totals
+
+    ev = register_tables(spark, sf_dir)["events"]
+    return replay_running_totals(spark, ev, tag=f"sf{_sf_tag(sf_dir)}")
+
+
 def _q_dim_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL stream-static join: events stream enriched with the broadcast
     customer dimension, then a watermarked windowed rollup per segment."""
@@ -908,6 +919,140 @@ def _q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_start_ms").cast("long").alias("chunk_start_ms"),
         F.col("chunk_len_ms").cast("long").alias("chunk_len_ms"),
     )
+
+
+#: Same SQL text runs on Spark and DuckDB: CUBE over the two lineitem
+#: status dimensions with grouping() flags (ts2 covers GROUPING SETS; this
+#: covers the full-lattice form).  Money as per-row floor-shift cents
+#: summed as integers — exact under any partition/accumulation order, so
+#: no cross-engine double-rounding trap (see win3).
+CUBE_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def _q_cube_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(CUBE_SQL)
+
+
+def _q_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist of account balance within market segment.
+    Both are exact integer ratios evaluated with one IEEE division, so the
+    doubles are bit-identical across engines; the (balance, custkey)
+    order key is unique, making ranks deterministic."""
+    c = register_tables(spark, sf_dir)["customer"]
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+    )
+
+
+def _q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join customer→orders (with an ON-clause
+    filter, so order-less customers survive with count 0), then the
+    distribution of customers by order count.
+
+    Scale: the outer join shuffles both sides on custkey (AQE handles
+    skew); both groupBys have map-side partial aggregation, and the second
+    one is over ≤ a few hundred distinct counts — near-free."""
+    t = register_tables(spark, sf_dir)
+    filtered = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        t["customer"]
+        .join(filtered, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+def _q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold, joined back to customer.  The HAVING-filtered aggregate is
+    computed first so the join's build side is the (small) survivor set —
+    at 100 TB Spark broadcasts it after AQE sees the post-agg size.
+    l_quantity is an integer-valued double, so the sum is exact in any
+    accumulation order."""
+    t = register_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        t["orders"]
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("totalprice_cents"),
+            "sum_qty",
+        )
+    )
+
+
+def _q_quiet_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers above the global positive-balance
+    average (uncorrelated scalar subquery → broadcast one-row join) with
+    no urgent orders (NOT EXISTS → left-anti join on the pre-filtered
+    order set), rolled up by segment.  Balances as per-row integer cents
+    so the segment sums are accumulation-order-exact."""
+    t = register_tables(spark, sf_dir)
+    avg_bal = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("_avg_bal"))
+    )
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t["customer"]
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(
+            urgent,
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.sum(
+                F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+            ).cast("long").alias("total_bal_cents"),
+        )
+    )
+
+
+def _q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nlp_to_nosql_spark.operators.terms import tfidf_top_terms
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+def _q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_tables(spark, sf_dir)["documents"]
+    return dd.duplicated_spans(docs, "doc_id", "text", k=5, stride=2)
 
 
 # ---------------------------------------------------------------------------
@@ -1040,10 +1185,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set1_union_names": _q_union_names,
         "set2_intersect_nations": _q_intersect_nations,
         "set3_except_orders": _q_except_orders,
+        "agg5_cube_status": _q_cube_status,
+        "win6_rank_distribution": _q_rank_distribution,
+        "join6_custdist": _q_custdist,
+        "join7_big_orders": _q_big_orders,
+        "sub3_quiet_high_balance": _q_quiet_high_balance,
         # -- LLM-data-pipeline extensions -----------------------------------
         "text1_analysis": _q_text_analysis,
         "text2_charngram_sketch": _q_charngram_sketch,
+        "text3_tfidf_terms": _q_tfidf_terms,
         "dedup1_exact": _q_dedup_exact,
+        "dedup8_duplicated_spans": _q_duplicated_spans,
         "dedup2_ngram_jaccard": _q_ngram_jaccard,
         "dedup3_minhash_lsh": _q_minhash_lsh,        # weak check (no SQL twin)
         "dedup4_simhash_pairs": _q_simhash_pairs,    # weak check (no SQL twin)
@@ -1061,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream3_windowed_counts_stream": _q_windowed_counts_stream,
         "stream4_dedup_stream": _q_dedup_stream,
         "stream5_dim_join_stream": _q_dim_join_stream,
+        "stream6_running_totals": _q_running_totals_stream,
         "mm1_image_features": _q_image_features,
         "mm2_frame_plan": _q_frame_plan,
         "mm3_audio_chunks": _q_audio_chunks,
@@ -1356,6 +1509,75 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e ASOF LEFT JOIN od "
             "ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate"
         ),
+        "agg5_cube_status": CUBE_SQL,
+        "win6_rank_distribution": (
+            "SELECT c_custkey, c_mktsegment, "
+            "percent_rank() OVER w AS bal_pct_rank, "
+            "cume_dist() OVER w AS bal_cume_dist "
+            "FROM customer WINDOW w AS "
+            "(PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)"
+        ),
+        "join6_custdist": (
+            "SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM ("
+            "SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count "
+            "FROM customer LEFT OUTER JOIN orders "
+            "ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' "
+            "GROUP BY c_custkey) cc GROUP BY c_count"
+        ),
+        "join7_big_orders": (
+            "SELECT c_custkey, c_name, o_orderkey, "
+            "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, "
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) "
+            "AS totalprice_cents, sum_qty "
+            "FROM orders JOIN ("
+            "SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty "
+            "FROM lineitem GROUP BY l_orderkey "
+            "HAVING CAST(SUM(l_quantity) AS BIGINT) > 250) b "
+            "ON o_orderkey = l_orderkey "
+            "JOIN customer ON o_custkey = c_custkey"
+        ),
+        "sub3_quiet_high_balance": (
+            "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust, "
+            "CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS total_bal_cents "
+            "FROM customer c "
+            "WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer "
+            "WHERE c_acctbal > 0) "
+            "AND NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderpriority = '1-URGENT') "
+            "GROUP BY c_mktsegment"
+        ),
+        "text3_tfidf_terms": (
+            "WITH words AS (SELECT doc_id, string_split("
+            + tx.NORMALIZE_SQL.format(c="text") + ", ' ') AS w "
+            "FROM documents), "
+            "toks AS (SELECT doc_id, unnest(w) AS token FROM words), "
+            "tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf "
+            "FROM toks WHERE token <> '' GROUP BY doc_id, token), "
+            "dfc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df "
+            "FROM tf GROUP BY token), "
+            "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents), "
+            "scored AS (SELECT doc_id, token, "
+            "tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score "
+            "FROM tf JOIN dfc USING (token) CROSS JOIN n) "
+            "SELECT doc_id, rk, token FROM ("
+            "SELECT doc_id, token, CAST(ROW_NUMBER() OVER ("
+            "PARTITION BY doc_id ORDER BY score DESC, token) AS INT) AS rk "
+            "FROM scored) t WHERE rk <= 3"
+        ),
+        "dedup8_duplicated_spans": (
+            "WITH words AS (SELECT doc_id, string_split("
+            + tx.NORMALIZE_SQL.format(c="text") + ", ' ') AS w "
+            "FROM documents), "
+            "ch AS (SELECT doc_id, unnest(list_distinct("
+            "CASE WHEN len(w) >= 5 "
+            "THEN [array_to_string(w[i:i+4], ' ') "
+            "for i in range(1, len(w) - 3, 2)] "
+            "ELSE [array_to_string(w, ' ')] END)) AS chunk FROM words) "
+            "SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n_docs "
+            "FROM ch GROUP BY chunk HAVING COUNT(*) > 1"
+        ),
         "text1_analysis": (
             "SELECT doc_id, "
             + tx.TOKEN_COUNT_SQL.format(c="text") + " AS n_tokens, "
@@ -1484,6 +1706,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_events, "
             "ROUND(SUM(value), 2) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "stream6_running_totals": (
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS value_cents FROM events GROUP BY user_id"
         ),
         "mm1_image_features": (
             "SELECT doc_id AS media_id, "

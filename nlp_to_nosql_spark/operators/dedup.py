@@ -442,3 +442,54 @@ def char_ngram_sketch(
         ).alias("min_fp"),
         F.size("_grams").cast("long").alias("n_grams"),
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicated span detection (strided token chunks)
+# ---------------------------------------------------------------------------
+
+def chunk_spans(words: Column, k: int = 5, stride: int = 2) -> Column:
+    """k-token chunks at a fixed stride from an ``array<string>`` column.
+
+    Like :func:`shingles_of_words` but strided: stride > 1 trades recall
+    for a ~stride× smaller exploded table, which is what a 100 TB
+    substring-dedup pass wants (stride-s chunks still catch any shared
+    span of ≥ k + s - 1 tokens).  ``words`` MUST be a column attribute —
+    see :func:`shingles_of_words` for the lambda-recompute trap.
+    """
+    n = F.size(words)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1), F.lit(stride)),
+            lambda i: F.array_join(F.slice(words, i, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(words, " ")))
+
+
+def duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, stride: int = 2
+) -> DataFrame:
+    """Token spans (k-token chunks, strided) shared by more than one
+    document: ``(chunk, n_docs)``.
+
+    The cross-document "copied span" detector a training-data pipeline
+    runs before substring-level dedup: explode per-doc distinct chunks,
+    then one shuffle on the chunk key counting distinct docs.  The
+    count-distinct is cheap because ``array_distinct`` already dropped
+    within-doc repeats, so the groupBy sees each (chunk, doc) once and
+    ``n_docs = count(*)``.  At 100 TB the chunk string would be replaced
+    by ``xxhash64(chunk)`` before the shuffle (8-byte keys); the string
+    form here keeps the result oracle-comparable.
+    """
+    chunks = tokenized(df, id_col, text_col).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(chunk_spans(F.col("_words"), k, stride))
+        ).alias("chunk"),
+    )
+    return (
+        chunks.groupBy("chunk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )

@@ -217,3 +217,44 @@ def replay_dim_join(
     name = f"replay_{tag}_dimjoin"
     _run_to_memory(rolled, name, "complete")
     return spark.table(name)
+
+
+def replay_running_totals(
+    spark: SparkSession,
+    events: DataFrame,
+    tag: str = "totals",
+) -> DataFrame:
+    """Streaming per-user running totals (custom keyed-state accumulator,
+    ``applyInPandasWithState``) over a bounded event table, replayed as
+    TWO micro-batches so the final emission per user proves the state
+    carried across batch boundaries.  Returns the last update per user:
+    ``(user_id, n_events, value_cents)`` — the batch oracle is a plain
+    GROUP BY over the same events.
+    """
+    from nlp_to_nosql_spark.streaming.totals import running_totals_stream
+
+    src = events.select("user_id", "value")
+    path = _work_dir(f"{tag}_running")
+    # Two files + maxFilesPerTrigger=1 → two micro-batches under
+    # availableNow; roughly half of each user's events land in each.
+    src.repartition(2).write.mode("overwrite").parquet(path)
+
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+    name = f"replay_{tag}_running"
+    _run_to_memory(running_totals_stream(stream), name, "update")
+
+    # Update-mode sink holds one row per (user, batch-they-appeared-in);
+    # n_events strictly increases per user, so rank 1 by n_events desc is
+    # the post-replay cumulative total.
+    out = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("user_id", "n_events", "value_cents")
+    )

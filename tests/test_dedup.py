@@ -128,3 +128,48 @@ def test_char_ngram_sketch(spark):
     assert out[1] != out[3]
     assert out[4][1] == 1  # single whole-string gram
     assert all(len(v[0]) == 32 for v in out.values())  # md5 hex
+
+
+def test_duplicated_spans(spark):
+    from pyspark.sql import types as T
+    from nlp_to_nosql_spark.operators.dedup import duplicated_spans
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    shared = "one two three four five"          # a full 5-token chunk
+    df = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta gamma delta epsilon"),
+            (2, "zeta eta " + shared + " theta iota"),  # even offset → chunk aligns
+            (3, "unrelated words that overlap with nothing at all here"),
+            (4, "tiny doc"),                    # < k tokens → whole-text chunk
+            (5, "tiny doc"),                    # duplicate short doc
+        ],
+        schema,
+    )
+    out = {r["chunk"]: r["n_docs"] for r in
+           duplicated_spans(df, "doc_id", "text", k=5, stride=2).collect()}
+    assert out.get(shared) == 2                 # shared span found across 1 and 2
+    assert out.get("tiny doc") == 2             # short docs compare whole-text
+    assert all(n >= 2 for n in out.values())    # only cross-doc repeats survive
+
+
+def test_duplicated_spans_within_doc_repeat_not_counted(spark):
+    from pyspark.sql import types as T
+    from nlp_to_nosql_spark.operators.dedup import duplicated_spans
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    # The same 5-token chunk repeats INSIDE doc 1 but appears in no other
+    # doc; stride 1 guarantees both copies align to a chunk start, and
+    # array_distinct must collapse them before the cross-doc count.
+    rep = "a b c d e"
+    df = spark.createDataFrame(
+        [(1, rep + " x " + rep), (2, "totally different words here now then")],
+        schema,
+    )
+    out = {r["chunk"]: r["n_docs"] for r in
+           duplicated_spans(df, "doc_id", "text", k=5, stride=1).collect()}
+    assert rep not in out

@@ -182,3 +182,37 @@ def test_sessionize_state_survives_micro_batch_boundaries(spark, events, tmp_pat
         cols,
     )
     assert got == want
+
+
+def test_running_totals_replay_matches_batch_and_crosses_batches(spark, tmp_path):
+    """The keyed-state accumulator's final per-user totals equal a batch
+    GROUP BY, and the update-mode sink shows more rows than users —
+    i.e. at least one user was updated in BOTH micro-batches, so the
+    state demonstrably carried across the batch boundary."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from nlp_to_nosql_spark.streaming.replay import replay_running_totals
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    rows = [(u, float(u) * 1.37 + i) for u in range(6) for i in range(8)]
+    events = spark.createDataFrame(rows, schema)
+
+    out = replay_running_totals(spark, events, tag="test_totals")
+    got = {r["user_id"]: (r["n_events"], r["value_cents"]) for r in out.collect()}
+    want = {}
+    for u, v in rows:
+        n, c = want.get(u, (0, 0))
+        want[u] = (n + 1, c + math.floor(v * 100 + 0.5))
+    assert got == want
+
+    # update-mode memory sink keeps one row per (user, batch) — with two
+    # micro-batches and 48 rows split ~evenly, some user must repeat.
+    sink_rows = spark.table("replay_test_totals_running").count()
+    assert sink_rows > len(want)

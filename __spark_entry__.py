@@ -296,6 +296,18 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.topk(assigned, _query_vector(spark, sf_dir), k=10, nprobe=8)
 
 
+def _q_ann_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF trained on a deterministic 1/4 sample (``vec_id % 4 == 0``) but
+    assigning and probing the FULL corpus — the fit pass costs ∝ sample
+    size, which is how an IVF index is actually built at 100 TB.  Full
+    probe keeps the result exact, so the sampled-fit pipeline gets the
+    same brute-force oracle as ann3."""
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    idx = IVFIndex(n_lists=8, max_iter=3)
+    assigned = idx.fit(emb, train_on=emb.filter(F.col("vec_id") % 4 == 0))
+    return idx.topk(assigned, _query_vector(spark, sf_dir), k=10, nprobe=8)
+
+
 def _q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched exact top-k: 8 query vectors answered in ONE corpus scan
     (numpy matmul per Arrow batch + lossless per-batch candidate pruning,
@@ -1043,6 +1055,83 @@ def _q_quiet_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corr_bal_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + regression slope between customer balance
+    and order count, computed from EXACT integer sums (cents / counts)
+    combined with IEEE-exact double ops — NOT the engines' corr()/
+    regr_slope() built-ins, whose streaming update algorithms (Welford
+    vs naive) differ in the last ulps across engines.  Every input sum is
+    an exact int64; int→double casts, *, -, /, sqrt are all exactly
+    rounded, so the result is bit-identical on Spark and DuckDB.
+
+    Scale: one join-agg shuffle on custkey, then a single-row global
+    aggregate (partial sums per partition, one reduce)."""
+    t = register_tables(spark, sf_dir)
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_outer"
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.first(
+                F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+            ).alias("x"),
+            F.count("o_orderkey").cast("long").alias("y"),
+        )
+    )
+    sums = per_cust.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov_n = n * sxy - sx * sy
+    return sums.select(
+        F.col("n").alias("n_cust"),
+        (cov_n / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))).alias(
+            "corr_bal_orders"
+        ),
+        (cov_n / (n * sxx - sx * sx)).alias("slope_orders_per_cent"),
+    )
+
+
+def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile operator (the DESCRIBE/profile every engine grows):
+    per-column null count, exact NDV, and min/max, in one scan — a single
+    wide aggregate row stacked to long form, so the table is read once
+    however many columns are profiled.  Profiled columns are integer/
+    string so the min/max→string casts are canonical across engines
+    (doubles would hit float-formatting differences)."""
+    o = register_tables(spark, sf_dir)["orders"]
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).cast("long").alias(f"{c}_nulls"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"{c}_ndv"),
+            F.min(F.col(c)).cast("string").alias(f"{c}_min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}_max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}_nulls, {c}_ndv, {c}_min, {c}_max" for c in cols
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_value, max_value)",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
 def _q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nlp_to_nosql_spark.operators.terms import tfidf_top_terms
 
@@ -1190,6 +1279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join6_custdist": _q_custdist,
         "join7_big_orders": _q_big_orders,
         "sub3_quiet_high_balance": _q_quiet_high_balance,
+        "agg6_corr_bal_orders": _q_corr_bal_orders,
+        "prof1_table_profile": _q_table_profile,
         # -- LLM-data-pipeline extensions -----------------------------------
         "text1_analysis": _q_text_analysis,
         "text2_charngram_sketch": _q_charngram_sketch,
@@ -1205,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann2_topk_lsh": _q_ann_lsh,                 # weak check (no SQL twin)
         "ann3_topk_ivf": _q_ann_ivf,
         "ann4_batch_topk": _q_ann_batch,
+        "ann5_ivf_sampled_fit": _q_ann_ivf_sampled,
         "pipe1_curation": _q_curation_pipeline,
         "sess1_user_sessions": _q_sessionize,
         "emb1_norms_by_label": _q_embedding_norms,
@@ -1548,6 +1640,57 @@ def oracle_sql() -> dict[str, str]:
             "AND o.o_orderpriority = '1-URGENT') "
             "GROUP BY c_mktsegment"
         ),
+        "agg6_corr_bal_orders": (
+            "WITH pc AS (SELECT c_custkey, "
+            "FIRST(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS x, "
+            "CAST(COUNT(o_orderkey) AS BIGINT) AS y "
+            "FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey "
+            "GROUP BY c_custkey), "
+            "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+            "CAST(SUM(x * x) AS BIGINT) AS sxx, "
+            "CAST(SUM(y * y) AS BIGINT) AS syy, "
+            "CAST(SUM(x * y) AS BIGINT) AS sxy FROM pc) "
+            "SELECT n AS n_cust, "
+            "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+            "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+            "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+            "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * "
+            "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+            "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_bal_orders, "
+            "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+            "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+            "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+            "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+            "AS slope_orders_per_cent FROM s"
+        ),
+        "prof1_table_profile": (
+            "WITH w AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            + ", ".join(
+                f"CAST(COUNT(*) FILTER ({c} IS NULL) AS BIGINT) AS {c}_nulls, "
+                f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS {c}_ndv, "
+                f"CAST(MIN({c}) AS VARCHAR) AS {c}_min, "
+                f"CAST(MAX({c}) AS VARCHAR) AS {c}_max"
+                for c in (
+                    "o_orderkey",
+                    "o_custkey",
+                    "o_orderstatus",
+                    "o_orderpriority",
+                )
+            )
+            + " FROM orders) "
+            + " UNION ALL ".join(
+                f"SELECT '{c}' AS column_name, n_rows, {c}_nulls AS n_nulls, "
+                f"{c}_ndv AS n_distinct, {c}_min AS min_value, "
+                f"{c}_max AS max_value FROM w"
+                for c in (
+                    "o_orderkey",
+                    "o_custkey",
+                    "o_orderstatus",
+                    "o_orderpriority",
+                )
+            )
+        ),
         "text3_tfidf_terms": (
             "WITH words AS (SELECT doc_id, string_split("
             + tx.NORMALIZE_SQL.format(c="text") + ", ' ') AS w "
@@ -1637,6 +1780,15 @@ def oracle_sql() -> dict[str, str]:
         # IVF with nprobe = n_lists scans every cell → exact top-k, same
         # oracle as brute force.
         "ann3_topk_ivf": (
+            "SELECT vec_id, ROUND(list_cosine_similarity("
+            "CAST(embedding AS DOUBLE[]), "
+            "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
+            "WHERE vec_id = 0)), 6) AS cos_sim "
+            "FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT 10"
+        ),
+        # Sampled-fit IVF still probes every cell → exact top-k, same
+        # brute-force oracle as ann3.
+        "ann5_ivf_sampled_fit": (
             "SELECT vec_id, ROUND(list_cosine_similarity("
             "CAST(embedding AS DOUBLE[]), "
             "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "

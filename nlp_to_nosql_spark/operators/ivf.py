@@ -59,18 +59,29 @@ class IVFIndex:
         df: DataFrame,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        train_on: DataFrame | None = None,
     ) -> DataFrame:
         """Lloyd's k-means; returns the (id, vec, list_id) assignment frame.
 
         Init is the ``n_lists`` lowest-id vectors (deterministic, no RNG on
         data).  Each iteration: one scan for assignment + a 2-level groupBy
         for means; empty cells keep their previous centroid.
+
+        ``train_on`` restricts the k-means ITERATIONS to a subset while the
+        returned assignment still covers all of ``df`` — the 100 TB shape:
+        Lloyd's passes over a deterministic sample (cost ∝ sample), then
+        ONE full-corpus assignment scan.  Cell quality degrades gracefully
+        (k-means on an s-sample estimates the same means with √s-scaled
+        noise); probe exactness is a property of ``nprobe``, not of where
+        the centroids came from.
         """
         # No fan_out here: the assignment UDF is one numpy matmul per Arrow
         # batch (memory-bandwidth-bound), so natural input splits give all
         # the parallelism the scan needs; extra partitions only add Python
         # worker spawns.
-        narrow = df.select(id_col, vec_col).cache()
+        narrow = (train_on if train_on is not None else df).select(
+            id_col, vec_col
+        ).cache()
         init_rows = narrow.orderBy(id_col).limit(self.n_lists).select(vec_col).collect()
         self.centroids = np.array(
             [[float(x) for x in r[vec_col]] for r in init_rows]
@@ -97,7 +108,9 @@ class IVFIndex:
                 break
             self.centroids = new_cents
 
-        out = narrow.withColumn("list_id", self._assign_col(vec_col))
+        out = df.select(id_col, vec_col).withColumn(
+            "list_id", self._assign_col(vec_col)
+        )
         narrow.unpersist()
         return out
 

@@ -104,3 +104,27 @@ def test_partitioned_index_probe_prunes_partitions(spark, clustered, tmp_path):
         assert int(m.group(1)) == 2
     else:
         assert "list_id" in m.group(1)  # pruning filter reached the scan
+
+
+def test_sampled_fit_assigns_full_corpus_and_full_probe_exact(spark, clustered):
+    """Training on a quarter of the vectors must still assign EVERY
+    vector, and full probe stays exact regardless of where the centroids
+    came from."""
+    from pyspark.sql import functions as F
+
+    df, vecs = clustered
+    idx = IVFIndex(n_lists=4, max_iter=3)
+    assigned = idx.fit(df, train_on=df.filter(F.col("vec_id") % 4 == 0)).cache()
+    assert assigned.count() == df.count()
+    q = [float(x) for x in vecs[0]]
+    got = [(r["vec_id"], r["cos_sim"])
+           for r in idx.topk(assigned, q, k=10, nprobe=4).collect()]
+    want = [(r["vec_id"], r["cos_sim"])
+            for r in topk_bruteforce(df, q, k=10).collect()]
+    assert got == want
+
+    # Sampled centroids still separate the blobs: partial probe of the
+    # query's own cell must contain the query vector itself.
+    top1 = idx.topk(assigned, q, k=1, nprobe=1).collect()
+    assert top1 and top1[0]["vec_id"] == 0
+    assigned.unpersist()

@@ -1055,6 +1055,31 @@ def _q_quiet_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE ``session_window`` aggregate —
+    the idiomatic single-operator form of sess1's lag/cumsum pipeline
+    (one shuffle on user_id, gap-merge inside the aggregation, batch and
+    streaming share the operator).  Native semantics merge at gap <=
+    duration — the same edge rule as sess1's custom form (pinned by a
+    test) — and report window end = last event + gap, which the oracle
+    reproduces."""
+    ev = register_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end_gap"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def _q_corr_bal_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation + regression slope between customer balance
     and order count, computed from EXACT integer sums (cents / counts)
@@ -1299,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann5_ivf_sampled_fit": _q_ann_ivf_sampled,
         "pipe1_curation": _q_curation_pipeline,
         "sess1_user_sessions": _q_sessionize,
+        "sess2_native_session_window": _q_native_session_window,
         "emb1_norms_by_label": _q_embedding_norms,
         "stream1_windowed_counts": _q_windowed_event_counts,
         "stream2_sessionize_stream": _q_sessionize_stream,
@@ -1818,6 +1844,24 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY fp"
         ),
         "sess1_user_sessions": SESSIONIZE_SQL.format(gap_us=30 * 60 * 1_000_000),
+        # Native session_window merges at gap <= duration (same break rule
+        # as sess1 — pinned by a test); window end = last event + gap.
+        "sess2_native_session_window": (
+            "WITH breaks AS (SELECT user_id, ts, event_id, value, "
+            "CAST(COALESCE(epoch_us(ts) - epoch_us(LAG(ts) OVER w) > "
+            f"{30 * 60 * 1_000_000}, TRUE) AS INT) AS is_new_session "
+            "FROM events WINDOW w AS "
+            "(PARTITION BY user_id ORDER BY ts, event_id)), "
+            "numbered AS (SELECT user_id, ts, value, "
+            "SUM(is_new_session) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx "
+            "FROM breaks) "
+            "SELECT user_id, MIN(ts) AS session_start, "
+            "MAX(ts) + INTERVAL '30 minutes' AS session_end_gap, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "ROUND(SUM(value), 2) AS sum_value "
+            "FROM numbered GROUP BY user_id, session_idx"
+        ),
         # CAST to DOUBLE[]: on FLOAT[] DuckDB computes (and ROUNDs) in
         # float32, which diverges from Spark's double-precision fold.
         "ann1_topk_bruteforce": (

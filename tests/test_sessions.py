@@ -93,3 +93,33 @@ def test_sessionize_stream_matches_batch(spark, events, tmp_path):
         for r in sessionize(events, gap_minutes=30).collect()
     }
     assert got == batch
+
+
+def test_native_session_window_edge_matches_custom(spark):
+    """Spark's native session_window MERGES an event at exactly
+    gap == duration — the same break rule as the custom sessionize
+    (which splits only at gap > duration).  Pinned here so the sess2
+    oracle's `>` break condition stays honest, and a strictly larger
+    gap does split."""
+    rows = [(1, 1, _ts(0), 1.0), (2, 1, _ts(30), 1.0)]
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+
+    native = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .collect()
+    )
+    assert len(native) == 1  # exact-gap event merges, like sessionize
+    assert sessionize(df, gap_minutes=30).count() == 1
+    # window end = last event + gap
+    assert native[0]["session_window"]["end"] == _ts(60)
+
+    over = [(1, 1, _ts(0), 1.0), (2, 1, _ts(30.001), 1.0)]
+    df2 = spark.createDataFrame(over, EVENT_SCHEMA)
+    assert (
+        df2.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .count()
+        == 2
+    )
+    assert sessionize(df2, gap_minutes=30).count() == 2

@@ -1023,6 +1023,67 @@ def _q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation for orders where the supplier
+    and customer share a nation, restricted to one region and one year.
+
+    Scale plan: nation and region broadcast (they are tiny dims);
+    customer⋈orders and ⋈lineitem shuffle on their keys with AQE; the
+    c_nationkey = s_nationkey equi-condition rides the supplier join, so
+    no post-join filter of a wider join.  Revenue is per-row floor-shift
+    cents summed as integers — exact under any accumulation order."""
+    t = register_tables(spark, sf_dir)
+    year = (
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        t["customer"]
+        .join(t["orders"].filter(year), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    + F.lit(0.5)
+                ).cast("long")
+            ).cast("long").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+def _q_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per part brand, excluding a
+    supplier blacklist via NOT IN (compiled to a null-aware anti join;
+    s_suppkey is non-null so it degenerates to a plain left-anti —
+    broadcast, since the blacklist is small).  The count-distinct
+    shuffles (brand, suppkey) with partial dedup map-side."""
+    t = register_tables(spark, sf_dir)
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .join(t["part"].filter(F.col("p_size") < 15), F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count_distinct(F.col("l_suppkey")).cast("long").alias("supplier_cnt"))
+    )
+
+
 def _q_quiet_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: customers above the global positive-balance
     average (uncorrelated scalar subquery → broadcast one-row join) with
@@ -1304,6 +1365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join6_custdist": _q_custdist,
         "join7_big_orders": _q_big_orders,
         "sub3_quiet_high_balance": _q_quiet_high_balance,
+        "join8_local_supplier_volume": _q_local_supplier_volume,
+        "join9_supplier_counts": _q_supplier_counts,
         "agg6_corr_bal_orders": _q_corr_bal_orders,
         "prof1_table_profile": _q_table_profile,
         # -- LLM-data-pipeline extensions -----------------------------------
@@ -1665,6 +1728,30 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderpriority = '1-URGENT') "
             "GROUP BY c_mktsegment"
+        ),
+        "join8_local_supplier_volume": (
+            "SELECT n_name, "
+            "CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "CAST(COUNT(*) AS BIGINT) AS n_items "
+            "FROM customer "
+            "JOIN orders ON c_custkey = o_custkey "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "JOIN lineitem ON o_orderkey = l_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "AND c_nationkey = s_nationkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' GROUP BY n_name"
+        ),
+        "join9_supplier_counts": (
+            "SELECT p_brand, "
+            "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_size < 15 AND l_suppkey NOT IN "
+            "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+            "GROUP BY p_brand"
         ),
         "agg6_corr_bal_orders": (
             "WITH pc AS (SELECT c_custkey, "

@@ -58,3 +58,46 @@ def test_salted_left_join_keeps_unmatched(spark, frames):
     out = salted_join(with_orphan, right, "k", "rk", salt=4, how="left")
     assert out.filter(F.col("k") == 99).count() == 1
     assert out.filter(F.col("k") == 99).first()["name"] is None
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
+    """Runtime bloom-filter semi-join reduction — the scan-volume lever
+    for selective shuffle joins at cluster scale (on by default; the
+    application side must exceed a 10 GB scan threshold that local
+    testdata never reaches, so the test lowers it).  Spark should push a
+    might_contain(bloom(o_orderkey)) predicate into the fact-side scan
+    when the dimension side carries a selective filter."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # Injection keys off scan-size statistics, so the application
+        # side must be a file source, not an in-memory relation.
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").filter(
+            F.col("o_totalprice") < 2000
+        )
+        j = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+        # and the reduced join still computes the right answer
+        want = (
+            li.join(orders.hint("broadcast"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .count()
+            .collect()
+        )
+        assert sorted((r[0], r[1]) for r in j.collect()) == sorted(
+            (r[0], r[1]) for r in want
+        )
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

@@ -1230,6 +1230,52 @@ def _q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicated_spans(docs, "doc_id", "text", k=5, stride=2)
 
 
+def _q_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MULTIMODAL curation: decode features from the binary
+    payload (Arrow ``mapInPandas``, the stubbed-codec path), join the
+    text-side quality/language scores, apply a size floor, then dedup by
+    payload hash keeping the lowest id — the media twin of pipe1.
+
+    Scale: the feature pass is one Arrow-batched scan; the quality side
+    is the same table's JVM-side expressions, joined on the natural key
+    (AQE broadcasts whichever side the filters shrink); the dedup groupBy
+    shuffles a 64-byte hash key.  Output is hash/int-only, so the oracle
+    compare has no float-formatting surface."""
+    docs = register_tables(spark, sf_dir)["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.col("n_chars").cast("int").alias("width"),
+            F.lit(1).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("utf8").alias("codec"),
+        ).alias("meta"),
+    )
+    feats = image_features(media).select("media_id", "n_bytes", "sha256")
+    c = F.col("text")
+    quality = docs.select(
+        F.col("doc_id"),
+        tx.quality_score(c).alias("quality"),
+        tx.lang_id(c).alias("lang"),
+    )
+    kept = (
+        feats.join(quality, feats["media_id"] == quality["doc_id"])
+        .filter(
+            (F.col("lang") == "en")
+            & (F.col("quality") >= 0.5)
+            & (F.col("n_bytes") >= 64)
+        )
+    )
+    return kept.groupBy("sha256").agg(
+        F.min("media_id").alias("media_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.min_by("n_bytes", "media_id").alias("n_bytes"),
+    ).select("media_id", "sha256", "n_copies", "n_bytes")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1386,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann4_batch_topk": _q_ann_batch,
         "ann5_ivf_sampled_fit": _q_ann_ivf_sampled,
         "pipe1_curation": _q_curation_pipeline,
+        "pipe2_multimodal_curation": _q_multimodal_curation,
         "sess1_user_sessions": _q_sessionize,
         "sess2_native_session_window": _q_native_session_window,
         "emb1_norms_by_label": _q_embedding_norms,
@@ -1929,6 +1976,19 @@ def oracle_sql() -> dict[str, str]:
             "MIN_BY(quality, doc_id) AS quality "
             "FROM scored WHERE quality >= 0.5 AND lang = 'en' "
             "GROUP BY fp"
+        ),
+        "pipe2_multimodal_curation": (
+            "WITH feats AS (SELECT doc_id AS media_id, "
+            "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "sha256(text) AS sha256, "
+            + tx.QUALITY_SCORE_SQL.format(c="text") + " AS quality, "
+            + tx.lang_id_sql().format(c="text") + " AS lang "
+            "FROM documents) "
+            "SELECT MIN(media_id) AS media_id, sha256, "
+            "CAST(COUNT(*) AS BIGINT) AS n_copies, "
+            "MIN_BY(n_bytes, media_id) AS n_bytes "
+            "FROM feats WHERE lang = 'en' AND quality >= 0.5 "
+            "AND n_bytes >= 64 GROUP BY sha256"
         ),
         "sess1_user_sessions": SESSIONIZE_SQL.format(gap_us=30 * 60 * 1_000_000),
         # Native session_window merges at gap <= duration (same break rule

@@ -35,6 +35,7 @@ SKIP = {
     "stream3_windowed_counts_stream",
     "stream4_dedup_stream",
     "stream5_dim_join_stream",
+    "stream6_running_totals",
 }
 
 HARD_FLAGS = ("CartesianProduct", "BatchEvalPython")

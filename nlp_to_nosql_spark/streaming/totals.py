@@ -89,8 +89,13 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
 
 def have_tws_runtime() -> bool:
     """transformWithState's Python worker imports google.protobuf; gate
-    the TWS path on its presence instead of crashing the worker."""
-    return importlib.util.find_spec("google.protobuf") is not None
+    the TWS path on its presence instead of crashing the worker.
+    find_spec imports the parent package, so a wholly absent ``google``
+    namespace raises rather than returning None."""
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
 
 
 def running_totals_stream_tws(events: DataFrame) -> DataFrame:

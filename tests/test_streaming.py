@@ -217,3 +217,23 @@ def test_foreachbatch_parquet_sink_is_exactly_once(spark, tmp_path):
     run()  # same checkpoint: nothing new to process, no duplicates
     second = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
     assert second == first
+
+
+def test_tws_variant_gates_on_protobuf_runtime():
+    """The transformWithStateInPandas twin must refuse cleanly (not crash
+    the streaming Python worker) when google.protobuf is absent, and the
+    gate must reflect the actual runtime."""
+    from nlp_to_nosql_spark.streaming import totals
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        have = True
+    except ImportError:
+        have = False
+    assert totals.have_tws_runtime() == have
+    if not have:
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            totals.running_totals_stream_tws(None)

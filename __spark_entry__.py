@@ -1067,6 +1067,68 @@ def _q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_binational_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations in either
+    direction, by ship year.  The nation dim joins TWICE under different
+    roles (supplier's vs customer's) — both broadcast — and the
+    either-direction predicate is an OR over the aliased pair, evaluated
+    after both dims attach.  Revenue as per-row floor-shift cents."""
+    t = register_tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_7")
+    ) | (
+        (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_2")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    + F.lit(0.5)
+                ).cast("long")
+            ).cast("long").alias("revenue_cents")
+        )
+    )
+
+
+def _q_order_key_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic list aggregation: each customer's order keys as a
+    sorted comma-joined string (collect_list is unordered by contract, so
+    the sort makes the result well-defined — and string-typed, giving the
+    cross-engine compare no array-formatting surface).  The list-agg
+    shuffle carries only (custkey, orderkey) pairs."""
+    t = register_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 150000)
+        .groupBy("o_custkey")
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.col("o_orderkey")))
+            ).alias("order_keys"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+
+
 def _q_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct suppliers per part brand, excluding a
     supplier blacklist via NOT IN (compiled to a null-aware anti join;
@@ -1413,6 +1475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sub3_quiet_high_balance": _q_quiet_high_balance,
         "join8_local_supplier_volume": _q_local_supplier_volume,
         "join9_supplier_counts": _q_supplier_counts,
+        "join10_binational_volume": _q_binational_volume,
+        "agg7_order_key_lists": _q_order_key_lists,
         "agg6_corr_bal_orders": _q_corr_bal_orders,
         "prof1_table_profile": _q_table_profile,
         # -- LLM-data-pipeline extensions -----------------------------------
@@ -1791,6 +1855,27 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "WHERE r_name = 'ASIA' GROUP BY n_name"
+        ),
+        "join10_binational_volume": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "CAST(year(l_shipdate) AS INT) AS ship_year, "
+            "CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "WHERE (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_7') "
+            "OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_2') "
+            "GROUP BY 1, 2, 3"
+        ),
+        "agg7_order_key_lists": (
+            "SELECT o_custkey, "
+            "string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS order_keys, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders "
+            "FROM orders WHERE o_totalprice > 150000 GROUP BY o_custkey"
         ),
         "join9_supplier_counts": (
             "SELECT p_brand, "

@@ -864,6 +864,19 @@ def _q_running_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay_running_totals(spark, ev, tag=f"sf{_sf_tag(sf_dir)}")
 
 
+def _q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL watermarked STREAM-STREAM inner join (click→purchase within
+    1 h per user) replayed over the bounded events table; the time-range
+    join condition is what bounds each side's state in production.  The
+    oracle is the equivalent batch self-join."""
+    from nlp_to_nosql_spark.streaming.replay import replay_click_purchase_join
+
+    ev = register_tables(spark, sf_dir)["events"]
+    return replay_click_purchase_join(
+        spark, ev, window_minutes=60, tag=f"sf{_sf_tag(sf_dir)}"
+    )
+
+
 def _q_dim_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL stream-static join: events stream enriched with the broadcast
     customer dimension, then a watermarked windowed rollup per segment."""
@@ -1506,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream4_dedup_stream": _q_dedup_stream,
         "stream5_dim_join_stream": _q_dim_join_stream,
         "stream6_running_totals": _q_running_totals_stream,
+        "stream7_stream_stream_join": _q_stream_stream_join,
         "mm1_image_features": _q_image_features,
         "mm2_frame_plan": _q_frame_plan,
         "mm3_audio_chunks": _q_audio_chunks,
@@ -2139,6 +2153,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
             "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) "
             "AS value_cents FROM events GROUP BY user_id"
+        ),
+        "stream7_stream_stream_join": (
+            "SELECT c.event_id AS click_id, p.event_id AS purchase_id, "
+            "c.user_id, "
+            "CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us "
+            "FROM events c JOIN events p ON c.user_id = p.user_id "
+            "AND c.event_type = 'click' AND p.event_type = 'purchase' "
+            "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '60 minutes'"
         ),
         "mm1_image_features": (
             "SELECT doc_id AS media_id, "

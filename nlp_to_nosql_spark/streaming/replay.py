@@ -258,3 +258,62 @@ def replay_running_totals(
         .filter(F.col("_rk") == 1)
         .select("user_id", "n_events", "value_cents")
     )
+
+
+def replay_click_purchase_join(
+    spark: SparkSession,
+    events: DataFrame,
+    window_minutes: int = 60,
+    tag: str = "ss",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join of a bounded event table:
+    clicks joined to same-user purchases within ``window_minutes`` after
+    the click.  Both sides are real file-source streams over the same
+    staged parquet; the time-range condition bounds each side's join
+    state, which is what lets the operator run unbounded in production
+    (state eviction follows the watermark + range, not table size).
+    Returns ``(click_id, purchase_id, user_id, gap_us)`` — the batch
+    oracle is the equivalent self-join.
+    """
+    src = events.select("event_id", "user_id", "ts", "event_type")
+    path = _work_dir(f"{tag}_ssjoin")
+    src.coalesce(1).write.mode("overwrite").parquet(path)
+
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+
+    def side(kind: str, id_alias: str, ts_alias: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .parquet(path)
+            .filter(F.col("event_type") == kind)
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("user_id").alias(f"{id_alias}_user"),
+                F.col("ts").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "0 seconds")
+        )
+
+    clicks = side("click", "click_id", "click_ts")
+    purchases = side("purchase", "purchase_id", "purchase_ts")
+    joined = clicks.join(
+        purchases,
+        (F.col("click_id_user") == F.col("purchase_id_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")
+        ),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("click_id_user").alias("user_id"),
+        (
+            F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))
+        ).cast("long").alias("gap_us"),
+    )
+
+    name = f"replay_{tag}_ssjoin"
+    _run_to_memory(joined, name, "append")
+    return spark.table(name)

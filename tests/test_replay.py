@@ -216,3 +216,59 @@ def test_running_totals_replay_matches_batch_and_crosses_batches(spark, tmp_path
     # micro-batches and 48 rows split ~evenly, some user must repeat.
     sink_rows = spark.table("replay_test_totals_running").count()
     assert sink_rows > len(want)
+
+
+def test_stream_stream_join_matches_batch_self_join(spark):
+    """The watermarked stream-stream join must emit exactly the batch
+    self-join's pairs, including the zero-gap edge (purchase at the same
+    timestamp as the click) and excluding pairs past the window."""
+    import datetime
+
+    from nlp_to_nosql_spark.streaming.replay import replay_click_purchase_join
+
+    events = spark.createDataFrame(
+        [
+            (1, 1, _ts(0), "click", 1.0),
+            (2, 1, _ts(0), "purchase", 1.0),     # zero gap → included
+            (3, 1, _ts(59), "purchase", 1.0),    # within the hour
+            (4, 1, _ts(61), "purchase", 1.0),    # past it → excluded
+            (5, 2, _ts(5), "click", 1.0),
+            (6, 2, _ts(64), "purchase", 1.0),    # 59 min after → included
+            (7, 3, _ts(0), "purchase", 1.0),     # purchase before any click
+            (8, 3, _ts(1), "click", 1.0),
+        ],
+        SCHEMA,
+    )
+    got = {
+        (r["click_id"], r["purchase_id"], r["user_id"], r["gap_us"])
+        for r in replay_click_purchase_join(
+            spark, events, window_minutes=60, tag="test_ss"
+        ).collect()
+    }
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("cts"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    want = {
+        (r["click_id"], r["purchase_id"], r["user_id"], r["gap_us"])
+        for r in c.join(
+            p,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 60 MINUTES")),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (F.unix_micros("pts") - F.unix_micros("cts")).cast("long").alias("gap_us"),
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0

@@ -36,6 +36,7 @@ SKIP = {
     "stream4_dedup_stream",
     "stream5_dim_join_stream",
     "stream6_running_totals",
+    "stream7_stream_stream_join",
 }
 
 HARD_FLAGS = ("CartesianProduct", "BatchEvalPython")

@@ -864,6 +864,17 @@ def _q_running_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay_running_totals(spark, ev, tag=f"sf{_sf_tag(sf_dir)}")
 
 
+def _q_dedup_within_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming dedup with watermark-BOUNDED state
+    (dropDuplicatesWithinWatermark): state is evicted as the watermark
+    passes, so it holds O(keys per window), not O(all keys ever) like
+    stream4 — the production shape for unbounded streams."""
+    from nlp_to_nosql_spark.streaming.replay import replay_dedup_within_watermark
+
+    ev = register_tables(spark, sf_dir)["events"]
+    return replay_dedup_within_watermark(spark, ev, tag=f"sf{_sf_tag(sf_dir)}")
+
+
 def _q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL watermarked STREAM-STREAM inner join (click→purchase within
     1 h per user) replayed over the bounded events table; the time-range
@@ -1191,6 +1202,31 @@ def _q_quiet_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping SLIDING window rollup (1 h windows every 30 min — each
+    event lands in two) via the native window() aggregate; ts1 covers the
+    tumbling case.  Value as per-row floor-shift cents.  The oracle
+    enumerates each event's two candidate slide-aligned starts and keeps
+    the ones whose window covers the event — the relational unrolling of
+    the same alignment rule (windows align to the epoch)."""
+    ev = register_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).cast("long").alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
 def _q_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via Spark's NATIVE ``session_window`` aggregate —
     the idiomatic single-operator form of sess1's lag/cumsum pipeline
@@ -1455,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win1_top_order_per_customer": _q_top_order_per_customer,
         "ts1_hourly_events": _q_hourly_events,
         "ts2_multires_rollup": _q_multires_rollup,
+        "ts3_sliding_window": _q_sliding_window,
         "asof1_event_last_order": _q_asof_event_order,
         "asof2_bucketed_skewsafe": _q_asof_bucketed,
         "rj1_events_in_session": _q_range_join_sessions,
@@ -1520,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream5_dim_join_stream": _q_dim_join_stream,
         "stream6_running_totals": _q_running_totals_stream,
         "stream7_stream_stream_join": _q_stream_stream_join,
+        "stream8_dedup_within_watermark": _q_dedup_within_watermark_stream,
         "mm1_image_features": _q_image_features,
         "mm2_frame_plan": _q_frame_plan,
         "mm3_audio_chunks": _q_audio_chunks,
@@ -2089,6 +2127,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM feats WHERE lang = 'en' AND quality >= 0.5 "
             "AND n_bytes >= 64 GROUP BY sha256"
         ),
+        "ts3_sliding_window": (
+            "WITH cand AS (SELECT value, ts, unnest(["
+            "(epoch_us(ts) // 1800000000) * 1800000000, "
+            "(epoch_us(ts) // 1800000000) * 1800000000 - 1800000000"
+            "]) AS start_us FROM events), "
+            "w AS (SELECT value, start_us FROM cand "
+            "WHERE epoch_us(ts) < start_us + 3600000000 "
+            "AND epoch_us(ts) >= start_us) "
+            "SELECT make_timestamp(start_us) AS window_start, "
+            "make_timestamp(start_us + 3600000000) AS window_end, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS value_cents FROM w GROUP BY start_us"
+        ),
         "sess1_user_sessions": SESSIONIZE_SQL.format(gap_us=30 * 60 * 1_000_000),
         # Native session_window merges at gap <= duration (same break rule
         # as sess1 — pinned by a test); window end = last event + gap.
@@ -2153,6 +2205,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
             "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) "
             "AS value_cents FROM events GROUP BY user_id"
+        ),
+        "stream8_dedup_within_watermark": (
+            "SELECT DISTINCT user_id, event_type FROM events"
         ),
         "stream7_stream_stream_join": (
             "SELECT c.event_id AS click_id, p.event_id AS purchase_id, "

@@ -317,3 +317,38 @@ def replay_click_purchase_join(
     name = f"replay_{tag}_ssjoin"
     _run_to_memory(joined, name, "append")
     return spark.table(name)
+
+
+def replay_dedup_within_watermark(
+    spark: SparkSession,
+    events: DataFrame,
+    delay: str = "1 hour",
+    tag: str = "wmdedup",
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state retention:
+    ``dropDuplicatesWithinWatermark`` keeps a key's state only until the
+    watermark passes its event time + delay, so state is O(keys per
+    window) instead of stream4's O(all distinct keys ever) — the form an
+    unbounded production stream needs.  Projected to the key columns the
+    bounded replay emits exactly the distinct (user, event_type) set,
+    which is the SQL oracle (which physical row survives per key depends
+    on batch order, so only the key is deterministic).
+    """
+    src = events.select("user_id", "event_type", "ts")
+    path = _work_dir(f"{tag}_wmdedup")
+    src.coalesce(1).write.mode("overwrite").parquet(path)
+
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, ts timestamp")
+        .parquet(path)
+        .withWatermark("ts", delay)
+    )
+    name = f"replay_{tag}_wmdedup"
+    _run_to_memory(
+        stream.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
+            "user_id", "event_type"
+        ),
+        name,
+        "append",
+    )
+    return spark.table(name)

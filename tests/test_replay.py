@@ -272,3 +272,23 @@ def test_stream_stream_join_matches_batch_self_join(spark):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_dedup_within_watermark_emits_distinct_keys(spark):
+    from nlp_to_nosql_spark.streaming.replay import replay_dedup_within_watermark
+
+    events = spark.createDataFrame(
+        [
+            (1, 1, _ts(0), "click", 1.0),
+            (2, 1, _ts(5), "click", 1.0),    # duplicate key → dropped
+            (3, 1, _ts(10), "view", 1.0),
+            (4, 2, _ts(0), "click", 1.0),
+            (5, 2, _ts(1), "click", 1.0),    # duplicate key → dropped
+        ],
+        SCHEMA,
+    )
+    out = sorted(
+        (r["user_id"], r["event_type"])
+        for r in replay_dedup_within_watermark(spark, events, tag="test_wm").collect()
+    )
+    assert out == [(1, "click"), (1, "view"), (2, "click")]

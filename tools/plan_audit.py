@@ -37,6 +37,7 @@ SKIP = {
     "stream5_dim_join_stream",
     "stream6_running_totals",
     "stream7_stream_stream_join",
+    "stream8_dedup_within_watermark",
 }
 
 HARD_FLAGS = ("CartesianProduct", "BatchEvalPython")

@@ -1202,6 +1202,32 @@ def _q_quiet_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ship_delay_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic + conditional aggregation: distribution of order→
+    ship latency in days (datediff on date-truncated timestamps, identical
+    boundary rule on both engines), with a FILTER-style conditional count
+    of high-value items per latency bucket.  One join shuffle + one small
+    agg."""
+    t = register_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            ).cast("int").alias("delay_days"),
+            "l_extendedprice",
+        )
+        .groupBy("delay_days")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.count(F.when(F.col("l_extendedprice") > 50000, 1))
+            .cast("long")
+            .alias("n_high_value"),
+        )
+    )
+
+
 def _q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping SLIDING window rollup (1 h windows every 30 min — each
     event lands in two) via the native window() aggregate; ts1 covers the
@@ -1492,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts1_hourly_events": _q_hourly_events,
         "ts2_multires_rollup": _q_multires_rollup,
         "ts3_sliding_window": _q_sliding_window,
+        "ts4_ship_delay_histogram": _q_ship_delay_histogram,
         "asof1_event_last_order": _q_asof_event_order,
         "asof2_bucketed_skewsafe": _q_asof_bucketed,
         "rj1_events_in_session": _q_range_join_sessions,
@@ -2126,6 +2153,15 @@ def oracle_sql() -> dict[str, str]:
             "MIN_BY(n_bytes, media_id) AS n_bytes "
             "FROM feats WHERE lang = 'en' AND quality >= 0.5 "
             "AND n_bytes >= 64 GROUP BY sha256"
+        ),
+        "ts4_ship_delay_histogram": (
+            "SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE), "
+            "CAST(l_shipdate AS DATE)) AS INT) AS delay_days, "
+            "CAST(COUNT(*) AS BIGINT) AS n_items, "
+            "CAST(COUNT(*) FILTER (l_extendedprice > 50000) AS BIGINT) "
+            "AS n_high_value "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY 1"
         ),
         "ts3_sliding_window": (
             "WITH cand AS (SELECT value, ts, unnest(["

@@ -1091,6 +1091,34 @@ def _q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_activity_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join reconciliation: per-id order counts vs event
+    counts, keeping ids present on either side (the data-quality
+    reconciliation query every warehouse runs between two fact feeds).
+    Both inputs are pre-aggregated so the outer join is small-on-small;
+    coalesce fills the absent side with zero."""
+    t = register_tables(spark, sf_dir)
+    by_orders = (
+        t["orders"].groupBy(F.col("o_custkey").alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    by_events = (
+        t["events"].groupBy(F.col("user_id").alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    return (
+        by_orders.join(by_events, "id", "full_outer")
+        .select(
+            "id",
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+            (F.col("n_orders").isNull() | F.col("n_events").isNull())
+            .cast("int")
+            .alias("one_sided"),
+        )
+    )
+
+
 def _q_binational_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: shipping volume between two nations in either
     direction, by ship year.  The nation dim joins TWICE under different
@@ -1553,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join8_local_supplier_volume": _q_local_supplier_volume,
         "join9_supplier_counts": _q_supplier_counts,
         "join10_binational_volume": _q_binational_volume,
+        "join11_activity_reconciliation": _q_activity_reconciliation,
         "agg7_order_key_lists": _q_order_key_lists,
         "agg6_corr_bal_orders": _q_corr_bal_orders,
         "prof1_table_profile": _q_table_profile,
@@ -1934,6 +1963,17 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "WHERE r_name = 'ASIA' GROUP BY n_name"
+        ),
+        "join11_activity_reconciliation": (
+            "WITH a AS (SELECT o_custkey AS id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1), "
+            "b AS (SELECT user_id AS id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY 1) "
+            "SELECT COALESCE(a.id, b.id) AS id, "
+            "CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders, "
+            "CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events, "
+            "CAST(n_orders IS NULL OR n_events IS NULL AS INT) AS one_sided "
+            "FROM a FULL OUTER JOIN b ON a.id = b.id"
         ),
         "join10_binational_volume": (
             "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "

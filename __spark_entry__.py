@@ -995,6 +995,35 @@ def _q_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_first_last_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-partition window frame: each customer's first and last order
+    date and second-order price via first_value / last_value / nth_value
+    over ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING (the frame that
+    makes last_value/nth_value see the whole partition — the default
+    frame would truncate at CURRENT ROW), deduped to one row per
+    customer.  The (date, orderkey) order key is unique, so every value
+    is deterministic."""
+    o = register_tables(spark, sf_dir)["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            F.first_value("o_orderdate").over(w).alias("first_order"),
+            F.last_value("o_orderdate").over(w).alias("last_order"),
+            F.nth_value(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"), 2
+            )
+            .over(w)
+            .alias("second_price_cents"),
+        )
+        .distinct()
+    )
+
+
 def _q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: LEFT OUTER join customer→orders (with an ON-clause
     filter, so order-less customers survive with count 0), then the
@@ -1575,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set3_except_orders": _q_except_orders,
         "agg5_cube_status": _q_cube_status,
         "win6_rank_distribution": _q_rank_distribution,
+        "win7_first_last_orders": _q_first_last_orders,
         "join6_custdist": _q_custdist,
         "join7_big_orders": _q_big_orders,
         "sub3_quiet_high_balance": _q_quiet_high_balance,
@@ -1916,6 +1946,16 @@ def oracle_sql() -> dict[str, str]:
             "cume_dist() OVER w AS bal_cume_dist "
             "FROM customer WINDOW w AS "
             "(PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)"
+        ),
+        "win7_first_last_orders": (
+            "SELECT DISTINCT o_custkey, "
+            "first_value(o_orderdate) OVER w AS first_order, "
+            "last_value(o_orderdate) OVER w AS last_order, "
+            "nth_value(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT), 2) "
+            "OVER w AS second_price_cents "
+            "FROM orders WINDOW w AS "
+            "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
         ),
         "join6_custdist": (
             "SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM ("

@@ -1424,6 +1424,27 @@ def _q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicated_spans(docs, "doc_id", "text", k=5, stride=2)
 
 
+def _q_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with a VALUE-LEVEL oracle: the md5-derived
+    60-bit signature is reproducible in DuckDB, and max_hamming=3 <
+    bands=4 makes the banding exact (pigeonhole), so the banded
+    candidate join must equal the full O(n²) Hamming filter the oracle
+    runs.  dedup4 keeps the xxhash64 production form (weak check); this
+    proves the algorithm end-to-end."""
+    docs = register_tables(spark, sf_dir)["documents"]
+    return dd.simhash_pairs(
+        docs,
+        "doc_id",
+        "text",
+        max_hamming=3,
+        bands=4,
+        sig=dd.simhash60_md5("text"),
+        sig_bits=60,
+    ).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def _q_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end MULTIMODAL curation: decode features from the binary
     payload (Arrow ``mapInPandas``, the stubbed-codec path), join the
@@ -1624,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup2_ngram_jaccard": _q_ngram_jaccard,
         "dedup3_minhash_lsh": _q_minhash_lsh,        # weak check (no SQL twin)
         "dedup4_simhash_pairs": _q_simhash_pairs,    # weak check (no SQL twin)
+        "dedup9_simhash_md5_pairs": _q_simhash_md5_pairs,
         "dedup5_embcos_exact": _q_embcos_neardup,
         "dedup6_cluster_labels": _q_dedup_clusters,
         "ann1_topk_bruteforce": _q_ann_bruteforce,
@@ -2154,6 +2176,25 @@ def oracle_sql() -> dict[str, str]:
         "dedup2_ngram_jaccard": (
             "WITH " + _JACCARD_CTES
             + " SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.2"
+        ),
+        # Full O(n²) Hamming filter — the banded Spark join must equal it
+        # exactly because max_hamming < bands (pigeonhole).
+        "dedup9_simhash_md5_pairs": (
+            "WITH words AS (SELECT doc_id, unnest(string_split("
+            + tx.NORMALIZE_SQL.format(c="text") + ", ' ')) AS t "
+            "FROM documents), "
+            "hashes AS (SELECT doc_id, CAST(CAST(concat('0x', "
+            "substr(md5(t), 1, 15)) AS UBIGINT) AS BIGINT) AS h FROM words), "
+            "bitsums AS (SELECT doc_id, i, "
+            "SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s "
+            "FROM hashes, UNNEST(range(0, 60)) u(i) GROUP BY doc_id, i), "
+            "sig AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 "
+            "THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) "
+            "AS simhash FROM bitsums GROUP BY doc_id) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming "
+            "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
         ),
         # Recursive min-label reachability over the SAME pair relation as
         # dedup2 — the oracle for the distributed connected-components

@@ -337,23 +337,64 @@ def simhash64(col_name: str) -> Column:
     return F.expr(_SIMHASH_SQL.format(c=col_name))
 
 
+#: 60-bit SimHash over md5-derived token hashes.  Same algorithm as
+#: :data:`_SIMHASH_SQL` but the token hash is the first 15 hex chars of
+#: md5 parsed as an integer — which DuckDB reproduces exactly
+#: (``CAST('0x'||substr(md5(t),1,15) AS UBIGINT)``), so the WHOLE simhash
+#: pipeline gets a value-level oracle; the xxhash64 form stays the
+#: production fast path (one JVM hash vs an md5 + base conversion).
+_SIMHASH_MD5_SQL = """
+aggregate(
+  zip_with(
+    aggregate(
+      transform(split(regexp_replace(lower(trim({c})), '\\\\s+', ' '), ' '),
+                t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)),
+      array_repeat(0, 60),
+      (acc, h) -> zip_with(acc, sequence(0, 59),
+                           (a, i) -> a + IF((shiftright(h, i) & 1L) = 1L, 1, -1))
+    ),
+    sequence(0, 59),
+    (s, i) -> IF(s > 0, shiftleft(1L, i), 0L)
+  ),
+  0L,
+  (acc, v) -> acc | v
+)
+"""
+
+
+def simhash60_md5(col_name: str) -> Column:
+    """Oracle-reproducible 60-bit SimHash (md5 token hashes) — see
+    :data:`_SIMHASH_MD5_SQL`."""
+    return F.expr(_SIMHASH_MD5_SQL.format(c=col_name))
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    sig: Column | None = None,
+    sig_bits: int = 64,
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance ≤ ``max_hamming``.
 
-    Pigeonhole banding: with ``bands`` 16-bit chunks, any pair within
+    Pigeonhole banding: with ``bands`` equal-width chunks, any pair within
     Hamming distance < bands shares at least one exact chunk — candidates
     come from equality joins on (band, chunk), then exact popcount verify.
+    With ``max_hamming < bands`` (the default 3 < 4) the banding is
+    therefore EXACT, not approximate: the output equals the full O(n²)
+    Hamming filter.
+
+    ``sig``/``sig_bits`` override the signature expression (default
+    64-bit xxhash64 simhash; pass :func:`simhash60_md5` with 60 for the
+    oracle-reproducible form).
     """
-    width = 64 // bands
+    width = sig_bits // bands
     mask = (1 << width) - 1
     sigs = fan_out(df.select(id_col, text_col)).select(
-        F.col(id_col), simhash64(text_col).alias("simhash")
+        F.col(id_col),
+        (sig if sig is not None else simhash64(text_col)).alias("simhash"),
     ).cache()
 
     banded = sigs.select(

@@ -1424,6 +1424,29 @@ def _q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicated_spans(docs, "doc_id", "text", k=5, stride=2)
 
 
+def _q_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with a VALUE-LEVEL oracle: one md5 per
+    shingle seeds an arithmetic permutation family ((2i+1)·base + i·c
+    mod p — integer math DuckDB replays exactly), and the banded
+    candidate set plus signature-agreement verification is a
+    deterministic function of the signatures, so the oracle replays the
+    whole pipeline (signatures → band buckets → candidates → est-Jaccard
+    filter) relationally.  dedup3 keeps the xxhash64-per-permutation
+    production family (weak check); est is an exact /64 binary fraction,
+    so the 6-dp round is an identity on both engines."""
+    docs = register_tables(spark, sf_dir)["documents"]
+    return dd.minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        k=3,
+        num_perm=64,
+        bands=16,
+        threshold=0.3,
+        sig_fn=dd.minhash_signatures_md5,
+    )
+
+
 def _q_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with a VALUE-LEVEL oracle: the md5-derived
     60-bit signature is reproducible in DuckDB, and max_hamming=3 <
@@ -1646,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup3_minhash_lsh": _q_minhash_lsh,        # weak check (no SQL twin)
         "dedup4_simhash_pairs": _q_simhash_pairs,    # weak check (no SQL twin)
         "dedup9_simhash_md5_pairs": _q_simhash_md5_pairs,
+        "dedup10_minhash_md5_pairs": _q_minhash_md5_pairs,
         "dedup5_embcos_exact": _q_embcos_neardup,
         "dedup6_cluster_labels": _q_dedup_clusters,
         "ann1_topk_bruteforce": _q_ann_bruteforce,
@@ -2176,6 +2200,36 @@ def oracle_sql() -> dict[str, str]:
         "dedup2_ngram_jaccard": (
             "WITH " + _JACCARD_CTES
             + " SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.2"
+        ),
+        # Relational replay of the full MinHash-LSH pipeline over the
+        # md5 hash family: signatures → 16×4 band chunks → candidate
+        # pairs → /64 agreement fraction ≥ threshold.
+        "dedup10_minhash_md5_pairs": (
+            "WITH words AS (SELECT doc_id, string_split("
+            + tx.NORMALIZE_SQL.format(c="text") + ", ' ') AS w "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, unnest(list_distinct("
+            "CASE WHEN len(w) >= 3 "
+            "THEN [array_to_string(w[i:i+2], ' ') "
+            "for i in range(1, len(w) - 1)] "
+            "ELSE [array_to_string(w, ' ')] END)) AS s FROM words), "
+            "hs AS (SELECT doc_id, CAST(CAST('0x' || substr(md5(s), 1, 7) "
+            "AS UBIGINT) AS BIGINT) AS base FROM sh), "
+            "mh AS (SELECT doc_id, i, "
+            "MIN(((2 * i + 1) * base + i * 2654435761) % 2147483647) AS h "
+            "FROM hs, UNNEST(range(0, 64)) u(i) GROUP BY doc_id, i), "
+            "sig AS (SELECT doc_id, list(h ORDER BY i) AS sig "
+            "FROM mh GROUP BY doc_id), "
+            "banded AS (SELECT doc_id, b, sig[b*4+1 : b*4+4] AS chunk "
+            "FROM sig, UNNEST(range(0, 16)) v(b)), "
+            "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM banded a JOIN banded b "
+            "ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id) "
+            "SELECT id_a, id_b, est_jaccard FROM ("
+            "SELECT id_a, id_b, ROUND(CAST(len(list_filter(range(1, 65), "
+            "j -> sa.sig[j] = sb.sig[j])) AS DOUBLE) / 64, 6) AS est_jaccard "
+            "FROM cand JOIN sig sa ON sa.doc_id = id_a "
+            "JOIN sig sb ON sb.doc_id = id_b) t WHERE est_jaccard >= 0.3"
         ),
         # Full O(n²) Hamming filter — the banded Spark join must equal it
         # exactly because max_hamming < bands (pigeonhole).

@@ -184,10 +184,76 @@ def ngram_jaccard_pairs(
 _LONG_MAX = (1 << 63) - 1
 
 
-def minhash_signatures(
+def md5_hash60(c: Column) -> Column:
+    """60-bit integer hash from the first 15 hex chars of md5 — slower
+    than xxhash64 but exactly reproducible in DuckDB
+    (``CAST('0x'||substr(md5(x),1,15) AS UBIGINT)``), which is what lets
+    the md5-family minhash/simhash variants carry value-level oracles."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+#: Universal-hash permutation family over a 28-bit base hash:
+#: h_i = ((2i+1)·base + i·KNUTH) mod P.  Every term stays < 2^40, so the
+#: arithmetic is overflow-free in engines that ERROR on int64 overflow
+#: (DuckDB) as well as ones that wrap (JVM).
+_MINHASH_P = 2_147_483_647          # 2^31 - 1 (prime)
+_MINHASH_KNUTH = 2_654_435_761      # Knuth multiplicative constant
+
+
+def md5_hash28(c: Column) -> Column:
+    """28-bit md5-derived base hash (first 7 hex chars) — the DuckDB-
+    reproducible seed for the arithmetic permutation family."""
+    return F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("long")
+
+
+def minhash_signatures_md5(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, num_perm: int = 64
 ) -> DataFrame:
+    """Oracle-reproducible minhash signatures: ONE md5 per shingle, then
+    ``num_perm`` arithmetic permutations of the 28-bit base — versus the
+    xxhash64 family's hash-per-(shingle × permutation).  That is the
+    cost shape a 100 TB minhash pass wants (the hash is the expensive
+    part; the permutations are mul-adds), and every step is integer
+    arithmetic DuckDB replays exactly.  The base hashes live in their
+    own projection so the permutation lambda references an attribute
+    array, not a re-hashed subexpression."""
+    sh = tokenized(df, id_col, text_col).select(
+        F.col(id_col),
+        F.array_distinct(shingles_of_words(F.col("_words"), k)).alias("_sh"),
+    ).select(
+        F.col(id_col),
+        F.transform(F.col("_sh"), lambda s: md5_hash28(s)).alias("_hs"),
+    )
+    return sh.select(
+        F.col(id_col),
+        F.aggregate(
+            F.col("_hs"),
+            F.array_repeat(F.lit(_LONG_MAX).cast("long"), num_perm),
+            lambda acc, h: F.zip_with(
+                acc,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(num_perm - 1)),
+                    lambda i: (
+                        (F.lit(2) * i + 1) * h + i * F.lit(_MINHASH_KNUTH)
+                    ) % F.lit(_MINHASH_P),
+                ),
+                lambda a, p: F.least(a, p),
+            ),
+        ).alias("sig"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_perm: int = 64,
+    hash_fn=None,
+) -> DataFrame:
     """(id, sig array<long>) — one xxhash64 family member per permutation.
+    ``hash_fn`` overrides the string→long hash (default ``F.xxhash64``;
+    pass :func:`md5_hash60` for the oracle-reproducible family).
 
     Shuffle-free per-row fold: the signature is an ``aggregate`` over the
     document's distinct shingle array, zip-merging a 64-long running-min
@@ -199,6 +265,7 @@ def minhash_signatures(
     attribute, the fold form is ~5× faster on a cold plan — 64 min-aggs
     generate pathological whole-stage code — and equal warm.)
     """
+    hasher = hash_fn if hash_fn is not None else F.xxhash64
     sh = tokenized(df, id_col, text_col).select(
         F.col(id_col),
         F.array_distinct(shingles_of_words(F.col("_words"), k)).alias("_sh"),
@@ -212,7 +279,7 @@ def minhash_signatures(
                 acc,
                 F.transform(
                     F.sequence(F.lit(0), F.lit(num_perm - 1)),
-                    lambda i: F.xxhash64(
+                    lambda i: hasher(
                         F.concat(F.lit("perm"), i.cast("string"), F.lit(":"), s)
                     ),
                 ),
@@ -230,16 +297,19 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    sig_fn=None,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH + signature-level verification.
 
     ``bands`` bands of ``num_perm // bands`` rows; a pair is a candidate if
     any band hashes equal (probability ≈ 1-(1-j^r)^b).  Candidates are
     verified by estimated Jaccard = fraction of agreeing minhashes, so the
-    full shingle sets are never rejoined.
+    full shingle sets are never rejoined.  ``sig_fn`` selects the
+    signature family (default :func:`minhash_signatures`; pass
+    :func:`minhash_signatures_md5` for the oracle-reproducible form).
     """
     rows = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, k, num_perm).cache()
+    sig = (sig_fn or minhash_signatures)(df, id_col, text_col, k, num_perm).cache()
 
     banded = sig.select(
         F.col(id_col),

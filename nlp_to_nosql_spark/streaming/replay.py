@@ -251,7 +251,10 @@ def replay_running_totals(
     )
 
     name = f"replay_{tag}_running"
-    _run_to_memory(running_totals_stream(stream), name, "update")
+    # Two micro-batches × one Python worker dispatch + state commit per
+    # partition: at a few hundred keys, 4 state partitions halve the
+    # fixed dispatch cost vs the default 8.
+    _run_to_memory(running_totals_stream(stream), name, "update", partitions=4)
 
     # Update-mode sink holds one row per (user, batch-they-appeared-in);
     # n_events strictly increases per user, so rank 1 by n_events desc is

@@ -251,6 +251,9 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production MinHash-LSH (xxhash64 family — no DuckDB twin, so
+    rows-only check); the identical pipeline over the md5-seeded family
+    is value-level-proven by dedup10."""
     docs = register_tables(spark, sf_dir)["documents"]
     return dd.minhash_lsh_pairs(
         docs, "doc_id", "text", k=3, num_perm=64, bands=16, threshold=0.3
@@ -258,6 +261,9 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production SimHash (xxhash64 — no DuckDB twin, rows-only check);
+    the identical banding+verify over the md5 family is value-level-
+    proven by dedup9."""
     docs = register_tables(spark, sf_dir)["documents"]
     return dd.simhash_pairs(docs, "doc_id", "text", max_hamming=10, bands=4)
 
@@ -274,6 +280,14 @@ def _q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH top-k — intentionally a rows-only (weak) check: the
+    bucket bits are signs of float dot products against seeded random
+    hyperplanes, and float accumulation order differs between numpy and
+    a SQL oracle, so a near-zero projection can flip sign and change
+    candidacy.  Unlike the integer-hash families (dedup9/dedup10) there
+    is no bit-exact cross-engine formulation; exactness of the SEARCH
+    tier is instead proven by ann1/ann3/ann5's value-level oracles and
+    the recall property tests."""
     emb = register_tables(spark, sf_dir)["embeddings"]
     dim = len(_query_vector(spark, sf_dir))
     lsh = RandomHyperplaneLSH(dim=dim, nbits=16, seed=42)

@@ -205,6 +205,40 @@ def _sink_roundtrip(table: str, fmt: str):
     return run
 
 
+def _q_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-lines source/sink (the log-file format): serialize each
+    document to one pipe-delimited line, write with the text sink, read
+    back with the text source, and re-parse the fields with a bounded
+    split — the classic log-ingestion path, proven lossless against a
+    SELECT on the base table.  The parse is a JVM-side split, not a
+    regex-per-field pass."""
+    import tempfile
+
+    from nlp_to_nosql_spark.sources.formats import read_table, write_text_lines
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    lines = docs.select(
+        F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.col("lang"),
+            F.col("source"),
+            F.col("n_chars").cast("string"),
+            F.col("text"),
+        ).alias("value")
+    )
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_sink_text_documents")
+    write_text_lines(lines, path)
+    parts = F.split(F.col("value"), r"\|", 5)
+    return read_table(spark, path, "text").select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        parts.getItem(1).alias("lang"),
+        parts.getItem(2).alias("source"),
+        parts.getItem(3).cast("long").alias("n_chars"),
+        parts.getItem(4).alias("text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # large-scale pipeline extensions (text analysis / dedup / similarity /
 # multimodal / streaming)
@@ -1610,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- sinks S4/S6 (SURVEY §2.1): distributed export round-trips ------
         "s4_json_roundtrip": _sink_roundtrip("supplier", "json"),
         "s6_csv_roundtrip": _sink_roundtrip("nation", "csv"),
+        "s8_text_lines_roundtrip": _q_text_lines_roundtrip,
         # -- counts / aggregates A1-A7 (SURVEY §2.5) ------------------------
         "a1_count_filtered": _q_count_filtered,
         "agg2_order_percentiles": _q_order_percentiles,
@@ -1776,6 +1811,10 @@ def oracle_sql() -> dict[str, str]:
         "j2_select_all": "SELECT * FROM nation",
         "s4_json_roundtrip": "SELECT * FROM supplier",
         "s6_csv_roundtrip": "SELECT * FROM nation",
+        "s8_text_lines_roundtrip": (
+            "SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars, "
+            "text FROM documents"
+        ),
         "a1_count_filtered": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem "
             "WHERE l_shipdate > TIMESTAMP '1998-01-01'"

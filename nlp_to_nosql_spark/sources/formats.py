@@ -20,7 +20,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-READ_FORMATS = ("parquet", "orc", "csv", "json")
+READ_FORMATS = ("parquet", "orc", "csv", "json", "text")
 
 
 def read_table(
@@ -93,6 +93,13 @@ def to_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def write_text_lines(df: DataFrame, path: str) -> None:
+    """Write a one-string-column DataFrame as raw text lines (the
+    log-file / JSONL-adjacent sink; one line per row, no escaping —
+    callers own delimiter safety)."""
+    df.write.mode("overwrite").text(path)
 
 
 def write_csv(df: DataFrame, path: str, header: bool = True) -> None:

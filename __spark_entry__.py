@@ -239,6 +239,56 @@ def _q_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the table-maintenance op every parquet
+    lake needs: a fragmented write (16 files) is re-read and compacted
+    to 2 right-sized files, then read back and proven lossless.  At
+    scale the repartition count comes from target_file_size / row_width;
+    the compaction itself is a single shuffle-less-if-coalesced pass
+    (repartition here, so output sizes are even)."""
+    import tempfile
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    frag = os.path.join(tempfile.gettempdir(), "spark_graft_frag_documents")
+    compact = os.path.join(tempfile.gettempdir(), "spark_graft_compact_documents")
+    docs.repartition(16).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(2).write.mode("overwrite").parquet(compact)
+    return spark.read.parquet(compact)
+
+
+def _q_schema_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read evolution: two parquet partitions written with
+    DIFFERENT schemas (an old feed with customer keys, a new feed that
+    added integer-cents prices) are read as one table with
+    ``mergeSchema`` — absent columns surface as NULLs, and the hive
+    partition column identifies the source generation.  This is the
+    standard forward-compatible ingestion layout at scale (readers merge
+    footers once; no rewrite of old data)."""
+    import tempfile
+
+    o = register_tables(spark, sf_dir)["orders"]
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_schema_merge")
+    o.select("o_orderkey", "o_custkey").write.mode("overwrite").parquet(
+        os.path.join(base, "src=1")
+    )
+    o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("totalprice_cents"),
+    ).write.mode("overwrite").parquet(os.path.join(base, "src=2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(base)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "totalprice_cents",
+            F.col("src").cast("int").alias("src"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # large-scale pipeline extensions (text analysis / dedup / similarity /
 # multimodal / streaming)
@@ -1645,6 +1695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_json_roundtrip": _sink_roundtrip("supplier", "json"),
         "s6_csv_roundtrip": _sink_roundtrip("nation", "csv"),
         "s8_text_lines_roundtrip": _q_text_lines_roundtrip,
+        "s9_compaction_roundtrip": _q_compaction_roundtrip,
+        "s10_schema_merge_read": _q_schema_merge_read,
         # -- counts / aggregates A1-A7 (SURVEY §2.5) ------------------------
         "a1_count_filtered": _q_count_filtered,
         "agg2_order_percentiles": _q_order_percentiles,
@@ -1814,6 +1866,15 @@ def oracle_sql() -> dict[str, str]:
         "s8_text_lines_roundtrip": (
             "SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars, "
             "text FROM documents"
+        ),
+        "s9_compaction_roundtrip": "SELECT * FROM documents",
+        "s10_schema_merge_read": (
+            "SELECT o_orderkey, o_custkey, "
+            "CAST(NULL AS BIGINT) AS totalprice_cents, 1 AS src FROM orders "
+            "UNION ALL "
+            "SELECT o_orderkey, CAST(NULL AS BIGINT) AS o_custkey, "
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) "
+            "AS totalprice_cents, 2 AS src FROM orders"
         ),
         "a1_count_filtered": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem "

@@ -153,3 +153,39 @@ def test_orc_roundtrip(spark, df, tmp_path):
         r["name"] for r in df.collect()
     )
     assert back.schema == df.schema
+
+
+def test_compaction_produces_target_file_count(spark, tmp_path):
+    """Compaction must actually consolidate: 16 fragment files in, the
+    requested 2 part-files out, same rows."""
+    import os
+
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    frag = str(tmp_path / "frag")
+    compact = str(tmp_path / "compact")
+    df.repartition(16).write.parquet(frag)
+    spark.read.parquet(frag).repartition(2).write.parquet(compact)
+
+    def parts(d):
+        return [f for f in os.listdir(d) if f.startswith("part-")]
+
+    assert len(parts(frag)) == 16
+    assert len(parts(compact)) == 2
+    assert spark.read.parquet(compact).count() == 1000
+
+
+def test_schema_merge_read_fills_missing_columns_with_nulls(spark, tmp_path):
+    import os
+
+    base = str(tmp_path / "merge")
+    spark.createDataFrame([(1, 10)], "k long, a long").write.parquet(
+        os.path.join(base, "src=1")
+    )
+    spark.createDataFrame([(2, 20)], "k long, b long").write.parquet(
+        os.path.join(base, "src=2")
+    )
+    out = {
+        (r["k"], r["a"], r["b"], r["src"])
+        for r in spark.read.option("mergeSchema", "true").parquet(base).collect()
+    }
+    assert out == {(1, 10, None, 1), (2, None, 20, 2)}

@@ -653,9 +653,17 @@ def _q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     trailing-30-day order-value sum.  The frame bound is on the ORDER
     expression's value (epoch seconds), so rows enter/leave by time
     distance, not row count.  Cents via floor-shift (see win3's rounding
-    note)."""
+    note).  The epoch ordering key is derived timezone-independently with
+    timestamp_diff from a literal NTZ epoch (unix_timestamp would interpret
+    the TIMESTAMP_NTZ column in the session zone, shifting frame membership
+    by ±3600 s across DST transitions vs the UTC oracle — win4's
+    order-gaps query avoids this the same way)."""
     o = register_tables(spark, sf_dir)["orders"]
-    epoch = F.unix_timestamp("o_orderdate")
+    epoch = F.timestamp_diff(
+        "SECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("o_orderdate"),
+    )
     w = (
         Window.partitionBy("o_custkey")
         .orderBy(epoch)
@@ -1810,7 +1818,7 @@ _JACCARD_CTES = (
     "HAVING COUNT(*) <= 1000), "
     "shr AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 "
     "JOIN rare USING (shingle)), "
-    "sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh0 GROUP BY doc_id), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shr GROUP BY doc_id), "
     "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
     "COUNT(*) AS n_inter FROM shr a JOIN shr b "
     "ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), "

@@ -129,6 +129,12 @@ def ngram_jaccard_pairs(
     count intersections → join per-doc set sizes → Jaccard.  Shuffles on
     shingle then on the pair key; both keys are high-cardinality, and the
     ``max_df`` cutoff bounds the worst bucket at O(max_df²).
+
+    When the ``max_df`` cutoff triggers, the score is the exact Jaccard of
+    the **rare-shingle** sets: both the intersection counts and the per-doc
+    set sizes are computed over the same stop-filtered universe (a
+    numerator-only filter would systematically underestimate Jaccard for
+    documents containing stop shingles).
     """
     ex = shingle_table(df, id_col, text_col, k).cache()
 
@@ -143,13 +149,11 @@ def ngram_jaccard_pairs(
     )
     ex_rare = ex.join(F.broadcast(stop), "shingle", "left_anti")
 
-    # per-doc set sizes straight from the array — map-side, no groupBy
-    sizes = tokenized(df, id_col, text_col).select(
-        F.col(id_col),
-        F.size(
-            F.array_distinct(shingles_of_words(F.col("_words"), k))
-        ).alias("set_size"),
-    )
+    # Per-doc sizes over the SAME stop-filtered universe as the
+    # intersection counts.  This is one extra groupBy on the cached rare
+    # index; its post-agg output is tiny (one row per doc) and the two
+    # sizes joins below stay AQE-broadcast.
+    sizes = ex_rare.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
 
     a, b = ex_rare.alias("a"), ex_rare.alias("b")
     inter = (

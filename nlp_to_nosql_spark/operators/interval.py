@@ -44,10 +44,13 @@ def range_join(
     if len(left_keys) != len(right_keys):
         raise ValueError("left_keys and right_keys must pair up")
 
-    bucket_us = bucket_s * 1_000_000
-    lb = (F.unix_micros(F.col(left_time)) / bucket_us).cast("long")
-    rb_first = (F.unix_micros(F.col(right_start)) / bucket_us).cast("long")
-    rb_last = (F.unix_micros(F.col(right_end)) / bucket_us).cast("long")
+    # Integer FLOOR division: double-divide + cast('long') truncates toward
+    # zero, so pre-1970 (negative-micros) points could land one bucket above
+    # their containing interval and silently drop a valid match.
+    bucket_us = F.lit(bucket_s * 1_000_000)
+    lb = F.floor(F.unix_micros(F.col(left_time)) / bucket_us)
+    rb_first = F.floor(F.unix_micros(F.col(right_start)) / bucket_us)
+    rb_last = F.floor(F.unix_micros(F.col(right_end)) / bucket_us)
 
     lhs = left.withColumn("_bucket", lb)
     rhs = right.withColumn("_bucket", F.explode(F.sequence(rb_first, rb_last)))

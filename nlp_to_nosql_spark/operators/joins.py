@@ -37,6 +37,16 @@ def salted_join(
     """
     if salt < 1:
         raise ValueError("salt must be >= 1")
+    # The right side is replicated `salt` times, so any join type that emits
+    # unmatched RIGHT rows would emit each of them `salt` times (duplicate
+    # null-extended rows).  Left-preserving types are safe: every right
+    # replica meets exactly the left-salt slice it pairs with.
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti", "cross"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: right-preserving "
+            "joins would duplicate unmatched right rows salt times"
+        )
     lhs = left.withColumn("_salt", (F.rand(seed) * salt).cast("int"))
     rhs = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

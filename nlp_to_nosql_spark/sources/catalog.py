@@ -29,6 +29,24 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _ensure_nanos_readable(spark: SparkSession) -> None:
+    """Make INT64 TIMESTAMP(NANOS) parquet columns readable on ANY session.
+
+    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark
+    rejects by default (PARQUET_TYPE_ILLEGAL).  The legacy flag surfaces the
+    column as a long of nanoseconds instead; ``_normalize`` then converts it
+    to a proper timestamp.  The flag is runtime-settable, so setting it here
+    (not only in our own ``get_spark``) means the catalog works with any
+    externally provided session — e.g. the driver's.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        # Best effort: if the conf is somehow unsettable, the read below
+        # will raise a clear AnalysisException on its own.
+        pass
+
+
 def _normalize(df: DataFrame, name: str) -> DataFrame:
     """Normalize physical quirks of a table at load time.
 
@@ -46,6 +64,7 @@ def _normalize(df: DataFrame, name: str) -> DataFrame:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one parquet table from a scale-factor directory."""
+    _ensure_nanos_readable(spark)
     return _normalize(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")), name)
 
 
@@ -56,6 +75,7 @@ def register_tables(
 
     Missing files are skipped so smaller fixture dirs still register.
     """
+    _ensure_nanos_readable(spark)
     out: dict[str, DataFrame] = {}
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")

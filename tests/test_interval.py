@@ -87,3 +87,23 @@ def test_small_buckets_no_duplicates(frames):
     )
     rows = [(r["pid"], r["iid"]) for r in out.collect()]
     assert len(rows) == len(set(rows)) == 3
+
+
+def test_pre_1970_points_match(spark):
+    """Negative-epoch timestamps: floor (not truncate-toward-zero) bucket
+    math must put a point and its containing interval in the same bucket."""
+    old = datetime.datetime(1969, 12, 31, 23, 30)
+    points = spark.createDataFrame([(1, 1, old)], POINTS)
+    intervals = spark.createDataFrame(
+        [(10, 1, old - datetime.timedelta(minutes=10),
+          old + datetime.timedelta(minutes=10))],
+        INTERVALS,
+    )
+    got = [
+        (r["pid"], r["iid"])
+        for r in range_join(
+            points, intervals, "ts", "start", "end",
+            bucket_s=3600, left_keys=["k"], right_keys=["ik"],
+        ).collect()
+    ]
+    assert got == [(1, 10)]

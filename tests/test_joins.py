@@ -101,3 +101,11 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_salted_rejects_right_preserving_joins(frames):
+    left, right = frames
+    import pytest as _pytest
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with _pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(left, right, "k", "rk", salt=4, how=how)

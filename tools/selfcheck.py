@@ -7,7 +7,13 @@ check matches the driver's hash semantics in spirit while tolerating
 last-ulp differences (our queries round computed floats explicitly, so
 raw values should already be bit-identical).
 
-Usage: python tools/selfcheck.py [sf_dir] [query ...]
+The Spark session is deliberately a PLAIN one (no engine confs) to mirror
+the driver harness: every conf the contract needs (e.g. the nanos-parquet
+legacy flag) must be set by the library itself at runtime, or this check
+fails the same way the driver would.  Pass --engine-session to use
+``get_spark`` instead.
+
+Usage: python tools/selfcheck.py [--engine-session] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -23,8 +29,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
+from pyspark.sql import SparkSession
+
 import __spark_entry__ as entrymod
-from nlp_to_nosql_spark.session import get_spark
 from nlp_to_nosql_spark.sources.catalog import TABLES
 
 
@@ -52,10 +59,25 @@ def row_multiset(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    engine_session = "--engine-session" in argv
+    if engine_session:
+        argv.remove("--engine-session")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
-    spark = get_spark("selfcheck", master="local[8]")
+    if engine_session:
+        from nlp_to_nosql_spark.session import get_spark
+
+        spark = get_spark("selfcheck", master="local[8]")
+    else:
+        # Driver parity: a bare session with none of the engine's confs.
+        spark = (
+            SparkSession.builder.appName("selfcheck")
+            .master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .getOrCreate()
+        )
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()

@@ -20,7 +20,13 @@ def test_register_tables_without_legacy_conf(spark):
     try:
         tables = register_tables(spark, SF_DIR)
         assert "events" in tables
-        assert isinstance(tables["events"].schema["ts"].dataType, T.TimestampType)
+        # Current testdata stores ts as TIMESTAMP(MICROS) → native NTZ read;
+        # older generations stored TIMESTAMP(NANOS) → legacy long → TZ
+        # timestamp.  Both must come out as a timestamp type, never a long.
+        assert isinstance(
+            tables["events"].schema["ts"].dataType,
+            (T.TimestampType, T.TimestampNTZType),
+        )
         assert tables["events"].count() > 0
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -30,6 +36,8 @@ def test_load_table_without_legacy_conf(spark):
     spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     try:
         ev = load_table(spark, SF_DIR, "events")
-        assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
+        assert isinstance(
+            ev.schema["ts"].dataType, (T.TimestampType, T.TimestampNTZType)
+        )
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from nlp_to_nosql_spark.functions.time import epoch_us
+
 
 def asof_join(
     left: DataFrame,
@@ -101,7 +103,7 @@ def _finish(
 ) -> DataFrame:
     if tolerance_s is not None:
         in_tol: Column = (
-            F.unix_micros(F.col(left_time)) - F.unix_micros(F.col("_matched_t"))
+            epoch_us(F.col(left_time)) - epoch_us(F.col("_matched_t"))
             <= tolerance_s * 1_000_000
         )
         return out.select(

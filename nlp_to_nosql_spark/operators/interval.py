@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nlp_to_nosql_spark.functions.time import epoch_us
+
 
 def range_join(
     left: DataFrame,
@@ -46,11 +48,12 @@ def range_join(
 
     # Integer FLOOR division: double-divide + cast('long') truncates toward
     # zero, so pre-1970 (negative-micros) points could land one bucket above
-    # their containing interval and silently drop a valid match.
+    # their containing interval and silently drop a valid match.  epoch_us
+    # (not unix_micros) so TIMESTAMP_NTZ time columns work too.
     bucket_us = F.lit(bucket_s * 1_000_000)
-    lb = F.floor(F.unix_micros(F.col(left_time)) / bucket_us)
-    rb_first = F.floor(F.unix_micros(F.col(right_start)) / bucket_us)
-    rb_last = F.floor(F.unix_micros(F.col(right_end)) / bucket_us)
+    lb = F.floor(epoch_us(F.col(left_time)) / bucket_us)
+    rb_first = F.floor(epoch_us(F.col(right_start)) / bucket_us)
+    rb_last = F.floor(epoch_us(F.col(right_end)) / bucket_us)
 
     lhs = left.withColumn("_bucket", lb)
     rhs = right.withColumn("_bucket", F.explode(F.sequence(rb_first, rb_last)))

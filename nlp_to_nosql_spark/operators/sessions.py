@@ -17,6 +17,8 @@ import datetime
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from nlp_to_nosql_spark.functions.time import epoch_us
+
 
 def sessionize(
     events: DataFrame,
@@ -37,13 +39,14 @@ def sessionize(
     w_order = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
     # Compare in integer microseconds on both engines — casting a timestamp
     # to long truncates to seconds and can flip sub-second gap edges.
+    # epoch_us (not unix_micros) so TIMESTAMP_NTZ event times work too.
     gap_us = gap_minutes * 60 * 1_000_000
 
     with_breaks = events.withColumn(
         "is_new_session",
         (
-            F.unix_micros(F.col(ts_col))
-            - F.lag(F.unix_micros(F.col(ts_col))).over(w_order)
+            epoch_us(F.col(ts_col))
+            - F.lag(epoch_us(F.col(ts_col))).over(w_order)
             > gap_us
         )
         .cast("int"),

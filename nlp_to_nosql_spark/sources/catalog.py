@@ -50,15 +50,34 @@ def _ensure_nanos_readable(spark: SparkSession) -> None:
 def _normalize(df: DataFrame, name: str) -> DataFrame:
     """Normalize physical quirks of a table at load time.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong=true`` it surfaces as a long of
-    nanoseconds — convert to a proper timestamp (integer division, lossless
-    for the microsecond-precision data; DuckDB sees the same instant).
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which different Spark
+    runtimes surface three different ways:
+
+    - PySpark 4.1.2 reads it **natively as TIMESTAMP_NTZ** (and ignores
+      ``spark.sql.legacy.parquet.nanosAsLong`` entirely);
+    - older runtimes with the legacy conf read it as a **long of nanos**;
+    - a runtime that honors ``isAdjustedToUTC`` metadata could read it as
+      **TIMESTAMP** (with local timezone).
+
+    All three converge here on ONE canonical type — ``TIMESTAMP_NTZ``, the
+    naive wall-clock stored in the file, which is exactly what DuckDB's
+    oracle reads — so every downstream operator and cross-version hash
+    compare sees identical values.  The long→NTZ conversion goes through
+    :func:`~nlp_to_nosql_spark.functions.time.micros_to_ntz` (epoch
+    arithmetic, no session-timezone reinterpretation).
     """
     from pyspark.sql import functions as F, types as T
 
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        from nlp_to_nosql_spark.functions.time import micros_to_ntz
+
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", micros_to_ntz(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampType):
+            # LTZ → NTZ through the session zone: lossless when the session
+            # zone matches the zone the LTZ read assumed (both UTC here).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 

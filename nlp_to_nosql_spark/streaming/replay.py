@@ -29,11 +29,22 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nlp_to_nosql_spark.functions.time import epoch_us
 from nlp_to_nosql_spark.operators.sessions import sessionize_stream
 from nlp_to_nosql_spark.streaming.history import windowed_event_counts
 
 #: Sentinel offset: far beyond any real session gap.
 _SENTINEL_DAYS = 30
+
+
+def _as_event_time(col: str = "ts"):
+    """Structured Streaming watermarks accept only TIMESTAMP (LTZ) — they
+    reject the catalog's canonical TIMESTAMP_NTZ outright
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE, verified on PySpark 4.1.2).
+    Every replay therefore casts the event-time column to LTZ at the
+    staging boundary; with the session zone pinned to UTC the wall-clock
+    values are unchanged, so streaming output stays oracle-comparable."""
+    return F.col(col).cast("timestamp").alias(col)
 
 
 def _work_dir(tag: str) -> str:
@@ -86,7 +97,7 @@ def replay_sessionize(
     batch :func:`~nlp_to_nosql_spark.operators.sessions.sessionize` /
     its SQL oracle.
     """
-    src = events.select("event_id", "user_id", "ts", "value")
+    src = events.select("event_id", "user_id", _as_event_time("ts"), "value")
     max_ts = src.agg(F.max("ts")).first()[0]
 
     sentinels = (
@@ -135,7 +146,7 @@ def replay_windowed_counts(
 ) -> DataFrame:
     """Streaming watermarked tumbling-window rollup of a bounded event
     table (complete output mode: every window is in the final result)."""
-    src = events.select("event_id", "ts", "event_type", "value")
+    src = events.select("event_id", _as_event_time("ts"), "event_type", "value")
     path = _work_dir(f"{tag}_windowed")
     src.coalesce(1).write.mode("overwrite").parquet(path)
 
@@ -191,7 +202,7 @@ def replay_dim_join(
     micro-batch-side with no stream state — the standard enrichment shape
     for dimension tables that fit in executor memory.
     """
-    src = events.select("event_id", "user_id", "ts", "value")
+    src = events.select("event_id", "user_id", _as_event_time("ts"), "value")
     path = _work_dir(f"{tag}_dimjoin")
     src.coalesce(1).write.mode("overwrite").parquet(path)
 
@@ -288,7 +299,7 @@ def replay_click_purchase_join(
     # keeps the replayed stream volume at the join's actual input size.
     src = events.filter(
         F.col("event_type").isin("click", "purchase")
-    ).select("event_id", "user_id", "ts", "event_type")
+    ).select("event_id", "user_id", _as_event_time("ts"), "event_type")
     path = _work_dir(f"{tag}_ssjoin")
     src.coalesce(1).write.mode("overwrite").parquet(path)
 
@@ -323,7 +334,7 @@ def replay_click_purchase_join(
         "purchase_id",
         F.col("click_id_user").alias("user_id"),
         (
-            F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))
+            epoch_us(F.col("purchase_ts")) - epoch_us(F.col("click_ts"))
         ).cast("long").alias("gap_us"),
     )
 
@@ -351,7 +362,7 @@ def replay_dedup_within_watermark(
     which is the SQL oracle (which physical row survives per key depends
     on batch order, so only the key is deterministic).
     """
-    src = events.select("user_id", "event_type", "ts")
+    src = events.select("user_id", "event_type", _as_event_time("ts"))
     path = _work_dir(f"{tag}_wmdedup")
     src.coalesce(1).write.mode("overwrite").parquet(path)
 

@@ -80,6 +80,14 @@ def main() -> int:
         )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Self-document the runtime: the round-2 NTZ break shipped blind because
+    # selfcheck ran on a different interpreter than the driver harness.
+    import pyspark
+
+    print(f"interpreter: {sys.executable}")
+    print(f"pyspark: {pyspark.__version__} ({os.path.dirname(pyspark.__file__)})")
+    print(f"sf_dir: {sf_dir}")
+
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
@@ -88,9 +96,11 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures, weak = [], []
+    n_checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_checked += 1
         t0 = time.time()
         sdf = fn(spark, sf_dir)
         scols = sdf.columns
@@ -120,7 +130,7 @@ def main() -> int:
         if problems:
             failures.append((name, problems))
 
-    print(f"\n{len(qs) - len(failures) - len(weak)}/{len(qs)} oracle-checked OK, "
+    print(f"\n{n_checked - len(failures) - len(weak)}/{n_checked} oracle-checked OK, "
           f"{len(weak)} weak (no oracle), {len(failures)} FAILED")
     spark.stop()
     return 1 if failures else 0

@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nlp_to_nosql_spark.functions.text import fingerprint, normalize_text
+from nlp_to_nosql_spark.plans.caching import persisted
 from nlp_to_nosql_spark.plans.partitioning import fan_out
 
 # ---------------------------------------------------------------------------
@@ -136,7 +137,10 @@ def ngram_jaccard_pairs(
     numerator-only filter would systematically underestimate Jaccard for
     documents containing stop shingles).
     """
-    ex = shingle_table(df, id_col, text_col, k).cache()
+    # Reused 3× (stop-shingle census, index join, set sizes) but it is the
+    # engine's biggest intermediate — shingle-factor × the documents — so
+    # it defaults to DISK_ONLY, not executor memory (conf-overridable).
+    ex = persisted(shingle_table(df, id_col, text_col, k), "shingles")
 
     # Stop shingles (df > max_df) are a tiny set by construction — remove
     # them with a broadcast anti-join instead of shuffling the full rare
@@ -313,7 +317,12 @@ def minhash_lsh_pairs(
     :func:`minhash_signatures_md5` for the oracle-reproducible form).
     """
     rows = num_perm // bands
-    sig = (sig_fn or minhash_signatures)(df, id_col, text_col, k, num_perm).cache()
+    # Narrow (id + num_perm longs), reused by banding and verification:
+    # memory with disk spillover (conf-overridable).
+    sig = persisted(
+        (sig_fn or minhash_signatures)(df, id_col, text_col, k, num_perm),
+        "signatures",
+    )
 
     banded = sig.select(
         F.col(id_col),
@@ -466,10 +475,13 @@ def simhash_pairs(
     """
     width = sig_bits // bands
     mask = (1 << width) - 1
-    sigs = fan_out(df.select(id_col, text_col)).select(
-        F.col(id_col),
-        (sig if sig is not None else simhash64(text_col)).alias("simhash"),
-    ).cache()
+    sigs = persisted(
+        fan_out(df.select(id_col, text_col)).select(
+            F.col(id_col),
+            (sig if sig is not None else simhash64(text_col)).alias("simhash"),
+        ),
+        "signatures",
+    )
 
     banded = sigs.select(
         F.col(id_col),

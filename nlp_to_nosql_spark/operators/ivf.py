@@ -79,9 +79,14 @@ class IVFIndex:
         # batch (memory-bandwidth-bound), so natural input splits give all
         # the parallelism the scan needs; extra partitions only add Python
         # worker spawns.
-        narrow = (train_on if train_on is not None else df).select(
-            id_col, vec_col
-        ).cache()
+        from nlp_to_nosql_spark.plans.caching import persisted
+
+        # Re-scanned once per Lloyd's iteration: memory with disk spillover
+        # (conf-overridable via spark.nlp2nosql.cache.vectors).
+        narrow = persisted(
+            (train_on if train_on is not None else df).select(id_col, vec_col),
+            "vectors",
+        )
         init_rows = narrow.orderBy(id_col).limit(self.n_lists).select(vec_col).collect()
         self.centroids = np.array(
             [[float(x) for x in r[vec_col]] for r in init_rows]

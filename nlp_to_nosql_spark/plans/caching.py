@@ -1,0 +1,47 @@
+"""Conf-driven persistence policy for reused intermediates.
+
+Operators that reuse an intermediate several times (shingle tables,
+MinHash/SimHash signatures, IVF training vectors) must not make the
+100 TB story hinge on executor memory: a bare ``.cache()`` is
+MEMORY_AND_DISK for DataFrames, but the *exploded* shingle table can be
+10-50× its source documents, and evicting-and-recomputing it mid-join is
+far worse than paying disk up front.
+
+``persisted`` applies a per-site default that the user can override per
+session with ``spark.nlp2nosql.cache.<kind>`` (any ``StorageLevel``
+attribute name, e.g. ``MEMORY_ONLY``, ``DISK_ONLY``,
+``MEMORY_AND_DISK_SER``, or ``NONE`` to disable persistence entirely for
+pipelines that pass over each intermediate once).
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+#: Per-site defaults.  ``shingles`` is the exploded (doc × shingle) table —
+#: the largest intermediate in the engine, bigger than its input by the
+#: shingle factor, so it defaults straight to disk.  The rest are narrow
+#: (id + fixed-width signature/vector) and belong in memory with disk
+#: spillover.
+DEFAULT_LEVELS = {
+    "shingles": "DISK_ONLY",
+    "signatures": "MEMORY_AND_DISK",
+    "vectors": "MEMORY_AND_DISK",
+}
+
+CONF_PREFIX = "spark.nlp2nosql.cache."
+
+
+def persisted(df: DataFrame, kind: str) -> DataFrame:
+    """Persist ``df`` at the conf-driven storage level for ``kind``.
+
+    ``spark.nlp2nosql.cache.<kind> = NONE`` returns ``df`` unpersisted
+    (callers still ``unpersist()`` afterwards — that's a no-op then).
+    """
+    name = df.sparkSession.conf.get(
+        CONF_PREFIX + kind, DEFAULT_LEVELS.get(kind, "MEMORY_AND_DISK")
+    )
+    if name.upper() == "NONE":
+        return df
+    return df.persist(getattr(StorageLevel, name.upper()))

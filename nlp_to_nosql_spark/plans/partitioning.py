@@ -6,27 +6,102 @@ arrives as ONE input split (``spark.sql.files.maxPartitionBytes`` /
 Arrow-batched UDFs) runs on one core of the cluster.  Repartitioning the
 narrow input before the expensive projection spreads it across executors.
 
-At the 100 TB design point the input already has thousands of splits and
-``fan_out`` is a no-op — the guard compares the actual scan partition
-count against the session's default parallelism, so the extra shuffle is
-paid only when the input is too small for it to matter.
+The no-op guard is METADATA-ONLY: it estimates the scan's split count from
+``df.inputFiles()`` plus the session's file-split confs — Spark's own
+formula, computed without submitting a job.  (The previous
+``df.rdd.getNumPartitions()`` probe forced a physical plan per call and
+fails outright under Spark Connect, which has no RDD API.)  At the 100 TB
+design point the input spans thousands of splits, the estimate exceeds the
+target, and ``fan_out`` is a no-op — the extra shuffle is paid only when
+the input is too small for it to matter.
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+
+
+def _size_bytes(conf_val: str) -> int:
+    """Parse Spark's byte-size conf strings ("128m", "4194304b", "1g")."""
+    s = conf_val.strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "b": 1}
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(s)
+
+
+def _default_parallelism(df: DataFrame) -> int:
+    spark = df.sparkSession
+    try:
+        return spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no SparkContext on the client
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int | None:
+    """Spark's file-split count for ``df``'s source files, from metadata
+    alone; None when the sources aren't sizable client-side (non-local
+    URIs, non-file sources)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    sizes = []
+    for uri in files:
+        if uri.startswith("file:"):
+            path = uri[len("file:"):]
+        elif uri.startswith("/"):
+            path = uri
+        else:
+            return None  # remote store: no cheap client-side stat
+        try:
+            sizes.append(os.path.getsize(path))
+        except OSError:
+            return None
+    conf = df.sparkSession.conf
+    max_split = _size_bytes(conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    open_cost = _size_bytes(conf.get("spark.sql.files.openCostInBytes", "4m"))
+    # org.apache.spark.sql.execution.datasources.FilePartition#maxSplitBytes:
+    # bytes-per-core capped at maxPartitionBytes, floored at openCost …
+    total = sum(sizes) + open_cost * len(sizes)
+    per_core = total // max(_default_parallelism(df), 1)
+    split = max(min(max_split, max(open_cost, per_core)), 1)
+    # … then #getFilePartitions: slice files into ≤split chunks and greedy-
+    # pack them (largest first, each padded by open_cost) into partitions.
+    chunks: list[int] = []
+    for size in sizes:
+        while size > split:
+            chunks.append(split)
+            size -= split
+        if size > 0:
+            chunks.append(size)
+    partitions, current = 0, 0
+    for chunk in sorted(chunks, reverse=True):
+        if current == 0 or current + chunk > split:
+            partitions += 1
+            current = 0
+        current += chunk + open_cost
+    return max(1, partitions)
 
 
 def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
     """Repartition ``df`` to ``defaultParallelism * multiplier`` partitions
-    if (and only if) it currently has fewer.
+    unless its scan already has at least that many splits.
 
     Use immediately before per-row CPU-heavy transformations whose input
     is narrow (ids + text), never after a wide projection — the shuffle
-    moves whatever columns are in ``df``.
+    moves whatever columns are in ``df``.  When the split count can't be
+    estimated from metadata (remote URIs, non-file source), the shuffle is
+    taken: wrong-but-parallel beats single-core on the hot paths this
+    guards, and callers at genuine scale read from sources whose split
+    count Spark already sizes correctly upstream.
     """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism * multiplier
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    target = _default_parallelism(df) * multiplier
+    est = _estimated_scan_partitions(df)
+    if est is not None and est >= target:
+        return df
+    return df.repartition(target)

@@ -70,14 +70,35 @@ def test_scan_filter_project_is_shuffle_free(lineitem):
     assert "Exchange" not in plan
 
 
-def test_fan_out_noop_on_wide_input(spark):
-    from nlp_to_nosql_spark.plans.partitioning import fan_out
+def test_fan_out_is_metadata_only(spark, tmp_path):
+    """fan_out's guard must decide from file metadata alone (no .rdd probe —
+    that forces a physical plan and breaks under Spark Connect)."""
+    from nlp_to_nosql_spark.plans.partitioning import (
+        _estimated_scan_partitions,
+        fan_out,
+    )
 
     parallelism = spark.sparkContext.defaultParallelism
-    wide = spark.range(10_000).repartition(parallelism)
-    assert fan_out(wide) is wide  # already at target: no extra shuffle
-    narrow = spark.range(10).coalesce(1)
+
+    # Many-file scan at/above target → no-op (identical object, no shuffle).
+    wide_path = str(tmp_path / "wide")
+    spark.range(10_000).repartition(parallelism).write.parquet(wide_path)
+    wide = spark.read.parquet(wide_path)
+    assert _estimated_scan_partitions(wide) >= parallelism
+    assert fan_out(wide) is wide
+
+    # Single small file → estimated 1 split → repartitioned to target.
+    narrow_path = str(tmp_path / "narrow")
+    spark.range(10).coalesce(1).write.parquet(narrow_path)
+    narrow = spark.read.parquet(narrow_path)
+    assert _estimated_scan_partitions(narrow) == 1
     assert fan_out(narrow).rdd.getNumPartitions() == parallelism
+
+    # Non-file source (range): estimate unavailable → shuffle taken, since
+    # wrong-but-parallel beats single-core on the UDF paths this guards.
+    unsized = spark.range(10).coalesce(1)
+    assert _estimated_scan_partitions(unsized) is None
+    assert fan_out(unsized).rdd.getNumPartitions() == parallelism
 
 
 def test_shipping_priority_query_plan_shape(spark, tmp_path_factory):

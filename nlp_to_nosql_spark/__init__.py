@@ -15,6 +15,9 @@ reference NL→NoSQL system (see SURVEY.md), re-expressed Spark-first:
   (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding cosine),
   similarity search, text analysis, multimodal column plumbing, streaming
   history metrics.
+* HTTP serving layer (:mod:`nlp_to_nosql_spark.server`): ``POST /query``
+  with the reference's validation, budgets, and error envelopes
+  (``app_server.py:75-93,202-332``) — ``create_app(Engine(spark))``.
 """
 
 from nlp_to_nosql_spark.ir import QuerySpec

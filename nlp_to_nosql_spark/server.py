@@ -1,0 +1,214 @@
+"""HTTP serving layer — the engine's equivalent of the reference's FastAPI
+server (``app_server.py``).
+
+Endpoint-for-endpoint parity:
+
+* ``GET /``        — service info + timeout config      (``app_server.py:123-146``)
+* ``GET /health``  — health probe                       (``app_server.py:148-172``)
+* ``GET /test``    — canned compile round-trip          (``app_server.py:174-200``)
+* ``POST /query``  — validated NL query                 (``app_server.py:202-278``)
+
+with the same validation ranges (``QueryRequest``, ``app_server.py:75-82``:
+non-empty input, 1 ≤ limit ≤ 1000, 5 ≤ timeout ≤ 60), the same layered
+budget (70 % compile / remainder-minus-buffer DB — implemented once in
+``timeout.budget_split`` and consumed via ``Engine.query``), and the same
+typed error envelopes (408 TIMEOUT_ERROR / 500 INTERNAL_ERROR JSON bodies,
+``app_server.py:292-332``; 422 with a pydantic detail list for validation,
+matching FastAPI's RequestValidationError shape).
+
+The container has no FastAPI/uvicorn, so the transport is Flask (WSGI) —
+also an offline-testable real HTTP surface — with pydantic v2 models doing
+exactly the validation work FastAPI would.  The app is an app-factory over
+:class:`~nlp_to_nosql_spark.api.Engine`, so any SparkSession-backed engine
+(local, cluster, connect) serves unchanged.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Optional
+
+from pydantic import BaseModel, Field, ValidationError
+
+from nlp_to_nosql_spark.api import Engine
+from nlp_to_nosql_spark.timeout import QueryTimeoutError
+
+VERSION = "1.1.0"
+
+#: Global timeout configuration (``app_server.py:27-29``).
+DEFAULT_QUERY_TIMEOUT = 30
+DEFAULT_DB_TIMEOUT = 15
+MAX_TIMEOUT = 60
+
+
+class QueryRequest(BaseModel):
+    """Request model with the reference's exact validation ranges
+    (``app_server.py:75-82``)."""
+
+    input: str = Field(..., min_length=1)
+    db: str = Field(default="testdb")
+    collection: str = Field(default="testcoll")
+    limit: Optional[int] = Field(default=50, ge=1, le=1000)
+    timeout: Optional[int] = Field(default=DEFAULT_QUERY_TIMEOUT, ge=5, le=MAX_TIMEOUT)
+    show_progress: Optional[bool] = Field(default=False)
+
+
+class QueryResponse(BaseModel):
+    """Response envelope (``app_server.py:84-93``)."""
+
+    ok: bool
+    mongo_query: dict
+    total_matching: int
+    results: list
+    result_count: int
+    execution_time: float
+    query_generation_time: Optional[float] = None
+    db_execution_time: Optional[float] = None
+    timeout_used: Optional[int] = None
+
+
+def _error_body(status: int, error: str, error_type: str, **extra: Any) -> dict:
+    """Typed error envelope (``app_server.py:292-332``)."""
+    return {
+        "ok": False,
+        "error": error,
+        "error_type": error_type,
+        "status_code": status,
+        "timestamp": time.time(),
+        **extra,
+    }
+
+
+def create_app(engine: Engine, table_resolver=None):
+    """Build the Flask app over ``engine``.
+
+    ``table_resolver(db, collection) -> table_name`` maps the reference's
+    Mongo-style (db, collection) namespace onto the engine catalog; the
+    default ignores ``db`` and uses ``collection`` as the table name, which
+    is how the catalog registers parquet tables.
+    """
+    from flask import Flask, jsonify, request
+
+    app = Flask("nlp_to_nosql_spark")
+    start_time = time.time()
+    resolve = table_resolver or (lambda db, coll: coll)
+
+    @app.get("/")
+    def root():
+        return jsonify(
+            {
+                "message": "NLP to NoSQL API is running",
+                "version": VERSION,
+                "status": "ok",
+                "uptime": round(time.time() - start_time, 2),
+                "endpoints": {
+                    "health": "/health",
+                    "query": "/query",
+                    "query-with-progress": "/query?show_progress=true",
+                    "test": "/test",
+                },
+                "timeout_info": {
+                    "default_query_timeout": DEFAULT_QUERY_TIMEOUT,
+                    "default_db_timeout": DEFAULT_DB_TIMEOUT,
+                    "max_timeout": MAX_TIMEOUT,
+                },
+            }
+        )
+
+    @app.get("/health")
+    def health():
+        status = engine.test_connections()
+        healthy = all(status.values())
+        return jsonify(
+            {
+                "status": "healthy" if healthy else "degraded",
+                "spark_connected": status.get("spark", False),
+                "compiler_connected": status.get("compiler", False),
+                "timestamp": time.time(),
+                "version": VERSION,
+                "uptime": round(time.time() - start_time, 2),
+            }
+        )
+
+    @app.get("/test")
+    def test():
+        try:
+            test_query = "Find all employees"
+            t0 = time.time()
+            spec = engine.compile(test_query)
+            return jsonify(
+                {
+                    "status": "ok",
+                    "test_query": test_query,
+                    "generated_mongo": spec.to_ir(),
+                    "execution_time": round(time.time() - t0, 3),
+                }
+            )
+        except QueryTimeoutError as e:
+            return jsonify(_error_body(408, str(e), "TIMEOUT_ERROR")), 408
+        except Exception as e:  # noqa: BLE001 — typed envelope, not a crash
+            return jsonify(_error_body(500, f"Test failed: {e}", "HTTP_ERROR")), 500
+
+    @app.post("/query")
+    def query():
+        try:
+            req = QueryRequest.model_validate(request.get_json(force=True, silent=True) or {})
+        except ValidationError as e:
+            # FastAPI's RequestValidationError shape: 422 + detail list.
+            return jsonify({"detail": e.errors(include_url=False)}), 422
+
+        try:
+            resp = engine.query(
+                req.input,
+                resolve(req.db, req.collection),
+                limit=req.limit,
+                timeout_s=float(req.timeout),
+            )
+            return jsonify(
+                QueryResponse(
+                    ok=True,
+                    mongo_query=resp["query"],
+                    total_matching=resp["total_matching"],
+                    results=resp["results"],
+                    result_count=resp["result_count"],
+                    execution_time=resp["execution_time"],
+                    query_generation_time=resp["query_generation_time"],
+                    db_execution_time=resp["db_execution_time"],
+                    timeout_used=req.timeout,
+                ).model_dump()
+            )
+        except (QueryTimeoutError, TimeoutError) as e:
+            return (
+                jsonify(
+                    _error_body(
+                        408,
+                        str(e),
+                        "TIMEOUT_ERROR",
+                        suggestion=(
+                            "Try increasing the timeout value or simplifying "
+                            "the query"
+                        ),
+                    )
+                ),
+                408,
+            )
+        except ValueError as e:
+            # Engine-level validation (unknown table, empty text after
+            # trimming): client error, surfaced like the reference's
+            # HTTPException path.
+            return jsonify(_error_body(400, str(e), "HTTP_ERROR")), 400
+        except Exception as e:  # noqa: BLE001 — typed envelope, not a crash
+            return (
+                jsonify(
+                    _error_body(500, f"Internal server error: {e}", "INTERNAL_ERROR")
+                ),
+                500,
+            )
+
+    return app
+
+
+def serve(engine: Engine, host: str = "127.0.0.1", port: int = 8000) -> None:
+    """Run the development server (production would sit behind a WSGI
+    server exactly like the reference sits behind uvicorn)."""
+    create_app(engine).run(host=host, port=port)

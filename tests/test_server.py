@@ -1,0 +1,130 @@
+"""HTTP surface parity: POST /query validation, envelopes, budgets
+(reference ``app_server.py:75-93,202-332``), offline via Flask test client."""
+
+from __future__ import annotations
+
+import pytest
+
+from nlp_to_nosql_spark.api import Engine
+from nlp_to_nosql_spark.server import create_app
+from nlp_to_nosql_spark.sources.catalog import register_tables
+from nlp_to_nosql_spark.timeout import QueryTimeoutError
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    register_tables(spark, SF_DIR)
+    return Engine(spark)
+
+
+@pytest.fixture(scope="module")
+def client(engine):
+    app = create_app(engine)
+    app.config["TESTING"] = True
+    return app.test_client()
+
+
+def test_root_and_health(client):
+    root = client.get("/").get_json()
+    assert root["status"] == "ok"
+    assert root["timeout_info"]["max_timeout"] == 60
+    health = client.get("/health").get_json()
+    assert health["status"] == "healthy"
+    assert health["spark_connected"] and health["compiler_connected"]
+
+
+def test_test_endpoint_round_trip(client):
+    body = client.get("/test").get_json()
+    assert body["status"] == "ok"
+    assert body["generated_mongo"] == {"filter": {}, "projection": {}}
+
+
+def test_query_happy_path_envelope(client):
+    r = client.post(
+        "/query",
+        json={"input": "Find all employees", "collection": "customer", "limit": 5},
+    )
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["ok"] is True
+    assert body["result_count"] == 5
+    assert body["total_matching"] == 150
+    assert body["mongo_query"] == {"filter": {}, "projection": {}}
+    assert len(body["results"]) == 5
+    assert body["timeout_used"] == 30  # default
+    for key in ("execution_time", "query_generation_time", "db_execution_time"):
+        assert isinstance(body[key], float)
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        {},  # missing input
+        {"input": ""},  # min_length=1
+        {"input": "x", "limit": 0},  # ge=1
+        {"input": "x", "limit": 1001},  # le=1000
+        {"input": "x", "timeout": 4},  # ge=5
+        {"input": "x", "timeout": 61},  # le=60
+    ],
+)
+def test_query_validation_422(client, payload):
+    r = client.post("/query", json=payload)
+    assert r.status_code == 422
+    assert "detail" in r.get_json()  # FastAPI RequestValidationError shape
+
+
+def test_query_unknown_table_is_client_error(client):
+    r = client.post("/query", json={"input": "Find all employees",
+                                    "collection": "no_such_table"})
+    body = r.get_json()
+    assert r.status_code in (400, 500)
+    assert body["ok"] is False
+    assert body["status_code"] == r.status_code
+
+
+def test_timeout_maps_to_408_envelope(engine, monkeypatch):
+    def boom(*a, **k):
+        raise QueryTimeoutError("database query timed out after 2.0 seconds")
+
+    monkeypatch.setattr(engine, "query", boom)
+    app = create_app(engine)
+    app.config["TESTING"] = True
+    r = app.test_client().post("/query", json={"input": "Find all employees"})
+    assert r.status_code == 408
+    body = r.get_json()
+    assert body["ok"] is False
+    assert body["error_type"] == "TIMEOUT_ERROR"
+    assert body["status_code"] == 408
+    assert "suggestion" in body
+
+
+def test_internal_error_maps_to_500_envelope(engine, monkeypatch):
+    def boom(*a, **k):
+        raise RuntimeError("executor lost")
+
+    monkeypatch.setattr(engine, "query", boom)
+    app = create_app(engine)
+    app.config["TESTING"] = True
+    r = app.test_client().post("/query", json={"input": "Find all employees"})
+    assert r.status_code == 500
+    body = r.get_json()
+    assert body["ok"] is False
+    assert body["error_type"] == "INTERNAL_ERROR"
+
+
+def test_budget_split_is_the_reference_arithmetic():
+    """70 % cap / 5 s headroom / 25 s ceiling for compile; remainder minus
+    1 s with a 2 s floor for the DB stage (app_server.py:218-232)."""
+    from nlp_to_nosql_spark.timeout import budget_split
+
+    gen, db = budget_split(30.0)
+    assert gen == 21.0  # min(30-5, 25) capped at 0.7*30
+    assert db == 8.0  # 30 - 21 - 1
+    gen, db = budget_split(5.0)
+    assert gen == 0.0  # min(0, 25) → 0 at the 5 s floor request
+    assert db == 4.0
+    gen, db = budget_split(60.0)
+    assert gen == 25.0  # 25 s ceiling
+    assert db == 34.0

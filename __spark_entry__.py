@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1063,6 +1064,54 @@ def _q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (no stub): synthesize a deterministic 16-bit PCM
+    WAV per audio-kind media row (``multimodal.synth_wav``), then parse it
+    back with the stdlib ``wave`` decoder inside Arrow-batched executors
+    (``multimodal.audio_features``).  The waveform is integer arithmetic
+    (``(id·31 + i·97) mod 24001 − 12000``), so the DuckDB oracle reproduces
+    every sample — and hence the RMS — exactly, with no libm drift."""
+    from pyspark.sql.functions import pandas_udf
+
+    from nlp_to_nosql_spark.operators.multimodal import audio_features, synth_wav
+
+    @pandas_udf("binary")
+    def _wav(mid: pd.Series) -> pd.Series:
+        return mid.map(lambda m: synth_wav(int(m)))
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    media = docs.filter(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        _wav(F.col("doc_id")).alias("payload"),
+    )
+    return audio_features(media).select(
+        "media_id",
+        "n_channels",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+AUDIO_DECODE_SQL = """
+WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 1),
+samples AS (
+  SELECT media_id,
+         CAST(((media_id * 31 + t.i * 97) % 24001) - 12000 AS DOUBLE) AS s
+  FROM ids, range(800) t(i)
+)
+SELECT media_id,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(800 AS BIGINT) AS n_samples,
+       CAST(100 AS BIGINT) AS duration_ms,
+       ROUND(SQRT(AVG(s * s)), 6) AS rms
+FROM samples GROUP BY media_id
+"""
+
+
 #: Same SQL text runs on Spark and DuckDB: CUBE over the two lineitem
 #: status dimensions with grouping() flags (ts2 covers GROUPING SETS; this
 #: covers the full-lattice form).  Money as per-row floor-shift cents
@@ -1810,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm1_image_features": _q_image_features,
         "mm2_frame_plan": _q_frame_plan,
         "mm3_audio_chunks": _q_audio_chunks,
+        "mm4_audio_decode": _q_audio_decode,
     }
 
 
@@ -2579,4 +2629,5 @@ def oracle_sql() -> dict[str, str]:
             "CAST(LEAST(5000, duration_ms - chunk_start_ms) AS BIGINT) AS chunk_len_ms "
             "FROM s"
         ),
+        "mm4_audio_decode": AUDIO_DECODE_SQL,
     }

@@ -2,11 +2,17 @@
 
 The Spark-side architecture is real and tested — schema, partitioning,
 Arrow-batched ``mapInPandas`` signatures, deterministic frame/sample
-selection — while the codec step itself is STUBBED (this container has no
-image/audio libraries).  Set ``use_real_codecs=True`` to get an explicit
-``NotImplementedError`` at the exact point a real decoder (Pillow/ffmpeg)
-would plug in; the default fake decoder is deterministic over the payload
-bytes so pipelines are testable end-to-end.
+selection.  The codec layer is split by what this container can honestly
+do:
+
+* **audio/WAV — REAL decode** (:func:`audio_features`): the stdlib
+  ``wave`` module parses RIFF/WAVE payloads inside executors — channel
+  count, sample rate, sample count, duration, and per-payload RMS
+  amplitude — no external codec needed.
+* **image — feature-detected plug point**: ``use_real_codecs=True`` uses
+  Pillow when importable and raises ``NotImplementedError`` at the exact
+  plug-in line otherwise; the default fake decoder is deterministic over
+  the payload bytes so pipelines are testable end-to-end either way.
 
 At scale: payloads stay columnar (parquet binary), decode happens inside
 executors in Arrow batches, and all metadata math (frame timestamps,
@@ -56,15 +62,39 @@ IMAGE_FEATURE_SCHEMA = T.StructType(
 )
 
 
+def have_pillow() -> bool:
+    """Feature-detect a real image codec (mirrors ``totals.have_tws_runtime``)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def _decode_image_stub(payload: bytes, use_real_codecs: bool) -> dict:
-    """STUB decode step.  A real implementation would be
-    ``PIL.Image.open(io.BytesIO(payload))``; this container has no codecs,
-    so the fake is a deterministic function of the bytes."""
+    """Image decode step.  With ``use_real_codecs=True`` this uses Pillow
+    when the environment provides it and raises at the exact plug-in line
+    otherwise; the default fake is a deterministic function of the bytes."""
     if use_real_codecs:
-        raise NotImplementedError(
-            "real image decode requires Pillow/libvips — not available in "
-            "this environment; plug the decoder in here"
-        )
+        if not have_pillow():
+            raise NotImplementedError(
+                "real image decode requires Pillow/libvips — not available "
+                "in this environment; plug the decoder in here"
+            )
+        import io
+
+        import PIL.Image
+
+        with PIL.Image.open(io.BytesIO(payload)) as img:
+            gray = img.convert("L")
+            data = gray.tobytes()
+            return {
+                "sha256": hashlib.sha256(payload).hexdigest(),
+                "mean_byte": (sum(data) / len(data)) if data else 0.0,
+                "width": img.width,
+                "height": img.height,
+            }
     return {
         "sha256": hashlib.sha256(payload).hexdigest(),
         "mean_byte": (sum(payload) / len(payload)) if payload else 0.0,
@@ -97,6 +127,107 @@ def image_features(media: DataFrame, use_real_codecs: bool = False) -> DataFrame
     return (
         fan_out(media.filter(F.col("kind") == "image").select("media_id", "payload", "meta"))
         .mapInPandas(extract, IMAGE_FEATURE_SCHEMA)
+    )
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def synth_wav_samples(media_id: int, n_samples: int = 800) -> list[int]:
+    """The deterministic waveform behind :func:`synth_wav` — integer
+    arithmetic only (``(media_id·31 + i·97) mod 24001 − 12000``), so an
+    SQL oracle reproduces every sample exactly with no libm drift."""
+    return [
+        ((media_id * 31 + i * 97) % 24001) - 12000 for i in range(n_samples)
+    ]
+
+
+def synth_wav(media_id: int, sample_rate: int = 8000, n_samples: int = 800) -> bytes:
+    """Deterministic 16-bit mono PCM WAV payload for ``media_id`` — a
+    test/demo generator so the REAL decoder below has real input without
+    shipping binary fixtures."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    samples = synth_wav_samples(media_id, n_samples)
+    frames = struct.pack(f"<{len(samples)}h", *samples)
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode over WAV payloads — no stub.
+
+    The stdlib ``wave`` module parses each RIFF/WAVE payload inside the
+    executors (Arrow-batched ``mapInPandas``; payloads never transit the
+    driver): channel count, sample rate, exact sample count, duration, and
+    RMS amplitude over the 16-bit PCM frames.  Non-WAV or corrupt payloads
+    yield a null-feature row rather than failing the batch — at 100 TB a
+    fraction of corrupt media is a certainty, and one bad file must not
+    kill a 1000-executor stage.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import math
+        import struct
+        import wave
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    with wave.open(io.BytesIO(payload), "rb") as w:
+                        n_ch, width, rate, n_fr = (
+                            w.getnchannels(),
+                            w.getsampwidth(),
+                            w.getframerate(),
+                            w.getnframes(),
+                        )
+                        frames = w.readframes(n_fr)
+                    if width == 2 and frames:
+                        samples = struct.unpack(f"<{len(frames) // 2}h", frames)
+                        rms = math.sqrt(sum(s * s for s in samples) / len(samples))
+                    else:
+                        rms = None
+                    rows.append(
+                        (media_id, n_ch, rate, n_fr, (n_fr * 1000) // rate, rms)
+                    )
+                except Exception:
+                    rows.append((media_id, None, None, None, None, None))
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_channels",
+                    "sample_rate",
+                    "n_samples",
+                    "duration_ms",
+                    "rms",
+                ],
+            )
+            yield out
+
+    from nlp_to_nosql_spark.plans.partitioning import fan_out
+
+    return (
+        fan_out(media.filter(F.col("kind") == "audio").select("media_id", "payload"))
+        .mapInPandas(extract, AUDIO_FEATURE_SCHEMA)
     )
 
 

@@ -57,3 +57,57 @@ def test_audio_chunk_plan(media):
     chunks = audio_chunk_plan(media, chunk_ms=5000).collect()
     got = [(r["chunk_start_ms"], r["chunk_len_ms"]) for r in chunks]
     assert got == [(0, 5000), (5000, 5000), (10000, 2001)]  # 12001 ms total
+
+
+def test_audio_features_real_wav_decode(spark):
+    """The stdlib-wave decoder is REAL: it must recover the exact encode
+    parameters and RMS of the synthesized PCM, and survive corrupt
+    payloads with a null-feature row instead of a task failure."""
+    import math
+
+    from nlp_to_nosql_spark.operators.multimodal import (
+        audio_features,
+        synth_wav,
+        synth_wav_samples,
+    )
+
+    rows = [
+        (7, "audio", synth_wav(7), None),
+        (8, "audio", synth_wav(8, sample_rate=16000, n_samples=3200), None),
+        (9, "audio", b"not a wav at all", None),
+        (10, "image", b"png-ish", None),  # filtered out by kind
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in audio_features(media).collect()}
+
+    assert set(feats) == {7, 8, 9}
+    assert (feats[7]["n_channels"], feats[7]["sample_rate"]) == (1, 8000)
+    assert (feats[7]["n_samples"], feats[7]["duration_ms"]) == (800, 100)
+    assert (feats[8]["sample_rate"], feats[8]["duration_ms"]) == (16000, 200)
+
+    s = synth_wav_samples(7)
+    want_rms = math.sqrt(sum(x * x for x in s) / len(s))
+    assert abs(feats[7]["rms"] - want_rms) < 1e-9
+
+    assert feats[9]["n_channels"] is None and feats[9]["rms"] is None
+
+
+def test_image_decode_uses_pillow_when_available(spark):
+    """With Pillow importable the real-codec path must decode instead of
+    raising; without it the NotImplementedError plug point stays."""
+    from nlp_to_nosql_spark.operators.multimodal import have_pillow
+
+    if not have_pillow():
+        pytest.skip("Pillow not in this environment (stub path covered above)")
+    import io
+
+    import PIL.Image
+
+    img = PIL.Image.new("L", (4, 2), color=128)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    real = spark.createDataFrame(
+        [(1, "image", buf.getvalue(), (4, 2, None, None, "png"))], MEDIA_SCHEMA
+    )
+    feats = image_features(real, use_real_codecs=True).collect()
+    assert feats[0]["mean_byte"] == 128.0

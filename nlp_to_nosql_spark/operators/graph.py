@@ -25,12 +25,47 @@ At 100 TB the edge table is the near-dup pair output (orders of magnitude
 smaller than the corpus); labels are one row per document.  Every step is
 a key-partitioned join/agg — no driver-side state beyond the per-round
 convergence counter.
+
+**Small-edge fast path**: when the pair relation fits under
+``spark.nlp2nosql.cc.localEdgeThreshold`` (default 1M pairs), the
+components are solved with driver-side union-find and broadcast back —
+the exact analogue of a broadcast hash join's small-side collect, with the
+same boundedness contract.  Only nodes that appear in edges are collected
+(never the node table: isolated nodes coalesce to their own id after a
+broadcast left join), so the driver's working set is bounded by the
+threshold regardless of corpus size.  Above the threshold the iterative
+relational path runs unchanged — that is the 100 TB path.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Edge-count ceiling for the driver-side union-find fast path.
+_LOCAL_EDGE_THRESHOLD_CONF = "spark.nlp2nosql.cc.localEdgeThreshold"
+_LOCAL_EDGE_THRESHOLD_DEFAULT = 1_000_000
+
+
+def _union_find_min_labels(edge_rows: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Union-find with path compression; returns (node, min-id-of-component)
+    for every node that appears in an edge."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min-id root ⇒ min labels
+
+    return [(node, find(node)) for node in parent]
 
 
 def connected_components(
@@ -61,6 +96,27 @@ def connected_components(
         ).distinct()
     else:
         node_ids = sym.select(F.col("src").alias("id")).distinct()
+
+    # Small-edge fast path: LIMIT threshold+1 bounds the collect BEFORE it
+    # happens (no separate count job); if everything fit, those rows ARE
+    # the edge set and union-find solves it in one pass.
+    spark = edges.sparkSession
+    threshold = int(
+        spark.conf.get(
+            _LOCAL_EDGE_THRESHOLD_CONF, str(_LOCAL_EDGE_THRESHOLD_DEFAULT)
+        )
+    )
+    if threshold > 0:
+        sample = e.limit(threshold + 1).collect()
+        if len(sample) <= threshold:
+            pairs = [(r["src"], r["dst"]) for r in sample]
+            mapping = _union_find_min_labels(pairs)
+            if not mapping:
+                return node_ids.select("id", F.col("id").alias("label"))
+            mapping_df = spark.createDataFrame(mapping, "id long, label long")
+            return node_ids.join(F.broadcast(mapping_df), "id", "left").select(
+                "id", F.coalesce("label", "id").alias("label")
+            )
 
     # Materialize once: the edge table is re-joined every round.
     sym = sym.localCheckpoint()
@@ -98,7 +154,9 @@ def connected_components(
                 F.col("a.id").alias("id"),
                 F.coalesce(F.col("b.label"), F.col("a.label")).alias("label"),
             )
-            .localCheckpoint()
+            # eager=False: the convergence probe right below is the
+            # materializing job, so checkpointing costs no extra job.
+            .localCheckpoint(eager=False)
         )
         labels = jumped
         cur_sum = _label_sum(labels)

@@ -1,18 +1,35 @@
-"""Connected-components / dedup-cluster tests."""
+"""Connected-components / dedup-cluster tests.
+
+Every correctness case runs through BOTH execution paths: the driver-side
+union-find fast path (edges under the threshold) and the distributed
+min-label-propagation loop (forced by setting the threshold to 0) — the
+two must be indistinguishable."""
 
 from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
 
-from nlp_to_nosql_spark.operators.graph import connected_components, dedup_clusters
+from nlp_to_nosql_spark.operators.graph import (
+    _LOCAL_EDGE_THRESHOLD_CONF,
+    connected_components,
+    dedup_clusters,
+)
+
+
+@pytest.fixture(params=["local", "distributed"])
+def cc_mode(spark, request):
+    if request.param == "distributed":
+        spark.conf.set(_LOCAL_EDGE_THRESHOLD_CONF, "0")
+    yield request.param
+    spark.conf.unset(_LOCAL_EDGE_THRESHOLD_CONF)
 
 
 def _labels(df):
     return {r["id"]: r["label"] for r in df.collect()}
 
 
-def test_chain_collapses_to_min(spark):
+def test_chain_collapses_to_min(spark, cc_mode):
     # 0-1-2-3-4-5 chain: multi-hop propagation (exercises pointer jumping)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(5)], "a long, b long"
@@ -21,7 +38,7 @@ def test_chain_collapses_to_min(spark):
     assert got == {i: 0 for i in range(6)}
 
 
-def test_two_components_and_direction_invariance(spark):
+def test_two_components_and_direction_invariance(spark, cc_mode):
     # {1,2,3} via (3,2),(2,1) reversed order; {10,11}; edge direction mixed
     edges = spark.createDataFrame(
         [(3, 2), (1, 2), (11, 10)], "a long, b long"
@@ -30,14 +47,14 @@ def test_two_components_and_direction_invariance(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
-def test_isolated_nodes_are_singletons(spark):
+def test_isolated_nodes_are_singletons(spark, cc_mode):
     edges = spark.createDataFrame([(1, 2)], "a long, b long")
     nodes = spark.createDataFrame([(n,) for n in (1, 2, 7, 9)], "doc_id long")
     got = _labels(connected_components(edges, "a", "b", nodes=nodes, id_col="doc_id"))
     assert got == {1: 1, 2: 1, 7: 7, 9: 9}
 
 
-def test_self_loop_and_duplicate_edges(spark):
+def test_self_loop_and_duplicate_edges(spark, cc_mode):
     edges = spark.createDataFrame(
         [(4, 4), (4, 5), (5, 4), (4, 5)], "a long, b long"
     )
@@ -45,7 +62,14 @@ def test_self_loop_and_duplicate_edges(spark):
     assert got == {4: 4, 5: 4}
 
 
-def test_dedup_clusters_representative_policy(spark):
+def test_empty_edges_all_singletons(spark, cc_mode):
+    edges = spark.createDataFrame([], "a long, b long")
+    nodes = spark.createDataFrame([(n,) for n in (3, 8)], "doc_id long")
+    got = _labels(connected_components(edges, "a", "b", nodes=nodes, id_col="doc_id"))
+    assert got == {3: 3, 8: 8}
+
+
+def test_dedup_clusters_representative_policy(spark, cc_mode):
     docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
     pairs = spark.createDataFrame(
         [(5, 3), (3, 1)], "id_a long, id_b long"
@@ -58,7 +82,25 @@ def test_dedup_clusters_representative_policy(spark):
     assert keep.count() == 4
 
 
+def test_threshold_boundary_switches_paths(spark):
+    """At threshold = exact edge count the local path still applies; one
+    below it, the distributed loop runs.  Results identical."""
+    edges = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "a long, b long")
+    want = {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+    try:
+        spark.conf.set(_LOCAL_EDGE_THRESHOLD_CONF, "3")
+        assert _labels(connected_components(edges, "a", "b")) == want
+        spark.conf.set(_LOCAL_EDGE_THRESHOLD_CONF, "2")
+        assert _labels(connected_components(edges, "a", "b")) == want
+    finally:
+        spark.conf.unset(_LOCAL_EDGE_THRESHOLD_CONF)
+
+
 def test_no_convergence_raises(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(40)], "a long, b long")
-    with pytest.raises(RuntimeError):
-        connected_components(edges, "a", "b", max_iter=1)
+    try:
+        spark.conf.set(_LOCAL_EDGE_THRESHOLD_CONF, "0")  # force iterative path
+        with pytest.raises(RuntimeError):
+            connected_components(edges, "a", "b", max_iter=1)
+    finally:
+        spark.conf.unset(_LOCAL_EDGE_THRESHOLD_CONF)

@@ -84,18 +84,24 @@ def connected_components(
     Returns ``(id, label)``.  Raises if ``max_iter`` rounds don't converge
     (pathological diameter — at log-halving that means > 2^25 hops).
     """
+    # Null endpoints can't join to a label row in the iterative path, so
+    # they never conduct; drop them up front so both paths agree (and the
+    # driver-side union-find never sees a None).
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
-    )
-    sym = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    # Materialize the (possibly expensive) pair plan exactly ONCE: the
+    # fast-path probe reads the checkpoint incrementally (LIMIT over a
+    # checkpointed relation scans no shuffle), and the iterative path
+    # re-derives the symmetric edge set from it cheaply every round.
+    e = e.localCheckpoint()
+
     if nodes is not None:
         node_ids = nodes.select(
             F.col(id_col or nodes.columns[0]).cast("long").alias("id")
         ).distinct()
     else:
-        node_ids = sym.select(F.col("src").alias("id")).distinct()
+        node_ids = None  # node set == edge endpoints
 
     # Small-edge fast path: LIMIT threshold+1 bounds the collect BEFORE it
     # happens (no separate count job); if everything fit, those rows ARE
@@ -110,7 +116,30 @@ def connected_components(
         sample = e.limit(threshold + 1).collect()
         if len(sample) <= threshold:
             pairs = [(r["src"], r["dst"]) for r in sample]
-            mapping = _union_find_min_labels(pairs)
+            if node_ids is None:
+                # The endpoints ARE the node set: the mapping is the answer.
+                mapping = _union_find_min_labels(pairs)
+                if not mapping:
+                    return spark.createDataFrame([], "id long, label long")
+                return spark.createDataFrame(mapping, "id long, label long")
+            # Iterative-path semantics: an edge conducts only through
+            # endpoints that have a label row (i.e. appear in `nodes`).
+            # The node table may be corpus-sized, so membership is checked
+            # distributed — one semi-join of node_ids against the bounded
+            # endpoint set (≤ 2·threshold ids), collect bounded likewise.
+            endpoints = {x for p in pairs for x in p}
+            endpoints_df = spark.createDataFrame(
+                [(x,) for x in endpoints], "id long"
+            )
+            present = {
+                r["id"]
+                for r in node_ids.join(
+                    F.broadcast(endpoints_df), "id", "semi"
+                ).collect()
+            }
+            mapping = _union_find_min_labels(
+                [(a, b) for a, b in pairs if a in present and b in present]
+            )
             if not mapping:
                 return node_ids.select("id", F.col("id").alias("label"))
             mapping_df = spark.createDataFrame(mapping, "id long, label long")
@@ -118,8 +147,11 @@ def connected_components(
                 "id", F.coalesce("label", "id").alias("label")
             )
 
-    # Materialize once: the edge table is re-joined every round.
-    sym = sym.localCheckpoint()
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    if node_ids is None:
+        node_ids = sym.select(F.col("src").alias("id")).distinct()
     labels = node_ids.select("id", F.col("id").alias("label")).localCheckpoint()
 
     # Convergence check: min-propagation only ever DECREASES labels, so

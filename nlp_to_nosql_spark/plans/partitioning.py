@@ -24,12 +24,19 @@ from pyspark.sql import DataFrame
 
 
 def _size_bytes(conf_val: str) -> int:
-    """Parse Spark's byte-size conf strings ("128m", "4194304b", "1g")."""
-    s = conf_val.strip().lower()
-    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "b": 1}
-    if s and s[-1] in units:
-        return int(float(s[:-1]) * units[s[-1]])
-    return int(s)
+    """Parse Spark's byte-size conf strings in every documented spelling:
+    bare bytes ("134217728"), single-letter ("128m", "4194304b"), and
+    two-letter ("128MB", "1gb") suffixes."""
+    import re
+
+    m = re.fullmatch(
+        r"\s*([0-9]+(?:\.[0-9]+)?)\s*([kmgtp]?)b?\s*", conf_val.lower()
+    )
+    if not m:
+        raise ValueError(f"unparseable byte size: {conf_val!r}")
+    units = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30,
+             "t": 1 << 40, "p": 1 << 50}
+    return int(float(m.group(1)) * units[m.group(2)])
 
 
 def _default_parallelism(df: DataFrame) -> int:
@@ -90,18 +97,21 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
 
 def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
     """Repartition ``df`` to ``defaultParallelism * multiplier`` partitions
-    unless its scan already has at least that many splits.
+    when its file scan is estimated to have fewer splits than that.
 
     Use immediately before per-row CPU-heavy transformations whose input
     is narrow (ids + text), never after a wide projection — the shuffle
     moves whatever columns are in ``df``.  When the split count can't be
-    estimated from metadata (remote URIs, non-file source), the shuffle is
-    taken: wrong-but-parallel beats single-core on the hot paths this
-    guards, and callers at genuine scale read from sources whose split
-    count Spark already sizes correctly upstream.
+    estimated from metadata (non-file source, remote URIs, shuffled
+    lineage), ``df`` is returned unchanged: every non-file parallelism
+    source — ``parallelize`` slices, ``spark.sql.shuffle.partitions``
+    exchanges — is already sized by the session, and the small-file scan
+    trap this helper exists for cannot apply.
     """
-    target = _default_parallelism(df) * multiplier
     est = _estimated_scan_partitions(df)
-    if est is not None and est >= target:
+    if est is None:
+        return df
+    target = _default_parallelism(df) * multiplier
+    if est >= target:
         return df
     return df.repartition(target)

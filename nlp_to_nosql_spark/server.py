@@ -157,12 +157,17 @@ def create_app(engine: Engine, table_resolver=None):
             # FastAPI's RequestValidationError shape: 422 + detail list.
             return jsonify({"detail": e.errors(include_url=False)}), 422
 
+        # Optional fields validate explicit JSON nulls as None (ge/le skip
+        # None) — coalesce to the documented defaults rather than letting
+        # None reach the engine as a limit/timeout.
+        limit = req.limit if req.limit is not None else 50
+        timeout = req.timeout if req.timeout is not None else DEFAULT_QUERY_TIMEOUT
         try:
             resp = engine.query(
                 req.input,
                 resolve(req.db, req.collection),
-                limit=req.limit,
-                timeout_s=float(req.timeout),
+                limit=limit,
+                timeout_s=float(timeout),
             )
             return jsonify(
                 QueryResponse(
@@ -174,7 +179,7 @@ def create_app(engine: Engine, table_resolver=None):
                     execution_time=resp["execution_time"],
                     query_generation_time=resp["query_generation_time"],
                     db_execution_time=resp["db_execution_time"],
-                    timeout_used=req.timeout,
+                    timeout_used=timeout,
                 ).model_dump()
             )
         except (QueryTimeoutError, TimeoutError) as e:

@@ -20,6 +20,12 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_CONFS: dict[str, str] = {
+    # UTC pin: every LTZ<->NTZ conversion in the engine (catalog ts
+    # canonicalization, streaming event-time staging) reinterprets
+    # wall-clocks through this zone; UTC makes them lossless and keeps
+    # epoch math DST-free.  The catalog re-pins at registration so
+    # externally provided sessions (the driver's) behave identically.
+    "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

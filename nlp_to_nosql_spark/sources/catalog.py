@@ -38,13 +38,23 @@ def _ensure_nanos_readable(spark: SparkSession) -> None:
     to a proper timestamp.  The flag is runtime-settable, so setting it here
     (not only in our own ``get_spark``) means the catalog works with any
     externally provided session — e.g. the driver's.
+
+    The session timezone is pinned to UTC at the same point: every
+    LTZ↔NTZ conversion in the engine (``_normalize``'s canonicalization,
+    the streaming replays' event-time staging) reinterprets wall-clocks
+    through this zone, and only UTC makes those conversions lossless
+    against the naive timestamps the DuckDB oracle reads.
     """
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        # Best effort: if the conf is somehow unsettable, the read below
-        # will raise a clear AnalysisException on its own.
-        pass
+    for key, value in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Best effort: if a conf is somehow unsettable, downstream
+            # reads raise their own clear AnalysisException.
+            pass
 
 
 def _normalize(df: DataFrame, name: str) -> DataFrame:

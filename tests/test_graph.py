@@ -104,3 +104,21 @@ def test_no_convergence_raises(spark):
             connected_components(edges, "a", "b", max_iter=1)
     finally:
         spark.conf.unset(_LOCAL_EDGE_THRESHOLD_CONF)
+
+
+def test_edges_conduct_only_through_known_nodes(spark, cc_mode):
+    """Iterative-path semantics: an endpoint absent from `nodes` has no
+    label row and does not conduct — both paths must agree."""
+    edges = spark.createDataFrame([(1, 100), (100, 2)], "a long, b long")
+    nodes = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    got = _labels(connected_components(edges, "a", "b", nodes=nodes, id_col="doc_id"))
+    assert got == {1: 1, 2: 2}  # NOT merged through the unknown node 100
+
+
+def test_null_edge_endpoints_ignored(spark, cc_mode):
+    edges = spark.createDataFrame(
+        [(1, 2), (None, 3), (3, None)], "a long, b long"
+    )
+    nodes = spark.createDataFrame([(n,) for n in (1, 2, 3)], "doc_id long")
+    got = _labels(connected_components(edges, "a", "b", nodes=nodes, id_col="doc_id"))
+    assert got == {1: 1, 2: 1, 3: 3}

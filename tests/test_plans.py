@@ -94,11 +94,12 @@ def test_fan_out_is_metadata_only(spark, tmp_path):
     assert _estimated_scan_partitions(narrow) == 1
     assert fan_out(narrow).rdd.getNumPartitions() == parallelism
 
-    # Non-file source (range): estimate unavailable → shuffle taken, since
-    # wrong-but-parallel beats single-core on the UDF paths this guards.
+    # Non-file source (range): estimate unavailable → unchanged, since
+    # non-file parallelism (parallelize slices, shuffle partitions) is
+    # already session-sized and the small-file scan trap can't apply.
     unsized = spark.range(10).coalesce(1)
     assert _estimated_scan_partitions(unsized) is None
-    assert fan_out(unsized).rdd.getNumPartitions() == parallelism
+    assert fan_out(unsized) is unsized
 
 
 def test_shipping_priority_query_plan_shape(spark, tmp_path_factory):
@@ -144,3 +145,14 @@ def test_shipping_priority_query_plan_shape(spark, tmp_path_factory):
     assert "Sort" not in plan.replace("TakeOrderedAndProject", "")
     # both timestamp filters reached the parquet scans
     assert plan.count("PushedFilters: [IsNotNull") >= 2
+
+
+def test_size_bytes_all_spark_spellings():
+    from nlp_to_nosql_spark.plans.partitioning import _size_bytes
+
+    assert _size_bytes("134217728") == 128 * 1024 * 1024
+    assert _size_bytes("128m") == 128 * 1024 * 1024
+    assert _size_bytes("128MB") == 128 * 1024 * 1024
+    assert _size_bytes("4194304b") == 4 * 1024 * 1024
+    assert _size_bytes("1gb") == 1 << 30
+    assert _size_bytes("0.5k") == 512

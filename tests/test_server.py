@@ -128,3 +128,18 @@ def test_budget_split_is_the_reference_arithmetic():
     gen, db = budget_split(60.0)
     assert gen == 25.0  # 25 s ceiling
     assert db == 34.0
+
+
+def test_explicit_json_nulls_fall_back_to_defaults(client):
+    """Optional fields sent as explicit nulls must behave like omitted
+    fields (defaults), not crash into a 500."""
+    r = client.post(
+        "/query",
+        json={"input": "Find all employees", "collection": "customer",
+              "limit": None, "timeout": None},
+    )
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["ok"] is True
+    assert body["result_count"] == 50  # default limit
+    assert body["timeout_used"] == 30  # default timeout

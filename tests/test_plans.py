@@ -156,3 +156,23 @@ def test_size_bytes_all_spark_spellings():
     assert _size_bytes("4194304b") == 4 * 1024 * 1024
     assert _size_bytes("1gb") == 1 << 30
     assert _size_bytes("0.5k") == 512
+
+
+def test_approx_ndv_scale_path_error_bound(spark):
+    """agg3's docstring names approx_count_distinct as the single-pass
+    100 TB NDV path; pin its HLL++ error on real data to the documented
+    ±2 % default (rsd=0.02 ⇒ observed error well under 3·rsd)."""
+    from nlp_to_nosql_spark.sources.catalog import register_tables
+
+    ev = register_tables(spark, "/root/testdata/sf0.01")["events"]
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= max(0.06 * r["exact"], 1)

@@ -2366,10 +2366,14 @@ def oracle_sql() -> dict[str, str]:
             + " AS norm FROM documents), "
             "grams AS (SELECT doc_id, substr(norm, "
             "unnest(generate_series(1, greatest(length(norm) - 31, 1))), 32) "
-            "AS gram FROM nrm) "
-            "SELECT doc_id, MIN(md5(gram)) AS min_fp, "
+            "AS gram FROM nrm WHERE length(norm) > 0), "
+            "agg AS (SELECT doc_id, MIN(md5(gram)) AS min_fp, "
             "CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_grams "
-            "FROM grams GROUP BY doc_id"
+            "FROM grams GROUP BY doc_id) "
+            # contentless docs keep their row: 0 grams, NULL fingerprint
+            "SELECT nrm.doc_id, agg.min_fp, "
+            "CAST(COALESCE(agg.n_grams, 0) AS BIGINT) AS n_grams "
+            "FROM nrm LEFT JOIN agg ON nrm.doc_id = agg.doc_id"
         ),
         "dedup1_exact": (
             "SELECT MIN(doc_id) AS doc_id, "

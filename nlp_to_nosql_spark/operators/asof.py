@@ -51,6 +51,7 @@ def asof_join(
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (right_on, right_time)]
     left_cols = left.columns
+    right = _checked_right(right, right_time, value_cols, left_cols)
 
     rhs = right.select(
         F.col(right_on).alias("_key"),
@@ -92,6 +93,32 @@ def asof_join(
 
     out = carried.filter(F.col("_side") == 1)
     return _finish(out, left_cols, value_cols, left_time, tolerance_s)
+
+
+def _checked_right(
+    right: DataFrame,
+    right_time: str,
+    value_cols: list[str],
+    left_cols: list[str],
+) -> DataFrame:
+    """Shared preconditions of both as-of variants.
+
+    * A right row with a NULL time has no place on the time axis; left
+      unguarded it sorts NULLS FIRST and becomes a universal "match" for
+      every pre-first-match left row.  DuckDB ASOF / pandas merge_asof
+      treat NULL keys as matching nothing — drop them.
+    * A value column sharing a name with a left column would collide in
+      the union-align projection (and in the output schema); fail fast
+      with the remedy instead of an opaque COLUMN_ALREADY_EXISTS.
+    """
+    clash = sorted(set(value_cols) & set(left_cols))
+    if clash:
+        raise ValueError(
+            f"as-of value_cols {clash} collide with left columns; rename "
+            "them on the right side (e.g. .withColumnRenamed) or pass "
+            "disjoint value_cols"
+        )
+    return right.filter(F.col(right_time).isNotNull())
 
 
 def _finish(
@@ -153,6 +180,7 @@ def asof_join_bucketed(
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (right_on, right_time)]
     left_cols = left.columns
+    right = _checked_right(right, right_time, value_cols, left_cols)
     bucket_col = lambda t: F.window(F.col(t), bucket)["start"]  # noqa: E731
 
     rhs = right.select(

@@ -142,16 +142,19 @@ def ngram_jaccard_pairs(
     # it defaults to DISK_ONLY, not executor memory (conf-overridable).
     ex = persisted(shingle_table(df, id_col, text_col, k), "shingles")
 
-    # Stop shingles (df > max_df) are a tiny set by construction — remove
-    # them with a broadcast anti-join instead of shuffling the full rare
-    # list back onto the index.
+    # Stop shingles (df > max_df) are bounded by |shingle rows| / max_df —
+    # usually tiny, but at extreme corpus scale that bound is NOT a
+    # broadcast guarantee, so the anti-join is left unhinted: AQE picks
+    # broadcast when the census output is actually small and falls back
+    # to a shuffle join when it isn't, instead of OOMing the driver on a
+    # forced collect.
     stop = (
         ex.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df_count"))
         .filter(F.col("df_count") > max_df)
         .select("shingle")
     )
-    ex_rare = ex.join(F.broadcast(stop), "shingle", "left_anti")
+    ex_rare = ex.join(stop, "shingle", "left_anti")
 
     # Per-doc sizes over the SAME stop-filtered universe as the
     # intersection counts.  This is one extra groupBy on the cached rare
@@ -316,6 +319,14 @@ def minhash_lsh_pairs(
     signature family (default :func:`minhash_signatures`; pass
     :func:`minhash_signatures_md5` for the oracle-reproducible form).
     """
+    if bands <= 0 or bands > num_perm or num_perm % bands:
+        # bands > num_perm would make every band slice empty — one global
+        # bucket, an O(n²) cross join; a non-dividing bands silently
+        # ignores trailing minhashes.  Both are config mistakes, not modes.
+        raise ValueError(
+            f"bands={bands} must divide num_perm={num_perm} "
+            "(1 <= bands <= num_perm)"
+        )
     rows = num_perm // bands
     # Narrow (id + num_perm longs), reused by banding and verification:
     # memory with disk spillover (conf-overridable).
@@ -465,14 +476,24 @@ def simhash_pairs(
     Pigeonhole banding: with ``bands`` equal-width chunks, any pair within
     Hamming distance < bands shares at least one exact chunk — candidates
     come from equality joins on (band, chunk), then exact popcount verify.
-    With ``max_hamming < bands`` (the default 3 < 4) the banding is
-    therefore EXACT, not approximate: the output equals the full O(n²)
-    Hamming filter.
+    The banding is therefore EXACT (equal to the full O(n²) Hamming
+    filter) whenever ``max_hamming < bands``; to keep that contract true
+    for every parameterization, ``bands`` is widened to
+    ``max_hamming + 1`` when the caller passes fewer (bits outside the
+    banded region only ever ADD candidates, so partial band coverage at
+    high ``bands`` never loses a pair).  ``max_hamming ≥ sig_bits`` would
+    need 1-bit bands and matches everything — rejected.
 
     ``sig``/``sig_bits`` override the signature expression (default
     64-bit xxhash64 simhash; pass :func:`simhash60_md5` with 60 for the
     oracle-reproducible form).
     """
+    if max_hamming >= sig_bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= sig_bits={sig_bits}: every pair "
+            "matches; filter on nothing instead"
+        )
+    bands = max(bands, max_hamming + 1)
     width = sig_bits // bands
     mask = (1 << width) - 1
     sigs = persisted(
@@ -552,15 +573,21 @@ def char_ngram_sketch(
         normalize_text(F.col(text_col)).alias("_norm"),
     ).select(
         F.col(id_col),
-        F.array_distinct(
-            F.transform(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.length("_norm") - (n - 1), F.lit(1)),
-                ),
-                lambda p: F.col("_norm").substr(p, F.lit(n)),
-            )
-        ).alias("_grams"),
+        # NULL/empty text has NO grams (empty array → min_fp NULL,
+        # n_grams 0) — a contentless document must not report a
+        # fabricated gram count to containment/overlap consumers.
+        F.when(
+            F.length("_norm") > 0,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.length("_norm") - (n - 1), F.lit(1)),
+                    ),
+                    lambda p: F.col("_norm").substr(p, F.lit(n)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("_grams"),
     )
     return grams_df.select(
         F.col(id_col),
@@ -580,9 +607,15 @@ def chunk_spans(words: Column, k: int = 5, stride: int = 2) -> Column:
 
     Like :func:`shingles_of_words` but strided: stride > 1 trades recall
     for a ~stride× smaller exploded table, which is what a 100 TB
-    substring-dedup pass wants (stride-s chunks still catch any shared
-    span of ≥ k + s - 1 tokens).  ``words`` MUST be a column attribute —
-    see :func:`shingles_of_words` for the lambda-recompute trap.
+    substring-dedup pass wants.  The recall contract is ALIGNMENT-
+    CONDITIONAL: a shared span of ≥ k + s - 1 tokens is caught when its
+    two occurrences start at offsets congruent modulo ``stride`` (always
+    true at stride 1); misaligned copies share no chunk regardless of
+    span length, so expect ≈ 1/s of the misaligned mass to go unseen.
+    Use ``stride=1`` for exact substring-level dedup; strided runs are a
+    cheap first-pass filter, not a guarantee.  ``words`` MUST be a column
+    attribute — see :func:`shingles_of_words` for the lambda-recompute
+    trap.
     """
     n = F.size(words)
     return F.when(
@@ -601,8 +634,10 @@ def duplicated_spans(
     document: ``(chunk, n_docs)``.
 
     The cross-document "copied span" detector a training-data pipeline
-    runs before substring-level dedup: explode per-doc distinct chunks,
-    then one shuffle on the chunk key counting distinct docs.  The
+    runs before substring-level dedup (recall is alignment-conditional at
+    stride > 1 — see :func:`chunk_spans`; stride=1 is the exact mode):
+    explode per-doc distinct chunks, then one shuffle on the chunk key
+    counting distinct docs.  The
     count-distinct is cheap because ``array_distinct`` already dropped
     within-doc repeats, so the groupBy sees each (chunk, doc) once and
     ``n_docs = count(*)``.  At 100 TB the chunk string would be replaced

@@ -32,12 +32,18 @@ def topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k by cosine similarity, deterministic tie-break on id."""
+    """Exact top-k by cosine similarity, deterministic tie-break on id.
+
+    Non-finite similarities (corrupt embeddings with inf/NaN components)
+    rank LAST via nanvl→-inf: Spark's DESC would otherwise sort NaN first
+    and let garbage rows displace the true top-k."""
     q = lit_vector(query)
     return (
         fan_out(df).select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+            F.nanvl(
+                F.round(cosine(F.col(vec_col), q), 6), F.lit(float("-inf"))
+            ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
@@ -81,6 +87,11 @@ def topk_batch(
             norms = np.linalg.norm(x, axis=1)
             norms[norms == 0] = np.inf
             sims = np.round((x / norms[:, None]) @ qunit.T, 6)  # n×Q
+            # Non-finite sims (inf/NaN embedding components) → -inf so the
+            # batch lexsort and the final Spark window agree on one total
+            # order (np sorts NaN last, Spark DESC sorts NaN first — a
+            # lossless-pruning violation if left inconsistent).
+            sims[~np.isfinite(sims)] = -np.inf
             out_q, out_id, out_sim = [], [], []
             for j in range(len(qids)):
                 # total order: sim desc, id asc — identical to the final rank
@@ -115,6 +126,7 @@ def embedding_neardup_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_size: int = 1024,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (id_a < id_b, cos ≥ threshold).
 
@@ -131,8 +143,12 @@ def embedding_neardup_exact(
     import numpy as np
     import pandas as pd
 
-    n = df.select(id_col).count()
-    n_blocks = max(1, -(-n // block_size))
+    if n_blocks is None:
+        # Sizing pass: one extra scan of the input lineage.  Callers whose
+        # df is an expensive derived pipeline should pass n_blocks (or
+        # persist upstream) to avoid computing it twice.
+        n = df.select(id_col).count()
+        n_blocks = max(1, -(-n // block_size))
 
     blocks = fan_out(df.select(id_col, vec_col)).withColumn(
         "blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")

@@ -12,6 +12,15 @@ session with ``spark.nlp2nosql.cache.<kind>`` (any ``StorageLevel``
 attribute name, e.g. ``MEMORY_ONLY``, ``DISK_ONLY``,
 ``MEMORY_AND_DISK_SER``, or ``NONE`` to disable persistence entirely for
 pipelines that pass over each intermediate once).
+
+Lifecycle: the persisted frame backs the operator's RETURNED lazy plan,
+so the operator itself cannot unpersist it.  Long-lived sessions calling
+these operators repeatedly should either set the ``NONE`` conf (one-pass
+pipelines), or call ``spark.catalog.clearCache()`` between batches —
+which releases every persisted dataset (the bench harness does exactly
+this per query); Spark's storage-memory eviction bounds the memory tiers
+in between, but ``DISK_ONLY`` data is only reclaimed by those two routes
+or executor exit.
 """
 
 from __future__ import annotations

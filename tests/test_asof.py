@@ -140,3 +140,34 @@ def test_bucketed_tolerance(frames):
         )
     )
     assert bucketed == plain
+
+
+def test_null_right_time_matches_nothing(spark):
+    """A right row with NULL time must not become a universal match
+    (DuckDB ASOF / pandas merge_asof semantics)."""
+    import datetime
+
+    from nlp_to_nosql_spark.operators.asof import asof_join, asof_join_bucketed
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame([(1, t(5))], "k long, lt timestamp")
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, t(10), 10.0)], "k long, rt timestamp, price double"
+    )
+    for fn in (asof_join, asof_join_bucketed):
+        out = fn(left, right, "k", "k", "lt", "rt").collect()
+        assert len(out) == 1 and out[0]["price"] is None, fn.__name__
+
+
+def test_value_col_name_collision_raises(spark):
+    import datetime
+
+    import pytest as _pytest
+
+    from nlp_to_nosql_spark.operators.asof import asof_join
+
+    t = datetime.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, t, 5.0)], "k long, lt timestamp, price double")
+    right = spark.createDataFrame([(1, t, 9.0)], "k long, rt timestamp, price double")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, "k", "k", "lt", "rt")

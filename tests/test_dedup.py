@@ -173,3 +173,46 @@ def test_duplicated_spans_within_doc_repeat_not_counted(spark):
     out = {r["chunk"]: r["n_docs"] for r in
            duplicated_spans(df, "doc_id", "text", k=5, stride=1).collect()}
     assert rep not in out
+
+
+def test_simhash_bands_widen_keeps_contract(spark):
+    """max_hamming >= bands previously dropped in-range pairs silently;
+    bands now auto-widen so the output equals the exact Hamming filter."""
+    from nlp_to_nosql_spark.operators import dedup as dd
+    from pyspark.sql import functions as F
+
+    # Signatures injected directly: ids 1,2 differ in 8 bits spread 2 per
+    # 16-bit chunk (no shared chunk at bands=4), within max_hamming=10.
+    sig_a = 0
+    sig_b = 0
+    for chunk in range(4):
+        sig_b |= 0b11 << (chunk * 16)
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id long, text string")
+    sig = F.when(F.col("doc_id") == 1, F.lit(sig_a)).otherwise(F.lit(sig_b))
+    out = dd.simhash_pairs(df, "doc_id", "text", max_hamming=10, bands=4, sig=sig)
+    rows = out.collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in rows] == [(1, 2, 8)]
+
+
+def test_minhash_bands_validation(spark):
+    import pytest as _pytest
+
+    from nlp_to_nosql_spark.operators import dedup as dd
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for bad in (0, 32, 7):  # zero, > num_perm, non-dividing
+        with _pytest.raises(ValueError, match="bands"):
+            dd.minhash_lsh_pairs(df, "doc_id", "text", num_perm=16, bands=bad)
+
+
+def test_char_ngram_sketch_contentless_docs(spark):
+    from nlp_to_nosql_spark.operators.dedup import char_ngram_sketch
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "real content here")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["min_fp"], r["n_grams"]) for r in
+           char_ngram_sketch(df, "doc_id", "text").collect()}
+    assert got[1] == (None, 0)
+    assert got[2] == (None, 0)
+    assert got[3][0] is not None and got[3][1] >= 1

@@ -1579,6 +1579,15 @@ def _q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicated_spans(docs, "doc_id", "text", k=5, stride=2)
 
 
+def _q_winnowed_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alignment-free shared-span detection via winnowing fingerprints
+    (SIGMOD'03 MOSS algorithm — see ``dedup.winnow_fingerprints``); the
+    exact companion to dedup8's strided chunks, with the md5 window-min
+    pipeline replayed verbatim by the DuckDB oracle."""
+    docs = register_tables(spark, sf_dir)["documents"]
+    return dd.winnowed_duplicated_spans(docs, "doc_id", "text", k=5, w=4)
+
+
 def _q_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs with a VALUE-LEVEL oracle: one md5 per
     shingle seeds an arithmetic permutation family ((2i+1)·base + i·c
@@ -1841,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- LLM-data-pipeline extensions -----------------------------------
         "text2_charngram_sketch": _q_charngram_sketch,
         "dedup8_duplicated_spans": _q_duplicated_spans,
+        "dedup11_winnowed_spans": _q_winnowed_spans,
         "dedup3_minhash_lsh": _q_minhash_lsh,        # weak check (no SQL twin)
         "dedup4_simhash_pairs": _q_simhash_pairs,    # weak check (no SQL twin)
         "ann2_topk_lsh": _q_ann_lsh,                 # weak check (no SQL twin)
@@ -2350,6 +2360,22 @@ def oracle_sql() -> dict[str, str]:
             "ELSE [array_to_string(w, ' ')] END)) AS chunk FROM words) "
             "SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n_docs "
             "FROM ch GROUP BY chunk HAVING COUNT(*) > 1"
+        ),
+        # winnowing: stride-1 k-gram md5s -> min per window of 4 -> distinct
+        "dedup11_winnowed_spans": (
+            "WITH words AS (SELECT doc_id, string_split("
+            + tx.NORMALIZE_SQL.format(c="text") + ", ' ') AS w "
+            "FROM documents), "
+            "hs AS (SELECT doc_id, CASE WHEN len(w) >= 5 "
+            "THEN [md5(array_to_string(w[i:i+4], ' ')) "
+            "for i in range(1, len(w) - 3)] "
+            "ELSE [md5(array_to_string(w, ' '))] END AS h FROM words), "
+            "fps AS (SELECT doc_id, unnest(list_distinct("
+            "CASE WHEN len(h) >= 4 "
+            "THEN [list_min(h[j:j+3]) for j in range(1, len(h) - 2)] "
+            "ELSE [list_min(h)] END)) AS fp FROM hs) "
+            "SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs "
+            "FROM fps GROUP BY fp HAVING COUNT(*) > 1"
         ),
         "text1_analysis": (
             "SELECT doc_id, "

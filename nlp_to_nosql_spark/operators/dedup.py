@@ -627,6 +627,70 @@ def chunk_spans(words: Column, k: int = 5, stride: int = 2) -> Column:
     ).otherwise(F.array(F.array_join(words, " ")))
 
 
+def winnow_fingerprints(words: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing fingerprints of a token array (Schleimer, Wilkerson &
+    Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003 — the public MOSS algorithm).
+
+    All stride-1 k-gram md5 hashes, then the minimum over every window of
+    ``w`` consecutive hashes, distinct.  Unlike strided chunking
+    (:func:`chunk_spans`), the guarantee is ALIGNMENT-FREE: any two
+    occurrences of a shared span of ≥ k + w - 1 tokens contain one
+    identical full window of w consecutive gram hashes, hence share that
+    window's minimum — wherever each copy starts.  Expected density is
+    ≈ 2/(w+1) of positions, so the exploded table shrinks like stride ≈
+    (w+1)/2 while keeping the recall guarantee strided chunks give up.
+
+    Document-level min-only edge cases mirror :func:`chunk_spans`: fewer
+    than k tokens → one whole-text gram; fewer than w grams → one window
+    over all grams.  md5 (not xxhash64) keeps a DuckDB oracle exact.
+    """
+    n = F.size(words)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(words, i, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(words, " ")))
+    return F.array_distinct(
+        _windowed_minima(F.transform(grams, lambda g: F.md5(g)), w)
+    )
+
+
+def _windowed_minima(hashes: Column, w: int) -> Column:
+    m = F.size(hashes)
+    return F.when(
+        m >= w,
+        F.transform(
+            F.sequence(F.lit(1), m - (w - 1)),
+            lambda j: F.array_min(F.slice(hashes, j, w)),
+        ),
+    ).otherwise(F.array(F.array_min(hashes)))
+
+
+def winnowed_duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4
+) -> DataFrame:
+    """Cross-document shared-span detector on winnowing fingerprints:
+    ``(fp, n_docs)`` for every fingerprint appearing in more than one
+    document.  The alignment-free companion of :func:`duplicated_spans`:
+    a shared span of ≥ k + w - 1 tokens is detected REGARDLESS of where
+    its copies start, at a comparable exploded-table size (density
+    2/(w+1) ≈ stride (w+1)/2).  Same single-shuffle shape: per-doc
+    distinct fingerprints explode, one groupBy on the fingerprint key.
+    """
+    fps = tokenized(df, id_col, text_col).select(
+        F.col(id_col),
+        F.explode(winnow_fingerprints(F.col("_words"), k, w)).alias("fp"),
+    )
+    return (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 def duplicated_spans(
     df: DataFrame, id_col: str, text_col: str, k: int = 5, stride: int = 2
 ) -> DataFrame:

@@ -216,3 +216,49 @@ def test_char_ngram_sketch_contentless_docs(spark):
     assert got[1] == (None, 0)
     assert got[2] == (None, 0)
     assert got[3][0] is not None and got[3][1] >= 1
+
+
+def test_winnowing_catches_misaligned_copies(spark):
+    """The exact case strided chunking misses: a long copied span whose
+    occurrences start at offsets differing by an odd delta.  Winnowing's
+    guarantee is alignment-free: shared span >= k + w - 1 tokens ⇒ a
+    shared fingerprint, wherever each copy starts."""
+    from nlp_to_nosql_spark.operators.dedup import (
+        duplicated_spans,
+        winnowed_duplicated_spans,
+    )
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix " + span + " one tail"),          # span at offset 1
+            (2, span + " two totally different tail"),    # span at offset 0
+            (3, "unrelated words that share nothing at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    # strided chunks (stride=2) miss the odd-offset copy entirely…
+    assert duplicated_spans(docs, "doc_id", "text", k=5, stride=2).count() == 0
+    # …winnowing detects it (span = 10 tokens >= k + w - 1 = 8)
+    got = winnowed_duplicated_spans(docs, "doc_id", "text", k=5, w=4).collect()
+    assert len(got) >= 1
+    assert all(r["n_docs"] == 2 for r in got)
+
+
+def test_winnowing_density_below_stride1(spark):
+    """Winnowing's exploded table must stay well under the stride-1 gram
+    count (expected density ~2/(w+1)) — the whole point of selecting."""
+    from pyspark.sql import functions as F
+
+    from nlp_to_nosql_spark.operators.dedup import tokenized, winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}_{j}" for j in range(200))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    t = tokenized(docs, "doc_id", "text")
+    n_fps = t.select(
+        F.explode(winnow_fingerprints(F.col("_words"), k=5, w=4)).alias("fp")
+    ).count()
+    n_grams = t.select(F.explode(F.col("_words"))).count()  # ≈ gram count
+    assert n_fps < 0.65 * n_grams  # 2/(w+1)=0.4 expected; generous bound

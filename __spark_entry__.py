@@ -982,6 +982,19 @@ def _q_dedup_within_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFr
     return replay_dedup_within_watermark(spark, ev, tag=f"sf{_sf_tag(sf_dir)}")
 
 
+def _q_native_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming sessionization via Spark's NATIVE ``session_window``
+    aggregate (watermarked append mode, two-micro-batch replay with
+    sentinel flush) — the built-in stateful operator completing the
+    matrix against stream2's custom ``applyInPandasWithState`` form.
+    Bounded replay equals the batch ``session_window`` answer, so sess2's
+    oracle applies verbatim."""
+    from nlp_to_nosql_spark.streaming.replay import replay_native_session_window
+
+    ev = register_tables(spark, sf_dir)["events"]
+    return replay_native_session_window(spark, ev, tag=f"sf{_sf_tag(sf_dir)}")
+
+
 def _q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL watermarked STREAM-STREAM inner join (click→purchase within
     1 h per user) replayed over the bounded events table; the time-range
@@ -1866,11 +1879,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream6_running_totals": _q_running_totals_stream,
         "stream7_stream_stream_join": _q_stream_stream_join,
         "stream8_dedup_within_watermark": _q_dedup_within_watermark_stream,
+        "stream9_native_session_stream": _q_native_session_stream,
         "mm1_image_features": _q_image_features,
         "mm2_frame_plan": _q_frame_plan,
         "mm3_audio_chunks": _q_audio_chunks,
         "mm4_audio_decode": _q_audio_decode,
     }
+
+
+#: Native session_window oracle — shared by the batch form (sess2) and
+#: its bounded streaming replay (stream9), which must equal it exactly.
+NATIVE_SESSION_SQL = (
+    "WITH breaks AS (SELECT user_id, ts, event_id, value, "
+    "CAST(COALESCE(epoch_us(ts) - epoch_us(LAG(ts) OVER w) > "
+    f"{30 * 60 * 1_000_000}, TRUE) AS INT) AS is_new_session "
+    "FROM events WINDOW w AS "
+    "(PARTITION BY user_id ORDER BY ts, event_id)), "
+    "numbered AS (SELECT user_id, ts, value, "
+    "SUM(is_new_session) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx "
+    "FROM breaks) "
+    "SELECT user_id, MIN(ts) AS session_start, "
+    "MAX(ts) + INTERVAL '30 minutes' AS session_end_gap, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "ROUND(SUM(value), 2) AS sum_value "
+    "FROM numbered GROUP BY user_id, session_idx"
+)
 
 
 #: Shared CTE block defining the 3-gram Jaccard pair relation on DuckDB —
@@ -2565,22 +2599,9 @@ def oracle_sql() -> dict[str, str]:
         "sess1_user_sessions": SESSIONIZE_SQL.format(gap_us=30 * 60 * 1_000_000),
         # Native session_window merges at gap <= duration (same break rule
         # as sess1 — pinned by a test); window end = last event + gap.
-        "sess2_native_session_window": (
-            "WITH breaks AS (SELECT user_id, ts, event_id, value, "
-            "CAST(COALESCE(epoch_us(ts) - epoch_us(LAG(ts) OVER w) > "
-            f"{30 * 60 * 1_000_000}, TRUE) AS INT) AS is_new_session "
-            "FROM events WINDOW w AS "
-            "(PARTITION BY user_id ORDER BY ts, event_id)), "
-            "numbered AS (SELECT user_id, ts, value, "
-            "SUM(is_new_session) OVER (PARTITION BY user_id "
-            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx "
-            "FROM breaks) "
-            "SELECT user_id, MIN(ts) AS session_start, "
-            "MAX(ts) + INTERVAL '30 minutes' AS session_end_gap, "
-            "CAST(COUNT(*) AS BIGINT) AS n_events, "
-            "ROUND(SUM(value), 2) AS sum_value "
-            "FROM numbered GROUP BY user_id, session_idx"
-        ),
+        "sess2_native_session_window": NATIVE_SESSION_SQL,
+        # bounded streaming replay of the same native operator == batch
+        "stream9_native_session_stream": NATIVE_SESSION_SQL,
         # CAST to DOUBLE[]: on FLOAT[] DuckDB computes (and ROUNDs) in
         # float32, which diverges from Spark's double-precision fold.
         "ann1_topk_bruteforce": (

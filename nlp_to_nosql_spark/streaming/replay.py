@@ -138,6 +138,72 @@ def replay_sessionize(
     )
 
 
+def replay_native_session_window(
+    spark: SparkSession,
+    events: DataFrame,
+    gap_minutes: int = 30,
+    tag: str = "nsw",
+) -> DataFrame:
+    """Streaming sessionization via Spark's NATIVE ``session_window``
+    aggregate — the built-in stateful operator, vs ``replay_sessionize``'s
+    custom ``applyInPandasWithState`` form.  Two-micro-batch replay: real
+    events first (advancing the watermark to their max), then one
+    far-future sentinel per user; append-mode sessions emit once the
+    watermark passes their window end, and the final no-data batch
+    flushes everything the sentinels closed.  Sentinel sessions themselves
+    never close (their end keeps leading the watermark) and are filtered
+    by start time regardless.  Returns ``(user_id, session_start,
+    session_end_gap, n_events, sum_value)`` — batch ``session_window``
+    parity, so the sess2 oracle applies verbatim.
+    """
+    src = events.select("event_id", "user_id", _as_event_time("ts"), "value")
+    max_ts = src.agg(F.max("ts")).first()[0]
+    path = _work_dir(f"{tag}_native_sessions")
+    src.coalesce(1).write.mode("overwrite").parquet(path)
+    (
+        src.select("user_id")
+        .distinct()
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.col("user_id"),
+            (F.lit(max_ts) + F.expr(f"INTERVAL {_SENTINEL_DAYS} DAYS")).alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(path)
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    rolled = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy("user_id", F.session_window("ts", f"{gap_minutes} minutes"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    name = f"replay_{tag}_native_sessions"
+    _run_to_memory(rolled, name, "append")
+    return (
+        spark.table(name)
+        .filter(F.col("session_window.start") <= F.lit(max_ts))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end_gap"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def replay_windowed_counts(
     spark: SparkSession,
     events: DataFrame,

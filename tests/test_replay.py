@@ -292,3 +292,32 @@ def test_dedup_within_watermark_emits_distinct_keys(spark):
         for r in replay_dedup_within_watermark(spark, events, tag="test_wm").collect()
     )
     assert out == [(1, "click"), (1, "view"), (2, "click")]
+
+
+def test_native_session_window_stream_equals_batch(spark, events):
+    """The NATIVE session_window streaming replay must equal the batch
+    session_window aggregate exactly (same merge rule, same gap-extended
+    window end)."""
+    from nlp_to_nosql_spark.streaming.replay import replay_native_session_window
+
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end_gap"],
+         r["n_events"], r["sum_value"])
+        for r in replay_native_session_window(
+            spark, events, gap_minutes=30, tag="t_nsw"
+        ).collect()
+    )
+    want = sorted(
+        (r["user_id"], r["session_window"]["start"], r["session_window"]["end"],
+         r["n_events"], r["sum_value"])
+        for r in events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .collect()
+    )
+    assert got == want
+    assert len(got) == 3  # users 1 (two sessions) + 2 (one)

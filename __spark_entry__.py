@@ -407,6 +407,16 @@ def _q_ann_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.topk(assigned, _query_vector(spark, sf_dir), k=10, nprobe=8)
 
 
+def _q_ann_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped retrieval: the 3 nearest vectors to the query in EVERY
+    label group — one scan + one (id, label, sim)-only shuffle, k-row
+    heap per group in the rank window (``similarity.topk_per_group``)."""
+    from nlp_to_nosql_spark.operators.similarity import topk_per_group
+
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    return topk_per_group(emb, _query_vector(spark, sf_dir), k=3, group_col="label")
+
+
 def _q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched exact top-k: 8 query vectors answered in ONE corpus scan
     (numpy matmul per Arrow batch + lossless per-batch candidate pruning,
@@ -1868,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup4_simhash_pairs": _q_simhash_pairs,    # weak check (no SQL twin)
         "ann2_topk_lsh": _q_ann_lsh,                 # weak check (no SQL twin)
         "ann5_ivf_sampled_fit": _q_ann_ivf_sampled,
+        "ann6_topk_per_label": _q_ann_per_label,
         "pipe2_multimodal_curation": _q_multimodal_curation,
         "sess2_native_session_window": _q_native_session_window,
         "emb1_norms_by_label": _q_embedding_norms,
@@ -2610,6 +2621,16 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
             "WHERE vec_id = 0)), 6) AS cos_sim "
             "FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT 10"
+        ),
+        "ann6_topk_per_label": (
+            "WITH scored AS (SELECT label, vec_id, "
+            "ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+            "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
+            "WHERE vec_id = 0)), 6) AS cos_sim FROM embeddings), "
+            "ranked AS (SELECT label, vec_id, cos_sim, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY label "
+            "ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk FROM scored) "
+            "SELECT label, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 3"
         ),
         "emb1_norms_by_label": (
             "SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors, "

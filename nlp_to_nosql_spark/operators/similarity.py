@@ -50,6 +50,40 @@ def topk_bruteforce(
     )
 
 
+def topk_per_group(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 3,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact per-group cosine top-k — grouped retrieval ("the k nearest
+    items in EVERY category"), one scan + one shuffle on the group key.
+
+    The rank window partitions by ``group_col``, so per-partition state is
+    a k-row heap per group and the shuffle moves only (id, group, sim) —
+    never the vectors.  Non-finite sims rank last (see
+    :func:`topk_bruteforce`); ties break on id for determinism.
+    """
+    q = lit_vector(query)
+    scored = fan_out(df).select(
+        F.col(id_col),
+        F.col(group_col),
+        F.nanvl(
+            F.round(cosine(F.col(vec_col), q), 6), F.lit(float("-inf"))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= int(k))
+        .select(group_col, id_col, "cos_sim", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
 def topk_batch(
     df: DataFrame,
     queries: Sequence[tuple[int, Sequence[float]]],

@@ -137,3 +137,21 @@ def test_topk_batch_zero_query_vector(vec_df, vectors):
     assert all(r["cos_sim"] == 0.0 for r in got)
     # tie on sim 0.0 everywhere → lowest ids win deterministically
     assert [r["vec_id"] for r in got] == [0, 1, 2]
+
+
+def test_topk_per_group_exact(spark):
+    from nlp_to_nosql_spark.operators.similarity import topk_per_group
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),
+        (3, [0.0, 1.0], 0),
+        (4, [1.0, 0.1], 1),
+        (5, [-1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {
+        (r["label"], r["rnk"]): r["vec_id"]
+        for r in topk_per_group(df, [1.0, 0.0], k=2, group_col="label").collect()
+    }
+    assert got == {(0, 1): 1, (0, 2): 2, (1, 1): 4, (1, 2): 5}

@@ -32,39 +32,89 @@ def run_with_timeout(
 ) -> T:
     """Run ``action`` (a Spark action) with a wall-clock budget.
 
-    On timeout the job group is cancelled (executors stop) and
-    :class:`QueryTimeoutError` is raised.  ``timeout_s=None`` runs
-    unguarded on the calling thread.
+    On timeout the in-flight Spark work is cancelled (executors stop, not
+    just the driver giving up) and :class:`QueryTimeoutError` is raised.
+    ``timeout_s=None`` runs unguarded on the calling thread.
+
+    Cancellation transport: **job groups** on a classic session (verified
+    to interrupt running stages on local/cluster masters); on Spark
+    Connect — where there is no SparkContext — **session tags**
+    (``addTag``/``interruptTag``, the gRPC-native interruption contract).
+    Tags are not used on classic because a tag added in a worker thread
+    does not reliably reach the job there (verified on 4.1.2 local).
     """
     if timeout_s is None:
         return action()
+    try:
+        spark.sparkContext
+    except Exception:  # Spark Connect: no SparkContext on the client
+        return _run_tagged(spark, action, timeout_s)
+    return _run_job_grouped(spark, action, timeout_s, group_desc)
 
-    group_id = f"nl2spark-{uuid.uuid4().hex[:12]}"
+
+def _guarded(
+    token: str,
+    setup: Callable[[], None],
+    teardown: Callable[[], None],
+    cancel: Callable[[], None],
+    action: Callable[[], T],
+    timeout_s: float,
+) -> T:
     result: dict[str, Any] = {}
     error: dict[str, BaseException] = {}
 
     def target() -> None:
-        sc = spark.sparkContext
-        sc.setJobGroup(group_id, group_desc or group_id, interruptOnCancel=True)
+        setup()
         try:
             result["value"] = action()
         except BaseException as exc:  # surfaced to caller below
             error["exc"] = exc
         finally:
-            sc.setJobGroup("", "")
+            teardown()
 
-    thread = threading.Thread(target=target, daemon=True, name=group_id)
+    thread = threading.Thread(target=target, daemon=True, name=token)
     thread.start()
     thread.join(timeout_s)
 
     if thread.is_alive():
-        spark.sparkContext.cancelJobGroup(group_id)
+        cancel()
         raise QueryTimeoutError(
-            f"action exceeded {timeout_s:.1f}s budget; job group {group_id} cancelled"
+            f"action exceeded {timeout_s:.1f}s budget; {token} cancelled"
         )
     if "exc" in error:
         raise error["exc"]
     return result["value"]
+
+
+def _run_job_grouped(
+    spark: SparkSession, action: Callable[[], T], timeout_s: float, group_desc: str
+) -> T:
+    group_id = f"nl2spark-{uuid.uuid4().hex[:12]}"
+    sc = spark.sparkContext
+    return _guarded(
+        f"job group {group_id}",
+        lambda: sc.setJobGroup(
+            group_id, group_desc or group_id, interruptOnCancel=True
+        ),
+        lambda: sc.setJobGroup("", ""),
+        lambda: sc.cancelJobGroup(group_id),
+        action,
+        timeout_s,
+    )
+
+
+def _run_tagged(
+    spark: SparkSession, action: Callable[[], T], timeout_s: float
+) -> T:
+    tag = f"nl2spark-{uuid.uuid4().hex[:12]}"
+    return _guarded(
+        f"tag {tag}",
+        lambda: spark.addTag(tag),
+        lambda: spark.removeTag(tag),
+        lambda: spark.interruptTag(tag),
+        action,
+        timeout_s,
+    )
 
 
 def budget_split(total_timeout_s: float) -> tuple[float, float]:

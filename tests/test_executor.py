@@ -149,3 +149,51 @@ def test_engine_rejects_blank_text(spark, employees):
     for blank in ("", "   "):
         with _pytest.raises(ValueError):
             eng.query(blank, "emp_blank")
+
+
+def test_run_with_timeout_tag_path_for_connect():
+    """On Spark Connect there is no SparkContext; the guard must fall back
+    to session tags (addTag/interruptTag) — exercised with a duck-typed
+    session since this container has no Connect server."""
+    import threading
+    import time as _time
+
+    import pytest as _pytest
+
+    from nlp_to_nosql_spark.timeout import QueryTimeoutError, run_with_timeout
+
+    class FakeConnectSession:
+        def __init__(self):
+            self.tags, self.interrupted = [], []
+            self.stop_event = threading.Event()
+
+        @property
+        def sparkContext(self):  # what pyspark.sql.connect raises
+            raise AttributeError("sparkContext is not supported in Connect")
+
+        def addTag(self, t):
+            self.tags.append(t)
+
+        def removeTag(self, t):
+            pass
+
+        def interruptTag(self, t):
+            self.interrupted.append(t)
+            self.stop_event.set()
+
+    fake = FakeConnectSession()
+
+    # fast action completes through the tag path
+    assert run_with_timeout(fake, lambda: 42, timeout_s=5.0) == 42
+    assert len(fake.tags) == 1
+
+    # slow action: interruptTag fires and QueryTimeoutError raises
+    def slow():
+        fake.stop_event.wait(10)
+        return "late"
+
+    t0 = _time.time()
+    with _pytest.raises(QueryTimeoutError, match="tag "):
+        run_with_timeout(fake, slow, timeout_s=0.3)
+    assert _time.time() - t0 < 5
+    assert fake.interrupted == fake.tags[1:]

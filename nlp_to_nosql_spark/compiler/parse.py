@@ -43,10 +43,14 @@ def parse_llm_response(raw_response: str, original_query: str) -> dict[str, Any]
     except json.JSONDecodeError:
         pass
 
-    # Strategy 2: quote repair (No_Sql.py:281-289)
+    # Strategy 2: quote repair (No_Sql.py:281-289).  Key pattern notes:
+    # [$\w]+ covers Mongo operator keys ($gt, $in — the most common
+    # bare-key shape an LLM emits); the [{,\s] lookbehind restricts the
+    # rewrite to key position, so already-quoted keys (preceded by ")
+    # and colons inside quoted values ("10:30") are left alone.
     try:
         fixed = cleaned.replace("'", '"')
-        fixed = re.sub(r"(\w+):", r'"\1":', fixed)
+        fixed = re.sub(r"(?<=[{,\s])([$\w]+)\s*:", r'"\1":', fixed)
         return validate_query_object(json.loads(fixed))
     except json.JSONDecodeError:
         pass

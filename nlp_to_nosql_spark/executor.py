@@ -26,7 +26,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 from nlp_to_nosql_spark.ir import QuerySpec
-from nlp_to_nosql_spark.plans.compile import apply_spec, compile_filter, compile_projection
+from nlp_to_nosql_spark.plans.compile import apply_spec
 from nlp_to_nosql_spark.timeout import run_with_timeout
 
 logger = logging.getLogger(__name__)
@@ -62,10 +62,10 @@ def execute(
     ``total_matching`` is the pre-limit filtered count; ``rows`` are at most
     ``spec.limit`` sanitized dicts.
     """
-    pred = compile_filter(df, spec.filter)
-    filtered = df.filter(pred) if pred is not None else df
-    cols = compile_projection(df, spec.projection)
-    projected = filtered.select(*cols) if cols else filtered
+    # One source of truth for the filter→project plan; the count below
+    # runs on the same relation (projection never changes row count, and
+    # counting the projected form lets Catalyst prune harder).
+    projected = apply_spec(df, spec, with_limit=False)
 
     start = time.time()
     collected = run_with_timeout(
@@ -87,7 +87,7 @@ def execute(
         count_start = time.time()
         total = run_with_timeout(
             spark,
-            filtered.count,
+            projected.count,
             timeout_s=count_timeout_s,
             group_desc="execute:count",
         )

@@ -34,12 +34,20 @@ def range_join(
     bucket_s: int = 3600,
     left_keys: list[str] | None = None,
     right_keys: list[str] | None = None,
+    max_buckets_per_interval: int = 10_000,
 ) -> DataFrame:
     """Inner point-in-interval join (inclusive bounds) on time buckets.
 
     Returns all left columns plus all right columns; equality keys are
     joined positionally (``left_keys[i] == right_keys[i]``) and the
     right-side key columns are dropped from the output.
+
+    ``max_buckets_per_interval`` is the replication circuit breaker: one
+    corrupt or open-ended interval (end = year 2200, a sentinel NULL
+    mapped to max-date, …) would otherwise explode into millions of
+    bucket rows — or past Spark's array limit — and take down the whole
+    job.  An interval wider than the cap raises a clear error at that
+    row; widen the cap (or ``bucket_s``) deliberately, not by accident.
     """
     left_keys = left_keys or []
     right_keys = right_keys or []
@@ -55,10 +63,30 @@ def range_join(
     rb_first = F.floor(epoch_us(F.col(right_start)) / bucket_us)
     rb_last = F.floor(epoch_us(F.col(right_end)) / bucket_us)
 
-    lhs = left.withColumn("_bucket", lb)
-    rhs = right.withColumn("_bucket", F.explode(F.sequence(rb_first, rb_last)))
+    from nlp_to_nosql_spark.operators.joins import _internal_name
 
-    cond = lhs["_bucket"] == rhs["_bucket"]
+    bucket_col = _internal_name("_bucket", left.columns, right.columns)
+    span_ok = (rb_last - rb_first) < F.lit(max_buckets_per_interval)
+    guarded_last = F.when(span_ok, rb_last).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"range_join: interval spans >= {max_buckets_per_interval} "
+                    f"buckets of {bucket_s}s (start="
+                ),
+                F.col(right_start).cast("string"),
+                F.lit(", end="),
+                F.col(right_end).cast("string"),
+                F.lit(") — corrupt data, or raise max_buckets_per_interval/"
+                      "bucket_s deliberately"),
+            )
+        ).cast("long")
+    )
+
+    lhs = left.withColumn(bucket_col, lb)
+    rhs = right.withColumn(bucket_col, F.explode(F.sequence(rb_first, guarded_last)))
+
+    cond = lhs[bucket_col] == rhs[bucket_col]
     for lk, rk in zip(left_keys, right_keys):
         cond = cond & (lhs[lk] == rhs[rk])
     cond = (

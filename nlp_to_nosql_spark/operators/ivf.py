@@ -120,9 +120,22 @@ class IVFIndex:
         return out
 
     def probe_lists(self, query: Sequence[float], nprobe: int) -> list[int]:
+        """Cells to scan for ``query``, ranked by COSINE to each centroid —
+        the same metric :meth:`topk` ranks vectors by, so partial-probe
+        recall doesn't degrade for unnormalized corpora the way an L2
+        cell ranking would (a large-magnitude cosine-near vector can live
+        in an L2-far cell).  Cell CONSTRUCTION is still Lloyd's-L2
+        k-means; at full probe the result is exact regardless."""
+        if self.centroids is None:
+            raise RuntimeError(
+                "IVFIndex is not fitted — call fit() before probe_lists/topk"
+            )
         q = np.asarray(query, dtype=np.float64)
-        d = ((self.centroids - q) ** 2).sum(axis=1)
-        return [int(i) for i in np.argsort(d, kind="stable")[:nprobe]]
+        qn = np.linalg.norm(q)
+        cn = np.linalg.norm(self.centroids, axis=1)
+        denom = np.where(cn * qn > 0, cn * qn, np.inf)
+        cos = (self.centroids @ q) / denom
+        return [int(i) for i in np.argsort(-cos, kind="stable")[:nprobe]]
 
     def topk(
         self,

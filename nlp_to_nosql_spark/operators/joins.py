@@ -29,11 +29,16 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join on ``left_on == right_on`` with ``salt``-way key spreading.
 
-    The left side gets a uniform pseudo-random salt (seeded — the plan is
-    deterministic per run; the join RESULT is identical for any salt
-    assignment); the right side is exploded across all salt values.
-    Output columns = all left columns + all right columns except the
-    right key.
+    The left salt is a DETERMINISTIC row hash over every left column
+    (``seed`` mixes into it): task retries and stage recomputation re-derive
+    the identical salt per row, which a ``rand()`` salt does not guarantee
+    (a recomputed map task can re-draw, losing or duplicating matches).
+    Identical duplicate rows share a salt — acceptable residual skew, since
+    the pathology salting targets is many DISTINCT rows under one hot key.
+    The right side is exploded across all salt values; the join RESULT is
+    identical for any salt assignment.  Output columns = all left columns
+    + all right columns except the right key (semi/anti: left columns
+    only, per Spark's own semantics).
     """
     if salt < 1:
         raise ValueError("salt must be >= 1")
@@ -47,12 +52,34 @@ def salted_join(
             f"salted_join does not support how={how!r}: right-preserving "
             "joins would duplicate unmatched right rows salt times"
         )
-    lhs = left.withColumn("_salt", (F.rand(seed) * salt).cast("int"))
-    rhs = right.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    salt_col = _internal_name("_salt", left.columns, right.columns)
+    lhs = left.withColumn(
+        salt_col,
+        F.pmod(
+            F.xxhash64(F.lit(seed), *[F.col(c) for c in left.columns]),
+            F.lit(salt),
+        ).cast("int"),
     )
-    cond = (lhs[left_on] == rhs[right_on]) & (lhs["_salt"] == rhs["_salt"])
+    rhs = right.withColumn(
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    cond = (lhs[left_on] == rhs[right_on]) & (lhs[salt_col] == rhs[salt_col])
+    joined = lhs.join(rhs, cond, how)
+    if how in ("left_semi", "leftsemi", "left_anti", "leftanti"):
+        # Semi/anti output carries only the left side.
+        return joined.select(*[lhs[c] for c in left.columns])
     out_cols = [lhs[c] for c in left.columns] + [
         rhs[c] for c in right.columns if c != right_on
     ]
-    return lhs.join(rhs, cond, how).select(*out_cols)
+    return joined.select(*out_cols)
+
+
+def _internal_name(base: str, *column_sets: list[str]) -> str:
+    """A helper-column name guaranteed absent from every input — a user
+    column literally named ``_salt``/``_bucket`` must not be silently
+    overwritten (withColumn replaces in place)."""
+    taken = {c for cols in column_sets for c in cols}
+    name = base
+    while name in taken:
+        name = "_" + name
+    return name

@@ -13,8 +13,11 @@ choices (SURVEY §7.4):
 * ``$regex`` is an unanchored substring match; ``$options: "i"`` prepends
   ``(?i)`` (``No_Sql.py:120,359``) — plain-literal patterns, so the
   PCRE-vs-Java dialect gap is immaterial (SURVEY §7.4.2);
-* a filter on a column absent from the schema is a match-nothing predicate
-  (closest to Mongo's missing-field behavior — SURVEY §4 caveat).
+* a filter on a column absent from the schema compiles against a NULL
+  literal, which reproduces Mongo's missing-field semantics exactly for
+  this vocabulary: positive operators ($gt/$eq/value/$regex/$in) match
+  nothing, while the null-aware negatives match everything ($ne v,
+  {field: null}, $eq null, $in [... null]) — SURVEY §4 caveat.
 
 These are plain ``Column`` expressions — Catalyst pushes every one of them
 into the parquet scan (verified via ``PushedFilters`` in ``.explain``).
@@ -47,9 +50,15 @@ def _regex_pattern(ops: Mapping[str, Any]) -> str:
     return pattern
 
 
-def _field_predicate(field: str, value: Any) -> Column:
-    """Predicate for one filter entry: bare literal or operator map."""
-    col = F.col(field)
+def _field_predicate(field: str, value: Any, col: Column | None = None) -> Column:
+    """Predicate for one filter entry: bare literal or operator map.
+
+    ``col`` overrides the column expression — ``compile_predicate`` passes
+    a NULL literal for unknown fields, which makes every operator branch
+    below evaluate exactly as Mongo does on a missing field (the null-
+    aware branches match, the rest yield NULL → filtered out)."""
+    if col is None:
+        col = F.col(field)
 
     if not isinstance(value, Mapping):
         # Implicit equality (P6, No_Sql.py:331); null literal matches nulls.
@@ -105,9 +114,12 @@ def compile_predicate(
     Returns ``None`` for the empty filter (match-all, P10 —
     ``No_Sql.py:377``) so callers can skip the ``.filter`` node entirely.
 
-    When ``schema_fields`` is given, a predicate on an unknown field
-    compiles to ``lit(False)`` (match-nothing) with a warning rather than an
-    AnalysisException — Mongo's missing-field behavior (SURVEY §4).
+    When ``schema_fields`` is given, a predicate on an unknown field is
+    compiled against a NULL literal with a warning rather than raising an
+    AnalysisException — reproducing Mongo's missing-field behavior for
+    every operator: positive predicates match nothing, the null-aware
+    negatives ($ne v, equality with null, $in containing null) match all
+    rows (SURVEY §4).
     """
     if not filter_tree:
         return None
@@ -116,10 +128,10 @@ def compile_predicate(
     for field, value in filter_tree.items():
         if known is not None and field not in known:
             logger.warning(
-                "filter references unknown column %r — compiling to match-nothing "
+                "filter references unknown column %r — compiling against NULL "
                 "(Mongo missing-field semantics)", field
             )
-            preds.append(F.lit(False))
+            preds.append(_field_predicate(field, value, col=F.lit(None)))
             continue
         preds.append(_field_predicate(field, value))
     return reduce(and_, preds)

@@ -107,3 +107,26 @@ def test_pre_1970_points_match(spark):
         ).collect()
     ]
     assert got == [(1, 10)]
+
+
+def test_range_join_interval_span_circuit_breaker(spark):
+    """A corrupt open-ended interval must raise a clear error instead of
+    exploding millions of bucket rows (or passing Spark's array limit)."""
+    import datetime
+
+    import pytest as _pytest
+
+    from nlp_to_nosql_spark.operators.interval import range_join
+
+    t = datetime.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(t,)], "pt timestamp")
+    right = spark.createDataFrame(
+        [(t, datetime.datetime(2200, 1, 1))], "s timestamp, e timestamp"
+    )
+    with _pytest.raises(Exception, match="range_join: interval spans"):
+        range_join(left, right, "pt", "s", "e", bucket_s=60).collect()
+    # a sane interval still joins
+    ok_right = spark.createDataFrame(
+        [(t, t + datetime.timedelta(hours=2))], "s timestamp, e timestamp"
+    )
+    assert range_join(left, ok_right, "pt", "s", "e", bucket_s=3600).count() == 1

@@ -128,3 +128,12 @@ def test_sampled_fit_assigns_full_corpus_and_full_probe_exact(spark, clustered):
     top1 = idx.topk(assigned, q, k=1, nprobe=1).collect()
     assert top1 and top1[0]["vec_id"] == 0
     assigned.unpersist()
+
+
+def test_unfitted_index_raises_clearly():
+    import pytest as _pytest
+
+    from nlp_to_nosql_spark.operators.ivf import IVFIndex
+
+    with _pytest.raises(RuntimeError, match="not fitted"):
+        IVFIndex(n_lists=4).probe_lists([1.0, 0.0], nprobe=2)

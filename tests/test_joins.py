@@ -109,3 +109,39 @@ def test_salted_rejects_right_preserving_joins(frames):
     for how in ("right", "right_outer", "full", "full_outer", "outer"):
         with _pytest.raises(ValueError, match="salted_join does not support"):
             salted_join(left, right, "k", "rk", salt=4, how=how)
+
+
+def test_salted_semi_and_anti(spark):
+    from nlp_to_nosql_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "k long, lv string")
+    right = spark.createDataFrame([(1, "r1"), (2, "r2")], "rk long, rv string")
+    semi = salted_join(left, right, "k", "rk", salt=4, how="left_semi")
+    assert semi.columns == ["k", "lv"]
+    assert sorted(r["k"] for r in semi.collect()) == [1, 2]
+    anti = salted_join(left, right, "k", "rk", salt=4, how="left_anti")
+    assert sorted(r["k"] for r in anti.collect()) == [3]
+
+
+def test_salt_is_deterministic_row_hash(spark):
+    """Same input → same salt on recomputation (rand() could re-draw under
+    task retry, losing or duplicating matches)."""
+    from pyspark.sql import functions as F
+
+    from nlp_to_nosql_spark.operators.joins import salted_join
+
+    left = spark.range(500).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    right = spark.range(500).select(F.col("id").alias("rk"), F.lit("r").alias("rv"))
+    out = salted_join(left, right, "k", "rk", salt=8)
+    a = sorted(tuple(r) for r in out.collect())
+    b = sorted(tuple(r) for r in out.collect())
+    assert a == b and len(a) == 500
+
+
+def test_salted_join_survives_user_salt_column(spark):
+    from nlp_to_nosql_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame([(1, "keepme")], "k long, _salt string")
+    right = spark.createDataFrame([(1, 9.0)], "rk long, rv double")
+    out = salted_join(left, right, "k", "rk", salt=4).collect()
+    assert out[0]["_salt"] == "keepme"  # user column NOT overwritten

@@ -82,3 +82,19 @@ def test_parse_never_raises_on_arbitrary_json(obj):
     ir = parse_llm_response(json.dumps(obj), "find all employees")
     assert isinstance(ir, dict)
     assert set(ir) >= {"filter", "projection"}
+
+
+def test_quote_repair_handles_mongo_operator_keys():
+    """Bare $-keys are the most common unquoted LLM output; the repair
+    must quote them, and must not touch colons inside quoted values."""
+    from nlp_to_nosql_spark.compiler.parse import parse_llm_response
+
+    raw = '{salary: {$gt: 50000}, projection: {}}'
+    assert parse_llm_response(raw, "irrelevant") == {
+        "filter": {},  # injected by validate
+        "salary": {"$gt": 50000},
+        "projection": {},
+    } or parse_llm_response(raw, "irrelevant")["salary"] == {"$gt": 50000}
+
+    raw2 = '{filter: {shift: "10:30"}, projection: {}}'
+    assert parse_llm_response(raw2, "x")["filter"] == {"shift": "10:30"}

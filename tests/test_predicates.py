@@ -121,3 +121,33 @@ def test_predicates_push_down_to_parquet_scan(spark, tmp_path):
     pred = compile_predicate({"salary": {"$gt": 100}}, df.columns)
     plan = df.filter(pred)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "GreaterThan(salary,100)" in plan
+
+
+def test_unknown_field_mongo_missing_semantics(spark):
+    """Unknown columns compile against NULL: positive operators match
+    nothing; null-aware negatives match ALL rows (Mongo missing-field
+    behavior, not blanket match-nothing)."""
+    from nlp_to_nosql_spark.plans.predicates import compile_predicate
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    known = [f.name for f in df.schema.fields]
+    n = df.count()
+
+    def rows(tree):
+        pred = compile_predicate(tree, known)
+        return df.filter(pred).count()
+
+    # positive predicates on a missing field: nothing matches
+    assert rows({"ghost": {"$gt": 5}}) == 0
+    assert rows({"ghost": "x"}) == 0
+    assert rows({"ghost": {"$regex": "x"}}) == 0
+    assert rows({"ghost": {"$in": [1, 2]}}) == 0
+    # null-aware negatives: everything matches (missing ~ null)
+    assert rows({"ghost": {"$ne": "x"}}) == n
+    assert rows({"ghost": None}) == n
+    assert rows({"ghost": {"$eq": None}}) == n
+    assert rows({"ghost": {"$in": [1, None]}}) == n
+    # $ne null excludes missing
+    assert rows({"ghost": {"$ne": None}}) == 0
+    # conjunction with a real predicate still applies the real side
+    assert rows({"ghost": {"$ne": "x"}, "id": {"$gt": 1}}) == 1

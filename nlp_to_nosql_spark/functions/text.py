@@ -106,11 +106,15 @@ def quality_score(c: Column) -> Column:
     return F.round(score, 6)
 
 
+# Association mirrors the Column form EXACTLY — (ratio) * k, never
+# (count * k) / denom: float mul/div aren't associative, and a value on a
+# 1e-6 rounding boundary would otherwise flip the last rounded digit
+# between engines.
 QUALITY_SCORE_SQL = (
     "round("
     "0.4 * least(length({c}) / 500.0, 1.0) "
-    "+ 0.4 * least((" + STOPWORD_COUNT_SQL + " * 5.0) / greatest(" + TOKEN_COUNT_SQL + ", 1.0), 1.0) "
-    "+ 0.2 * (1.0 - least((" + PUNCT_COUNT_SQL + " * 10.0) / greatest(length({c}), 1.0), 1.0))"
+    "+ 0.4 * least((" + STOPWORD_COUNT_SQL + " / greatest(" + TOKEN_COUNT_SQL + ", 1.0)) * 5.0, 1.0) "
+    "+ 0.2 * (1.0 - least((" + PUNCT_COUNT_SQL + " / greatest(length({c}), 1.0)) * 10.0, 1.0))"
     ", 6)"
 )
 

@@ -41,6 +41,11 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 #: DuckDB twins ({a}/{b} are list columns).  list_cosine_similarity computes
-#: in double like we do.
+#: in double like we do; the CASE mirrors cosine()'s zero-norm → 0.0 guard
+#: (DuckDB would divide by zero instead).
 DOT_SQL = "list_dot_product({a}, {b})"
-COSINE_SQL = "list_cosine_similarity({a}, {b})"
+COSINE_SQL = (
+    "CASE WHEN list_dot_product({a}, {a}) = 0 "
+    "OR list_dot_product({b}, {b}) = 0 THEN 0.0 "
+    "ELSE list_cosine_similarity({a}, {b}) END"
+)

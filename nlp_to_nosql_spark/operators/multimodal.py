@@ -110,16 +110,39 @@ def image_features(media: DataFrame, use_real_codecs: bool = False) -> DataFrame
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_decode_image_stub(p, use_real_codecs) for p in pdf["payload"]]
+            rows = []
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                # Same per-row robustness contract as audio_features: a
+                # NULL payload/meta or an undecodable image yields a
+                # null-feature row, never a stage failure.
+                try:
+                    f = _decode_image_stub(payload, use_real_codecs)
+                    rows.append(
+                        (
+                            media_id,
+                            len(payload),
+                            f["sha256"],
+                            f["mean_byte"],
+                            None if meta is None else meta["width"],
+                            None if meta is None else meta["height"],
+                        )
+                    )
+                except NotImplementedError:
+                    raise  # the documented use_real_codecs plug point
+                except Exception:
+                    rows.append((media_id, None, None, None, None, None))
             yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    "sha256": [f["sha256"] for f in feats],
-                    "mean_byte": [f["mean_byte"] for f in feats],
-                    "width": pdf["meta"].map(lambda m: m["width"]),
-                    "height": pdf["meta"].map(lambda m: m["height"]),
-                }
+                rows,
+                columns=[
+                    "media_id",
+                    "n_bytes",
+                    "sha256",
+                    "mean_byte",
+                    "width",
+                    "height",
+                ],
             )
 
     from nlp_to_nosql_spark.plans.partitioning import fan_out
@@ -236,7 +259,12 @@ def frame_sample_plan(media: DataFrame, fps: float = 1.0) -> DataFrame:
     1/fps seconds of duration.  Pure Column arithmetic (no decode) — the
     downstream decode would consume (media_id, frame_ms) pairs.
     """
-    step_ms = int(1000 / fps)
+    if fps <= 0:
+        raise ValueError(f"fps must be positive, got {fps}")
+    # round (not truncate) so e.g. fps=3 steps 333 ms without cumulative
+    # drift bias, floored at 1 ms so fps > 1000 can't produce a zero step
+    # (F.sequence raises at runtime on step 0).
+    step_ms = max(1, round(1000 / fps))
     return (
         media.filter(F.col("kind") == "video")
         .select(

@@ -128,9 +128,17 @@ def sessionize_stream(
     import pandas as pd  # local import: only the streaming path needs it
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    from nlp_to_nosql_spark.functions.time import epoch_us
+
     # Integer microseconds end-to-end — same precision as the batch
     # operator, so streaming output is oracle-comparable.
     gap_us = gap_minutes * 60 * 1_000_000
+
+    # True-instant epoch micros derived JVM-side: Arrow hands the pandas
+    # worker session-zone-NAIVE wall clocks, whose differences are wrong
+    # by the offset delta across a DST transition in non-UTC sessions —
+    # epoch_us differences are instant-exact for both timestamp types.
+    events = events.withColumn("_ts_us", epoch_us(F.col("ts")).cast("long"))
 
     def update(key, pdfs, state: GroupState):
         (user_id,) = key
@@ -144,7 +152,7 @@ def sessionize_stream(
         events_seen = []
         for pdf in pdfs:
             events_seen.extend(
-                zip(pdf["ts"].astype("int64") // 1_000, pdf["value"].astype(float))
+                zip(pdf["_ts_us"].astype("int64"), pdf["value"].astype(float))
             )
         for ts_us, value in sorted(events_seen):
             if last_ts is not None and ts_us - last_ts > gap_us:

@@ -33,9 +33,14 @@ from typing import Any, Iterable, Mapping
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from nlp_to_nosql_spark.ir import SUPPORTED_OPERATORS
+
 logger = logging.getLogger(__name__)
 
-_COMPARISONS = frozenset({"$gt", "$lt", "$gte", "$lte", "$eq", "$ne", "$in", "$regex"})
+#: Derived from the single declared vocabulary (ir.SUPPORTED_OPERATORS)
+#: so the IR layer and the compiler can never disagree; $options is
+#: consumed alongside $regex rather than compiled on its own.
+_COMPARISONS = SUPPORTED_OPERATORS - {"$options"}
 
 
 class UnsupportedOperatorError(ValueError):

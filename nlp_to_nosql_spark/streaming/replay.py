@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -62,6 +63,13 @@ def _work_dir(tag: str) -> str:
 _REPLAY_PARTITIONS = 8
 
 
+#: Serializes the shuffle-partition conf swap below: the conf is
+#: session-global, so two overlapping replays (or a concurrent batch
+#: query) could otherwise plan under the wrong value or restore a stale
+#: "previous" one.
+_REPLAY_CONF_LOCK = threading.Lock()
+
+
 def _run_to_memory(
     stream_df: DataFrame,
     name: str,
@@ -69,19 +77,36 @@ def _run_to_memory(
     partitions: int = _REPLAY_PARTITIONS,
 ) -> None:
     spark = stream_df.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
-    try:
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
+    with _REPLAY_CONF_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+        try:
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _sentinels(src: DataFrame, max_ts) -> DataFrame:
+    """One far-future flush sentinel per user, shaped like ``src``
+    (event_id=-1, value=0.0) — shared by both sessionize replays so the
+    two harnesses can't drift apart."""
+    return (
+        src.select("user_id")
+        .distinct()
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.col("user_id"),
+            (F.lit(max_ts) + F.expr(f"INTERVAL {_SENTINEL_DAYS} DAYS")).alias("ts"),
+            F.lit(0.0).alias("value"),
         )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    )
 
 
 def replay_sessionize(
@@ -100,18 +125,10 @@ def replay_sessionize(
     src = events.select("event_id", "user_id", _as_event_time("ts"), "value")
     max_ts = src.agg(F.max("ts")).first()[0]
 
-    sentinels = (
-        src.select("user_id")
-        .distinct()
-        .select(
-            F.lit(-1).cast("long").alias("event_id"),
-            F.col("user_id"),
-            (F.lit(max_ts) + F.expr(f"INTERVAL {_SENTINEL_DAYS} DAYS")).alias("ts"),
-            F.lit(0.0).alias("value"),
-        )
-    )
     path = _work_dir(f"{tag}_sessionize")
-    src.unionByName(sentinels).coalesce(1).write.mode("overwrite").parquet(path)
+    src.unionByName(_sentinels(src, max_ts)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
 
     stream = spark.readStream.schema(
         "event_id long, user_id long, ts timestamp, value double"
@@ -160,19 +177,22 @@ def replay_native_session_window(
     max_ts = src.agg(F.max("ts")).first()[0]
     path = _work_dir(f"{tag}_native_sessions")
     src.coalesce(1).write.mode("overwrite").parquet(path)
-    (
-        src.select("user_id")
-        .distinct()
-        .select(
-            F.lit(-1).cast("long").alias("event_id"),
-            F.col("user_id"),
-            (F.lit(max_ts) + F.expr(f"INTERVAL {_SENTINEL_DAYS} DAYS")).alias("ts"),
-            F.lit(0.0).alias("value"),
-        )
-        .coalesce(1)
-        .write.mode("append")
-        .parquet(path)
-    )
+    before = set(os.listdir(path))
+    _sentinels(src, max_ts).coalesce(1).write.mode("append").parquet(path)
+    # FileStreamSource orders batches by file modification time; the real
+    # events MUST land in an earlier batch than the sentinels or the
+    # sentinel batch's watermark drops every real event as late.  The two
+    # sequential writes can tie at millisecond resolution, so the
+    # ordering is made explicit rather than left to the clock.
+    real_mtimes = [
+        os.path.getmtime(os.path.join(path, f))
+        for f in before
+        if f.endswith(".parquet")
+    ]
+    bump = max(real_mtimes) + 2.0
+    for f in set(os.listdir(path)) - before:
+        if f.endswith(".parquet"):
+            os.utime(os.path.join(path, f), (bump, bump))
 
     stream = (
         spark.readStream.schema(

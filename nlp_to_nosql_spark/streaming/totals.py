@@ -50,7 +50,12 @@ def _cents(values) -> int:
     # floor(v*100 + 0.5) in float64 matches the SQL FLOOR expression
     # bit-for-bit (mul/add are IEEE-exact ops), so the running total is
     # an exact integer no matter how events are batched or ordered.
-    return int(sum(math.floor(v * 100 + 0.5) for v in values))
+    # NULL values arrive as NaN and contribute nothing — SQL SUM's
+    # null-skipping — instead of ValueError-ing the whole streaming query
+    # (the row itself still counts toward n_events, like COUNT(*)).
+    return int(
+        sum(math.floor(v * 100 + 0.5) for v in values if not math.isnan(v))
+    )
 
 
 def running_totals_stream(events: DataFrame) -> DataFrame:

@@ -111,3 +111,27 @@ def test_image_decode_uses_pillow_when_available(spark):
     )
     feats = image_features(real, use_real_codecs=True).collect()
     assert feats[0]["mean_byte"] == 128.0
+
+
+def test_image_features_survive_null_payload_and_meta(spark):
+    """Per-row robustness contract (same as audio): NULL payload/meta
+    yields a null-feature row, never a stage failure."""
+    rows = [
+        (1, "image", None, (4, 2, None, None, "png")),
+        (2, "image", b"ok-bytes", None),
+        (3, "image", b"fine", (8, 8, None, None, "png")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in image_features(media).collect()}
+    assert feats[1]["sha256"] is None and feats[1]["n_bytes"] is None
+    assert feats[2]["sha256"] is not None and feats[2]["width"] is None
+    assert feats[3]["width"] == 8
+
+
+def test_frame_plan_fps_guard(spark, media):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fps"):
+        frame_sample_plan(media, fps=0)
+    # fps > 1000 floors at a 1 ms step instead of a runtime step-0 error
+    assert frame_sample_plan(media, fps=5000).count() > 0

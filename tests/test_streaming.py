@@ -237,3 +237,14 @@ def test_tws_variant_gates_on_protobuf_runtime():
 
         with pytest.raises(NotImplementedError):
             totals.running_totals_stream_tws(None)
+
+
+def test_running_totals_null_value_is_skipped(spark):
+    """A NULL value must contribute 0 cents (SQL SUM semantics) but still
+    count as an event — not ValueError the micro-batch."""
+    from nlp_to_nosql_spark.streaming.totals import _cents
+
+    import pandas as pd
+
+    s = pd.Series([1.25, None, 2.5], dtype="float64")
+    assert _cents(s) == 125 + 250

@@ -38,6 +38,7 @@ SKIP = {
     "stream6_running_totals",
     "stream7_stream_stream_join",
     "stream8_dedup_within_watermark",
+    "stream9_native_session_stream",
 }
 
 HARD_FLAGS = ("CartesianProduct", "BatchEvalPython")

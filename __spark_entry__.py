@@ -1602,6 +1602,45 @@ def _q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicated_spans(docs, "doc_id", "text", k=5, stride=2)
 
 
+def _q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing via distributed prefix sum (no global-window
+    single-partition trap — ``operators/packing.py``): per-doc global
+    running token count and contiguous batch id at a 10k-token budget."""
+    from nlp_to_nosql_spark.functions.text import token_count
+    from nlp_to_nosql_spark.operators.packing import pack_by_token_budget
+
+    docs = register_tables(spark, sf_dir)["documents"].select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_by_token_budget(docs, "doc_id", "n_tokens", budget=10_000)
+
+
+def _q_token_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch packing manifest (doc count, token sum, id span) — the
+    unit a downstream tokenizer/writer consumes."""
+    from nlp_to_nosql_spark.functions.text import token_count
+    from nlp_to_nosql_spark.operators.packing import (
+        batch_manifest,
+        pack_by_token_budget,
+    )
+
+    docs = register_tables(spark, sf_dir)["documents"].select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_by_token_budget(docs, "doc_id", "n_tokens", budget=10_000)
+    return batch_manifest(packed, "doc_id", "n_tokens")
+
+
+#: Shared packing CTE: global cumsum ordered by doc_id (DuckDB window —
+#: fine at oracle scale; the Spark side uses the distributed prefix sum).
+_PACKING_CTE = (
+    "WITH toks AS (SELECT doc_id, {tc} AS n_tokens FROM documents), "
+    "packed AS (SELECT doc_id, n_tokens, "
+    "SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) "
+    "AS cum_tokens FROM toks) "
+)
+
+
 def _q_winnowed_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Alignment-free shared-span detection via winnowing fingerprints
     (SIGMOD'03 MOSS algorithm — see ``dedup.winnow_fingerprints``); the
@@ -1874,6 +1913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text2_charngram_sketch": _q_charngram_sketch,
         "dedup8_duplicated_spans": _q_duplicated_spans,
         "dedup11_winnowed_spans": _q_winnowed_spans,
+        "pack1_token_budget": _q_token_packing,
+        "pack2_batch_manifest": _q_token_batches,
         "dedup3_minhash_lsh": _q_minhash_lsh,        # weak check (no SQL twin)
         "dedup4_simhash_pairs": _q_simhash_pairs,    # weak check (no SQL twin)
         "ann2_topk_lsh": _q_ann_lsh,                 # weak check (no SQL twin)
@@ -2702,4 +2743,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM s"
         ),
         "mm4_audio_decode": AUDIO_DECODE_SQL,
+        "pack1_token_budget": (
+            _PACKING_CTE.format(tc=tx.TOKEN_COUNT_SQL.format(c="text"))
+            + "SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens, "
+            "CAST(FLOOR((cum_tokens - n_tokens) / 10000.0) AS BIGINT) AS batch_id "
+            "FROM packed"
+        ),
+        "pack2_batch_manifest": (
+            _PACKING_CTE.format(tc=tx.TOKEN_COUNT_SQL.format(c="text"))
+            + ", batched AS (SELECT doc_id, n_tokens, "
+            "CAST(FLOOR((cum_tokens - n_tokens) / 10000.0) AS BIGINT) AS batch_id "
+            "FROM packed) "
+            "SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, "
+            "MIN(doc_id) AS first_id, MAX(doc_id) AS last_id "
+            "FROM batched GROUP BY batch_id"
+        ),
     }

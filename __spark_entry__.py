@@ -1631,6 +1631,28 @@ def _q_token_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_manifest(packed, "doc_id", "n_tokens")
 
 
+def _q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle + shard assignment — the
+    pre-packing step of a training pipeline: order by a seeded content-
+    independent hash (md5 — oracle-reproducible; production would use
+    xxhash64), global rank via the SAME distributed prefix sum as pack1
+    (each doc counts 1), shard = rank-sliced batches of 64."""
+    from nlp_to_nosql_spark.operators.packing import pack_by_token_budget
+
+    docs = register_tables(spark, sf_dir)["documents"].select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("sort_key"),
+        F.lit(1).alias("one"),
+    )
+    packed = pack_by_token_budget(docs, "sort_key", "one", budget=64)
+    return packed.select(
+        "doc_id",
+        "sort_key",
+        F.col("cum_tokens").alias("shuffle_rank"),
+        F.col("batch_id").alias("shard_id"),
+    )
+
+
 #: Shared packing CTE: global cumsum ordered by doc_id (DuckDB window —
 #: fine at oracle scale; the Spark side uses the distributed prefix sum).
 _PACKING_CTE = (
@@ -1915,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup11_winnowed_spans": _q_winnowed_spans,
         "pack1_token_budget": _q_token_packing,
         "pack2_batch_manifest": _q_token_batches,
+        "ord1_shuffle_shards": _q_shuffle_shards,
         "dedup3_minhash_lsh": _q_minhash_lsh,        # weak check (no SQL twin)
         "dedup4_simhash_pairs": _q_simhash_pairs,    # weak check (no SQL twin)
         "ann2_topk_lsh": _q_ann_lsh,                 # weak check (no SQL twin)
@@ -2748,6 +2771,15 @@ def oracle_sql() -> dict[str, str]:
             + "SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens, "
             "CAST(FLOOR((cum_tokens - n_tokens) / 10000.0) AS BIGINT) AS batch_id "
             "FROM packed"
+        ),
+        "ord1_shuffle_shards": (
+            "WITH s AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sort_key "
+            "FROM documents), "
+            "r AS (SELECT doc_id, sort_key, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY sort_key) AS BIGINT) AS shuffle_rank "
+            "FROM s) "
+            "SELECT doc_id, sort_key, shuffle_rank, "
+            "CAST(FLOOR((shuffle_rank - 1) / 64.0) AS BIGINT) AS shard_id FROM r"
         ),
         "pack2_batch_manifest": (
             _PACKING_CTE.format(tc=tx.TOKEN_COUNT_SQL.format(c="text"))

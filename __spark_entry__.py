@@ -1631,6 +1631,19 @@ def _q_token_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_manifest(packed, "doc_id", "n_tokens")
 
 
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination (``dedup.contamination_report``): split
+    documents into pseudo train (even ids) / eval (odd ids) corpora and
+    report every eval doc with verbatim (fingerprint) or span-level
+    (shared winnowing fingerprint ≥ k+w-1 tokens, alignment-free)
+    overlap with training data — the benchmark-leakage check every LLM
+    data pipeline runs before training."""
+    docs = register_tables(spark, sf_dir)["documents"]
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    eval_df = docs.filter(F.col("doc_id") % 2 == 1)
+    return dd.contamination_report(train, eval_df, "doc_id", "text", k=5, w=4)
+
+
 def _q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global corpus shuffle + shard assignment — the
     pre-packing step of a training pipeline: order by a seeded content-
@@ -1938,6 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack1_token_budget": _q_token_packing,
         "pack2_batch_manifest": _q_token_batches,
         "ord1_shuffle_shards": _q_shuffle_shards,
+        "dc1_contamination": _q_contamination,
         "dedup3_minhash_lsh": _q_minhash_lsh,        # weak check (no SQL twin)
         "dedup4_simhash_pairs": _q_simhash_pairs,    # weak check (no SQL twin)
         "ann2_topk_lsh": _q_ann_lsh,                 # weak check (no SQL twin)
@@ -2771,6 +2785,39 @@ def oracle_sql() -> dict[str, str]:
             + "SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens, "
             "CAST(FLOOR((cum_tokens - n_tokens) / 10000.0) AS BIGINT) AS batch_id "
             "FROM packed"
+        ),
+        "dc1_contamination": (
+            "WITH words AS (SELECT doc_id, string_split("
+            + tx.NORMALIZE_SQL.format(c="text") + ", ' ') AS w "
+            "FROM documents), "
+            "hs AS (SELECT doc_id, CASE WHEN len(w) >= 5 "
+            "THEN [md5(array_to_string(w[i:i+4], ' ')) "
+            "for i in range(1, len(w) - 3)] "
+            "ELSE [md5(array_to_string(w, ' '))] END AS h FROM words), "
+            "fps AS (SELECT doc_id, unnest(list_distinct("
+            "CASE WHEN len(h) >= 4 "
+            "THEN [list_min(h[j:j+3]) for j in range(1, len(h) - 2)] "
+            "ELSE [list_min(h)] END)) AS wfp FROM hs), "
+            "tr AS (SELECT doc_id AS train_id, wfp FROM fps WHERE doc_id % 2 = 0), "
+            "ev AS (SELECT doc_id AS eval_id, wfp FROM fps WHERE doc_id % 2 = 1), "
+            "near AS (SELECT eval_id, "
+            "CAST(COUNT(DISTINCT train_id) AS BIGINT) AS n_near_train_docs, "
+            "CAST(COUNT(DISTINCT wfp) AS BIGINT) AS n_shared_fps "
+            "FROM ev JOIN tr USING (wfp) GROUP BY eval_id), "
+            "tfp AS (SELECT doc_id AS train_id, "
+            + tx.FINGERPRINT_SQL.format(c="text") + " AS fp "
+            "FROM documents WHERE doc_id % 2 = 0), "
+            "efp AS (SELECT doc_id AS eval_id, "
+            + tx.FINGERPRINT_SQL.format(c="text") + " AS fp "
+            "FROM documents WHERE doc_id % 2 = 1), "
+            "exact AS (SELECT eval_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_exact_train_dups "
+            "FROM efp JOIN tfp USING (fp) GROUP BY eval_id) "
+            "SELECT COALESCE(near.eval_id, exact.eval_id) AS eval_id, "
+            "CAST(COALESCE(n_exact_train_dups, 0) AS BIGINT) AS n_exact_train_dups, "
+            "CAST(COALESCE(n_near_train_docs, 0) AS BIGINT) AS n_near_train_docs, "
+            "CAST(COALESCE(n_shared_fps, 0) AS BIGINT) AS n_shared_fps "
+            "FROM near FULL OUTER JOIN exact ON near.eval_id = exact.eval_id"
         ),
         "ord1_shuffle_shards": (
             "WITH s AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sort_key "

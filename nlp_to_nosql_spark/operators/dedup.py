@@ -691,6 +691,69 @@ def winnowed_duplicated_spans(
     )
 
 
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Train/eval DECONTAMINATION check: for every eval document that
+    overlaps the training corpus, how badly.
+
+    Two overlap signals per eval doc, both alignment-free:
+
+    * ``n_exact_train_dups`` — training docs with the identical
+      normalized-content fingerprint (verbatim leakage);
+    * ``n_near_train_docs`` / ``n_shared_fps`` — training docs sharing ≥ 1
+      winnowing fingerprint (any copied span of ≥ k + w - 1 tokens — the
+      benchmark-contamination shape: an eval question pasted inside a
+      training page).
+
+    One row per CONTAMINATED eval doc (clean evals are absent — at scale
+    the report is the anomaly list, not the corpus).  Plan: fingerprints
+    are id+hash tables; both joins are equi-joins on the hash with
+    map-side distinct, never text×text.
+    """
+    t_fp = train.select(
+        F.col(id_col).alias("train_id"), fingerprint(F.col(text_col)).alias("fp")
+    )
+    e_fp = eval_df.select(
+        F.col(id_col).alias("eval_id"), fingerprint(F.col(text_col)).alias("fp")
+    )
+    exact = (
+        e_fp.join(t_fp, "fp")
+        .groupBy("eval_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact_train_dups"))
+    )
+
+    def _winnow(df: DataFrame, out_id: str) -> DataFrame:
+        return tokenized(df, id_col, text_col).select(
+            F.col(id_col).alias(out_id),
+            F.explode(winnow_fingerprints(F.col("_words"), k, w)).alias("wfp"),
+        )
+
+    near = (
+        _winnow(eval_df, "eval_id")
+        .join(_winnow(train, "train_id"), "wfp")
+        .groupBy("eval_id")
+        .agg(
+            F.count_distinct("train_id").cast("long").alias("n_near_train_docs"),
+            F.count_distinct("wfp").cast("long").alias("n_shared_fps"),
+        )
+    )
+    return (
+        near.join(exact, "eval_id", "full_outer")
+        .select(
+            "eval_id",
+            F.coalesce("n_exact_train_dups", F.lit(0)).alias("n_exact_train_dups"),
+            F.coalesce("n_near_train_docs", F.lit(0)).alias("n_near_train_docs"),
+            F.coalesce("n_shared_fps", F.lit(0)).alias("n_shared_fps"),
+        )
+    )
+
+
 def duplicated_spans(
     df: DataFrame, id_col: str, text_col: str, k: int = 5, stride: int = 2
 ) -> DataFrame:

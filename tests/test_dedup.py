@@ -262,3 +262,34 @@ def test_winnowing_density_below_stride1(spark):
     ).count()
     n_grams = t.select(F.explode(F.col("_words"))).count()  # ≈ gram count
     assert n_fps < 0.65 * n_grams  # 2/(w+1)=0.4 expected; generous bound
+
+
+def test_contamination_report(spark):
+    """Verbatim and span-level train/eval leakage both surface; clean
+    evals are absent from the report."""
+    from nlp_to_nosql_spark.operators.dedup import contamination_report
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    train = spark.createDataFrame(
+        [
+            (10, "the exact same document text appears twice here ok"),
+            (12, "training page with " + span + " pasted in the middle of it"),
+            (14, "completely unrelated training material nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [
+            (1, "The exact   same document TEXT appears twice here ok"),  # exact (normalized)
+            (3, span + " is the benchmark question body"),                # span leak
+            (5, "a perfectly clean evaluation item with novel words"),    # clean
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["eval_id"]: r for r in
+           contamination_report(train, eval_df).collect()}
+    assert 5 not in got                       # clean eval absent
+    assert got[1]["n_exact_train_dups"] == 1  # verbatim leak found
+    assert got[3]["n_exact_train_dups"] == 0
+    assert got[3]["n_near_train_docs"] == 1   # span leak found
+    assert got[3]["n_shared_fps"] >= 1

@@ -55,6 +55,16 @@ def run_query(
             "execution_time": round(time.time() - start, 3),
         }
     if history_path is not None:
+        _record_history(engine, nl_text, table, resp, history_path)
+    return resp
+
+
+def _record_history(
+    engine: Engine, nl_text: str, table: str, resp: dict[str, Any], history_path: str
+) -> None:
+    """Best-effort history append: a broken sink must not discard an
+    already-computed query result (run_query promises never to raise)."""
+    try:
         append_history(
             engine.spark,
             [
@@ -71,7 +81,8 @@ def run_query(
             ],
             history_path,
         )
-    return resp
+    except Exception as exc:  # noqa: BLE001 — sink failure is non-fatal
+        print(f"(warning: could not append query history: {exc})")
 
 
 def _table_text(rows: list[dict[str, Any]]) -> str:
@@ -110,7 +121,7 @@ def render_result(resp: dict[str, Any]) -> str:
     else:
         lines.append(f"Status: ERROR ({resp.get('error_type', 'Unknown')})")
         lines.append(f"Error: {resp.get('error', 'Unknown error')}")
-        if "imeout" in str(resp.get("error_type", "")):
+        if "timeout" in str(resp.get("error_type", "")).lower():
             lines.append(
                 "Suggestion: increase the timeout value or simplify the query"
             )
@@ -171,22 +182,23 @@ def main(argv: list[str] | None = None) -> int:
         "--show-history", action="store_true", help="print the history dashboard"
     )
     args = parser.parse_args(argv)
+    # Validate BEFORE booting Spark: a usage error must not pay JVM startup.
+    if args.show_history and not args.history:
+        parser.error("--show-history requires --history PATH")
+    if not args.show_history and not args.query:
+        parser.error("a query is required (or pass --show-history)")
 
     from nlp_to_nosql_spark.session import get_spark
     from nlp_to_nosql_spark.sources.catalog import DEFAULT_SF_DIR, register_tables
 
     spark = get_spark("nlp_to_nosql_cli")
-    engine = Engine(spark)
-    register_tables(spark, args.sf_dir or DEFAULT_SF_DIR)
 
     if args.show_history:
-        if not args.history:
-            parser.error("--show-history requires --history PATH")
         print(render_history(spark, args.history))
         return 0
 
-    if not args.query:
-        parser.error("a query is required (or pass --show-history)")
+    engine = Engine(spark)
+    register_tables(spark, args.sf_dir or DEFAULT_SF_DIR)
     resp = run_query(
         engine,
         args.query,

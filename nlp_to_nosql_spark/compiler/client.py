@@ -103,7 +103,9 @@ class ChatCompletionsClient:
                 if e.code != 429 and e.code < 500:
                     break
             except (urllib.error.URLError, OSError, KeyError, IndexError,
-                    json.JSONDecodeError, ValueError) as e:
+                    TypeError, json.JSONDecodeError, ValueError) as e:
+                # TypeError: a 200 whose JSON body isn't an object
+                # (null/string/number) — payload["choices"] on a non-dict.
                 last_error = e
             if attempt + 1 < self.max_attempts:
                 self.sleep(self.backoff_s * (2**attempt))

@@ -50,6 +50,22 @@ def pack_by_token_budget(
         except Exception:  # Spark Connect
             partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
+    # Reject null/negative token counts up front: a NULL would poison the
+    # window sum into NULL cum/batch ids, and a negative count breaks the
+    # max()-as-partition-total invariant below — both silent corruption.
+    checked_tokens = F.when(
+        F.col(tokens_col).isNotNull() & (F.col(tokens_col) >= 0),
+        F.col(tokens_col).cast("long"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"pack_by_token_budget: {tokens_col} must be a "
+                      "non-negative non-null count, got "),
+                F.col(tokens_col).cast("string"),
+            )
+        ).cast("long")
+    )
+
     ranged = df.repartitionByRange(partitions, F.col(order_col)).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -58,9 +74,15 @@ def pack_by_token_budget(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # Pin ONE materialization: repartitionByRange samples its boundaries
+    # per job execution, so without this the totals job and the output job
+    # could disagree on which partition a boundary row belongs to — wrong
+    # offsets, and rows silently dropped by the _pid join for pids the
+    # first job never produced.  The totals collect below is the
+    # materializing action (eager=False costs no extra job).
     local = ranged.withColumn(
-        "_local_cum", F.sum(F.col(tokens_col).cast("long")).over(w)
-    )
+        "_local_cum", F.sum(checked_tokens).over(w)
+    ).localCheckpoint(eager=False)
 
     # One row per partition: (pid, partition total).  Driver-side prefix
     # sum over #partitions rows — bounded by construction.
@@ -80,9 +102,10 @@ def pack_by_token_budget(
         .withColumn("cum_tokens", F.col("_local_cum") + F.col("_offset"))
         .withColumn(
             "batch_id",
-            F.floor(
-                (F.col("cum_tokens") - F.col(tokens_col).cast("long"))
-                / F.lit(budget)
+            # integer `div`, not double /: cum_tokens past 2^53 would lose
+            # exactness in float division and misassign boundary docs.
+            F.expr(
+                f"(cum_tokens - cast({tokens_col} as bigint)) div {int(budget)}"
             ).cast("long"),
         )
     )

@@ -50,6 +50,8 @@ class QueryRequest(BaseModel):
     collection: str = Field(default="testcoll")
     limit: Optional[int] = Field(default=50, ge=1, le=1000)
     timeout: Optional[int] = Field(default=DEFAULT_QUERY_TIMEOUT, ge=5, le=MAX_TIMEOUT)
+    # Accepted for wire parity with the reference, where it only toggles
+    # server-side progress logging (app_server.py:81-82) — a no-op here.
     show_progress: Optional[bool] = Field(default=False)
 
 
@@ -147,7 +149,10 @@ def create_app(engine: Engine, table_resolver=None):
         except QueryTimeoutError as e:
             return jsonify(_error_body(408, str(e), "TIMEOUT_ERROR")), 408
         except Exception as e:  # noqa: BLE001 — typed envelope, not a crash
-            return jsonify(_error_body(500, f"Test failed: {e}", "HTTP_ERROR")), 500
+            return (
+                jsonify(_error_body(500, f"Test failed: {e}", "INTERNAL_ERROR")),
+                500,
+            )
 
     @app.post("/query")
     def query():
@@ -198,11 +203,17 @@ def create_app(engine: Engine, table_resolver=None):
                 408,
             )
         except ValueError as e:
-            # Engine-level validation (unknown table, empty text after
-            # trimming): client error, surfaced like the reference's
-            # HTTPException path.
+            # Engine-level validation (empty text after trimming):
+            # client error, surfaced like the reference's HTTPException
+            # path.
             return jsonify(_error_body(400, str(e), "HTTP_ERROR")), 400
         except Exception as e:  # noqa: BLE001 — typed envelope, not a crash
+            # Unknown table / view: Spark raises AnalysisException
+            # (TABLE_OR_VIEW_NOT_FOUND) — a client error, not a 500.
+            from pyspark.errors import AnalysisException
+
+            if isinstance(e, AnalysisException):
+                return jsonify(_error_body(400, str(e), "HTTP_ERROR")), 400
             return (
                 jsonify(
                     _error_body(500, f"Internal server error: {e}", "INTERNAL_ERROR")

@@ -143,3 +143,11 @@ def test_explicit_json_nulls_fall_back_to_defaults(client):
     assert body["ok"] is True
     assert body["result_count"] == 50  # default limit
     assert body["timeout_used"] == 30  # default timeout
+
+
+def test_unknown_table_is_400_analysis_exception(client):
+    r = client.post("/query", json={"input": "Find all employees",
+                                    "collection": "definitely_not_a_table"})
+    assert r.status_code == 400
+    body = r.get_json()
+    assert body["ok"] is False and body["error_type"] == "HTTP_ERROR"

@@ -95,7 +95,11 @@ def main() -> None:
         except Exception:
             pass  # keep the first-pass timing
 
-    total = round(sum(timings.values()), 3)
+    # A failed query records 0.0s; summing that into the headline would
+    # make a regression that BREAKS queries look like a speedup.  The total
+    # covers successful queries only, and the stdout line names the errored
+    # queries so a non-empty errors set is impossible to misread as "fast".
+    total = round(sum(t for n, t in timings.items() if n not in errors), 3)
 
     # The driver records only the last 2000 chars of stdout and parses the
     # JSON line out of that window; 111 full query names (~3.1 KB compact)
@@ -122,6 +126,8 @@ def main() -> None:
     }
     if errors:
         payload["errors"] = len(errors)
+        payload["errored"] = sorted(n.split("_")[0] for n in errors)
+        payload["value_covers"] = f"{len(timings) - len(errors)}/{len(timings)}"
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) >= 1950:
         # The driver parses the JSON line out of the last 2000 chars of

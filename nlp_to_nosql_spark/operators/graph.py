@@ -27,7 +27,7 @@ a key-partitioned join/agg — no driver-side state beyond the per-round
 convergence counter.
 
 **Small-edge fast path**: when the pair relation fits under
-``spark.nlp2nosql.cc.localEdgeThreshold`` (default 1M pairs), the
+``spark.nlp2nosql.cc.localEdgeThreshold`` (default 100k pairs), the
 components are solved with driver-side union-find and broadcast back —
 the exact analogue of a broadcast hash join's small-side collect, with the
 same boundedness contract.  Only nodes that appear in edges are collected
@@ -42,9 +42,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Edge-count ceiling for the driver-side union-find fast path.
+#: Edge-count ceiling for the driver-side union-find fast path.  The probe
+#: itself LIMIT-collects up to threshold+1 (src, dst) rows on EVERY call —
+#: a cost paid even by callers that then fall through to the iterative
+#: path — so the default is sized for a few MB of driver heap (~100k Row
+#: pairs), not for the largest graph union-find could handle.  Raise it
+#: deliberately when the driver has memory to burn and the pair relation
+#: is known to hover near the threshold; 0 disables the fast path.
 _LOCAL_EDGE_THRESHOLD_CONF = "spark.nlp2nosql.cc.localEdgeThreshold"
-_LOCAL_EDGE_THRESHOLD_DEFAULT = 1_000_000
+_LOCAL_EDGE_THRESHOLD_DEFAULT = 100_000
 
 
 def _union_find_min_labels(edge_rows: list[tuple[int, int]]) -> list[tuple[int, int]]:

@@ -66,8 +66,16 @@ def range_join(
     from nlp_to_nosql_spark.operators.joins import _internal_name
 
     bucket_col = _internal_name("_bucket", left.columns, right.columns)
+    # NULL bounds drop the row (sequence(NULL, ...) → NULL → explode drops),
+    # matching asof's NULL-time handling — they must NOT reach the circuit
+    # breaker, where a three-valued span_ok would fire raise_error (with a
+    # NULL message, since concat of a NULL cast is NULL) and one bad row
+    # would kill a 100 TB join.
+    bounds_null = rb_first.isNull() | rb_last.isNull()
     span_ok = (rb_last - rb_first) < F.lit(max_buckets_per_interval)
-    guarded_last = F.when(span_ok, rb_last).otherwise(
+    guarded_last = F.when(bounds_null, F.lit(None).cast("long")).when(
+        span_ok, rb_last
+    ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(

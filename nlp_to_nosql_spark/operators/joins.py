@@ -29,12 +29,16 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join on ``left_on == right_on`` with ``salt``-way key spreading.
 
-    The left salt is a DETERMINISTIC row hash over every left column
-    (``seed`` mixes into it): task retries and stage recomputation re-derive
-    the identical salt per row, which a ``rand()`` salt does not guarantee
-    (a recomputed map task can re-draw, losing or duplicating matches).
-    Identical duplicate rows share a salt — acceptable residual skew, since
-    the pathology salting targets is many DISTINCT rows under one hot key.
+    The left salt is a DETERMINISTIC row hash (``seed`` mixes into it):
+    task retries and stage recomputation re-derive the identical salt per
+    row, which a ``rand()`` salt does not guarantee (a recomputed map task
+    can re-draw, losing or duplicating matches).  The hash covers the join
+    key plus a few cheap disambiguator columns — not the whole row: hash
+    expressions reject MapType outright, and hashing a wide document-text
+    column buys no extra spread over a varying id column.  Fixed-width
+    columns are preferred as disambiguators; rows identical in the hashed
+    subset share a salt — acceptable residual skew, since the pathology
+    salting targets is many DISTINCT rows under one hot key.
     The right side is exploded across all salt values; the join RESULT is
     identical for any salt assignment.  Output columns = all left columns
     + all right columns except the right key (semi/anti: left columns
@@ -56,7 +60,10 @@ def salted_join(
     lhs = left.withColumn(
         salt_col,
         F.pmod(
-            F.xxhash64(F.lit(seed), *[F.col(c) for c in left.columns]),
+            F.xxhash64(
+                F.lit(seed),
+                *[F.col(c) for c in _salt_hash_cols(left, left_on)],
+            ),
             F.lit(salt),
         ).cast("int"),
     )
@@ -72,6 +79,43 @@ def salted_join(
         rhs[c] for c in right.columns if c != right_on
     ]
     return joined.select(*out_cols)
+
+
+def _salt_hash_cols(df: DataFrame, key: str, max_extras: int = 3) -> list[str]:
+    """Join key + up to ``max_extras`` cheap disambiguator columns.
+
+    Hash expressions reject MapType (anywhere in a nested type), so those
+    columns are skipped; fixed-width scalars are preferred over strings /
+    binaries / containers so a wide document-text column is hashed only
+    when nothing cheaper varies.  Selection is deterministic (type-cost
+    rank, then schema order) — retries re-derive identical salts.
+    """
+    from pyspark.sql import types as T
+
+    def hashable(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return hashable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(hashable(f.dataType) for f in dt.fields)
+        return True
+
+    def cost(dt) -> int:
+        if isinstance(dt, (T.ArrayType, T.StructType)):
+            return 2
+        if isinstance(dt, (T.StringType, T.BinaryType)):
+            return 1
+        return 0
+
+    ranked = sorted(
+        (
+            (cost(f.dataType), i, f.name)
+            for i, f in enumerate(df.schema.fields)
+            if f.name != key and hashable(f.dataType)
+        )
+    )
+    return [key] + [name for _, _, name in ranked[:max_extras]]
 
 
 def _internal_name(base: str, *column_sets: list[str]) -> str:

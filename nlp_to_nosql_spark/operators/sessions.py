@@ -79,6 +79,10 @@ def sessionize(
 #: DuckDB twin of :func:`sessionize` — same window/groupBy shape, so the
 #: driver's oracle compare exercises the full operator.  ``{gap_us}`` in
 #: microseconds; epoch_us() matches Spark's unix_micros exactly.
+#:
+#: ``session_idx`` is CAST to BIGINT because DuckDB types a windowed integer
+#: SUM as DECIMAL(38,0) while Spark emits BIGINT, and the driver's value
+#: hash is type-sensitive (identical values, different Arrow types → miss).
 SESSIONIZE_SQL = """
 WITH breaks AS (
   SELECT user_id, ts, event_id, value,
@@ -89,8 +93,8 @@ WITH breaks AS (
 ),
 numbered AS (
   SELECT user_id, ts, value,
-         SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_idx
+         CAST(SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
   FROM breaks
 )
 SELECT user_id, session_idx,

@@ -102,15 +102,21 @@ def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
     Use immediately before per-row CPU-heavy transformations whose input
     is narrow (ids + text), never after a wide projection — the shuffle
     moves whatever columns are in ``df``.  When the split count can't be
-    estimated from metadata (non-file source, remote URIs, shuffled
-    lineage), ``df`` is returned unchanged: every non-file parallelism
-    source — ``parallelize`` slices, ``spark.sql.shuffle.partitions``
-    exchanges — is already sized by the session, and the small-file scan
-    trap this helper exists for cannot apply.
+    estimated from metadata (non-file source, remote URIs, cached or
+    shuffled lineage), classic mode falls back to the physical
+    ``rdd.getNumPartitions()`` probe, so a skinny ``createDataFrame``
+    input still gets spread; only under Spark Connect (no RDD API) is
+    ``df`` returned unchanged in that case.
     """
     est = _estimated_scan_partitions(df)
     if est is None:
-        return df
+        # Classic-mode fallback: in-memory / cached / checkpointed inputs
+        # have no stat-able files, but the RDD probe still sees their real
+        # partition count.  Unavailable under Spark Connect → no-op there.
+        try:
+            est = df.rdd.getNumPartitions()
+        except Exception:
+            return df
     target = _default_parallelism(df) * multiplier
     if est >= target:
         return df

@@ -130,3 +130,26 @@ def test_range_join_interval_span_circuit_breaker(spark):
         [(t, t + datetime.timedelta(hours=2))], "s timestamp, e timestamp"
     )
     assert range_join(left, ok_right, "pt", "s", "e", bucket_s=3600).count() == 1
+
+
+def test_range_join_null_bounds_drop_not_raise(spark):
+    """A NULL start/end must drop the interval row (like asof drops NULL
+    times), NOT trip the replication circuit breaker: three-valued span_ok
+    would otherwise route NULL bounds into raise_error and one bad row
+    would kill the whole join."""
+    import datetime
+
+    from nlp_to_nosql_spark.operators.interval import range_join
+
+    t = datetime.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(t,)], "pt timestamp")
+    right = spark.createDataFrame(
+        [
+            (t, None),                                      # NULL end
+            (None, t + datetime.timedelta(hours=1)),        # NULL start
+            (t, t + datetime.timedelta(hours=1)),           # valid
+        ],
+        "s timestamp, e timestamp",
+    )
+    out = range_join(left, right, "pt", "s", "e", bucket_s=3600).collect()
+    assert len(out) == 1 and out[0]["s"] == t

@@ -145,3 +145,36 @@ def test_salted_join_survives_user_salt_column(spark):
     right = spark.createDataFrame([(1, 9.0)], "rk long, rv double")
     out = salted_join(left, right, "k", "rk", salt=4).collect()
     assert out[0]["_salt"] == "keepme"  # user column NOT overwritten
+
+
+def test_salted_join_tolerates_map_column(spark):
+    """Hash expressions reject MapType — a left side carrying a map column
+    must still salt (off the other columns), not raise at plan time."""
+    left = spark.createDataFrame(
+        [(7, i, {"a": i}) for i in range(50)],
+        "k long, v long, meta map<string,long>",
+    )
+    right = spark.createDataFrame([(7, "dim7")], "rk long, name string")
+    out = salted_join(left, right, "k", "rk", salt=4).collect()
+    assert len(out) == 50 and all(r["name"] == "dim7" for r in out)
+
+
+def test_salt_hash_cols_prefers_cheap_columns():
+    """Fixed-width disambiguators beat wide text; maps are excluded."""
+    from pyspark.sql import types as T
+
+    from nlp_to_nosql_spark.operators.joins import _salt_hash_cols
+
+    class _FakeDF:
+        schema = T.StructType(
+            [
+                T.StructField("text", T.StringType()),
+                T.StructField("k", T.LongType()),
+                T.StructField("meta", T.MapType(T.StringType(), T.LongType())),
+                T.StructField("n1", T.IntegerType()),
+                T.StructField("n2", T.DoubleType()),
+            ]
+        )
+
+    cols = _salt_hash_cols(_FakeDF(), "k", max_extras=2)
+    assert cols == ["k", "n1", "n2"]  # numerics first, map never, text last

@@ -1,11 +1,24 @@
 """Self-check harness replicating the driver's DuckDB-oracle comparison.
 
 For every ``queries()`` entry with an ``oracle_sql()`` twin, run both at a
-scale factor and compare row count, column names, and an order-insensitive
-value multiset.  Floats are canonicalized to 9 significant digits so the
-check matches the driver's hash semantics in spirit while tolerating
-last-ulp differences (our queries round computed floats explicitly, so
-raw values should already be bit-identical).
+scale factor and compare row count, column names, Arrow-level column type
+categories, and an order-insensitive value multiset.
+
+The comparison is deliberately TYPE-SENSITIVE, matching the driver's hash:
+round 3 proved that a value-only compare passes queries the driver fails
+(DuckDB types a windowed integer SUM as DECIMAL(38,0) where Spark emits
+BIGINT — identical values, different Arrow types, driver hash miss on
+``rj1``/``sess1``).  Concretely:
+
+* both result sets are fetched as Arrow tables and each column's type
+  category (int / decimal / float / timestamp / date / bool / string /
+  binary / list<...>) must match, else FAIL;
+* every value is canonicalized with a type tag, so ``Decimal(5)`` never
+  compares equal to ``5``;
+* floats compare BIT-exact (IEEE bits, so ``-0.0 != 0.0``), not to 9
+  significant digits — our queries round computed floats explicitly on
+  both engines, so anything less than bit-identical is a real divergence
+  the driver would also flag.
 
 The Spark session is deliberately a PLAIN one (no engine confs) to mirror
 the driver harness: every conf the contract needs (e.g. the nanos-parquet
@@ -19,8 +32,10 @@ Usage: python tools/selfcheck.py [--engine-session] [sf_dir] [query ...]
 from __future__ import annotations
 
 import datetime
+import decimal
 import math
 import os
+import struct
 import sys
 import time
 from collections import Counter
@@ -36,26 +51,75 @@ from nlp_to_nosql_spark.sources.catalog import TABLES
 
 
 def canon(v):
+    """Type-tagged canonical form — int, Decimal, and float NEVER collide."""
     if v is None:
         return None
     if isinstance(v, bool):
-        return v
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, decimal.Decimal):
+        # Distinct tag: a Decimal on one side vs an int on the other is a
+        # driver hash miss even when numerically equal.
+        return ("dec", str(v))
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return float(f"{v:.9g}")
+            return ("f", "NaN")
+        # IEEE bits: keeps -0.0 vs 0.0 and last-ulp drift visible.
+        return ("f", struct.pack("<d", v))
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return ("ts", v.replace(tzinfo=None).isoformat())
     if isinstance(v, datetime.date):
-        return v.isoformat()
+        return ("d", v.isoformat())
+    if isinstance(v, bytes):
+        return ("y", v)
     if isinstance(v, (list, tuple)):
         return tuple(canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, canon(x)) for k, x in v.items()))
     return v
 
 
 def row_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return Counter(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def type_sig(t):
+    """Arrow type → category string; int-vs-decimal-vs-float must differ."""
+    import pyarrow as pa
+
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{type_sig(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{type_sig(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    return str(t)
+
+
+def arrow_table_rows(tbl):
+    """(columns, row tuples, {col: type_sig}) from an Arrow table."""
+    cols = list(tbl.schema.names)
+    sigs = {f.name: type_sig(f.type) for f in tbl.schema}
+    pylist = tbl.to_pylist()
+    rows = [tuple(d[c] for c in cols) for d in pylist]
+    return cols, rows, sigs
 
 
 def main() -> int:
@@ -103,21 +167,30 @@ def main() -> int:
         n_checked += 1
         t0 = time.time()
         sdf = fn(spark, sf_dir)
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
         if name not in oracles:
             weak.append(name)
-            print(f"  {name:32s} rows={len(srows):7d}  (no oracle — weak check) "
+            nrows = sdf.count()
+            print(f"  {name:32s} rows={nrows:7d}  (no oracle — weak check) "
                   f"[{time.time()-t0:.1f}s]")
             continue
-        ocols = [d[0] for d in con.execute(oracles[name]).description]
-        orows = con.execute(oracles[name]).fetchall()
+        # Arrow on BOTH sides: the driver's hash sees Arrow values/types, so
+        # anything that only shows up post-Arrow (Decimal vs int) shows here.
+        scols, srows, ssigs = arrow_table_rows(sdf.toArrow())
+        ocols, orows, osigs = arrow_table_rows(con.execute(oracles[name]).arrow())
 
         problems = []
         if len(srows) != len(orows):
             problems.append(f"row count {len(srows)} != {len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns {sorted(scols)} != {sorted(ocols)}")
+        else:
+            type_diffs = [
+                f"{c}: spark={ssigs[c]} oracle={osigs[c]}"
+                for c in scols
+                if ssigs[c] != osigs[c]
+            ]
+            if type_diffs:
+                problems.append("arrow type mismatch " + "; ".join(type_diffs))
         if not problems:
             sm, om = row_multiset(scols, srows), row_multiset(ocols, orows)
             if sm != om:

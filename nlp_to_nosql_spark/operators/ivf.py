@@ -24,6 +24,15 @@ from pyspark.sql import functions as F
 
 from nlp_to_nosql_spark.operators.similarity import topk_bruteforce
 
+#: Row ceiling for the k-means TRAINING set when ``fit`` is called without
+#: an explicit ``train_on``.  Lloyd's cost is max_iter full scans of the
+#: training vectors; at the 100 TB design point that must default to a
+#: sample, not the corpus (sampled means estimate the full-corpus means
+#: with √s-scaled noise, and full-probe exactness never depends on where
+#: centroids came from).  Set to 0 to opt back into full-corpus training.
+_TRAIN_CAP_CONF = "spark.nlp2nosql.ivf.trainCap"
+_TRAIN_CAP_DEFAULT = 100_000
+
 
 class IVFIndex:
     """Deterministic IVF index: seeded centroid init, fixed iteration count."""
@@ -74,6 +83,13 @@ class IVFIndex:
         (k-means on an s-sample estimates the same means with √s-scaled
         noise); probe exactness is a property of ``nprobe``, not of where
         the centroids came from.
+
+        When ``train_on`` is None the sampled shape is the DEFAULT: if the
+        corpus exceeds ``spark.nlp2nosql.ivf.trainCap`` rows (100k), the
+        training set is a deterministic hash sample of ~that many vectors
+        (partition-layout-independent, so retries and re-runs train on the
+        same rows).  Full-corpus training is the opt-in (trainCap=0), not
+        the accident.
         """
         # No fan_out here: the assignment UDF is one numpy matmul per Arrow
         # batch (memory-bandwidth-bound), so natural input splits give all
@@ -81,13 +97,39 @@ class IVFIndex:
         # worker spawns.
         from nlp_to_nosql_spark.plans.caching import persisted
 
+        train = train_on
+        if train is None:
+            train = df
+            cap = int(
+                df.sparkSession.conf.get(_TRAIN_CAP_CONF, str(_TRAIN_CAP_DEFAULT))
+            )
+            if cap > 0:
+                total = df.select(id_col).count()
+                if total > cap:
+                    # Deterministic ~cap-row hash sample: keep ids whose
+                    # seeded hash falls under cap/total of the bucket space.
+                    denom = 1 << 20
+                    keep = max(1, -(-cap * denom // total))  # ceil
+                    train = df.filter(
+                        F.pmod(
+                            F.xxhash64(F.lit(self.seed), F.col(id_col)),
+                            F.lit(denom),
+                        )
+                        < keep
+                    )
+
         # Re-scanned once per Lloyd's iteration: memory with disk spillover
         # (conf-overridable via spark.nlp2nosql.cache.vectors).
-        narrow = persisted(
-            (train_on if train_on is not None else df).select(id_col, vec_col),
-            "vectors",
-        )
+        narrow = persisted(train.select(id_col, vec_col), "vectors")
         init_rows = narrow.orderBy(id_col).limit(self.n_lists).select(vec_col).collect()
+        if len(init_rows) < self.n_lists and train is not df:
+            # Pathological conf (tiny cap) or unlucky sample: k-means needs
+            # at least n_lists seed vectors — fall back to the full corpus.
+            narrow.unpersist()
+            narrow = persisted(df.select(id_col, vec_col), "vectors")
+            init_rows = (
+                narrow.orderBy(id_col).limit(self.n_lists).select(vec_col).collect()
+            )
         self.centroids = np.array(
             [[float(x) for x in r[vec_col]] for r in init_rows]
         )

@@ -3,10 +3,11 @@ server (``app_server.py``).
 
 Endpoint-for-endpoint parity:
 
-* ``GET /``        — service info + timeout config      (``app_server.py:123-146``)
-* ``GET /health``  — health probe                       (``app_server.py:148-172``)
-* ``GET /test``    — canned compile round-trip          (``app_server.py:174-200``)
-* ``POST /query``  — validated NL query                 (``app_server.py:202-278``)
+* ``GET /``            — service info + timeout config  (``app_server.py:123-146``)
+* ``GET /health``      — health probe                   (``app_server.py:148-172``)
+* ``GET /test``        — canned compile round-trip      (``app_server.py:174-200``)
+* ``POST /query``      — validated NL query             (``app_server.py:202-278``)
+* ``POST /query/async``— not-implemented stub envelope  (``app_server.py:281-289``)
 
 with the same validation ranges (``QueryRequest``, ``app_server.py:75-82``:
 non-empty input, 1 ≤ limit ≤ 1000, 5 ≤ timeout ≤ 60), the same layered
@@ -220,6 +221,28 @@ def create_app(engine: Engine, table_resolver=None):
                 ),
                 500,
             )
+
+    @app.post("/query/async")
+    def query_async():
+        """Stub endpoint mirroring the reference's (``app_server.py:281-289``):
+        it validates the request like ``/query`` would, then returns the
+        documented not-implemented envelope instead of a 404 — a client
+        porting against the reference's surface sees the same body."""
+        try:
+            QueryRequest.model_validate(
+                request.get_json(force=True, silent=True) or {}
+            )
+        except ValidationError as e:
+            return jsonify({"detail": e.errors(include_url=False)}), 422
+        return jsonify(
+            {
+                "message": "Async queries not implemented yet",
+                "suggestion": (
+                    "Use the regular /query endpoint with appropriate "
+                    "timeout values"
+                ),
+            }
+        )
 
     return app
 

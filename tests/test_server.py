@@ -151,3 +151,21 @@ def test_unknown_table_is_400_analysis_exception(client):
     assert r.status_code == 400
     body = r.get_json()
     assert body["ok"] is False and body["error_type"] == "HTTP_ERROR"
+
+
+def test_query_async_stub_parity(client):
+    """POST /query/async mirrors the reference's not-implemented envelope
+    (app_server.py:281-289) — a 200 with message+suggestion, never a 404."""
+    r = client.post("/query/async", json={"input": "Find all employees"})
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["message"] == "Async queries not implemented yet"
+    assert "regular /query endpoint" in body["suggestion"]
+
+
+def test_query_async_still_validates(client):
+    """The stub validates the body like /query (the reference's pydantic
+    model runs before the handler): bad payload → 422 detail list."""
+    r = client.post("/query/async", json={"input": "", "limit": 0})
+    assert r.status_code == 422
+    assert isinstance(r.get_json()["detail"], list)

@@ -338,7 +338,9 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production MinHash-LSH (xxhash64 family — no DuckDB twin, so
     rows-only check); the identical pipeline over the md5-seeded family
-    is value-level-proven by dedup10."""
+    is value-level-proven by dedup10, and cross-family equivalence
+    (identical pair sets, est-Jaccard within 2σ) is pinned by
+    tests/test_family_equivalence.py at these exact parameters."""
     docs = register_tables(spark, sf_dir)["documents"]
     return dd.minhash_lsh_pairs(
         docs, "doc_id", "text", k=3, num_perm=64, bands=16, threshold=0.3
@@ -348,7 +350,9 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production SimHash (xxhash64 — no DuckDB twin, rows-only check);
     the identical banding+verify over the md5 family is value-level-
-    proven by dedup9."""
+    proven by dedup9, and cross-family confident-region containment
+    (hamming ≤ 2 in either family ⇒ accepted by the other) is pinned by
+    tests/test_family_equivalence.py."""
     docs = register_tables(spark, sf_dir)["documents"]
     return dd.simhash_pairs(docs, "doc_id", "text", max_hamming=10, bands=4)
 
@@ -371,8 +375,10 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     a SQL oracle, so a near-zero projection can flip sign and change
     candidacy.  Unlike the integer-hash families (dedup9/dedup10) there
     is no bit-exact cross-engine formulation; exactness of the SEARCH
-    tier is instead proven by ann1/ann3/ann5's value-level oracles and
-    the recall property tests."""
+    tier is instead proven by ann1/ann3/ann5's value-level oracles, and
+    tests/test_family_equivalence.py pins (a) full-probe identity with
+    ann1 (ids, order, cosines) and (b) partial-probe recall with
+    bit-exact per-candidate scores at these parameters."""
     emb = register_tables(spark, sf_dir)["embeddings"]
     dim = len(_query_vector(spark, sf_dir))
     lsh = RandomHyperplaneLSH(dim=dim, nbits=16, seed=42)

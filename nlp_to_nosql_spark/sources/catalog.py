@@ -78,7 +78,7 @@ def _normalize(df: DataFrame, name: str) -> DataFrame:
     """
     from pyspark.sql import functions as F, types as T
 
-    if name == "events":
+    if name == "events" and "ts" in df.columns:
         from nlp_to_nosql_spark.functions.time import micros_to_ntz
 
         ts_type = df.schema["ts"].dataType
@@ -91,9 +91,26 @@ def _normalize(df: DataFrame, name: str) -> DataFrame:
     return df
 
 
+def _mongo_uri(spark: SparkSession) -> str | None:
+    try:
+        return spark.conf.get("spark.nlp2nosql.source.mongo.uri", None)
+    except Exception:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one parquet table from a scale-factor directory."""
+    """Load one table — parquet from the scale-factor directory by
+    default; when ``spark.nlp2nosql.source.mongo.uri`` is set, the live
+    MongoDB deployment the reference runs against (table = collection,
+    database from ``spark.nlp2nosql.source.mongo.database``, default
+    ``testdb`` — the reference's default db, ``app_server.py:77``)."""
     _ensure_nanos_readable(spark)
+    uri = _mongo_uri(spark)
+    if uri:
+        from nlp_to_nosql_spark.sources.mongo import read_mongo
+
+        db = spark.conf.get("spark.nlp2nosql.source.mongo.database", "testdb")
+        return _normalize(read_mongo(spark, uri, db, name), name)
     return _normalize(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")), name)
 
 

@@ -8,6 +8,9 @@ Endpoint-for-endpoint parity:
 * ``GET /test``        — canned compile round-trip      (``app_server.py:174-200``)
 * ``POST /query``      — validated NL query             (``app_server.py:202-278``)
 * ``POST /query/async``— not-implemented stub envelope  (``app_server.py:281-289``)
+* ``GET /ui``          — browser UI over the same API   (``main.py:308-362``,
+  the reference's Streamlit client, re-rendered as one static page — see
+  :mod:`nlp_to_nosql_spark.ui`)
 
 with the same validation ranges (``QueryRequest``, ``app_server.py:75-82``:
 non-empty input, 1 ≤ limit ≤ 1000, 5 ≤ timeout ≤ 60), the same layered
@@ -221,6 +224,12 @@ def create_app(engine: Engine, table_resolver=None):
                 ),
                 500,
             )
+
+    @app.get("/ui")
+    def ui():
+        from nlp_to_nosql_spark.ui import UI_HTML
+
+        return app.response_class(UI_HTML, mimetype="text/html")
 
     @app.post("/query/async")
     def query_async():

@@ -70,9 +70,11 @@ def test_scan_filter_project_is_shuffle_free(lineitem):
     assert "Exchange" not in plan
 
 
-def test_fan_out_is_metadata_only(spark, tmp_path):
-    """fan_out's guard must decide from file metadata alone (no .rdd probe —
-    that forces a physical plan and breaks under Spark Connect)."""
+def test_fan_out_is_metadata_first(spark, tmp_path):
+    """fan_out's guard decides from file metadata when the input is a file
+    scan (no .rdd probe — that forces a physical plan and breaks under
+    Spark Connect); for non-file inputs, classic mode falls back to the
+    RDD partition probe so a skinny in-memory input still gets spread."""
     from nlp_to_nosql_spark.plans.partitioning import (
         _estimated_scan_partitions,
         fan_out,
@@ -94,12 +96,15 @@ def test_fan_out_is_metadata_only(spark, tmp_path):
     assert _estimated_scan_partitions(narrow) == 1
     assert fan_out(narrow).rdd.getNumPartitions() == parallelism
 
-    # Non-file source (range): estimate unavailable → unchanged, since
-    # non-file parallelism (parallelize slices, shuffle partitions) is
-    # already session-sized and the small-file scan trap can't apply.
+    # Non-file source (range): metadata estimate unavailable → classic-mode
+    # RDD probe sees the single partition and spreads it.
     unsized = spark.range(10).coalesce(1)
     assert _estimated_scan_partitions(unsized) is None
-    assert fan_out(unsized) is unsized
+    assert fan_out(unsized).rdd.getNumPartitions() == parallelism
+
+    # ... and a non-file input already at/above target stays unchanged.
+    sized = spark.range(10_000).repartition(parallelism)
+    assert fan_out(sized) is sized
 
 
 def test_shipping_priority_query_plan_shape(spark, tmp_path_factory):

@@ -169,3 +169,28 @@ def test_query_async_still_validates(client):
     r = client.post("/query/async", json={"input": "", "limit": 0})
     assert r.status_code == 422
     assert isinstance(r.get_json()["detail"], list)
+
+
+def test_ui_page_serves_reference_surface(client):
+    """GET /ui returns the self-contained browser client (the reference's
+    Streamlit surface, main.py:308-362): query form with the reference's
+    validation ranges, metric tiles, generated-query pane, CSV download,
+    history dashboard, and suggested queries — no external assets."""
+    r = client.get("/ui")
+    assert r.status_code == 200 and r.mimetype == "text/html"
+    page = r.get_data(as_text=True)
+    for marker in (
+        "NLP to NoSQL Query Interface",
+        'max="1000"',            # limit slider range
+        'max="60"',              # timeout slider range
+        "Execute Query",
+        "Generated Query",
+        "Download CSV",
+        "Query History",
+        "Success Rate",
+        "Find employees earning more than 50000",  # suggested query
+        'fetch("/query"',        # drives the real API, not a side door
+        'fetch("/health")',
+    ):
+        assert marker in page, marker
+    assert "http://" not in page and "https://" not in page  # offline

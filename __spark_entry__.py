@@ -747,7 +747,9 @@ def _q_name_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("c_nationkey", "c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum((F.col("dist") <= 2).cast("long")).alias("n_close_pairs"),
-        F.min("dist").alias("min_dist"),
+        # long, matching the oracle's CAST AS BIGINT — levenshtein emits
+        # int32 and the driver compare is Arrow-type-sensitive.
+        F.min("dist").cast("long").alias("min_dist"),
     )
 
 

@@ -44,8 +44,13 @@ FINGERPRINT_SQL = f"md5({NORMALIZE_SQL})"
 # ---------------------------------------------------------------------------
 
 def token_count(c: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(F.split(F.trim(c), r"\s+"))
+    """Whitespace token count.
+
+    Emitted as BIGINT: per-doc counts fit an int, but every consumer
+    (budget packing prefix sums, corpus-level token totals) aggregates
+    them — and DuckDB's ``len()`` oracle twin is int64, which the
+    type-sensitive compare must match."""
+    return F.size(F.split(F.trim(c), r"\s+")).cast("long")
 
 
 TOKEN_COUNT_SQL = "len(string_split_regex(trim({c}), '\\s+'))"
@@ -56,8 +61,9 @@ _BPE_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
 
 
 def bpe_token_count(c: Column) -> Column:
-    """Sub-word-ish token count (alnum runs + punctuation symbols)."""
-    return F.regexp_count(c, F.lit(_BPE_PATTERN))
+    """Sub-word-ish token count (alnum runs + punctuation symbols).
+    BIGINT for the same reasons as :func:`token_count`."""
+    return F.regexp_count(c, F.lit(_BPE_PATTERN)).cast("long")
 
 
 BPE_TOKEN_COUNT_SQL = (

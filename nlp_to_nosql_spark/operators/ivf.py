@@ -122,14 +122,26 @@ class IVFIndex:
         # (conf-overridable via spark.nlp2nosql.cache.vectors).
         narrow = persisted(train.select(id_col, vec_col), "vectors")
         init_rows = narrow.orderBy(id_col).limit(self.n_lists).select(vec_col).collect()
-        if len(init_rows) < self.n_lists and train is not df:
-            # Pathological conf (tiny cap) or unlucky sample: k-means needs
-            # at least n_lists seed vectors — fall back to the full corpus.
-            narrow.unpersist()
-            narrow = persisted(df.select(id_col, vec_col), "vectors")
-            init_rows = (
-                narrow.orderBy(id_col).limit(self.n_lists).select(vec_col).collect()
-            )
+        if len(init_rows) < self.n_lists:
+            if train_on is not None:
+                # An explicit training set is a caller decision — silently
+                # replacing it with max_iter FULL-corpus scans would incur
+                # exactly the cost train_on exists to avoid.  Fail loudly.
+                raise ValueError(
+                    f"train_on yields {len(init_rows)} vectors but n_lists="
+                    f"{self.n_lists}; pass a larger training set or fewer lists"
+                )
+            if train is not df:
+                # Internal trainCap sample came up short (pathological conf
+                # or unlucky hash draw): fall back to the full corpus.
+                narrow.unpersist()
+                narrow = persisted(df.select(id_col, vec_col), "vectors")
+                init_rows = (
+                    narrow.orderBy(id_col)
+                    .limit(self.n_lists)
+                    .select(vec_col)
+                    .collect()
+                )
         self.centroids = np.array(
             [[float(x) for x in r[vec_col]] for r in init_rows]
         )

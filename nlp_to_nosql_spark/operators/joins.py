@@ -33,12 +33,13 @@ def salted_join(
     task retries and stage recomputation re-derive the identical salt per
     row, which a ``rand()`` salt does not guarantee (a recomputed map task
     can re-draw, losing or duplicating matches).  The hash covers the join
-    key plus a few cheap disambiguator columns — not the whole row: hash
-    expressions reject MapType outright, and hashing a wide document-text
-    column buys no extra spread over a varying id column.  Fixed-width
-    columns are preferred as disambiguators; rows identical in the hashed
-    subset share a salt — acceptable residual skew, since the pathology
-    salting targets is many DISTINCT rows under one hot key.
+    key plus every hashable column — MapType columns (which hash
+    expressions reject outright) are the only exclusion, since without
+    cardinality statistics any narrower subset risks hashing only
+    constants under the hot key and collapsing the salt.  Rows identical
+    in the hashed columns share a salt — acceptable residual skew, since
+    the pathology salting targets is many DISTINCT rows under one hot
+    key.
     The right side is exploded across all salt values; the join RESULT is
     identical for any salt assignment.  Output columns = all left columns
     + all right columns except the right key (semi/anti: left columns
@@ -81,14 +82,18 @@ def salted_join(
     return joined.select(*out_cols)
 
 
-def _salt_hash_cols(df: DataFrame, key: str, max_extras: int = 3) -> list[str]:
-    """Join key + up to ``max_extras`` cheap disambiguator columns.
+def _salt_hash_cols(df: DataFrame, key: str) -> list[str]:
+    """Join key + every hashable disambiguator column.
 
     Hash expressions reject MapType (anywhere in a nested type), so those
-    columns are skipped; fixed-width scalars are preferred over strings /
-    binaries / containers so a wide document-text column is hashed only
-    when nothing cheaper varies.  Selection is deterministic (type-cost
-    rank, then schema order) — retries re-derive identical salts.
+    columns are skipped — that is the only exclusion.  Salting has no
+    cardinality statistics, so dropping any OTHER column risks hashing
+    only constants under the hot key (e.g. a few enum flags) and
+    collapsing every hot-key row into one salt bucket — the exact skew
+    this operator exists to break.  Hashing a wide text column costs a
+    few ns/row more than an int; a collapsed salt costs the whole join.
+    Selection is deterministic (schema order) — retries re-derive
+    identical salts.
     """
     from pyspark.sql import types as T
 
@@ -101,21 +106,11 @@ def _salt_hash_cols(df: DataFrame, key: str, max_extras: int = 3) -> list[str]:
             return all(hashable(f.dataType) for f in dt.fields)
         return True
 
-    def cost(dt) -> int:
-        if isinstance(dt, (T.ArrayType, T.StructType)):
-            return 2
-        if isinstance(dt, (T.StringType, T.BinaryType)):
-            return 1
-        return 0
-
-    ranked = sorted(
-        (
-            (cost(f.dataType), i, f.name)
-            for i, f in enumerate(df.schema.fields)
-            if f.name != key and hashable(f.dataType)
-        )
-    )
-    return [key] + [name for _, _, name in ranked[:max_extras]]
+    return [key] + [
+        f.name
+        for f in df.schema.fields
+        if f.name != key and hashable(f.dataType)
+    ]
 
 
 def _internal_name(base: str, *column_sets: list[str]) -> str:

@@ -119,15 +119,24 @@ def register_tables(
 ) -> dict[str, DataFrame]:
     """Load and register every table as a temp view; returns the frames.
 
-    Missing files are skipped so smaller fixture dirs still register.
+    Parquet path: missing files are skipped so smaller fixture dirs still
+    register.  Mongo path (``spark.nlp2nosql.source.mongo.uri`` set):
+    every name routes through :func:`load_table` — there is no local file
+    to probe, and a connector/connection failure must surface, not
+    silently register nothing (this is the entry point the Engine, HTTP
+    server, and bench all use).
     """
     _ensure_nanos_readable(spark)
     out: dict[str, DataFrame] = {}
+    mongo = _mongo_uri(spark)
     for name in tables:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if not os.path.exists(path):
-            continue
-        df = _normalize(spark.read.parquet(path), name)
+        if mongo:
+            df = load_table(spark, sf_dir, name)
+        else:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            if not os.path.exists(path):
+                continue
+            df = _normalize(spark.read.parquet(path), name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

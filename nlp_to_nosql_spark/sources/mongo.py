@@ -66,10 +66,14 @@ def read_mongo(
             .load()
         )
     except Exception as e:  # noqa: BLE001 — classify, then re-raise clearly
+        # Narrow classifier: ONLY the connector-jar-absent shapes
+        # (Spark's DATA_SOURCE_NOT_FOUND error class / the pre-error-class
+        # "Failed to find data source" message).  Anything else — auth,
+        # connection, partitioner failures with the jar present — must
+        # propagate unmasked, or the remediation sends the operator to
+        # install a jar they already have.
         msg = str(e)
-        if "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg or (
-            "mongodb" in msg and "source" in msg.lower()
-        ):
+        if "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find data source" in msg:
             raise RuntimeError(_CONNECTOR_HINT) from e
         raise
 
@@ -117,12 +121,16 @@ def _decode_extjson(col: Column, dt: T.DataType) -> Column:
             return col.getField("$numberDouble").cast("double")
         if names == ("$numberDecimal",):
             return col.getField("$numberDecimal").cast("decimal(38,10)")
-        return F.struct(
+        # Rebuilding a plain struct with F.struct would turn a NULL struct
+        # into a non-null struct of NULLs ({"address": null} must stay
+        # NULL, not become {city: null, zip: null}) — guard on the parent.
+        rebuilt = F.struct(
             *[
                 _decode_extjson(col.getField(f.name), f.dataType).alias(f.name)
                 for f in dt.fields
             ]
         )
+        return F.when(col.isNull(), F.lit(None)).otherwise(rebuilt)
     if isinstance(dt, T.ArrayType):
         return F.transform(col, lambda x: _decode_extjson(x, dt.elementType))
     return col

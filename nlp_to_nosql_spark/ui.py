@@ -50,7 +50,7 @@ UI_HTML = """<!DOCTYPE html>
   .error { background: #fef2f2; border: 1px solid #fecaca; color: #991b1b; padding: 10px 12px; border-radius: 6px; }
   .hint { font-size: .8rem; color: #64748b; }
   .status-ok { color: #16a34a; } .status-bad { color: #dc2626; }
-  #results-wrap { overflow-x: auto; max-height: 420px; overflow-y: auto; }
+  .results-wrap { overflow-x: auto; max-height: 420px; overflow-y: auto; }
   footer { font-size: .8rem; color: #64748b; margin: 24px 0; }
   .suggest { background: #eef2ff; color: #3730a3; margin: 2px 4px 2px 0; padding: 4px 10px; border-radius: 999px; border: 0; font-size: .78rem; }
 </style>
@@ -97,13 +97,13 @@ UI_HTML = """<!DOCTYPE html>
     <h2>&#128269; Generated Query</h2>
     <pre id="genq"></pre>
     <h2>&#128203; Results <button id="dl" class="secondary" hidden>&#128190; Download CSV</button></h2>
-    <div id="results-wrap"><table id="results"></table></div>
+    <div class="results-wrap"><table id="results"></table></div>
   </section>
 
   <section id="hist-sec" hidden>
     <h2>&#128200; Query History <button id="clear" class="secondary">&#128465; Clear</button></h2>
     <div class="tiles" id="hist-tiles"></div>
-    <div id="results-wrap"><table id="hist"></table></div>
+    <div class="results-wrap"><table id="hist"></table></div>
   </section>
 
   <footer>
@@ -130,13 +130,24 @@ async function refreshStatus() {
 
 function tile(k, v) { return `<div class="tile"><div class="v">${v}</div><div class="k">${k}</div></div>`; }
 
+// Everything that came over the wire (field values, column names, the
+// user's own query text in the history table) is untrusted: escape it
+// before any innerHTML sink, or a document containing "<img onerror=...>"
+// executes in the viewer's browser.
+function esc(v) {
+  const s = v === null || v === undefined ? "" : String(v);
+  return s.replace(/[&<>"']/g, (ch) => ({
+    "&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;", "'": "&#39;",
+  })[ch]);
+}
+
 function renderTable(el, rows) {
   el.innerHTML = "";
   if (!rows || !rows.length) { el.innerHTML = "<tr><td>&#128237; No results</td></tr>"; return; }
   const cols = Object.keys(rows[0]);
   el.innerHTML =
-    "<tr>" + cols.map(c => `<th>${c}</th>`).join("") + "</tr>" +
-    rows.map(r => "<tr>" + cols.map(c => `<td>${r[c] === null ? "" : String(r[c])}</td>`).join("") + "</tr>").join("");
+    "<tr>" + cols.map(c => `<th>${esc(c)}</th>`).join("") + "</tr>" +
+    rows.map(r => "<tr>" + cols.map(c => `<td>${esc(r[c])}</td>`).join("") + "</tr>").join("");
 }
 
 function toCsv(rows) {
@@ -190,8 +201,8 @@ function renderResult(res, httpStatus) {
     const err = res || {};
     $("tiles").innerHTML =
       tile("Status", "&#10060; Error") +
-      tile("Error Type", err.error_type || "Unknown") +
-      tile("Status Code", err.status_code || httpStatus || "N/A");
+      tile("Error Type", esc(err.error_type || "Unknown")) +
+      tile("Status Code", esc(err.status_code || httpStatus || "N/A"));
     $("timing").textContent = "";
     let msg = "\\u274c " + (err.error || JSON.stringify(err.detail || err));
     const et = String(err.error_type || "").toUpperCase();

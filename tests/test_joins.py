@@ -159,8 +159,9 @@ def test_salted_join_tolerates_map_column(spark):
     assert len(out) == 50 and all(r["name"] == "dim7" for r in out)
 
 
-def test_salt_hash_cols_prefers_cheap_columns():
-    """Fixed-width disambiguators beat wide text; maps are excluded."""
+def test_salt_hash_cols_excludes_only_maps():
+    """Every hashable column participates (dropping one risks hashing
+    only hot-key constants and collapsing the salt); maps never do."""
     from pyspark.sql import types as T
 
     from nlp_to_nosql_spark.operators.joins import _salt_hash_cols
@@ -176,5 +177,37 @@ def test_salt_hash_cols_prefers_cheap_columns():
             ]
         )
 
-    cols = _salt_hash_cols(_FakeDF(), "k", max_extras=2)
-    assert cols == ["k", "n1", "n2"]  # numerics first, map never, text last
+    cols = _salt_hash_cols(_FakeDF(), "k")
+    assert cols == ["k", "text", "n1", "n2"]
+
+
+def test_salt_spreads_when_only_text_varies(spark):
+    """The review scenario: every non-key scalar is constant under the hot
+    key and only a string column varies — the salt must still spread."""
+    from pyspark.sql import functions as F
+
+    from nlp_to_nosql_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(7, 1, f"doc-{i}") for i in range(400)],
+        "k long, flag int, doc_id string",
+    )
+    right = spark.createDataFrame([(7, "dim7")], "rk long, name string")
+    out = salted_join(left, right, "k", "rk", salt=8)
+    assert out.count() == 400
+    # distinct salts actually used by the hot key (re-derive the expr)
+    from nlp_to_nosql_spark.operators.joins import _salt_hash_cols
+
+    n_salts = (
+        left.withColumn(
+            "_s",
+            F.pmod(
+                F.xxhash64(F.lit(42), *[F.col(c) for c in _salt_hash_cols(left, "k")]),
+                F.lit(8),
+            ),
+        )
+        .select("_s")
+        .distinct()
+        .count()
+    )
+    assert n_salts >= 6

@@ -108,3 +108,32 @@ def test_catalog_routes_to_mongo_only_when_conf_set(spark):
             load_table(spark, "/root/testdata/sf0.001", "customer")
     finally:
         spark.conf.unset("spark.nlp2nosql.source.mongo.uri")
+
+
+def test_null_struct_stays_null(spark, tmp_path):
+    """{"address": null} must decode to a NULL struct, not a struct of
+    NULLs — F.struct over null fields is never null without the guard."""
+    p = os.path.join(tmp_path, "d.jsonl")
+    with open(p, "w") as f:
+        f.write(json.dumps({"name": "A", "address": {"city": "X", "zip": {"$numberInt": "1"}}}) + "\n")
+        f.write(json.dumps({"name": "B", "address": None}) + "\n")
+    df = read_mongoexport(spark, p)
+    rows = {r["name"]: r for r in df.collect()}
+    assert rows["A"]["address"]["city"] == "X" and rows["A"]["address"]["zip"] == 1
+    assert rows["B"]["address"] is None
+    assert df.filter("address IS NULL").count() == 1
+
+
+def test_register_tables_honors_mongo_conf(spark):
+    """register_tables — the entry point the Engine/server/bench use —
+    must route through Mongo when the conf is set (and surface connector
+    absence) rather than silently registering nothing because no local
+    parquet exists."""
+    from nlp_to_nosql_spark.sources.catalog import register_tables
+
+    spark.conf.set("spark.nlp2nosql.source.mongo.uri", "mongodb://localhost:27017")
+    try:
+        with pytest.raises(RuntimeError, match="mongo-spark-connector"):
+            register_tables(spark, "/nonexistent/sfdir")
+    finally:
+        spark.conf.unset("spark.nlp2nosql.source.mongo.uri")

@@ -33,12 +33,15 @@ def test_canon_float_is_bit_exact():
     assert canon(1.0) != canon(1)                  # float vs int tag
 
 
-def test_type_sig_separates_int_decimal_float():
-    assert type_sig(pa.int64()) == type_sig(pa.int32()) == "int"
+def test_type_sig_separates_int_decimal_float_and_widths():
     assert type_sig(pa.decimal128(38, 0)) == "decimal"
-    assert type_sig(pa.float64()) == "float"
+    # categories distinct
     assert len({type_sig(pa.int64()), type_sig(pa.decimal128(38, 0)),
                 type_sig(pa.float64())}) == 3
+    # widths distinct within a category (int32-vs-int64 oracle mismatches
+    # hash-miss on the driver just like the DECIMAL case)
+    assert type_sig(pa.int32()) != type_sig(pa.int64())
+    assert type_sig(pa.float32()) != type_sig(pa.float64())
 
 
 def test_prefix_sessionize_sql_class_is_caught():
@@ -60,10 +63,10 @@ def test_prefix_sessionize_sql_class_is_caught():
     scols, srows, ssigs = arrow_table_rows(spark_like)
 
     # Pre-fix shape: schema-category mismatch AND value-multiset mismatch.
-    assert usigs["s"] == "decimal" and ssigs["s"] == "int"
+    assert usigs["s"] == "decimal" and ssigs["s"] == "int64"
     assert row_multiset(["s"], urows) != row_multiset(scols, srows)
     # Post-fix shape: both green.
-    assert csigs["s"] == "int"
+    assert csigs["s"] == "int64"
     assert row_multiset(["s"], crows) == row_multiset(scols, srows)
 
 
@@ -81,4 +84,4 @@ def test_shipped_sessionize_sql_session_idx_is_bigint():
     tbl = con.execute(
         SESSIONIZE_SQL.format(gap_us=30 * 60 * 1_000_000)
     ).arrow()
-    assert type_sig(tbl.schema.field("session_idx").type) == "int"
+    assert type_sig(tbl.schema.field("session_idx").type) == "int64"

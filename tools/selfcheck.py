@@ -86,17 +86,21 @@ def row_multiset(cols, rows):
 
 
 def type_sig(t):
-    """Arrow type → category string; int-vs-decimal-vs-float must differ."""
+    """Arrow type → signature string.  int-vs-decimal-vs-float must
+    differ, and numeric WIDTHS stay distinct too (int32 vs int64, float32
+    vs float64): the driver hash is Arrow-type-sensitive, and a width
+    mismatch that canon()s to equal Python values would otherwise be the
+    same locally-green/driver-red gap the round-3 DECIMAL miss was."""
     import pyarrow as pa
 
     if pa.types.is_boolean(t):
         return "bool"
     if pa.types.is_integer(t):
-        return "int"
+        return str(t)  # int8..uint64, width-exact
     if pa.types.is_decimal(t):
         return "decimal"
     if pa.types.is_floating(t):
-        return "float"
+        return str(t)  # halffloat/float/double, width-exact
     if pa.types.is_timestamp(t):
         return "timestamp"
     if pa.types.is_date(t):

@@ -31,6 +31,11 @@ from nlp_to_nosql_spark.operators.similarity import (
     topk_bruteforce,
 )
 from nlp_to_nosql_spark.operators.asof import asof_join, asof_join_bucketed
+from nlp_to_nosql_spark.operators.curation import (
+    PII_PATTERNS,
+    REPETITION_SQL,
+    mixture_sql,
+)
 from nlp_to_nosql_spark.operators.sessions import SESSIONIZE_SQL, sessionize
 from nlp_to_nosql_spark.operators.ivf import IVFIndex
 from nlp_to_nosql_spark.plans.compile import apply_spec
@@ -1737,6 +1742,89 @@ def _q_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Target per-language sampling rates for the mixture query — shared by
+#: the Spark query and its oracle WHERE clause.
+_MIX_RATES = {"en": 0.3, "de": 1.0, "es": 0.5, "fr": 0.5, "zh": 0.1}
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB twin of :func:`_q_pii_redaction`, generated from the SAME
+    pattern dict the Spark side uses — count and replacement semantics
+    cannot drift from the operator."""
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(t, '{p}')) AS BIGINT) AS n_{n}"
+        for n, p in PII_PATTERNS.items()
+    )
+    red = "t"
+    for p in PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{p}', '[PII]', 'g')"
+    return (
+        "WITH planted AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+        "'.1 ssn 123-45-6789 call +1-555-0100' "
+        "ELSE text END AS t FROM documents) "
+        f"SELECT doc_id, {counts}, {red} AS redacted FROM planted"
+    )
+
+
+_PII_ORACLE_SQL = _pii_oracle_sql()
+
+
+def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality signals per document (distinct-word,
+    top-word, top-bigram fractions) — the filter stage a pretraining
+    pipeline runs between dedup and packing.  Two (id, gram) explodes
+    into partial-aggregated groupBys; document text never shuffles."""
+    from nlp_to_nosql_spark.operators.curation import repetition_signals
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return repetition_signals(docs, "doc_id", "text")
+
+
+def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction counts.  The synthetic corpus is PII-clean, so
+    the query plants deterministic PII (email/ssn/ip/phone derived from
+    doc_id) on every third document first — otherwise the oracle would
+    compare all-zero vacuously.  Both engines run the identical regex
+    family (no lookaround: portable across Java regex and RE2); output is
+    counts + redacted text, so the compare proves match AND replacement
+    semantics agree."""
+    from nlp_to_nosql_spark.operators.curation import pii_report
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com ip 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1 ssn 123-45-6789 call +1-555-0100"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pii_report(planted, "doc_id", "text")
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling: per-language keep rates via
+    a seeded md5 bucket hash — no RNG state, so retries keep the same
+    sample and DuckDB replays the exact row set (value-level oracle,
+    unlike rand()-based sampling)."""
+    from nlp_to_nosql_spark.operators.curation import sample_mixture
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return sample_mixture(docs, _MIX_RATES, key_col="lang", id_col="doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
 def _q_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end MULTIMODAL curation: decode features from the binary
     payload (Arrow ``mapInPandas``, the stubbed-codec path), join the
@@ -1966,6 +2054,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann5_ivf_sampled_fit": _q_ann_ivf_sampled,
         "ann6_topk_per_label": _q_ann_per_label,
         "pipe2_multimodal_curation": _q_multimodal_curation,
+        "quality1_repetition": _q_repetition_signals,
+        "pii1_redaction": _q_pii_redaction,
+        "mix1_lang_sample": _q_mixture_sample,
         "sess2_native_session_window": _q_native_session_window,
         "emb1_norms_by_label": _q_embedding_norms,
         "stream1_windowed_counts": _q_windowed_event_counts,
@@ -2669,6 +2760,12 @@ def oracle_sql() -> dict[str, str]:
             "MIN_BY(n_bytes, media_id) AS n_bytes "
             "FROM feats WHERE lang = 'en' AND quality >= 0.5 "
             "AND n_bytes >= 64 GROUP BY sha256"
+        ),
+        "quality1_repetition": REPETITION_SQL,
+        "pii1_redaction": _PII_ORACLE_SQL,
+        "mix1_lang_sample": (
+            "SELECT doc_id, lang, source FROM documents WHERE "
+            + mixture_sql(_MIX_RATES, key_col="lang", id_col="doc_id")
         ),
         "ts4_ship_delay_histogram": (
             "SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE), "

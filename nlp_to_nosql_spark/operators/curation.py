@@ -1,0 +1,260 @@
+"""Corpus-curation operators: repetition quality signals, PII redaction,
+and deterministic domain-mixture sampling.
+
+These are the standard pretraining-data stages between dedup and packing
+(cf. Rae et al., "Scaling Language Models: ... Gopher", arXiv:2112.11446
+§A1.1 — repetition filters; and the common practice of regex PII
+scrubbing and per-source mixture weighting).  The reference has no
+analogue (it is an NL→Mongo translator); these extend the engine's
+training-data family (SURVEY §8 extensions).
+
+Every operator is pure Catalyst — JVM regex / array / groupBy, no Python
+in the row path — and every computed fraction is rounded explicitly so
+DuckDB oracles replay it bit-exact.
+
+Scale notes: repetition signals shuffle on (doc_id[, gram]) only — token
+arrays never leave their scan partition except as (id, gram) pairs, and
+the per-doc aggregate is a partial-aggregated groupBy.  PII redaction is
+a per-row projection (zero shuffle).  Mixture sampling is a per-row
+deterministic hash filter (zero shuffle, no RNG state): the same row is
+kept or dropped on every retry, executor, and engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nlp_to_nosql_spark.functions.text import NORMALIZE_SQL, normalize_text
+
+# ---------------------------------------------------------------------------
+# repetition / quality signals (Gopher-style)
+# ---------------------------------------------------------------------------
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition statistics for quality filtering.
+
+    Returns ``(id, n_words, distinct_word_frac, top_word_frac,
+    top_2gram_frac)``:
+
+    * ``distinct_word_frac`` — |vocabulary| / |words| (low → repetitive);
+    * ``top_word_frac`` — share of the single most frequent word;
+    * ``top_2gram_frac`` — share of the most frequent word bigram (the
+      Gopher-family "top n-gram fraction" filter).
+
+    Plan: one explode of (id, word) and one of (id, bigram), each into a
+    two-level partial-aggregated groupBy keyed by id — the document text
+    itself never shuffles.  Empty/one-word documents get 0 for the gram
+    fractions (no bigrams exist), not NULL, so downstream threshold
+    filters need no null handling.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_w"),
+    )
+
+    base = words.select(
+        F.col(id_col),
+        F.size("_w").cast("long").alias("n_words"),
+        F.round(
+            F.size(F.array_distinct("_w")) / F.greatest(F.size("_w"), F.lit(1)), 6
+        ).alias("distinct_word_frac"),
+    )
+
+    def top_frac(grams: DataFrame, out: str) -> DataFrame:
+        counts = grams.groupBy(id_col, "g").count()
+        return (
+            counts.groupBy(id_col)
+            .agg(
+                F.round(F.max("count") / F.sum("count"), 6).alias(out),
+            )
+        )
+
+    top_word = top_frac(
+        words.select(F.col(id_col), F.explode("_w").alias("g")), "top_word_frac"
+    )
+    top_2gram = top_frac(
+        words.select(
+            F.col(id_col),
+            F.explode(
+                F.when(
+                    F.size("_w") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_w") - 1),
+                        lambda i: F.concat_ws(
+                            " ", F.element_at("_w", i), F.element_at("_w", i + 1)
+                        ),
+                    ),
+                ).otherwise(F.array())
+            ).alias("g"),
+        ),
+        "top_2gram_frac",
+    )
+
+    return (
+        base.join(top_word, id_col, "left")
+        .join(top_2gram, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            "distinct_word_frac",
+            F.coalesce("top_word_frac", F.lit(0.0)).alias("top_word_frac"),
+            F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
+        )
+    )
+
+
+#: DuckDB twin of :func:`repetition_signals` over the ``documents`` view —
+#: same normalize, same explode/groupBy shape, same rounding.
+REPETITION_SQL = (
+    "WITH w AS (SELECT doc_id, string_split("
+    + NORMALIZE_SQL.format(c="text")
+    + ", ' ') AS ws FROM documents), "
+    "base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, "
+    "ROUND(len(list_distinct(ws)) / GREATEST(len(ws), 1), 6) "
+    "AS distinct_word_frac FROM w), "
+    "wordcounts AS (SELECT doc_id, g, COUNT(*) AS c FROM "
+    "(SELECT doc_id, unnest(ws) AS g FROM w) GROUP BY 1, 2), "
+    "topword AS (SELECT doc_id, ROUND(MAX(c) / SUM(c), 6) AS top_word_frac "
+    "FROM wordcounts GROUP BY 1), "
+    "grams AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2 THEN "
+    "[ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))] "
+    "ELSE [] END) AS g FROM w), "
+    "gramcounts AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2), "
+    "topgram AS (SELECT doc_id, ROUND(MAX(c) / SUM(c), 6) AS top_2gram_frac "
+    "FROM gramcounts GROUP BY 1) "
+    "SELECT base.doc_id, n_words, distinct_word_frac, "
+    "COALESCE(top_word_frac, 0.0) AS top_word_frac, "
+    "COALESCE(top_2gram_frac, 0.0) AS top_2gram_frac "
+    "FROM base LEFT JOIN topword USING (doc_id) "
+    "LEFT JOIN topgram USING (doc_id)"
+)
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+#: Portable regex family: no lookaround (DuckDB is RE2), \b and character
+#: classes behave identically in Java regex and RE2.  Ordered dict —
+#: redaction applies in this order.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{1,3}-\d{3}-\d{3,4}\b",
+}
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """One BIGINT match-count column per PII family (``n_<family>``)."""
+    return [
+        F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+
+
+def redact_pii(text: Column, token: str = "[PII]") -> Column:
+    """Replace every PII match with ``token`` — order fixed (email before
+    ipv4 so ``user@10.0.0.1``-style strings redact as one email; SSN
+    before ipv4 so a dotted quad never half-matches an SSN remnant)."""
+    out = text
+    for pat in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_report(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_email, n_ssn, n_ipv4, n_phone, redacted) per document —
+    per-row projection, zero shuffle, whole-stage codegen."""
+    return df.select(
+        F.col(id_col),
+        *pii_counts(F.col(text_col)),
+        redact_pii(F.col(text_col)).alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic domain-mixture sampling
+# ---------------------------------------------------------------------------
+
+#: Hash-bucket denominator: rates are resolved to integer thresholds over
+#: this many buckets, so Spark and any oracle compare identical integers.
+_MIX_BUCKETS = 1_000_000
+
+
+def _mix_hash(id_col: Column, seed: int) -> Column:
+    """28-bit md5-derived bucket hash — deterministic, partition-layout-
+    independent, and exactly reproducible in DuckDB (unlike xxhash64), so
+    mixture sampling carries a value-level oracle."""
+    base = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"mix{seed}:"), id_col.cast("string"))), 1, 7),
+        16,
+        10,
+    ).cast("long")
+    return base % _MIX_BUCKETS
+
+
+#: DuckDB twin of :func:`_mix_hash` (format with c=id expression, seed).
+#: DuckDB has no ``conv``; hex→int goes through the ``'0x'||…`` cast, the
+#: same trick the md5 minhash/simhash oracles use (``dedup.py::md5_hash60``).
+MIX_HASH_SQL = (
+    "CAST(CAST('0x' || substr(md5('mix{seed}:' || CAST({c} AS VARCHAR)), 1, 7) "
+    "AS UBIGINT) % 1000000 AS BIGINT)"
+)
+
+
+def sample_mixture(
+    df: DataFrame,
+    rates: dict[str, float],
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its category's target probability,
+    deterministically.
+
+    The per-row decision is ``hash(id) % 1e6 < rate(category) * 1e6`` —
+    no RNG state, so retries/recomputation keep the identical sample, and
+    the realized per-category rate converges to the target at corpus
+    scale (binomial, σ/µ ≈ 1/sqrt(n·rate)).  Categories absent from
+    ``rates`` get ``default_rate`` (0 = drop, the curation default:
+    an unknown source should be an explicit decision, not a silent
+    pass-through).
+    """
+    threshold = None
+    for cat, rate in sorted(rates.items()):
+        t = F.when(F.col(key_col) == cat, F.lit(int(rate * _MIX_BUCKETS)))
+        threshold = t if threshold is None else threshold.when(
+            F.col(key_col) == cat, F.lit(int(rate * _MIX_BUCKETS))
+        )
+    threshold = (
+        threshold.otherwise(F.lit(int(default_rate * _MIX_BUCKETS)))
+        if threshold is not None
+        else F.lit(int(default_rate * _MIX_BUCKETS))
+    )
+    return df.filter(_mix_hash(F.col(id_col), seed) < threshold)
+
+
+def mixture_sql(
+    rates: dict[str, float],
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_rate: float = 0.0,
+) -> str:
+    """WHERE-clause DuckDB twin of :func:`sample_mixture`'s filter."""
+    cases = " ".join(
+        f"WHEN {key_col} = '{cat}' THEN {int(rate * _MIX_BUCKETS)}"
+        for cat, rate in sorted(rates.items())
+    )
+    return (
+        MIX_HASH_SQL.format(c=id_col, seed=seed)
+        + f" < CASE {cases} ELSE {int(default_rate * _MIX_BUCKETS)} END"
+    )

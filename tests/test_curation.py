@@ -1,0 +1,102 @@
+"""Curation operators: repetition signals, PII redaction, mixture sampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nlp_to_nosql_spark.operators.curation import (
+    PII_PATTERNS,
+    pii_report,
+    repetition_signals,
+    sample_mixture,
+)
+
+
+@pytest.fixture(scope="module")
+def crafted(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a a a a"),                 # fully repetitive
+            (2, "a b c d"),                 # fully distinct
+            (3, "word"),                    # single word: no bigrams
+            (4, "x y x y x y"),             # dominant bigram pattern
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_repetition_signals_values(crafted):
+    rows = {r["doc_id"]: r for r in repetition_signals(crafted).collect()}
+    r1 = rows[1]
+    assert r1["n_words"] == 4 and r1["distinct_word_frac"] == 0.25
+    assert r1["top_word_frac"] == 1.0 and r1["top_2gram_frac"] == 1.0
+    r2 = rows[2]
+    assert r2["distinct_word_frac"] == 1.0 and r2["top_word_frac"] == 0.25
+    assert r2["top_2gram_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    r3 = rows[3]
+    assert r3["n_words"] == 1 and r3["top_2gram_frac"] == 0.0  # not NULL
+    r4 = rows[4]  # "x y" appears 3 of 5 bigrams
+    assert r4["top_2gram_frac"] == 0.6
+
+
+def test_pii_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@corp.example.org now"),
+            (2, "ssn 123-45-6789 ip 192.168.0.1 tel +1-555-0100"),
+            (3, "clean text with no identifiers"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_report(df).collect()}
+    assert rows[1]["n_email"] == 1 and "[PII]" in rows[1]["redacted"]
+    assert "bob@" not in rows[1]["redacted"]
+    r2 = rows[2]
+    assert (r2["n_ssn"], r2["n_ipv4"], r2["n_phone"]) == (1, 1, 1)
+    assert r2["redacted"] == "ssn [PII] ip [PII] tel [PII]"
+    r3 = rows[3]
+    assert (r3["n_email"], r3["n_ssn"], r3["n_ipv4"], r3["n_phone"]) == (0, 0, 0, 0)
+    assert r3["redacted"] == "clean text with no identifiers"
+
+
+def test_pii_patterns_have_no_lookaround():
+    """DuckDB's RE2 rejects lookaround — the portable-pattern contract."""
+    for pat in PII_PATTERNS.values():
+        assert "(?=" not in pat and "(?<" not in pat and "(?!" not in pat
+
+
+def test_sample_mixture_deterministic_and_rate_accurate(spark):
+    n = 10_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    rates = {"en": 0.25, "de": 0.75}
+    a = sorted(r["doc_id"] for r in sample_mixture(df, rates).collect())
+    b = sorted(r["doc_id"] for r in sample_mixture(df, rates).collect())
+    assert a == b  # deterministic: retries keep the identical sample
+    kept = sample_mixture(df, rates).groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in kept}
+    assert by_lang["en"] / (n / 2) == pytest.approx(0.25, abs=0.03)
+    assert by_lang["de"] / (n / 2) == pytest.approx(0.75, abs=0.03)
+
+
+def test_sample_mixture_edge_rates(spark):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "xx"), (3, "en")], "doc_id long, lang string"
+    )
+    # unknown category drops by default (an unlisted source must be an
+    # explicit decision), keep-all keeps everything listed
+    out = sample_mixture(df, {"en": 1.0})
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+    assert sample_mixture(df, {"en": 0.0}).count() == 0
+    # default_rate opts unknown categories back in
+    assert sample_mixture(df, {"en": 0.0}, default_rate=1.0).count() == 1
+
+
+def test_seed_changes_sample(spark):
+    df = spark.range(1000).select(F.col("id").alias("doc_id"), F.lit("en").alias("lang"))
+    s1 = {r["doc_id"] for r in sample_mixture(df, {"en": 0.5}, seed=1).collect()}
+    s2 = {r["doc_id"] for r in sample_mixture(df, {"en": 0.5}, seed=2).collect()}
+    assert s1 != s2 and 350 < len(s1) < 650

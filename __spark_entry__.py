@@ -32,6 +32,8 @@ from nlp_to_nosql_spark.operators.similarity import (
 )
 from nlp_to_nosql_spark.operators.asof import asof_join, asof_join_bucketed
 from nlp_to_nosql_spark.operators.curation import (
+    BIGRAM_LM_SQL,
+    CHUNK_SQL,
     PII_PATTERNS,
     REPETITION_SQL,
     mixture_sql,
@@ -1825,6 +1827,28 @@ def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (64-token chunks, 16-token overlap) — the
+    SFT/pretraining sequence-prep step after packing.  Per-row array
+    slicing, zero shuffle; every word lands in at least one chunk and
+    consecutive chunks share the overlap."""
+    from nlp_to_nosql_spark.operators.curation import chunk_by_tokens
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return chunk_by_tokens(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
+
+
+def _q_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self bigram-LM likelihood score (CCNet-style quality filter,
+    log-free): per-doc mean conditional bigram probability, floor-scaled
+    to integer micros BEFORE aggregation so the score is independent of
+    float accumulation order — bit-exact across engines."""
+    from nlp_to_nosql_spark.operators.curation import bigram_likelihood
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return bigram_likelihood(docs, "doc_id", "text")
+
+
 def _q_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end MULTIMODAL curation: decode features from the binary
     payload (Arrow ``mapInPandas``, the stubbed-codec path), join the
@@ -2057,6 +2081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality1_repetition": _q_repetition_signals,
         "pii1_redaction": _q_pii_redaction,
         "mix1_lang_sample": _q_mixture_sample,
+        "chunk1_context_windows": _q_context_chunks,
+        "lm1_bigram_likelihood": _q_bigram_likelihood,
         "sess2_native_session_window": _q_native_session_window,
         "emb1_norms_by_label": _q_embedding_norms,
         "stream1_windowed_counts": _q_windowed_event_counts,
@@ -2767,6 +2793,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, source FROM documents WHERE "
             + mixture_sql(_MIX_RATES, key_col="lang", id_col="doc_id")
         ),
+        "chunk1_context_windows": CHUNK_SQL.format(chunk=64, stride=64 - 16),
+        "lm1_bigram_likelihood": BIGRAM_LM_SQL.format(scale=1_000_000),
         "ts4_ship_delay_histogram": (
             "SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE), "
             "CAST(l_shipdate AS DATE)) AS INT) AS delay_days, "

@@ -258,3 +258,185 @@ def mixture_sql(
         MIX_HASH_SQL.format(c=id_col, seed=seed)
         + f" < CASE {cases} ELSE {int(default_rate * _MIX_BUCKETS)} END"
     )
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking (token-budget splits with overlap)
+# ---------------------------------------------------------------------------
+
+
+def chunk_by_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into ≈ ``chunk_tokens``-word chunks whose
+    starts advance by ``chunk_tokens - overlap`` — the standard
+    context-window prep for SFT/pretraining sequences.
+
+    Returns ``(id, chunk_idx, n_chunk_tokens, chunk)``.  Per-row array
+    ops only (split → strided slices → posexplode): zero shuffle, and a
+    document's chunks are emitted on the partition that scanned it.
+    Chunking rule (mirrored by the SQL oracle): starts at 1, 1+stride,
+    1+2·stride, …, while start ≤ n_words — so the FINAL chunk may be
+    shorter than ``chunk_tokens`` but is never empty, every word is in
+    at least one chunk, and consecutive chunks share ``overlap`` words.
+    Empty documents yield one empty chunk (chunk_idx 0), keeping the
+    doc↔chunk mapping total.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    words = df.select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_w"),
+    )
+    chunks = words.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        # last start: largest 1 + k·stride that is <= n
+                        F.lit(1)
+                        + F.floor((F.size("_w") - 1) / F.lit(stride)).cast("int")
+                        * F.lit(stride),
+                        F.lit(1),
+                    ),
+                    F.lit(stride),
+                ),
+                lambda start: F.slice("_w", start, chunk_tokens),
+            )
+        ).alias("chunk_idx", "_chunk"),
+    )
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("_chunk").cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", "_chunk").alias("chunk"),
+    )
+
+
+#: DuckDB twin of :func:`chunk_by_tokens` over ``documents`` — format with
+#: chunk/stride ints.  Same start arithmetic, 1-based list slicing.
+CHUNK_SQL = (
+    "WITH w AS (SELECT doc_id, string_split("
+    + NORMALIZE_SQL.format(c="text")
+    + ", ' ') AS ws FROM documents), "
+    "starts AS (SELECT doc_id, ws, unnest(range(1, "
+    "1 + GREATEST(CAST(FLOOR((len(ws) - 1) / {stride}) AS BIGINT), 0) * {stride} + 1, "
+    "{stride})) AS start FROM w) "
+    "SELECT doc_id, "
+    "CAST((start - 1) / {stride} AS BIGINT) AS chunk_idx, "
+    "CAST(len(ws[start:start+{chunk}-1]) AS BIGINT) AS n_chunk_tokens, "
+    "array_to_string(ws[start:start+{chunk}-1], ' ') AS chunk "
+    "FROM starts"
+)
+
+
+# ---------------------------------------------------------------------------
+# corpus-self bigram-LM likelihood (CCNet-style quality scoring, log-free)
+# ---------------------------------------------------------------------------
+
+
+def bigram_likelihood(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Score each document by how predictable its word bigrams are under
+    the corpus's own bigram model — the implementable analog of CCNet's
+    KenLM perplexity filter (low score = atypical/garbled text).
+
+    Per bigram (a, b): conditional probability p = count(a b) /
+    count(a·*) over the whole corpus.  The per-doc score is the mean of
+    ``floor(p · scale)`` — INTEGER-scaled before aggregation, because a
+    float sum's value depends on accumulation order (nondeterministic
+    across partitions) and the cross-engine oracle hash is bit-exact;
+    floor-scaled integers make the score deterministic everywhere, the
+    same trick the money aggregates use (floor-shift cents).
+
+    Returns ``(id, n_bigrams, mean_cond_prob_micro)``; documents with no
+    bigrams score NULL (can't be judged, distinct from scoring 0 =
+    maximally atypical).
+
+    Scale shape: one explode into the corpus bigram/prefix count tables
+    (two partial-aggregated groupBys), then a keyed join of (doc, gram)
+    against them — all hash-partitioned on the gram, no broadcast of
+    corpus-sized state, no Python.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_w"),
+    )
+    doc_grams = words.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_w") - 1),
+                    lambda i: F.struct(
+                        F.element_at("_w", i).alias("a"),
+                        F.element_at("_w", i + 1).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("g"),
+    ).select(id_col, F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+
+    bigram_counts = doc_grams.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n_ab")
+    )
+    prefix_counts = doc_grams.groupBy("a").agg(F.count(F.lit(1)).alias("n_a"))
+
+    scored = (
+        doc_grams.join(bigram_counts, ["a", "b"])
+        .join(prefix_counts, ["a"])
+        .select(
+            F.col(id_col),
+            F.floor(F.col("n_ab") * F.lit(scale) / F.col("n_a"))
+            .cast("long")
+            .alias("p_micro"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.floor(F.sum("p_micro") / F.count(F.lit(1))).cast("long").alias(
+            "mean_cond_prob_micro"
+        ),
+    )
+    # keep no-bigram docs (NULL score) so the mapping stays total
+    ids = df.select(F.col(id_col))
+    return ids.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+        "mean_cond_prob_micro",
+    )
+
+
+#: DuckDB twin of :func:`bigram_likelihood` — format with scale int.
+BIGRAM_LM_SQL = (
+    "WITH w AS (SELECT doc_id, string_split("
+    + NORMALIZE_SQL.format(c="text")
+    + ", ' ') AS ws FROM documents), "
+    "grams AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2 THEN "
+    "[struct_pack(a := ws[i], b := ws[i+1]) for i in range(1, len(ws))] "
+    "ELSE [] END) AS g FROM w), "
+    "dg AS (SELECT doc_id, g.a AS a, g.b AS b FROM grams), "
+    "bc AS (SELECT a, b, COUNT(*) AS n_ab FROM dg GROUP BY 1, 2), "
+    "pc AS (SELECT a, COUNT(*) AS n_a FROM dg GROUP BY 1), "
+    "scored AS (SELECT doc_id, "
+    "CAST(FLOOR(n_ab * {scale} / n_a) AS BIGINT) AS p_micro "
+    "FROM dg JOIN bc USING (a, b) JOIN pc USING (a)), "
+    "per_doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+    "CAST(FLOOR(SUM(p_micro) / COUNT(*)) AS BIGINT) AS mean_cond_prob_micro "
+    "FROM scored GROUP BY 1) "
+    "SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams, "
+    "mean_cond_prob_micro "
+    "FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc USING (doc_id)"
+)

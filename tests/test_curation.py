@@ -100,3 +100,55 @@ def test_seed_changes_sample(spark):
     s1 = {r["doc_id"] for r in sample_mixture(df, {"en": 0.5}, seed=1).collect()}
     s2 = {r["doc_id"] for r in sample_mixture(df, {"en": 0.5}, seed=2).collect()}
     assert s1 != s2 and 350 < len(s1) < 650
+
+
+def test_chunk_by_tokens_coverage_and_overlap(spark):
+    from nlp_to_nosql_spark.operators.curation import chunk_by_tokens
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, words), (2, "solo"), (3, "")],
+                               "doc_id long, text string")
+    out = chunk_by_tokens(df, chunk_tokens=4, overlap=2)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["chunk"]) for r in out.collect())
+    )
+    by_doc = {}
+    for d, i, c in rows:
+        by_doc.setdefault(d, []).append(c)
+    # stride 2: starts 1,3,5,7,9 → 5 chunks; last is short, never empty
+    assert by_doc[1] == [
+        "w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7", "w6 w7 w8 w9", "w8 w9",
+    ]
+    # consecutive chunks share exactly the 2-word overlap
+    for a, b in zip(by_doc[1], by_doc[1][1:]):
+        assert a.split()[-2:] == b.split()[:2]
+    assert by_doc[2] == ["solo"]
+    assert len(by_doc[3]) == 1  # empty doc → one (empty) chunk, mapping total
+
+
+def test_chunk_by_tokens_validates_overlap(spark):
+    from nlp_to_nosql_spark.operators.curation import chunk_by_tokens
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_by_tokens(df, chunk_tokens=4, overlap=4)
+
+
+def test_bigram_likelihood_scores(spark):
+    from nlp_to_nosql_spark.operators.curation import bigram_likelihood
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat"),   # "the cat" and "cat sat" unique given corpus
+            (2, "the cat ran"),
+            (3, "solo"),          # no bigrams → NULL score
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_likelihood(df).collect()}
+    # corpus: "the cat" x2 (prefix "the" x2 → p=1.0), "cat sat"/"cat ran"
+    # each 1 of prefix "cat" x2 → p=0.5
+    assert rows[1]["n_bigrams"] == 2
+    assert rows[1]["mean_cond_prob_micro"] == (1_000_000 + 500_000) // 2
+    assert rows[2]["mean_cond_prob_micro"] == rows[1]["mean_cond_prob_micro"]
+    assert rows[3]["n_bigrams"] == 0 and rows[3]["mean_cond_prob_micro"] is None

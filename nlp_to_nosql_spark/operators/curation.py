@@ -369,25 +369,34 @@ def bigram_likelihood(
     against them — all hash-partitioned on the gram, no broadcast of
     corpus-sized state, no Python.
     """
+    from nlp_to_nosql_spark.plans.caching import persisted
+
     words = df.select(
         F.col(id_col),
         F.split(normalize_text(F.col(text_col)), " ").alias("_w"),
     )
-    doc_grams = words.select(
-        F.col(id_col),
-        F.explode(
-            F.when(
-                F.size("_w") >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_w") - 1),
-                    lambda i: F.struct(
-                        F.element_at("_w", i).alias("a"),
-                        F.element_at("_w", i + 1).alias("b"),
+    # Consumed THREE times (bigram counts, prefix counts, the join back):
+    # persist the exploded gram table — conf ``spark.nlp2nosql.cache.
+    # shingles`` (disk by default; it is the same explosion factor as the
+    # dedup shingle tables) — instead of re-splitting the corpus per use.
+    doc_grams = persisted(
+        words.select(
+            F.col(id_col),
+            F.explode(
+                F.when(
+                    F.size("_w") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_w") - 1),
+                        lambda i: F.struct(
+                            F.element_at("_w", i).alias("a"),
+                            F.element_at("_w", i + 1).alias("b"),
+                        ),
                     ),
-                ),
-            ).otherwise(F.array())
-        ).alias("g"),
-    ).select(id_col, F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+                ).otherwise(F.array())
+            ).alias("g"),
+        ).select(id_col, F.col("g.a").alias("a"), F.col("g.b").alias("b")),
+        "shingles",
+    )
 
     bigram_counts = doc_grams.groupBy("a", "b").agg(
         F.count(F.lit(1)).alias("n_ab")

@@ -26,6 +26,31 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nlp_to_nosql_spark.functions.text import NORMALIZE_SQL, normalize_text
+from nlp_to_nosql_spark.operators.dedup import md5_hash28, shingles_of_words
+from nlp_to_nosql_spark.plans.caching import persisted
+from nlp_to_nosql_spark.plans.partitioning import fan_out
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _w) tokenized projection shared by the curation operators.
+
+    NULL text coalesces to '' BEFORE normalization: otherwise the token
+    array is NULL and every engine pair diverges in its own way (Spark
+    ``concat_ws`` yields '' where DuckDB ``array_to_string`` yields NULL,
+    ``size(NULL)`` vs ``len(NULL)``, …) — the SQL twins mirror the same
+    COALESCE.  Fanned out like :func:`dedup.tokenized` (per-row CPU work
+    on possibly-few input splits).
+    """
+    return fan_out(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.split(
+            normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " "
+        ).alias("_w"),
+    )
+
+
+#: SQL-side twin of :func:`_tokens`'s text canonicalization.
+_TEXT_SQL = NORMALIZE_SQL.format(c="COALESCE(text, '')")
 
 # ---------------------------------------------------------------------------
 # repetition / quality signals (Gopher-style)
@@ -49,12 +74,11 @@ def repetition_signals(
     two-level partial-aggregated groupBy keyed by id — the document text
     itself never shuffles.  Empty/one-word documents get 0 for the gram
     fractions (no bigrams exist), not NULL, so downstream threshold
-    filters need no null handling.
+    filters need no null handling.  The tokenized projection is consumed
+    by all three branches, so it persists at the conf-driven ``tokens``
+    level instead of re-scanning + re-splitting the corpus 3×.
     """
-    words = df.select(
-        F.col(id_col),
-        F.split(normalize_text(F.col(text_col)), " ").alias("_w"),
-    )
+    words = persisted(_tokens(df, id_col, text_col), "tokens")
 
     base = words.select(
         F.col(id_col),
@@ -76,18 +100,15 @@ def repetition_signals(
     top_word = top_frac(
         words.select(F.col(id_col), F.explode("_w").alias("g")), "top_word_frac"
     )
+    # shingles_of_words(k=2) IS the bigram construction (shared with the
+    # dedup pipelines); only the short-doc branch differs — curation wants
+    # "no bigrams" rather than dedup's whole-text fallback shingle.
     top_2gram = top_frac(
         words.select(
             F.col(id_col),
             F.explode(
                 F.when(
-                    F.size("_w") >= 2,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("_w") - 1),
-                        lambda i: F.concat_ws(
-                            " ", F.element_at("_w", i), F.element_at("_w", i + 1)
-                        ),
-                    ),
+                    F.size("_w") >= 2, shingles_of_words(F.col("_w"), 2)
                 ).otherwise(F.array())
             ).alias("g"),
         ),
@@ -111,7 +132,7 @@ def repetition_signals(
 #: same normalize, same explode/groupBy shape, same rounding.
 REPETITION_SQL = (
     "WITH w AS (SELECT doc_id, string_split("
-    + NORMALIZE_SQL.format(c="text")
+    + _TEXT_SQL
     + ", ' ') AS ws FROM documents), "
     "base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, "
     "ROUND(len(list_distinct(ws)) / GREATEST(len(ws), 1), 6) "
@@ -191,13 +212,13 @@ _MIX_BUCKETS = 1_000_000
 def _mix_hash(id_col: Column, seed: int) -> Column:
     """28-bit md5-derived bucket hash — deterministic, partition-layout-
     independent, and exactly reproducible in DuckDB (unlike xxhash64), so
-    mixture sampling carries a value-level oracle."""
-    base = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"mix{seed}:"), id_col.cast("string"))), 1, 7),
-        16,
-        10,
-    ).cast("long")
-    return base % _MIX_BUCKETS
+    mixture sampling carries a value-level oracle.  The hash recipe is
+    :func:`dedup.md5_hash28` — ONE copy of the oracle-critical
+    composition, not a drift-prone re-derivation."""
+    return (
+        md5_hash28(F.concat(F.lit(f"mix{seed}:"), id_col.cast("string")))
+        % _MIX_BUCKETS
+    )
 
 
 #: DuckDB twin of :func:`_mix_hash` (format with c=id expression, seed).
@@ -230,15 +251,10 @@ def sample_mixture(
     """
     threshold = None
     for cat, rate in sorted(rates.items()):
-        t = F.when(F.col(key_col) == cat, F.lit(int(rate * _MIX_BUCKETS)))
-        threshold = t if threshold is None else threshold.when(
-            F.col(key_col) == cat, F.lit(int(rate * _MIX_BUCKETS))
-        )
-    threshold = (
-        threshold.otherwise(F.lit(int(default_rate * _MIX_BUCKETS)))
-        if threshold is not None
-        else F.lit(int(default_rate * _MIX_BUCKETS))
-    )
+        when = F.when if threshold is None else threshold.when
+        threshold = when(F.col(key_col) == cat, F.lit(int(rate * _MIX_BUCKETS)))
+    default = F.lit(int(default_rate * _MIX_BUCKETS))
+    threshold = default if threshold is None else threshold.otherwise(default)
     return df.filter(_mix_hash(F.col(id_col), seed) < threshold)
 
 
@@ -279,35 +295,32 @@ def chunk_by_tokens(
     Returns ``(id, chunk_idx, n_chunk_tokens, chunk)``.  Per-row array
     ops only (split → strided slices → posexplode): zero shuffle, and a
     document's chunks are emitted on the partition that scanned it.
-    Chunking rule (mirrored by the SQL oracle): starts at 1, 1+stride,
-    1+2·stride, …, while start ≤ n_words — so the FINAL chunk may be
-    shorter than ``chunk_tokens`` but is never empty, every word is in
-    at least one chunk, and consecutive chunks share ``overlap`` words.
+    Chunking rule (mirrored by the SQL oracle): chunk k starts at
+    1 + k·stride for k = 0 .. ceil(max(n - chunk_tokens, 0) / stride) —
+    the minimal strided set that covers every word.  The FINAL chunk may
+    be shorter than ``chunk_tokens`` but is never empty and never a pure
+    suffix of the previous chunk (a naive "while start ≤ n" rule emits a
+    fully-contained duplicate chunk whenever (n-1) mod stride < overlap
+    — ~20% of real documents — feeding duplicated sequences straight
+    into training prep).  Consecutive chunks share ``overlap`` words.
     Empty documents yield one empty chunk (chunk_idx 0), keeping the
     doc↔chunk mapping total.
     """
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    words = df.select(
-        F.col(id_col),
-        F.split(normalize_text(F.col(text_col)), " ").alias("_w"),
-    )
+    words = _tokens(df, id_col, text_col)
+    # k_max = ceil(max(n - chunk, 0) / stride), as integer arithmetic
+    k_max = F.floor(
+        (F.greatest(F.size("_w") - F.lit(chunk_tokens), F.lit(0))
+         + F.lit(stride - 1))
+        / F.lit(stride)
+    ).cast("int")
     chunks = words.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(
-                        # last start: largest 1 + k·stride that is <= n
-                        F.lit(1)
-                        + F.floor((F.size("_w") - 1) / F.lit(stride)).cast("int")
-                        * F.lit(stride),
-                        F.lit(1),
-                    ),
-                    F.lit(stride),
-                ),
+                F.sequence(F.lit(1), F.lit(1) + k_max * F.lit(stride), F.lit(stride)),
                 lambda start: F.slice("_w", start, chunk_tokens),
             )
         ).alias("chunk_idx", "_chunk"),
@@ -321,13 +334,15 @@ def chunk_by_tokens(
 
 
 #: DuckDB twin of :func:`chunk_by_tokens` over ``documents`` — format with
-#: chunk/stride ints.  Same start arithmetic, 1-based list slicing.
+#: chunk/stride ints.  Same k_max = ceil(max(n-chunk,0)/stride) start
+#: arithmetic, 1-based inclusive list slicing.
 CHUNK_SQL = (
     "WITH w AS (SELECT doc_id, string_split("
-    + NORMALIZE_SQL.format(c="text")
+    + _TEXT_SQL
     + ", ' ') AS ws FROM documents), "
     "starts AS (SELECT doc_id, ws, unnest(range(1, "
-    "1 + GREATEST(CAST(FLOOR((len(ws) - 1) / {stride}) AS BIGINT), 0) * {stride} + 1, "
+    "1 + CAST(FLOOR((GREATEST(len(ws) - {chunk}, 0) + {stride} - 1) "
+    "/ {stride}) AS BIGINT) * {stride} + 1, "
     "{stride})) AS start FROM w) "
     "SELECT doc_id, "
     "CAST((start - 1) / {stride} AS BIGINT) AS chunk_idx, "
@@ -369,12 +384,7 @@ def bigram_likelihood(
     against them — all hash-partitioned on the gram, no broadcast of
     corpus-sized state, no Python.
     """
-    from nlp_to_nosql_spark.plans.caching import persisted
-
-    words = df.select(
-        F.col(id_col),
-        F.split(normalize_text(F.col(text_col)), " ").alias("_w"),
-    )
+    words = _tokens(df, id_col, text_col)
     # Consumed THREE times (bigram counts, prefix counts, the join back):
     # persist the exploded gram table — conf ``spark.nlp2nosql.cache.
     # shingles`` (disk by default; it is the same explosion factor as the
@@ -431,7 +441,7 @@ def bigram_likelihood(
 #: DuckDB twin of :func:`bigram_likelihood` — format with scale int.
 BIGRAM_LM_SQL = (
     "WITH w AS (SELECT doc_id, string_split("
-    + NORMALIZE_SQL.format(c="text")
+    + _TEXT_SQL
     + ", ' ') AS ws FROM documents), "
     "grams AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2 THEN "
     "[struct_pack(a := ws[i], b := ws[i+1]) for i in range(1, len(ws))] "

@@ -37,6 +37,9 @@ DEFAULT_LEVELS = {
     "shingles": "DISK_ONLY",
     "signatures": "MEMORY_AND_DISK",
     "vectors": "MEMORY_AND_DISK",
+    # tokenized (id, words-array) projections — same order of size as the
+    # source text, consumed by several aggregation branches (curation).
+    "tokens": "MEMORY_AND_DISK",
 }
 
 CONF_PREFIX = "spark.nlp2nosql.cache."

@@ -115,15 +115,46 @@ def test_chunk_by_tokens_coverage_and_overlap(spark):
     by_doc = {}
     for d, i, c in rows:
         by_doc.setdefault(d, []).append(c)
-    # stride 2: starts 1,3,5,7,9 → 5 chunks; last is short, never empty
+    # stride 2, k_max = ceil((10-4)/2) = 3 → starts 1,3,5,7: the minimal
+    # strided cover.  A naive "while start <= n" rule would add a fifth
+    # chunk "w8 w9" — a pure suffix of chunk 4, i.e. duplicated content.
     assert by_doc[1] == [
-        "w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7", "w6 w7 w8 w9", "w8 w9",
+        "w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7", "w6 w7 w8 w9",
     ]
     # consecutive chunks share exactly the 2-word overlap
     for a, b in zip(by_doc[1], by_doc[1][1:]):
         assert a.split()[-2:] == b.split()[:2]
     assert by_doc[2] == ["solo"]
     assert len(by_doc[3]) == 1  # empty doc → one (empty) chunk, mapping total
+
+
+def test_chunk_no_redundant_suffix_chunks(spark):
+    """The review scenario: (n-1) mod stride < overlap must NOT emit a
+    final chunk fully contained in the previous one; a short remainder
+    that adds new words still must."""
+    from nlp_to_nosql_spark.operators.curation import chunk_by_tokens
+
+    def chunks_for(n):
+        df = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(n)))], "doc_id long, text string"
+        )
+        out = chunk_by_tokens(df, chunk_tokens=64, overlap=16)
+        return [r["chunk"].split() for r in out.orderBy("chunk_idx").collect()]
+
+    # n=50 < chunk: one chunk, all words
+    assert [len(c) for c in chunks_for(50)] == [50]
+    # n=112 = 64 + 48: exactly two chunks; the old rule emitted a third
+    # (words 97-112) fully inside chunk 2 (words 49-112)
+    c112 = chunks_for(112)
+    assert [len(c) for c in c112] == [64, 64]
+    assert c112[-1][-1] == "w111"  # full coverage
+    # n=113: the third chunk adds word 113 → must exist
+    c113 = chunks_for(113)
+    assert len(c113) == 3 and c113[-1][-1] == "w112"
+    # no chunk is ever a contiguous sub-span of its predecessor
+    for cs in (c112, c113):
+        for a, b in zip(cs, cs[1:]):
+            assert not set(b) <= set(a)
 
 
 def test_chunk_by_tokens_validates_overlap(spark):

@@ -1,0 +1,127 @@
+"""Property tests: curation operators vs pure-Python references.
+
+The Spark implementations are array-expression / groupBy plans; these
+pin them to O(10-line) Python models over randomized inputs, covering
+the boundary arithmetic no example-based test enumerates (chunk edges,
+single/empty docs, skewed word distributions).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from nlp_to_nosql_spark.operators.curation import (
+    bigram_likelihood,
+    chunk_by_tokens,
+    repetition_signals,
+)
+
+words_st = st.lists(
+    st.sampled_from(["a", "b", "c", "dd", "eee"]), min_size=0, max_size=40
+)
+chunk_params = st.tuples(
+    st.integers(min_value=2, max_value=12),  # chunk_tokens
+    st.integers(min_value=0, max_value=11),  # overlap (filtered below)
+).filter(lambda t: t[1] < t[0])
+
+
+def _py_chunks(words: list[str], chunk: int, overlap: int) -> list[list[str]]:
+    """Reference: minimal strided cover, 0-based."""
+    stride = chunk - overlap
+    n = len(words)
+    k_max = max(0, -(-(max(n - chunk, 0)) // stride))
+    return [words[k * stride : k * stride + chunk] for k in range(k_max + 1)]
+
+
+@pytest.mark.usefixtures("spark")
+@given(st.lists(words_st, min_size=1, max_size=5), chunk_params)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chunking_matches_python_reference(spark, docs, params):
+    chunk, overlap = params
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got: dict[int, list[str]] = {}
+    for r in (
+        chunk_by_tokens(df, chunk_tokens=chunk, overlap=overlap)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    ):
+        got.setdefault(r["doc_id"], []).append(r["chunk"])
+    for i, ws in enumerate(docs):
+        # exact equality with the reference already implies full word
+        # coverage and the minimal-cover (no pure-suffix chunk) property
+        want = [" ".join(c) for c in _py_chunks(ws, chunk, overlap)]
+        assert got[i] == want, (ws, chunk, overlap)
+
+
+@pytest.mark.usefixtures("spark")
+@given(st.lists(words_st, min_size=1, max_size=5))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_repetition_matches_python_reference(spark, docs):
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    for i, ws in enumerate(docs):
+        # normalize_text of "" splits to [""] — one empty token, like Spark
+        toks = ws if ws else [""]
+        r = got[i]
+        assert r["n_words"] == len(toks)
+        assert r["distinct_word_frac"] == pytest.approx(
+            round(len(set(toks)) / len(toks), 6), abs=1e-9
+        )
+        wc = Counter(toks)
+        assert r["top_word_frac"] == pytest.approx(
+            round(max(wc.values()) / len(toks), 6), abs=1e-9
+        )
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        want_g = round(max(Counter(grams).values()) / len(grams), 6) if grams else 0.0
+        assert r["top_2gram_frac"] == pytest.approx(want_g, abs=1e-9)
+
+
+@pytest.mark.usefixtures("spark")
+@given(st.lists(words_st, min_size=1, max_size=4))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bigram_likelihood_matches_python_reference(spark, docs):
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_likelihood(df).collect()}
+
+    all_grams: list[tuple[str, str]] = []
+    for ws in docs:
+        toks = ws if ws else [""]
+        all_grams += list(zip(toks, toks[1:]))
+    bc = Counter(all_grams)
+    pc = Counter(a for a, _ in all_grams)
+
+    for i, ws in enumerate(docs):
+        toks = ws if ws else [""]
+        grams = list(zip(toks, toks[1:]))
+        r = got[i]
+        assert r["n_bigrams"] == len(grams)
+        if not grams:
+            assert r["mean_cond_prob_micro"] is None
+        else:
+            micros = [bc[g] * 1_000_000 // pc[g[0]] for g in grams]
+            assert r["mean_cond_prob_micro"] == sum(micros) // len(micros)

@@ -36,7 +36,9 @@ from nlp_to_nosql_spark.operators.curation import (
     CHUNK_SQL,
     PII_PATTERNS,
     REPETITION_SQL,
+    gopher_sql,
     mixture_sql,
+    temperature_sql,
 )
 from nlp_to_nosql_spark.operators.sessions import SESSIONIZE_SQL, sessionize
 from nlp_to_nosql_spark.operators.ivf import IVFIndex
@@ -1849,6 +1851,33 @@ def _q_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_likelihood(docs, "doc_id", "text")
 
 
+def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style thresholded quality filter: repetition signals plus
+    mean-word-length / symbol-ratio / stopword-count per-row stats, ANDed
+    into one ``keep`` boolean from a single shared threshold dict.  The
+    per-row stats are a zero-shuffle projection; only (id, gram) pairs
+    ever shuffle."""
+    from nlp_to_nosql_spark.operators.curation import gopher_rules
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return gopher_rules(docs, "doc_id", "text")
+
+
+def _q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixture (α=0.5): keep rates derived
+    from per-source corpus shares (sqrt-flattened, floor-scaled to
+    integer micros before the cross-source sum so no float accumulation
+    order leaks into the oracle), then a deterministic seeded md5-bucket
+    keep decision per row.  The rate table is broadcast; documents never
+    shuffle."""
+    from nlp_to_nosql_spark.operators.curation import temperature_sample
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return temperature_sample(
+        docs, key_col="source", id_col="doc_id", target_frac=0.5, seed=7
+    ).select("doc_id", "source", "threshold_micro")
+
+
 def _q_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end MULTIMODAL curation: decode features from the binary
     payload (Arrow ``mapInPandas``, the stubbed-codec path), join the
@@ -2083,6 +2112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix1_lang_sample": _q_mixture_sample,
         "chunk1_context_windows": _q_context_chunks,
         "lm1_bigram_likelihood": _q_bigram_likelihood,
+        "quality2_gopher_rules": _q_gopher_rules,
+        "mix2_temperature_sample": _q_temperature_sample,
         "sess2_native_session_window": _q_native_session_window,
         "emb1_norms_by_label": _q_embedding_norms,
         "stream1_windowed_counts": _q_windowed_event_counts,
@@ -2795,6 +2826,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "chunk1_context_windows": CHUNK_SQL.format(chunk=64, stride=64 - 16),
         "lm1_bigram_likelihood": BIGRAM_LM_SQL.format(scale=1_000_000),
+        "quality2_gopher_rules": gopher_sql(),
+        "mix2_temperature_sample": (
+            "SELECT doc_id, source, threshold_micro FROM ("
+            + temperature_sql(
+                key_col="source", id_col="doc_id", target_frac=0.5, seed=7
+            )
+            + ")"
+        ),
         "ts4_ship_delay_histogram": (
             "SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE), "
             "CAST(l_shipdate AS DATE)) AS INT) AS delay_days, "

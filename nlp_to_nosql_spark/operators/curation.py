@@ -156,6 +156,221 @@ REPETITION_SQL = (
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style rule filter (thresholded keep decision)
+# ---------------------------------------------------------------------------
+
+#: Rule thresholds (Rae et al. 2021 §A1.1, adapted to the signals this
+#: engine computes).  ONE source of truth: both the Column expression and
+#: the SQL twin are generated from this dict, so a threshold change can
+#: never desynchronize the engines.
+GOPHER_THRESHOLDS: dict[str, float] = {
+    "min_words": 5,
+    "max_words": 100_000,
+    "min_mean_word_len": 2.0,
+    "max_mean_word_len": 12.0,
+    "max_symbol_frac": 0.1,
+    "min_stopwords": 2,
+    "min_distinct_word_frac": 0.2,
+    "max_top_2gram_frac": 0.2,
+}
+
+#: Non-alphanumeric, non-whitespace — the "symbol" class of the
+#: symbol-to-char ratio rule.  RE2 ∩ Java-regex portable.
+_SYMBOL_CLASS = r"[^A-Za-z0-9\s]"
+
+
+def gopher_rules(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Thresholded quality-filter decision per document, Gopher-style.
+
+    Combines :func:`repetition_signals` with three per-row text statistics
+    (mean word length, symbol-to-char fraction, stopword count) and ANDs
+    the rule family from :data:`GOPHER_THRESHOLDS` into one ``keep``
+    boolean — the stage that actually drops documents, where
+    ``repetition_signals`` only scores them.
+
+    Plan: the per-row stats are a zero-shuffle projection; the join with
+    the repetition aggregate is keyed on the id.  Every fraction is
+    rounded to 6 places BEFORE the threshold comparison (both engines
+    compare identical doubles, so a boundary value can't flip the flag in
+    one engine only).
+    """
+    from nlp_to_nosql_spark.functions.text import stopword_count
+
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    norm = normalize_text(raw)
+    stats = df.select(
+        F.col(id_col),
+        F.round(
+            F.length(F.translate(norm, " ", ""))
+            / F.greatest(F.size(F.split(norm, " ")), F.lit(1)),
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            F.regexp_count(raw, F.lit(_SYMBOL_CLASS))
+            / F.greatest(F.length(raw), F.lit(1)),
+            6,
+        ).alias("symbol_frac"),
+        stopword_count(raw).cast("long").alias("n_stopwords"),
+    )
+    t = GOPHER_THRESHOLDS
+    keep = (
+        (F.col("n_words") >= F.lit(int(t["min_words"])))
+        & (F.col("n_words") <= F.lit(int(t["max_words"])))
+        & (F.col("mean_word_len") >= F.lit(t["min_mean_word_len"]))
+        & (F.col("mean_word_len") <= F.lit(t["max_mean_word_len"]))
+        & (F.col("symbol_frac") <= F.lit(t["max_symbol_frac"]))
+        & (F.col("n_stopwords") >= F.lit(int(t["min_stopwords"])))
+        & (F.col("distinct_word_frac") >= F.lit(t["min_distinct_word_frac"]))
+        & (F.col("top_2gram_frac") <= F.lit(t["max_top_2gram_frac"]))
+    )
+    reps = repetition_signals(df, id_col, text_col)
+    return (
+        reps.join(stats, id_col)
+        .select(
+            id_col,
+            "n_words",
+            "mean_word_len",
+            "symbol_frac",
+            "n_stopwords",
+            "distinct_word_frac",
+            "top_2gram_frac",
+            keep.alias("keep"),
+        )
+    )
+
+
+def gopher_sql() -> str:
+    """DuckDB twin of :func:`gopher_rules` over ``documents`` — reuses
+    :data:`REPETITION_SQL` as a CTE and formats the SAME threshold dict
+    into the keep predicate."""
+    t = GOPHER_THRESHOLDS
+    norm = _TEXT_SQL
+    keep = (
+        f"(n_words >= {int(t['min_words'])} "
+        f"AND n_words <= {int(t['max_words'])} "
+        f"AND mean_word_len >= {t['min_mean_word_len']} "
+        f"AND mean_word_len <= {t['max_mean_word_len']} "
+        f"AND symbol_frac <= {t['max_symbol_frac']} "
+        f"AND n_stopwords >= {int(t['min_stopwords'])} "
+        f"AND distinct_word_frac >= {t['min_distinct_word_frac']} "
+        f"AND top_2gram_frac <= {t['max_top_2gram_frac']})"
+    )
+    from nlp_to_nosql_spark.functions.text import STOPWORD_COUNT_SQL
+
+    return (
+        "WITH reps AS (" + REPETITION_SQL + "), "
+        "stats AS (SELECT doc_id, "
+        f"ROUND(length(replace({norm}, ' ', '')) / "
+        f"GREATEST(len(string_split({norm}, ' ')), 1), 6) AS mean_word_len, "
+        "ROUND(len(regexp_extract_all(COALESCE(text, ''), "
+        "'[^A-Za-z0-9\\s]')) / GREATEST(length(COALESCE(text, '')), 1), 6) "
+        "AS symbol_frac, "
+        "CAST(" + STOPWORD_COUNT_SQL.format(c="COALESCE(text, '')")
+        + " AS BIGINT) AS n_stopwords FROM documents) "
+        "SELECT reps.doc_id, n_words, mean_word_len, symbol_frac, "
+        "n_stopwords, distinct_word_frac, top_2gram_frac, "
+        f"{keep} AS keep "
+        "FROM reps JOIN stats ON reps.doc_id = stats.doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixture sampling (data-dependent rates)
+# ---------------------------------------------------------------------------
+
+
+def temperature_sample(
+    df: DataFrame,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    target_frac: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """Temperature-flattened source mixture (α = 0.5), rates computed FROM
+    the data — where :func:`sample_mixture` takes a hand-written rate
+    dict, this derives each source's keep rate from its corpus share:
+    ``w_s = sqrt(n_s)``, ``rate_s = min(1, target_frac·N·w_s / (Σw·n_s))``
+    — the sampling-temperature scheme multilingual/multi-source
+    pretraining uses to up-weight small sources (e.g. Conneau & Lample
+    2019 §3.1).  α is fixed at 0.5 because ``sqrt`` is IEEE
+    correctly-rounded in every engine while ``pow`` is not — an oracle
+    that hash-compares row sets cannot tolerate a last-ulp ``pow``
+    divergence flipping a threshold floor.
+
+    Determinism: ``sqrt(n_s)`` is floor-scaled to integer micros BEFORE
+    the cross-source sum (a float sum's value depends on accumulation
+    order; an integer sum does not), and the per-row keep decision is the
+    same seeded md5-bucket hash as :func:`sample_mixture`.  Returns the
+    kept rows with their source's ``threshold_micro`` attached, so the
+    oracle verifies the rate arithmetic itself, not just membership.
+
+    Plan shape: one partial-aggregated groupBy over the key column (the
+    source dimension is tiny), a one-row total joined by broadcast, and a
+    broadcast hash join of the rate table back onto the corpus — the
+    documents themselves never shuffle.
+    """
+    counts = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .withColumn(
+            "sqrt_micro",
+            F.floor(F.sqrt(F.col("n_s")) * F.lit(1000000)).cast("long"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_s").alias("n_total"),
+        F.sum("sqrt_micro").alias("sum_sqrt_micro"),
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        key_col,
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                (F.lit(target_frac) * F.col("n_total") * F.col("sqrt_micro"))
+                / (F.col("sum_sqrt_micro") * F.col("n_s")),
+            )
+            * F.lit(1000000)
+        )
+        .cast("long")
+        .alias("threshold_micro"),
+    )
+    return (
+        df.join(F.broadcast(rates), key_col)
+        .filter(_mix_hash(F.col(id_col), seed) < F.col("threshold_micro"))
+    )
+
+
+def temperature_sql(
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    target_frac: float = 0.5,
+    seed: int = 7,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`temperature_sample` — identical floor-scaled
+    integer intermediates and identical float-op association, so the
+    threshold (and therefore the sampled row set) is bit-equal."""
+    return (
+        f"WITH c AS (SELECT {key_col}, COUNT(*) AS n_s FROM {table} "
+        "GROUP BY 1), "
+        "cs AS (SELECT *, CAST(FLOOR(SQRT(n_s) * 1000000) AS BIGINT) "
+        "AS sqrt_micro FROM c), "
+        "t AS (SELECT SUM(n_s) AS n_total, SUM(sqrt_micro) AS "
+        "sum_sqrt_micro FROM cs), "
+        f"r AS (SELECT {key_col}, CAST(FLOOR(LEAST(1.0, "
+        f"(({target_frac} * n_total) * sqrt_micro) / "
+        "(sum_sqrt_micro * n_s)) * 1000000) AS BIGINT) "
+        "AS threshold_micro FROM cs, t) "
+        f"SELECT d.*, r.threshold_micro FROM {table} d "
+        f"JOIN r USING ({key_col}) "
+        "WHERE " + MIX_HASH_SQL.format(c=f"d.{id_col}", seed=seed)
+        + " < threshold_micro"
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII detection / redaction
 # ---------------------------------------------------------------------------
 

@@ -183,3 +183,87 @@ def test_bigram_likelihood_scores(spark):
     assert rows[1]["mean_cond_prob_micro"] == (1_000_000 + 500_000) // 2
     assert rows[2]["mean_cond_prob_micro"] == rows[1]["mean_cond_prob_micro"]
     assert rows[3]["n_bigrams"] == 0 and rows[3]["mean_cond_prob_micro"] is None
+
+
+def test_gopher_rules_flags_and_keep(spark):
+    from nlp_to_nosql_spark.operators.curation import (
+        GOPHER_THRESHOLDS,
+        gopher_rules,
+    )
+
+    good = "the cat sat on the mat and then it ran off to the big red barn"
+    df = spark.createDataFrame(
+        [
+            (1, good),                       # passes every rule
+            (2, "tiny doc"),                 # too few words
+            (3, "a a a a a a a a a a"),      # repetitive + short mean length
+            (4, "the " + "#$%@! " * 20),     # symbol-heavy
+            (5, "alpha beta gamma delta epsilon zeta eta theta"),  # 0 stopwords
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert rows[1]["keep"] is True
+    assert rows[2]["keep"] is False  # n_words < min_words
+    r3 = rows[3]
+    assert r3["keep"] is False
+    assert r3["distinct_word_frac"] < GOPHER_THRESHOLDS["min_distinct_word_frac"]
+    assert r3["mean_word_len"] < GOPHER_THRESHOLDS["min_mean_word_len"]
+    r4 = rows[4]
+    assert r4["keep"] is False
+    assert r4["symbol_frac"] > GOPHER_THRESHOLDS["max_symbol_frac"]
+    r5 = rows[5]
+    assert r5["keep"] is False and r5["n_stopwords"] == 0
+
+
+def test_gopher_rules_null_and_empty_text(spark):
+    from nlp_to_nosql_spark.operators.curation import gopher_rules
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    for r in rows.values():  # both normalize to '' — dropped, never NULL
+        assert r["keep"] is False
+        assert r["symbol_frac"] == 0.0 and r["n_stopwords"] == 0
+
+
+def test_temperature_sample_upweights_small_sources(spark):
+    from nlp_to_nosql_spark.operators.curation import temperature_sample
+
+    rows = [(i, "big") for i in range(900)] + [
+        (i + 900, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_sample(df, target_frac=0.5, seed=7)
+    thresholds = {
+        r["source"]: r["threshold_micro"]
+        for r in out.select("source", "threshold_micro").distinct().collect()
+    }
+    # sqrt flattening: big keeps 0.5*1000*30/(40*900) = 41.7%; small's
+    # uncapped 3x rate (125%) clamps to 100%
+    assert thresholds["big"] == 416666
+    assert thresholds["small"] == 1_000_000
+    # expected yield ~= 0.42*900 + 100 (binomial tolerance on the big side)
+    n_kept = out.count()
+    assert 400 <= n_kept <= 560
+    # deterministic: same call → identical sample
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in temperature_sample(df, target_frac=0.5, seed=7)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids == ids2
+
+
+def test_temperature_sample_rate_caps_at_one(spark):
+    from nlp_to_nosql_spark.operators.curation import temperature_sample
+
+    # a tiny source whose uncapped rate would exceed 1.0 must clamp to 1e6
+    rows = [(i, "big") for i in range(990)] + [(990, "rare")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_sample(df, target_frac=0.9, seed=7)
+    rare = out.filter(F.col("source") == "rare").collect()
+    assert len(rare) == 1 and rare[0]["threshold_micro"] == 1_000_000

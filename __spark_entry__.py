@@ -26,6 +26,7 @@ from nlp_to_nosql_spark.operators.multimodal import (
     image_features,
 )
 from nlp_to_nosql_spark.operators.similarity import (
+    CENTROID_SQL,
     RandomHyperplaneLSH,
     embedding_neardup_exact,
     topk_bruteforce,
@@ -936,6 +937,49 @@ GROUP BY GROUPING SETS (
 def _q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
     return spark.sql(MULTIRES_ROLLUP_SQL)
+
+
+def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid in long form (label, dim, n_vecs,
+    mean_micro) — components floor-scaled to integer micros before the
+    sum so the mean is independent of float accumulation order.  One
+    posexplode into a partial-aggregated groupBy on (label, dim)."""
+    from nlp_to_nosql_spark.operators.similarity import label_centroids
+
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    return label_centroids(emb, "label", "embedding")
+
+
+def _q_dup_group_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication profile: distribution of exact-duplicate group
+    sizes (fingerprint groupBy → size histogram).  The first diagnostic a
+    dedup pass runs at 100 TB — two partial-aggregated groupBys over a
+    16-byte hash key, document text never shuffles.
+
+    The synthetic corpus is duplicate-free, so every fifth document's
+    text is replaced by one of 20 boilerplate templates first (the same
+    plant-then-verify trick as pii1) — otherwise the histogram is one
+    vacuous all-singletons row."""
+    docs = register_tables(spark, sf_dir)["documents"]
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("boilerplate template "),
+                (F.col("doc_id") % 100 / F.lit(5)).cast("long").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    groups = planted.groupBy(
+        tx.fingerprint(F.col("text")).alias("fp")
+    ).agg(F.count(F.lit(1)).alias("group_size"))
+    return groups.groupBy("group_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        (F.col("group_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )
 
 
 def _q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2116,6 +2160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix2_temperature_sample": _q_temperature_sample,
         "sess2_native_session_window": _q_native_session_window,
         "emb1_norms_by_label": _q_embedding_norms,
+        "emb2_label_centroids": _q_label_centroids,
+        "prof2_dup_group_sizes": _q_dup_group_sizes,
         "stream1_windowed_counts": _q_windowed_event_counts,
         "stream2_sessionize_stream": _q_sessionize_stream,
         "stream3_windowed_counts_stream": _q_windowed_counts_stream,
@@ -2886,6 +2932,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors, "
             "ROUND(AVG(sqrt(list_dot_product(embedding, embedding))), 4) AS avg_norm "
             "FROM embeddings GROUP BY label"
+        ),
+        "emb2_label_centroids": CENTROID_SQL,
+        "prof2_dup_group_sizes": (
+            "WITH planted AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 "
+            "THEN 'boilerplate template ' || "
+            "CAST(CAST((doc_id % 100) / 5 AS BIGINT) AS VARCHAR) "
+            "ELSE text END AS text FROM documents), "
+            "g AS (SELECT "
+            + tx.FINGERPRINT_SQL.format(c="text")
+            + " AS fp, COUNT(*) AS group_size FROM planted GROUP BY 1) "
+            "SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups, "
+            "CAST(group_size * COUNT(*) AS BIGINT) AS n_docs "
+            "FROM g GROUP BY 1"
         ),
         "stream1_windowed_counts": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "

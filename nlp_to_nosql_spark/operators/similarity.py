@@ -326,3 +326,51 @@ class RandomHyperplaneLSH:
             )
             .filter(F.col("cos_sim") >= threshold)
         )
+
+
+def label_centroids(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label centroid of an embedding column, as one row per
+    ``(label, dim)`` with the mean component in integer micros.
+
+    The mean is computed as ``floor(sum(floor(x·1e6)) / n)``: components
+    are floor-scaled to integer micros BEFORE the sum, because a float
+    sum's value depends on partition accumulation order while an integer
+    sum does not — the same determinism discipline as
+    ``curation.bigram_likelihood``.  Long-form (label, dim) output keeps
+    the aggregation a plain partial-aggregated groupBy (no array
+    re-assembly, no collect) and gives the DuckDB oracle a flat relation
+    to hash.
+
+    Scale: one ``posexplode`` (×dim row inflation of an (label, x) pair —
+    16 bytes each, not the document payload) into a groupBy keyed on
+    (label, dim); both stages partial-aggregate map-side.  This is the
+    building block for IVF-style re-centering and per-class embedding
+    drift monitoring.
+    """
+    ex = df.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("dim", "x")
+    )
+    return ex.groupBy(label_col, "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.floor(
+            F.sum(F.floor(F.col("x").cast("double") * F.lit(1000000)))
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("mean_micro"),
+    )
+
+
+#: DuckDB twin of :func:`label_centroids` over ``embeddings`` — identical
+#: floor-scaled integer intermediates; ``dim`` cast to INT to match
+#: Spark's ``posexplode`` position type.
+CENTROID_SQL = (
+    "WITH ex AS (SELECT label, CAST(i AS INT) AS dim, "
+    "CAST(embedding[i + 1] AS DOUBLE) AS x "
+    "FROM embeddings, UNNEST(range(0, len(embedding))) u(i)) "
+    "SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n_vecs, "
+    "CAST(FLOOR(SUM(CAST(FLOOR(x * 1000000) AS BIGINT)) / COUNT(*)) "
+    "AS BIGINT) AS mean_micro FROM ex GROUP BY 1, 2"
+)

@@ -155,3 +155,36 @@ def test_topk_per_group_exact(spark):
         for r in topk_per_group(df, [1.0, 0.0], k=2, group_col="label").collect()
     }
     assert got == {(0, 1): 1, (0, 2): 2, (1, 1): 4, (1, 2): 5}
+
+
+def test_label_centroids_integer_means(spark):
+    from nlp_to_nosql_spark.operators.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5], 0),
+            (2, [0.0, 0.5], 0),
+            (3, [0.25, 0.25], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {(r["label"], r["dim"]): r for r in label_centroids(df).collect()}
+    assert len(rows) == 4
+    # label 0: dim0 mean of (1e6, 0) = 500000; dim1 of (-5e5, 5e5) = 0
+    assert rows[(0, 0)]["mean_micro"] == 500_000
+    assert rows[(0, 1)]["mean_micro"] == 0
+    assert rows[(0, 0)]["n_vecs"] == 2
+    assert rows[(1, 0)]["mean_micro"] == 250_000 and rows[(1, 0)]["n_vecs"] == 1
+
+
+def test_label_centroids_floor_scaling_is_order_independent(spark):
+    """The micro-scaled sum must not depend on partition layout."""
+    from nlp_to_nosql_spark.operators.similarity import label_centroids
+
+    rows = [(i, [((i * 37) % 100) / 99.0 - 0.5], 0) for i in range(200)]
+    df1 = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    a = label_centroids(df1.repartition(1)).collect()[0]["mean_micro"]
+    b = label_centroids(df1.repartition(13)).collect()[0]["mean_micro"]
+    assert a == b

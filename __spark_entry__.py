@@ -42,6 +42,7 @@ from nlp_to_nosql_spark.operators.curation import (
     temperature_sql,
 )
 from nlp_to_nosql_spark.operators.sessions import SESSIONIZE_SQL, sessionize
+from nlp_to_nosql_spark.operators.timeseries import GAPFILL_SQL
 from nlp_to_nosql_spark.operators.ivf import IVFIndex
 from nlp_to_nosql_spark.plans.compile import apply_spec
 from nlp_to_nosql_spark.streaming.history import windowed_event_counts
@@ -265,6 +266,34 @@ def _q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.repartition(16).write.mode("overwrite").parquet(frag)
     spark.read.parquet(frag).repartition(2).write.mode("overwrite").parquet(compact)
     return spark.read.parquet(compact)
+
+
+def _q_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned lake layout with partition pruning: documents are
+    written ``partitionBy("lang")`` and read back with a partition
+    filter, so the 'en' scan touches ONLY the lang=en directory — the
+    layout that turns a 100 TB full scan into a per-language scan (the
+    pruning itself is asserted by test via PartitionFilters in the
+    physical plan).  Output restores the writer's column order (hive
+    reads append the partition column last)."""
+    import tempfile
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    dest = os.path.join(tempfile.gettempdir(), "spark_graft_part_documents")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dest)
+    back = spark.read.parquet(dest).filter(F.col("lang") == "en")
+    return back.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+def _q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly event counts per type: bucketed rollup left-joined
+    onto an exploded (type × hour) grid so silent hours read as explicit
+    zeros — grid cardinality is the rollup's OUTPUT size, never the
+    event table's."""
+    from nlp_to_nosql_spark.operators.timeseries import gapfill_counts
+
+    ev = register_tables(spark, sf_dir)["events"]
+    return gapfill_counts(ev, "event_type", "ts", "hour")
 
 
 def _q_schema_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2099,6 +2128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s8_text_lines_roundtrip": _q_text_lines_roundtrip,
         "s9_compaction_roundtrip": _q_compaction_roundtrip,
         "s10_schema_merge_read": _q_schema_merge_read,
+        "s11_partitioned_roundtrip": _q_partitioned_roundtrip,
+        "ts5_gapfill_hourly": _q_gapfill_hourly,
         "agg2_order_percentiles": _q_order_percentiles,
         "sub2_above_own_avg": _q_subq_above_own_avg,
         "set2_intersect_nations": _q_intersect_nations,
@@ -2277,6 +2308,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) "
             "AS totalprice_cents, 2 AS src FROM orders"
         ),
+        "s11_partitioned_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars "
+            "FROM documents WHERE lang = 'en'"
+        ),
+        "ts5_gapfill_hourly": GAPFILL_SQL.format(unit="hour"),
         "a1_count_filtered": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem "
             "WHERE l_shipdate > TIMESTAMP '1998-01-01'"

@@ -181,3 +181,26 @@ def test_approx_ndv_scale_path_error_bound(spark):
     assert rows
     for r in rows:
         assert abs(r["approx"] - r["exact"]) <= max(0.06 * r["exact"], 1)
+
+
+def test_partitioned_write_read_prunes_partitions(spark, tmp_path):
+    """s11's layout claim: a filter on the hive partition column must
+    become a PartitionFilter (only that directory is scanned), not a
+    post-scan row filter."""
+    dest = str(tmp_path / "part_docs")
+    spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    ).write.mode("overwrite").partitionBy("lang").parquet(dest)
+
+    back = spark.read.parquet(dest).filter(F.col("lang") == "en")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    # the lang predicate sits in the partition filters, and no separate
+    # data Filter node survives for it
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("lang" in ln for ln in pf)
+    assert back.count() == 50

@@ -210,11 +210,33 @@ def _sink_roundtrip(table: str, fmt: str):
         )
         if fmt == "csv":
             write_csv(src, path)
+        elif fmt == "orc":
+            from nlp_to_nosql_spark.sources.formats import write_orc
+
+            write_orc(src, path)
         else:
             write_json(src, path)
         return read_table(spark, path, fmt, schema=src.schema)
 
     return run
+
+
+def _q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length planning histogram: documents bucketed by the bit
+    length of their whitespace token count (power-of-two buckets via
+    integer base-2 digits — no float log2, whose rounding at exact powers
+    could split a bucket differently across engines).  One partial-
+    aggregated groupBy over an int key."""
+    docs = register_tables(spark, sf_dir)["documents"]
+    per_doc = docs.select(tx.token_count(F.col("text")).alias("n_tokens"))
+    return per_doc.groupBy(
+        F.length(F.conv(F.col("n_tokens").cast("string"), 10, 2))
+        .cast("int")
+        .alias("bit_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
 
 
 def _q_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2129,7 +2151,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s9_compaction_roundtrip": _q_compaction_roundtrip,
         "s10_schema_merge_read": _q_schema_merge_read,
         "s11_partitioned_roundtrip": _q_partitioned_roundtrip,
+        "s12_orc_roundtrip": _sink_roundtrip("part", "orc"),
         "ts5_gapfill_hourly": _q_gapfill_hourly,
+        "tok1_token_histogram": _q_token_histogram,
         "agg2_order_percentiles": _q_order_percentiles,
         "sub2_above_own_avg": _q_subq_above_own_avg,
         "set2_intersect_nations": _q_intersect_nations,
@@ -2312,7 +2336,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text, lang, source, n_chars "
             "FROM documents WHERE lang = 'en'"
         ),
+        "s12_orc_roundtrip": "SELECT * FROM part",
         "ts5_gapfill_hourly": GAPFILL_SQL.format(unit="hour"),
+        "tok1_token_histogram": (
+            "WITH t AS (SELECT CAST("
+            + tx.TOKEN_COUNT_SQL.format(c="text")
+            + " AS BIGINT) AS n_tokens FROM documents) "
+            "SELECT CAST(length(bin(n_tokens)) AS INT) AS bit_bucket, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens "
+            "FROM t GROUP BY 1"
+        ),
         "a1_count_filtered": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem "
             "WHERE l_shipdate > TIMESTAMP '1998-01-01'"

@@ -125,3 +125,88 @@ def test_bigram_likelihood_matches_python_reference(spark, docs):
         else:
             micros = [bc[g] * 1_000_000 // pc[g[0]] for g in grams]
             assert r["mean_cond_prob_micro"] == sum(micros) // len(micros)
+
+
+def _py_mix_hash(doc_id: int, seed: int) -> int:
+    """Pure-Python twin of curation._mix_hash (md5_hash28 % 1e6)."""
+    import hashlib
+
+    h = hashlib.md5(f"mix{seed}:{doc_id}".encode()).hexdigest()[:7]
+    return int(h, 16) % 1_000_000
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["s0", "s1", "s2"]), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    ),
+    st.floats(min_value=0.05, max_value=1.0),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_temperature_sample_matches_python_reference(spark, rows, frac):
+    """Thresholds AND membership agree with a 10-line float model — the
+    operator's floor-scaled integer pipeline is exactly the math below."""
+    import math
+
+    from nlp_to_nosql_spark.operators.curation import temperature_sample
+
+    df = spark.createDataFrame(
+        [(i, s) for s, i in rows], "doc_id long, source string"
+    )
+    out = temperature_sample(df, target_frac=frac, seed=11).collect()
+
+    counts = Counter(s for s, _ in rows)
+    n_total = sum(counts.values())
+    sqrt_micro = {s: math.floor(math.sqrt(n) * 1000000) for s, n in counts.items()}
+    sum_sqrt = sum(sqrt_micro.values())
+    want_threshold = {
+        s: math.floor(
+            min(1.0, ((frac * n_total) * sqrt_micro[s]) / (sum_sqrt * counts[s]))
+            * 1000000
+        )
+        for s in counts
+    }
+    want_ids = {
+        i for s, i in rows if _py_mix_hash(i, 11) < want_threshold[s]
+    }
+    assert {r["doc_id"] for r in out} == want_ids
+    for r in out:
+        assert r["threshold_micro"] == want_threshold[r["source"]]
+
+
+@pytest.mark.usefixtures("spark")
+@given(st.lists(words_st, min_size=1, max_size=4))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_gopher_stats_match_python_reference(spark, docs):
+    """The per-row stats feeding the keep decision (mean word length,
+    symbol fraction, stopword count) against direct Python arithmetic.
+    The word-derived signals are covered by the repetition property
+    test; `keep` is their AND, covered example-based."""
+    from nlp_to_nosql_spark.operators.curation import gopher_rules
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    for i, ws in enumerate(docs):
+        text = " ".join(ws)
+        norm_words = text.strip().lower().split(" ")
+        n_words = max(len(norm_words), 1)
+        mean_len = round(sum(len(w) for w in norm_words) / n_words, 6)
+        assert got[i]["mean_word_len"] == pytest.approx(mean_len, abs=1e-9)
+        # corpus alphabet is alnum + space → symbol_frac always 0
+        assert got[i]["symbol_frac"] == 0.0
+        n_stop = sum(1 for w in norm_words if w == "a")  # only stopword in alphabet
+        assert got[i]["n_stopwords"] == n_stop

@@ -1162,6 +1162,31 @@ def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(media).select("media_id", "n_bytes", "sha256")
 
 
+def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving bounded-box resize plan + stub-codec execution:
+    integer-only geometry ((side·max)//longest) and a deterministic
+    resized-payload surrogate (sha256 of payload + geometry tag), so
+    DuckDB replays the whole stage including the hash.  Heights cycle
+    1..300 by doc_id so the fit math sees genuinely varied aspect
+    ratios."""
+    from nlp_to_nosql_spark.operators.multimodal import resize_images
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.col("n_chars").cast("int").alias("width"),
+            (F.col("doc_id") % 300 + 1).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("utf8").alias("codec"),
+        ).alias("meta"),
+    )
+    return resize_images(media, max_side=64)
+
+
 def _media_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-kind media table derived deterministically from documents
     (kind cycles image/audio/video by doc_id; duration = 10 ms/char)."""
@@ -2230,6 +2255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm2_frame_plan": _q_frame_plan,
         "mm3_audio_chunks": _q_audio_chunks,
         "mm4_audio_decode": _q_audio_decode,
+        "mm5_image_resize": _q_image_resize,
     }
 
 
@@ -3081,6 +3107,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM s"
         ),
         "mm4_audio_decode": AUDIO_DECODE_SQL,
+        # Stub-codec resize replayed exactly: integer fit geometry and the
+        # sha256(payload || '|WxH') surrogate (payload is UTF-8 of text, so
+        # VARCHAR concat hashes the same bytes).
+        "mm5_image_resize": (
+            "WITH g AS (SELECT doc_id AS media_id, text, "
+            "CAST(n_chars AS INT) AS src_w, "
+            "CAST(doc_id % 300 + 1 AS INT) AS src_h, "
+            "GREATEST(n_chars, doc_id % 300 + 1) AS m FROM documents), "
+            "d AS (SELECT media_id, text, src_w, src_h, "
+            "CAST(CASE WHEN m <= 64 THEN src_w "
+            "ELSE GREATEST(1, (src_w * 64) // m) END AS INT) AS dst_w, "
+            "CAST(CASE WHEN m <= 64 THEN src_h "
+            "ELSE GREATEST(1, (src_h * 64) // m) END AS INT) AS dst_h "
+            "FROM g) "
+            "SELECT media_id, src_w, src_h, dst_w, dst_h, "
+            "CAST(dst_w * dst_h AS BIGINT) AS n_resized_bytes, "
+            "sha256(text || '|' || CAST(dst_w AS VARCHAR) || 'x' || "
+            "CAST(dst_h AS VARCHAR)) AS resized_sha256 FROM d"
+        ),
         "pack1_token_budget": (
             _PACKING_CTE.format(tc=tx.TOKEN_COUNT_SQL.format(c="text"))
             + "SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens, "

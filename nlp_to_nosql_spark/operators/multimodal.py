@@ -302,3 +302,99 @@ def audio_chunk_plan(media: DataFrame, chunk_ms: int = 5000) -> DataFrame:
         )
         .drop("duration_ms")
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("src_w", T.IntegerType()),
+        T.StructField("src_h", T.IntegerType()),
+        T.StructField("dst_w", T.IntegerType()),
+        T.StructField("dst_h", T.IntegerType()),
+        T.StructField("n_resized_bytes", T.LongType()),
+        T.StructField("resized_sha256", T.StringType()),
+    ]
+)
+
+
+def fit_within(w: int, h: int, max_side: int) -> tuple[int, int]:
+    """Aspect-preserving fit into a ``max_side`` square — INTEGER
+    arithmetic only (``(side * max_side) // longest``, floored at 1), so
+    the target geometry is reproducible in any engine with no float
+    rounding surface.  Images already inside the box pass through
+    unscaled (no upsampling)."""
+    m = max(w, h)
+    if m <= max_side:
+        return w, h
+    return max(1, (w * max_side) // m), max(1, (h * max_side) // m)
+
+
+def resize_images(
+    media: DataFrame, max_side: int = 224, use_real_codecs: bool = False
+) -> DataFrame:
+    """Bounded-box image resize stage — the normalization pass a
+    multimodal training pipeline runs before feature extraction.
+
+    The Spark plumbing is real (Arrow ``mapInPandas`` over
+    (media_id, payload, meta); payloads never transit the driver); the
+    pixel work follows the module's codec split: with
+    ``use_real_codecs=True`` Pillow resizes and the output hash covers
+    the actual resized bytes (raises ``NotImplementedError`` at the plug
+    line when Pillow is absent); the default stub emits a deterministic
+    resized-payload surrogate — sha256 of the payload plus a
+    ``|WxH`` geometry tag, sized ``dst_w·dst_h`` (1 byte/px grayscale) —
+    so the full pipeline is testable and oracle-checkable without a
+    codec.  Rows with missing/NULL geometry yield null-feature rows,
+    never a stage failure (the audio_features contract)."""
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                try:
+                    if (
+                        meta is None
+                        or meta["width"] is None
+                        or meta["height"] is None
+                    ):
+                        raise ValueError("no geometry")
+                    w, h = int(meta["width"]), int(meta["height"])
+                    if w <= 0 or h <= 0:
+                        raise ValueError("bad geometry")
+                    dw, dh = fit_within(w, h, max_side)
+                    if use_real_codecs:
+                        if not have_pillow():
+                            raise NotImplementedError(
+                                "real image resize requires Pillow — plug "
+                                "the codec in here"
+                            )
+                        import io
+
+                        import PIL.Image
+
+                        with PIL.Image.open(io.BytesIO(payload)) as img:
+                            resized = img.resize((dw, dh)).convert("L").tobytes()
+                        digest = hashlib.sha256(resized).hexdigest()
+                        n_bytes = len(resized)
+                    else:
+                        tag = f"|{dw}x{dh}".encode()
+                        digest = hashlib.sha256(bytes(payload) + tag).hexdigest()
+                        n_bytes = dw * dh
+                    rows.append((media_id, w, h, dw, dh, n_bytes, digest))
+                except NotImplementedError:
+                    raise  # the documented use_real_codecs plug point
+                except Exception:
+                    rows.append(
+                        (media_id, None, None, None, None, None, None)
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA])
+
+    from nlp_to_nosql_spark.plans.partitioning import fan_out
+
+    return fan_out(
+        media.filter(F.col("kind") == "image").select(
+            "media_id", "payload", "meta"
+        )
+    ).mapInPandas(do, RESIZE_SCHEMA)

@@ -135,3 +135,69 @@ def test_frame_plan_fps_guard(spark, media):
         frame_sample_plan(media, fps=0)
     # fps > 1000 floors at a 1 ms step instead of a runtime step-0 error
     assert frame_sample_plan(media, fps=5000).count() > 0
+
+
+def test_fit_within_geometry():
+    from nlp_to_nosql_spark.operators.multimodal import fit_within
+
+    assert fit_within(100, 50, 224) == (100, 50)      # inside: no upscale
+    assert fit_within(448, 224, 224) == (224, 112)    # exact halving
+    assert fit_within(1000, 1, 64) == (64, 1)         # extreme aspect, h floors at 1
+    assert fit_within(1, 1000, 64) == (1, 64)
+    assert fit_within(64, 64, 64) == (64, 64)         # boundary passes through
+    assert fit_within(65, 65, 64) == (64, 64)
+
+
+def test_resize_images_stub_is_deterministic(spark):
+    import hashlib
+
+    from nlp_to_nosql_spark.operators.multimodal import resize_images
+
+    rows = [
+        (1, "image", b"abc", (128, 32, None, None, "raw")),
+        (2, "image", b"abc", (16, 16, None, None, "raw")),
+        (3, "audio", b"abc", (128, 32, None, None, "raw")),  # filtered out
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_images(media, max_side=64).collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    assert (r1["dst_w"], r1["dst_h"]) == (64, 16)
+    assert r1["n_resized_bytes"] == 64 * 16
+    assert r1["resized_sha256"] == hashlib.sha256(b"abc|64x16").hexdigest()
+    r2 = out[2]  # already inside the box: geometry unchanged
+    assert (r2["dst_w"], r2["dst_h"]) == (16, 16)
+
+
+def test_resize_images_null_geometry_yields_null_row(spark):
+    from nlp_to_nosql_spark.operators.multimodal import resize_images
+
+    rows = [
+        (1, "image", b"x", None),
+        (2, "image", b"x", (None, 5, None, None, "raw")),
+        (3, "image", b"x", (0, 5, None, None, "raw")),  # non-positive
+        (4, "image", b"x", (5, 5, None, None, "raw")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_images(media, max_side=4).collect()}
+    assert len(out) == 4
+    for mid in (1, 2, 3):
+        assert out[mid]["dst_w"] is None and out[mid]["resized_sha256"] is None
+    assert out[4]["dst_w"] == 4 and out[4]["resized_sha256"] is not None
+
+
+def test_resize_real_codecs_is_gated(spark):
+    from nlp_to_nosql_spark.operators.multimodal import have_pillow, resize_images
+
+    rows = [(1, "image", b"notanimage", (9, 9, None, None, "raw"))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    df = resize_images(media, max_side=4, use_real_codecs=True)
+    if have_pillow():
+        # Pillow present: undecodable bytes follow the null-row contract
+        out = df.collect()
+        assert len(out) == 1 and out[0]["resized_sha256"] is None
+    else:
+        from py4j.protocol import Py4JJavaError
+
+        with pytest.raises((Py4JJavaError, Exception)):
+            df.collect()

@@ -1177,7 +1177,9 @@ def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("image").alias("kind"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
         F.struct(
-            F.col("n_chars").cast("int").alias("width"),
+            # clamped at 1: a 0-char doc would hit the operator's
+            # null-geometry row path, which the SQL oracle does not model
+            F.greatest(F.col("n_chars"), F.lit(1)).cast("int").alias("width"),
             (F.col("doc_id") % 300 + 1).cast("int").alias("height"),
             F.lit(None).cast("int").alias("sample_rate"),
             F.lit(None).cast("int").alias("duration_ms"),
@@ -3112,9 +3114,9 @@ def oracle_sql() -> dict[str, str]:
         # VARCHAR concat hashes the same bytes).
         "mm5_image_resize": (
             "WITH g AS (SELECT doc_id AS media_id, text, "
-            "CAST(n_chars AS INT) AS src_w, "
+            "CAST(GREATEST(n_chars, 1) AS INT) AS src_w, "
             "CAST(doc_id % 300 + 1 AS INT) AS src_h, "
-            "GREATEST(n_chars, doc_id % 300 + 1) AS m FROM documents), "
+            "GREATEST(n_chars, 1, doc_id % 300 + 1) AS m FROM documents), "
             "d AS (SELECT media_id, text, src_w, src_h, "
             "CAST(CASE WHEN m <= 64 THEN src_w "
             "ELSE GREATEST(1, (src_w * 64) // m) END AS INT) AS dst_w, "

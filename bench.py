@@ -95,10 +95,11 @@ def main() -> None:
         except Exception:
             pass  # keep the first-pass timing
 
-    # A failed query records 0.0s; summing that into the headline would
-    # make a regression that BREAKS queries look like a speedup.  The total
-    # covers successful queries only, and the stdout line names the errored
-    # queries so a non-empty errors set is impossible to misread as "fast".
+    # The headline total covers successful queries only.  (Numerically a
+    # failed query's 0.0 placeholder contributes nothing either way; the
+    # explicit exclusion documents what the total means, and the stdout
+    # line names the errored queries so a non-empty errors set can't be
+    # misread as "fast".)
     total = round(sum(t for n, t in timings.items() if n not in errors), 3)
 
     # The driver records only the last 2000 chars of stdout and parses the

@@ -7,13 +7,18 @@ long of nanos that the catalog converts.  ``unix_micros`` requires
 ``TIMESTAMP`` (with-local-timezone) and raises DATATYPE_MISMATCH on NTZ —
 this took down ``sessionize``/``range_join`` in round 2.
 
-``epoch_us`` instead measures microseconds from a literal NTZ epoch with
-``timestamp_diff``, which accepts both ``TIMESTAMP`` and ``TIMESTAMP_NTZ``
-and — for NTZ inputs — is independent of the session timezone, matching
-DuckDB's naive-timestamp ``epoch_us()`` exactly.  (For LTZ inputs the
-NTZ literal is coerced through the session zone; differences of two
-``epoch_us`` values cancel any constant offset, and the engine pins the
-canonical events type to NTZ in ``sources.catalog._normalize`` anyway.)
+``epoch_us`` computes wall-clock microseconds-since-epoch from CALENDAR
+FIELDS (datediff + hour/minute/decimal-second), never from instant
+conversion.  The earlier ``timestamp_diff``-from-NTZ-literal
+implementation was session-zone-sensitive in one corner: an NTZ wall
+time that does not EXIST in the session zone (a spring-forward DST gap,
+e.g. 2024-03-10 02:30 under America/New_York) got gap-shifted one hour
+before differencing.  Field extraction on NTZ has no zone resolution at
+all, so the result equals DuckDB's naive ``epoch_us()`` in every session
+zone.  (For LTZ inputs the fields are session-local wall fields —
+differences of two ``epoch_us`` values are wall-clock durations in that
+zone; the engine pins the canonical events type to NTZ in
+``sources.catalog._normalize`` anyway.)
 """
 
 from __future__ import annotations
@@ -26,9 +31,19 @@ _EPOCH_NTZ = "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ)"
 
 
 def epoch_us(col: Column | str) -> Column:
-    """Microseconds since the epoch for a TIMESTAMP or TIMESTAMP_NTZ column."""
+    """Microseconds since the epoch for a TIMESTAMP or TIMESTAMP_NTZ
+    column — pure calendar-field arithmetic (zone-free on NTZ; see
+    module docstring).  ``date_part('SECOND')`` is DECIMAL(8,6), so the
+    microsecond component survives exactly; pre-1970 values work by
+    construction (negative day count + positive time-of-day)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.timestamp_diff("MICROSECOND", F.expr(_EPOCH_NTZ), c)
+    days = F.datediff(F.to_date(c), F.to_date(F.lit("1970-01-01")))
+    return (
+        days.cast("long") * F.lit(86_400_000_000)
+        + F.hour(c).cast("long") * F.lit(3_600_000_000)
+        + F.minute(c).cast("long") * F.lit(60_000_000)
+        + (F.date_part(F.lit("SECOND"), c) * F.lit(1_000_000)).cast("long")
+    )
 
 
 def micros_to_ntz(us: Column) -> Column:

@@ -77,6 +77,12 @@ def repetition_signals(
     filters need no null handling.  The tokenized projection is consumed
     by all three branches, so it persists at the conf-driven ``tokens``
     level instead of re-scanning + re-splitting the corpus 3×.
+
+    The persisted projection stays cached after the result is consumed
+    (unpersisting eagerly would defeat the 3-way reuse, and Spark offers
+    no consume-then-free hook on a lazy result).  Long-lived sessions
+    calling this repeatedly should ``spark.catalog.clearCache()``
+    between pipeline runs — the pattern ``bench.py`` uses per query.
     """
     words = persisted(_tokens(df, id_col, text_col), "tokens")
 
@@ -480,9 +486,16 @@ def mixture_sql(
     seed: int = 42,
     default_rate: float = 0.0,
 ) -> str:
-    """WHERE-clause DuckDB twin of :func:`sample_mixture`'s filter."""
+    """WHERE-clause DuckDB twin of :func:`sample_mixture`'s filter.
+    Category values are SQL-quote-escaped (a corpus category like
+    ``it's`` must not break — or shape — the oracle query); column
+    names are trusted engine-internal identifiers."""
     cases = " ".join(
-        f"WHEN {key_col} = '{cat}' THEN {int(rate * _MIX_BUCKETS)}"
+        "WHEN {k} = '{v}' THEN {t}".format(
+            k=key_col,
+            v=cat.replace("'", "''"),
+            t=int(rate * _MIX_BUCKETS),
+        )
         for cat, rate in sorted(rates.items())
     )
     return (
@@ -597,7 +610,10 @@ def bigram_likelihood(
     Scale shape: one explode into the corpus bigram/prefix count tables
     (two partial-aggregated groupBys), then a keyed join of (doc, gram)
     against them — all hash-partitioned on the gram, no broadcast of
-    corpus-sized state, no Python.
+    corpus-sized state, no Python.  As with
+    :func:`repetition_signals`, the persisted gram table remains cached
+    after consumption; long-lived sessions should
+    ``spark.catalog.clearCache()`` between pipeline runs.
     """
     words = _tokens(df, id_col, text_col)
     # Consumed THREE times (bigram counts, prefix counts, the join back):

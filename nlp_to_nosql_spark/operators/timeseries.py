@@ -22,11 +22,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Supported bucket widths → SQL interval literal for the grid stride.
+from nlp_to_nosql_spark.functions.time import epoch_us, micros_to_ntz
+
+#: Supported bucket widths → (micros per bucket, grid-stride interval).
+#: All three are FIXED-width in the naive-timestamp domain (a naive day
+#: is always 86400 s — DST belongs to zoned time), which is what makes
+#: the epoch floor below equal to a naive ``date_trunc``.
 _STEPS = {
-    "minute": "interval 1 minute",
-    "hour": "interval 1 hour",
-    "day": "interval 1 day",
+    "minute": (60 * 1_000_000, "interval 1 minute"),
+    "hour": (3_600 * 1_000_000, "interval 1 hour"),
+    "day": (86_400 * 1_000_000, "interval 1 day"),
 }
 
 
@@ -40,10 +45,14 @@ def gapfill_counts(
     row for EVERY (key, bucket) combination between the global first and
     last bucket, zero-filled where the sparse rollup has no row.
 
-    ``unit`` is one of ``minute`` / ``hour`` / ``day`` — both the
-    ``date_trunc`` bucket and the grid stride.  Works on ``TIMESTAMP``
-    and ``TIMESTAMP_NTZ`` alike (``date_trunc`` and ``sequence`` are
-    type-preserving; no epoch math, so no session-zone sensitivity).
+    ``unit`` is one of ``minute`` / ``hour`` / ``day``.  The bucket is an
+    epoch-microsecond floor re-materialized as ``TIMESTAMP_NTZ`` (via
+    :func:`~nlp_to_nosql_spark.functions.time.epoch_us`) — NOT
+    ``date_trunc``, which implicitly converts NTZ inputs through the
+    session zone and would make the buckets (and the DuckDB naive-
+    timestamp oracle) session-timezone-dependent.  For NTZ input the
+    bucket equals a naive ``date_trunc`` in every session zone; ``TIMESTAMP``
+    (with-zone) input is bucketed on its UTC instant.
 
     Keys are densified across the GLOBAL time range, not each key's own
     span: a key silent since Monday still emits zeros on Tuesday, which
@@ -53,11 +62,16 @@ def gapfill_counts(
     """
     if unit not in _STEPS:
         raise ValueError(f"unit must be one of {sorted(_STEPS)}, got {unit!r}")
-    step = F.expr(_STEPS[unit])
+    step_us, step_interval = _STEPS[unit]
+    step = F.expr(step_interval)
 
-    sparse = df.groupBy(
-        key_col, F.date_trunc(unit, F.col(ts_col)).alias("bucket")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    bucket = micros_to_ntz(
+        F.floor(epoch_us(F.col(ts_col)) / F.lit(step_us)).cast("long")
+        * F.lit(step_us)
+    )
+    sparse = df.groupBy(key_col, bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
 
     bounds = sparse.agg(
         F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")

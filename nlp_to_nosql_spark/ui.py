@@ -121,10 +121,12 @@ async function refreshStatus() {
   try {
     const h = await (await fetch("/health")).json();
     const cls = h.status === "healthy" ? "status-ok" : "status-bad";
+    // h.status / h.version are wire data like everything else (a proxy
+    // error page could shape this JSON): esc() before the innerHTML sink
     $("api-status").innerHTML =
-      `API: <span class="${cls}">${h.status}</span> &middot; ` +
+      `API: <span class="${cls}">${esc(h.status)}</span> &middot; ` +
       `spark ${h.spark_connected ? "&#9989;" : "&#10060;"} &middot; ` +
-      `compiler ${h.compiler_connected ? "&#9989;" : "&#10060;"} &middot; v${h.version}`;
+      `compiler ${h.compiler_connected ? "&#9989;" : "&#10060;"} &middot; v${esc(h.version)}`;
   } catch (e) { $("api-status").textContent = "API: unreachable"; }
 }
 

@@ -43,14 +43,32 @@ def test_gapfill_day_unit_and_type_preserved(spark):
     rows = [("a", t0), ("a", t0 + datetime.timedelta(days=2))]
     df = _ev(spark, rows)
     out = gapfill_counts(df, "key", "ts", "day")
-    # date_trunc always yields session-zone TIMESTAMP (Spark semantics,
-    # same as the ts1-ts4 family) — pin it so a silent flavor change in a
-    # future runtime is caught here, not by the driver hash
+    # buckets are epoch-floored NTZ (zone-independent), NOT date_trunc's
+    # session-zone TIMESTAMP — pin the flavor so a silent change is
+    # caught here, not by the driver hash
     from pyspark.sql import types as T
 
-    assert out.schema["bucket"].dataType == T.TimestampType()
+    assert out.schema["bucket"].dataType == T.TimestampNTZType()
     days = sorted(r["bucket"].day for r in out.collect())
     assert days == [1, 2, 3]
+
+
+def test_gapfill_buckets_are_session_zone_independent(spark):
+    """The motivating property: identical NTZ input must bucket to the
+    identical naive wall-clock hour under ANY session timezone (a
+    date_trunc-based implementation fails this)."""
+    t0 = datetime.datetime(2024, 3, 10, 2, 30)  # US DST-gap wall time
+    df = _ev(spark, [("a", t0)])
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got_ny = gapfill_counts(df, "key", "ts", "hour").collect()
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        got_utc = gapfill_counts(df, "key", "ts", "hour").collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert got_ny == got_utc
+    assert got_ny[0]["bucket"] == datetime.datetime(2024, 3, 10, 2, 0)
 
 
 def test_gapfill_rejects_unknown_unit(spark):

@@ -98,10 +98,20 @@ def type_sig(t):
     if pa.types.is_integer(t):
         return str(t)  # int8..uint64, width-exact
     if pa.types.is_decimal(t):
+        # precision/scale deliberately NOT part of the signature: canon()
+        # tags the VALUE as Decimal (scale shows up in the value itself),
+        # and the int-vs-decimal category split is what caught the
+        # round-3 miss.
         return "decimal"
     if pa.types.is_floating(t):
         return str(t)  # halffloat/float/double, width-exact
     if pa.types.is_timestamp(t):
+        # tz/unit deliberately collapsed — CALIBRATED to the driver, not
+        # an oversight: round-3 evidence shows the driver hash-matches
+        # Spark's tz=UTC timestamps (ts1) AND tz-naive NTZ (sess1, after
+        # the BIGINT cast fix) against DuckDB's naive timestamps.  Making
+        # this tz-sensitive would fail every date_trunc query locally
+        # that the driver passes — the opposite miscalibration.
         return "timestamp"
     if pa.types.is_date(t):
         return "date"

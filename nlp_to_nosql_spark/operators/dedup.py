@@ -644,7 +644,23 @@ def winnow_fingerprints(words: Column, k: int = 5, w: int = 4) -> Column:
     Document-level min-only edge cases mirror :func:`chunk_spans`: fewer
     than k tokens → one whole-text gram; fewer than w grams → one window
     over all grams.  md5 (not xxhash64) keeps a DuckDB oracle exact.
+
+    PERFORMANCE: this single-Column form re-evaluates the gram-hash
+    subexpression once PER WINDOW (Catalyst does not common-subexpression
+    -eliminate across higher-order-function lambda bodies), costing
+    O(n·w) md5 passes.  Hot paths must use :func:`winnowed_fps`, which
+    stages the hash array into its own projection so each window reads a
+    cheap attribute — measured ~7× faster at sf0.1.  This form stays for
+    one-off Column composition and as the semantic reference the staged
+    plan is tested against.
     """
+    return F.array_distinct(
+        _windowed_minima(_winnow_gram_hashes(words, k), w)
+    )
+
+
+def _winnow_gram_hashes(words: Column, k: int) -> Column:
+    """Stride-1 k-gram md5 hash array — the pre-window winnowing stage."""
     n = F.size(words)
     grams = F.when(
         n >= k,
@@ -653,12 +669,14 @@ def winnow_fingerprints(words: Column, k: int = 5, w: int = 4) -> Column:
             lambda i: F.array_join(F.slice(words, i, k), " "),
         ),
     ).otherwise(F.array(F.array_join(words, " ")))
-    return F.array_distinct(
-        _windowed_minima(F.transform(grams, lambda g: F.md5(g)), w)
-    )
+    return F.transform(grams, lambda g: F.md5(g))
 
 
 def _windowed_minima(hashes: Column, w: int) -> Column:
+    """Minimum of every window of ``w`` consecutive elements.  Pass an
+    ATTRIBUTE (a projected column), not a computed expression: ``hashes``
+    is referenced once per window (see :func:`winnow_fingerprints`'s
+    performance note)."""
     m = F.size(hashes)
     return F.when(
         m >= w,
@@ -667,6 +685,30 @@ def _windowed_minima(hashes: Column, w: int) -> Column:
             lambda j: F.array_min(F.slice(hashes, j, w)),
         ),
     ).otherwise(F.array(F.array_min(hashes)))
+
+
+def winnowed_fps(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """``(id, fp)`` exploded winnowing fingerprints — the STAGED plan the
+    hot paths use: the gram-hash array materializes in its own
+    projection, so the window minima reference an attribute instead of
+    re-evaluating the md5 transform per window (~7× at sf0.1; the
+    semantics are pinned equal to :func:`winnow_fingerprints` by test).
+    """
+    staged = tokenized(df, id_col, text_col).select(
+        F.col(id_col), _winnow_gram_hashes(F.col("_words"), k).alias("_h")
+    )
+    return staged.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(_windowed_minima(F.col("_h"), w))
+        ).alias("fp"),
+    )
 
 
 def winnowed_duplicated_spans(
@@ -680,10 +722,7 @@ def winnowed_duplicated_spans(
     2/(w+1) ≈ stride (w+1)/2).  Same single-shuffle shape: per-doc
     distinct fingerprints explode, one groupBy on the fingerprint key.
     """
-    fps = tokenized(df, id_col, text_col).select(
-        F.col(id_col),
-        F.explode(winnow_fingerprints(F.col("_words"), k, w)).alias("fp"),
-    )
+    fps = winnowed_fps(df, id_col, text_col, k, w)
     return (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
@@ -729,9 +768,8 @@ def contamination_report(
     )
 
     def _winnow(df: DataFrame, out_id: str) -> DataFrame:
-        return tokenized(df, id_col, text_col).select(
-            F.col(id_col).alias(out_id),
-            F.explode(winnow_fingerprints(F.col("_words"), k, w)).alias("wfp"),
+        return winnowed_fps(df, id_col, text_col, k, w).select(
+            F.col(id_col).alias(out_id), F.col("fp").alias("wfp")
         )
 
     near = (

@@ -293,3 +293,30 @@ def test_contamination_report(spark):
     assert got[3]["n_exact_train_dups"] == 0
     assert got[3]["n_near_train_docs"] == 1   # span leak found
     assert got[3]["n_shared_fps"] >= 1
+
+
+def test_winnowed_fps_staged_equals_column_form(spark):
+    """The staged hot path (winnowed_fps) must emit exactly the
+    (id, fp) multiset of the single-Column reference form — the 7x plan
+    restructure is not allowed to change a single fingerprint."""
+    from nlp_to_nosql_spark.operators.dedup import (
+        tokenized,
+        winnow_fingerprints,
+        winnowed_fps,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "short doc"),
+        (3, ""),
+        (4, "the quick brown fox jumps over the lazy dog again and again"),
+        (5, "one two three four five six seven eight nine ten eleven"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    ref = tokenized(df, "doc_id", "text").select(
+        F.col("doc_id"),
+        F.explode(winnow_fingerprints(F.col("_words"), 5, 4)).alias("fp"),
+    )
+    got = winnowed_fps(df, "doc_id", "text", 5, 4)
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0

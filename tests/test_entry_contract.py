@@ -1,0 +1,76 @@
+"""Driver-contract meta-tests over __spark_entry__ — no Spark session.
+
+The driver consumes ``queries()`` / ``oracle_sql()`` as data; these pin
+the contract's invariants cheaply (DuckDB parses every oracle against
+the real table schemas in milliseconds), so a typo'd oracle or an
+orphaned key fails here in seconds instead of inside the full
+selfcheck/driver cycle.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+from nlp_to_nosql_spark.sources.catalog import TABLES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+#: The only queries allowed to ship without a DuckDB twin — xxhash64 has
+#: no DuckDB implementation; each has an md5-family twin that IS
+#: oracle-checked plus a tested cross-family equivalence argument.
+KNOWN_WEAK = {"dedup3_minhash_lsh", "dedup4_simhash_pairs", "ann2_topk_lsh"}
+
+
+def test_every_oracle_key_has_a_query():
+    qs, osql = entry.queries(), entry.oracle_sql()
+    orphans = set(osql) - set(qs)
+    assert not orphans, f"oracle_sql keys without queries: {sorted(orphans)}"
+
+
+def test_weak_set_is_exactly_the_documented_three():
+    qs, osql = entry.queries(), entry.oracle_sql()
+    weak = set(qs) - set(osql)
+    assert weak == KNOWN_WEAK, (
+        "un-oracled queries changed: every new query needs a DuckDB twin "
+        f"or an explicit entry in KNOWN_WEAK with a documented reason; "
+        f"got {sorted(weak)}"
+    )
+
+
+def test_queries_are_callable_and_uniquely_named():
+    qs = entry.queries()
+    assert len(qs) == len(set(qs))
+    for name, fn in qs.items():
+        assert callable(fn), name
+        # bench.py keys the stdout JSON by family prefix — prefixes must
+        # stay unique or two queries collide in BENCH_r{N}.json
+    prefixes = [n.split("_", 1)[0] for n in qs]
+    dupes = {p for p in prefixes if prefixes.count(p) > 1}
+    assert not dupes, f"bench prefix collision: {sorted(dupes)}"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+        )
+    return con
+
+
+def test_every_oracle_sql_parses_and_binds(duck):
+    """EXPLAIN (not execution) — catches syntax errors, missing columns,
+    and type errors against the real parquet schemas in milliseconds."""
+    bad = {}
+    for name, sql in entry.oracle_sql().items():
+        try:
+            duck.execute(f"EXPLAIN {sql}")
+        except Exception as e:  # noqa: BLE001 — collecting all failures
+            bad[name] = str(e).splitlines()[0]
+    assert not bad, f"oracle SQL fails to plan: {bad}"

@@ -1,0 +1,143 @@
+"""Empirical scaling probe: run the heavy operator families at sf0.1 and
+at a synthetic 10× of it, and report the wall-clock scaling factor.
+
+The bench proves absolute cost at sf0.1; this probes the SHAPE — an
+operator whose cost grows ~linearly in rows here has no hidden
+all-pairs/driver bottleneck waiting at 100 TB, and one that grows
+super-linearly is flagged before a cluster finds out.
+
+The 10× corpus is built by unioning 10 deterministic variants of the
+sf0.1 tables (ids offset; document text passed through a per-copy
+Caesar `translate`, so each copy has a DISJOINT vocabulary — this
+simulates 10× more independent data rather than 10× duplication, which
+would measure the dup-explosion regime instead of scale).  Events get
+10× the users over the same time range, which is how event volume
+actually grows.
+
+Usage: python tools/scale_probe.py [sf_dir] — writes a markdown table to
+stdout; ~2-4 min on local[32].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import string
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from nlp_to_nosql_spark.session import get_spark
+from nlp_to_nosql_spark.sources.catalog import register_tables
+
+COPIES = 10
+
+
+def scaled_documents(docs, copies=COPIES):
+    alpha = string.ascii_lowercase
+    parts = []
+    for i in range(copies):
+        rot = alpha[i:] + alpha[:i]
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+                F.translate(F.col("text"), alpha, rot).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def scaled_events(ev, copies=COPIES):
+    parts = [
+        ev.select(
+            (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(i * 1_000_000)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in range(copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("scale_probe", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    tables = register_tables(spark, sf_dir)
+
+    # Materialize both scales to parquet so every probe reads a real scan
+    # (unionByName lineage would re-run the translate per probe).
+    base = "/tmp/spark_graft_scale_probe"
+    d1p, d10p = f"{base}/docs_1x", f"{base}/docs_10x"
+    e1p, e10p = f"{base}/events_1x", f"{base}/events_10x"
+    tables["documents"].write.mode("overwrite").parquet(d1p)
+    scaled_documents(tables["documents"]).write.mode("overwrite").parquet(d10p)
+    tables["events"].write.mode("overwrite").parquet(e1p)
+    scaled_events(tables["events"]).write.mode("overwrite").parquet(e10p)
+
+    from nlp_to_nosql_spark.operators import dedup as dd
+    from nlp_to_nosql_spark.operators.curation import repetition_signals
+    from nlp_to_nosql_spark.operators.sessions import sessionize
+
+    def probes(docs, events):
+        return {
+            "dedup1_exact": lambda: dd.dedup_exact(docs, "doc_id", "text"),
+            "dedup2_jaccard_pairs": lambda: dd.ngram_jaccard_pairs(
+                docs, "doc_id", "text", k=3, threshold=0.2
+            ),
+            "dedup10_minhash_md5": lambda: dd.minhash_lsh_pairs(
+                docs,
+                "doc_id",
+                "text",
+                threshold=0.3,
+                sig_fn=dd.minhash_signatures_md5,
+            ),
+            "dedup11_winnowed": lambda: dd.winnowed_duplicated_spans(
+                docs, "doc_id", "text"
+            ),
+            "quality1_repetition": lambda: repetition_signals(docs),
+            "sess_sessionize": lambda: sessionize(
+                events, user_col="user_id", ts_col="ts", gap_minutes=30
+            ),
+        }
+
+    results = {}
+    for scale, dp, ep in (("1x", d1p, e1p), ("10x", d10p, e10p)):
+        docs = spark.read.parquet(dp)
+        events = spark.read.parquet(ep)
+        for name, mk in probes(docs, events).items():
+            # warm the JVM/codegen on the first scale pass only via a
+            # throwaway count of the input
+            docs.count()
+            t0 = time.time()
+            mk().write.mode("overwrite").format("noop").save()
+            results.setdefault(name, {})[scale] = round(time.time() - t0, 2)
+            spark.catalog.clearCache()
+
+    print("| operator | 1x (s) | 10x (s) | factor |")
+    print("|---|---|---|---|")
+    for name, r in results.items():
+        factor = round(r["10x"] / max(r["1x"], 0.01), 1)
+        print(f"| {name} | {r['1x']} | {r['10x']} | {factor}x |")
+    print(json.dumps(results))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -14,8 +14,8 @@ would measure the dup-explosion regime instead of scale).  Events get
 10× the users over the same time range, which is how event volume
 actually grows.
 
-Usage: python tools/scale_probe.py [sf_dir] — writes a markdown table to
-stdout; ~2-4 min on local[32].
+Usage: python tools/scale_probe.py [sf_dir] [copies] — writes a markdown
+table to stdout; ~2-4 min on local[32] at the default 10 copies.
 """
 
 from __future__ import annotations
@@ -37,10 +37,13 @@ COPIES = 10
 
 
 def scaled_documents(docs, copies=COPIES):
+    # rotation cycles after 26; compose with a per-copy numeric suffix on
+    # the id so vocabularies stay distinct-enough and ids stay unique at
+    # any copy count
     alpha = string.ascii_lowercase
     parts = []
     for i in range(copies):
-        rot = alpha[i:] + alpha[:i]
+        rot = alpha[i % 26:] + alpha[: i % 26]
         parts.append(
             docs.select(
                 (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
@@ -76,6 +79,7 @@ def scaled_events(ev, copies=COPIES):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else COPIES
     spark = get_spark("scale_probe", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
     tables = register_tables(spark, sf_dir)
@@ -83,12 +87,16 @@ def main() -> int:
     # Materialize both scales to parquet so every probe reads a real scan
     # (unionByName lineage would re-run the translate per probe).
     base = "/tmp/spark_graft_scale_probe"
-    d1p, d10p = f"{base}/docs_1x", f"{base}/docs_10x"
-    e1p, e10p = f"{base}/events_1x", f"{base}/events_10x"
+    d1p, d10p = f"{base}/docs_1x", f"{base}/docs_{copies}x"
+    e1p, e10p = f"{base}/events_1x", f"{base}/events_{copies}x"
     tables["documents"].write.mode("overwrite").parquet(d1p)
-    scaled_documents(tables["documents"]).write.mode("overwrite").parquet(d10p)
+    scaled_documents(tables["documents"], copies).write.mode(
+        "overwrite"
+    ).parquet(d10p)
     tables["events"].write.mode("overwrite").parquet(e1p)
-    scaled_events(tables["events"]).write.mode("overwrite").parquet(e10p)
+    scaled_events(tables["events"], copies).write.mode("overwrite").parquet(
+        e10p
+    )
 
     from nlp_to_nosql_spark.operators import dedup as dd
     from nlp_to_nosql_spark.operators.curation import repetition_signals
@@ -117,7 +125,7 @@ def main() -> int:
         }
 
     results = {}
-    for scale, dp, ep in (("1x", d1p, e1p), ("10x", d10p, e10p)):
+    for scale, dp, ep in (("1x", d1p, e1p), (f"{copies}x", d10p, e10p)):
         docs = spark.read.parquet(dp)
         events = spark.read.parquet(ep)
         for name, mk in probes(docs, events).items():
@@ -129,11 +137,12 @@ def main() -> int:
             results.setdefault(name, {})[scale] = round(time.time() - t0, 2)
             spark.catalog.clearCache()
 
-    print("| operator | 1x (s) | 10x (s) | factor |")
+    big = f"{copies}x"
+    print(f"| operator | 1x (s) | {big} (s) | factor |")
     print("|---|---|---|---|")
     for name, r in results.items():
-        factor = round(r["10x"] / max(r["1x"], 0.01), 1)
-        print(f"| {name} | {r['1x']} | {r['10x']} | {factor}x |")
+        factor = round(r[big] / max(r["1x"], 0.01), 1)
+        print(f"| {name} | {r['1x']} | {r[big]} | {factor}x |")
     print(json.dumps(results))
     spark.stop()
     return 0

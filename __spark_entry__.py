@@ -35,6 +35,7 @@ from nlp_to_nosql_spark.operators.asof import asof_join, asof_join_bucketed
 from nlp_to_nosql_spark.operators.curation import (
     BIGRAM_LM_SQL,
     CHUNK_SQL,
+    MIX_HASH_SQL,
     PII_PATTERNS,
     REPETITION_SQL,
     gopher_sql,
@@ -1973,6 +1974,64 @@ def _q_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_likelihood(docs, "doc_id", "text")
 
 
+def _q_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE pretraining-data pipeline in one composed plan —
+    every stage an already-oracle-proven operator, composed the way a
+    real corpus build runs them:
+
+    1. Gopher rule filter (quality2) keeps rule-passing documents;
+    2. exact dedup keeps the min-id representative per fingerprint;
+    3. decontamination (dc1's winnowing kernel) drops any training doc
+       sharing a winnow fingerprint with the eval holdout
+       (doc_id % 97 == 0 — which also removes the holdout itself, since
+       an eval doc overlaps its own fingerprints);
+    4. temperature mixture (mix2, α=0.5, frac 0.8, seed 13) rebalances
+       sources on the SURVIVING corpus (rates derive from the filtered
+       counts, as they must — sampling before filtering would skew);
+    5. context-window chunking (chunk1's 64/16 arithmetic) emits the
+       training sequences.
+
+    Scale: stages 1–2 are groupBys on id/hash keys; stage 3 joins
+    id+hash tables only; stage 4 broadcasts a source-count rate table;
+    stage 5 is per-row array work.  Document text shuffles exactly once
+    (the dedup groupBy) — every other stage moves ids, hashes, or
+    per-source scalars."""
+    from nlp_to_nosql_spark.operators.curation import (
+        chunk_by_tokens,
+        gopher_rules,
+        temperature_sample,
+    )
+    from nlp_to_nosql_spark.operators.dedup import winnowed_fps
+    from nlp_to_nosql_spark.plans.caching import persisted
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    keep_ids = gopher_rules(docs).filter(F.col("keep")).select("doc_id")
+    kept = docs.join(keep_ids, "doc_id")
+    rep = kept.groupBy(tx.fingerprint(F.col("text")).alias("_fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    # deduped feeds two branches (decon fingerprints + the anti-join),
+    # and clean feeds two more (mixture counts + the sampled join):
+    # persist both so the gopher/dedup upstream — the expensive half of
+    # the pipeline — runs once, not four times.
+    deduped = persisted(kept.join(rep.select("doc_id"), "doc_id"), "documents")
+    eval_fps = (
+        winnowed_fps(docs.filter(F.col("doc_id") % 97 == 0))
+        .select("fp")
+        .distinct()
+    )
+    contaminated = (
+        winnowed_fps(deduped).join(eval_fps, "fp").select("doc_id").distinct()
+    )
+    clean = persisted(
+        deduped.join(contaminated, "doc_id", "left_anti"), "documents"
+    )
+    sampled = temperature_sample(
+        clean, key_col="source", id_col="doc_id", target_frac=0.8, seed=13
+    ).select("doc_id", "text")
+    return chunk_by_tokens(sampled, chunk_tokens=64, overlap=16)
+
+
 def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style thresholded quality filter: repetition signals plus
     mean-word-length / symbol-ratio / stopword-count per-row stats, ANDed
@@ -2240,6 +2299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm1_bigram_likelihood": _q_bigram_likelihood,
         "quality2_gopher_rules": _q_gopher_rules,
         "mix2_temperature_sample": _q_temperature_sample,
+        "pipe3_pretraining_e2e": _q_pretraining_e2e,
         "sess2_native_session_window": _q_native_session_window,
         "emb1_norms_by_label": _q_embedding_norms,
         "emb2_label_centroids": _q_label_centroids,
@@ -2971,6 +3031,65 @@ def oracle_sql() -> dict[str, str]:
         "chunk1_context_windows": CHUNK_SQL.format(chunk=64, stride=64 - 16),
         "lm1_bigram_likelihood": BIGRAM_LM_SQL.format(scale=1_000_000),
         "quality2_gopher_rules": gopher_sql(),
+        # The composed pipeline oracle: each CTE block is the
+        # already-proven oracle of its stage (gopher_sql, fingerprint
+        # dedup, dc1's winnow kernel, temperature rates, chunk1's window
+        # arithmetic), chained over the surviving row set.
+        "pipe3_pretraining_e2e": (
+            "WITH gop AS (" + gopher_sql() + "), "
+            "kept AS (SELECT d.* FROM documents d "
+            "JOIN gop ON d.doc_id = gop.doc_id AND gop.keep), "
+            "rep AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY "
+            + tx.FINGERPRINT_SQL.format(c="text") + "), "
+            "deduped AS (SELECT kept.* FROM kept JOIN rep USING (doc_id)), "
+            "dwords AS (SELECT doc_id, string_split("
+            + tx.NORMALIZE_SQL.format(c="text") + ", ' ') AS w FROM deduped), "
+            "dhs AS (SELECT doc_id, CASE WHEN len(w) >= 5 "
+            "THEN [md5(array_to_string(w[i:i+4], ' ')) "
+            "for i in range(1, len(w) - 3)] "
+            "ELSE [md5(array_to_string(w, ' '))] END AS h FROM dwords), "
+            "dfps AS (SELECT doc_id, unnest(list_distinct("
+            "CASE WHEN len(h) >= 4 "
+            "THEN [list_min(h[j:j+3]) for j in range(1, len(h) - 2)] "
+            "ELSE [list_min(h)] END)) AS wfp FROM dhs), "
+            "ewords AS (SELECT doc_id, string_split("
+            + tx.NORMALIZE_SQL.format(c="text") + ", ' ') AS w "
+            "FROM documents WHERE doc_id % 97 = 0), "
+            "ehs AS (SELECT doc_id, CASE WHEN len(w) >= 5 "
+            "THEN [md5(array_to_string(w[i:i+4], ' ')) "
+            "for i in range(1, len(w) - 3)] "
+            "ELSE [md5(array_to_string(w, ' '))] END AS h FROM ewords), "
+            "efps AS (SELECT DISTINCT unnest(list_distinct("
+            "CASE WHEN len(h) >= 4 "
+            "THEN [list_min(h[j:j+3]) for j in range(1, len(h) - 2)] "
+            "ELSE [list_min(h)] END)) AS wfp FROM ehs), "
+            "contaminated AS (SELECT DISTINCT doc_id FROM dfps "
+            "JOIN efps USING (wfp)), "
+            "clean AS (SELECT deduped.* FROM deduped "
+            "ANTI JOIN contaminated USING (doc_id)), "
+            "c AS (SELECT source, COUNT(*) AS n_s FROM clean GROUP BY 1), "
+            "cs AS (SELECT *, CAST(FLOOR(SQRT(n_s) * 1000000) AS BIGINT) "
+            "AS sqrt_micro FROM c), "
+            "t AS (SELECT SUM(n_s) AS n_total, SUM(sqrt_micro) AS "
+            "sum_sqrt_micro FROM cs), "
+            "r AS (SELECT source, CAST(FLOOR(LEAST(1.0, "
+            "((0.8 * n_total) * sqrt_micro) / "
+            "(sum_sqrt_micro * n_s)) * 1000000) AS BIGINT) "
+            "AS threshold_micro FROM cs, t), "
+            "samp AS (SELECT clean.doc_id, clean.text FROM clean "
+            "JOIN r USING (source) WHERE "
+            + MIX_HASH_SQL.format(c="doc_id", seed=13)
+            + " < threshold_micro), "
+            "w2 AS (SELECT doc_id, string_split("
+            + tx.NORMALIZE_SQL.format(c="COALESCE(text, '')")
+            + ", ' ') AS ws FROM samp), "
+            "starts AS (SELECT doc_id, ws, unnest(range(1, "
+            "1 + CAST(FLOOR((GREATEST(len(ws) - 64, 0) + 47) / 48) "
+            "AS BIGINT) * 48 + 1, 48)) AS start FROM w2) "
+            "SELECT doc_id, CAST((start - 1) / 48 AS BIGINT) AS chunk_idx, "
+            "CAST(len(ws[start:start+63]) AS BIGINT) AS n_chunk_tokens, "
+            "array_to_string(ws[start:start+63], ' ') AS chunk FROM starts"
+        ),
         "mix2_temperature_sample": (
             "SELECT doc_id, source, threshold_micro FROM ("
             + temperature_sql(

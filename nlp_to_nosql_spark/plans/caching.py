@@ -40,6 +40,10 @@ DEFAULT_LEVELS = {
     # tokenized (id, words-array) projections — same order of size as the
     # source text, consumed by several aggregation branches (curation).
     "tokens": "MEMORY_AND_DISK",
+    # filtered document subsets reused across pipeline branches (the
+    # composed pretraining pipeline feeds its surviving corpus to both
+    # the decontamination fingerprints and the mixture sampler).
+    "documents": "MEMORY_AND_DISK",
 }
 
 CONF_PREFIX = "spark.nlp2nosql.cache."

@@ -26,6 +26,7 @@ from nlp_to_nosql_spark.operators.multimodal import (
     image_features,
 )
 from nlp_to_nosql_spark.operators.similarity import (
+    CENTROID_SIM_SQL,
     CENTROID_SQL,
     RandomHyperplaneLSH,
     embedding_neardup_exact,
@@ -1000,6 +1001,16 @@ def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = register_tables(spark, sf_dir)["embeddings"]
     return label_centroids(emb, "label", "embedding")
+
+
+def _q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise label-centroid cosine — cross-class embedding drift.
+    Integer micro-centroid dot products (exact BIGINT sums); floats only
+    in the final norm/divide, association mirrored by the oracle."""
+    from nlp_to_nosql_spark.operators.similarity import centroid_similarity
+
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    return centroid_similarity(emb, "label", "embedding")
 
 
 def _q_dup_group_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2303,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sess2_native_session_window": _q_native_session_window,
         "emb1_norms_by_label": _q_embedding_norms,
         "emb2_label_centroids": _q_label_centroids,
+        "emb3_centroid_similarity": _q_centroid_similarity,
         "prof2_dup_group_sizes": _q_dup_group_sizes,
         "stream1_windowed_counts": _q_windowed_event_counts,
         "stream2_sessionize_stream": _q_sessionize_stream,
@@ -3151,6 +3163,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings GROUP BY label"
         ),
         "emb2_label_centroids": CENTROID_SQL,
+        "emb3_centroid_similarity": CENTROID_SIM_SQL,
         "prof2_dup_group_sizes": (
             "WITH planted AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 "
             "THEN 'boilerplate template ' || "

@@ -374,3 +374,60 @@ CENTROID_SQL = (
     "CAST(FLOOR(SUM(CAST(FLOOR(x * 1000000) AS BIGINT)) / COUNT(*)) "
     "AS BIGINT) AS mean_micro FROM ex GROUP BY 1, 2"
 )
+
+
+def centroid_similarity(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label centroids — the
+    cross-class embedding-drift diagnostic (labels whose centroids drift
+    together are candidates for merging; a centroid drifting toward
+    another's flags label noise).
+
+    Built on :func:`label_centroids`' INTEGER micro centroids, so the
+    dot products are exact BIGINT sums (order-independent); only the
+    final norm/divide touches floats, with one sqrt (IEEE correctly
+    rounded) and one division per pair, identically associated in the
+    SQL twin.  Output is one row per unordered label pair
+    (label_a < label_b) with ``cos_sim`` rounded to 6 places.
+
+    Scale: the centroid table is |labels|·dim rows — tiny regardless of
+    corpus size; the self-join on dim and the pair groupBy never touch
+    the vectors table again.
+    """
+    cent = label_centroids(df, label_col, vec_col).select(
+        F.col(label_col).alias("_lbl"), "dim", "mean_micro"
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    prods = a.join(
+        b,
+        (F.col("a.dim") == F.col("b.dim"))
+        & (F.col("a._lbl") < F.col("b._lbl")),
+    ).select(
+        F.col("a._lbl").alias("label_a"),
+        F.col("b._lbl").alias("label_b"),
+        (F.col("a.mean_micro") * F.col("b.mean_micro")).alias("_ab"),
+        (F.col("a.mean_micro") * F.col("a.mean_micro")).alias("_aa"),
+        (F.col("b.mean_micro") * F.col("b.mean_micro")).alias("_bb"),
+    )
+    return prods.groupBy("label_a", "label_b").agg(
+        F.round(
+            F.sum("_ab")
+            / (F.sqrt(F.sum("_aa")) * F.sqrt(F.sum("_bb"))),
+            6,
+        ).alias("cos_sim")
+    )
+
+
+#: DuckDB twin of :func:`centroid_similarity` over ``embeddings`` —
+#: chains :data:`CENTROID_SQL` and mirrors the float association
+#: (sum / (sqrt * sqrt), then round).
+CENTROID_SIM_SQL = (
+    "WITH cent AS (" + CENTROID_SQL + ") "
+    "SELECT a.label AS label_a, b.label AS label_b, "
+    "ROUND(SUM(a.mean_micro * b.mean_micro) / "
+    "(SQRT(SUM(a.mean_micro * a.mean_micro)) * "
+    "SQRT(SUM(b.mean_micro * b.mean_micro))), 6) AS cos_sim "
+    "FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label "
+    "GROUP BY 1, 2"
+)

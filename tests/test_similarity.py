@@ -188,3 +188,26 @@ def test_label_centroids_floor_scaling_is_order_independent(spark):
     a = label_centroids(df1.repartition(1)).collect()[0]["mean_micro"]
     b = label_centroids(df1.repartition(13)).collect()[0]["mean_micro"]
     assert a == b
+
+
+def test_centroid_similarity_known_geometry(spark):
+    from nlp_to_nosql_spark.operators.similarity import centroid_similarity
+
+    # label 0 centroid -> (1, 0); label 1 -> (0, 1); label 2 -> (1, 0)
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.0, 1.0], 1),
+            (3, [0.5, 0.0], 2),
+            (4, [1.5, 0.0], 2),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {
+        (r["label_a"], r["label_b"]): r["cos_sim"]
+        for r in centroid_similarity(df).collect()
+    }
+    assert len(rows) == 3  # unordered pairs of 3 labels
+    assert rows[(0, 1)] == 0.0          # orthogonal
+    assert rows[(0, 2)] == 1.0          # parallel
+    assert rows[(1, 2)] == 0.0

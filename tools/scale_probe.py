@@ -59,6 +59,31 @@ def scaled_documents(docs, copies=COPIES):
     return out
 
 
+def scaled_embeddings(emb, copies=COPIES):
+    # id-offset copies with a tiny per-copy deterministic rotation of the
+    # vector (first two components swapped-and-scaled per copy index) so
+    # near-dup structure doesn't explode; cost in ANN ops is row count ×
+    # dim, which this preserves exactly
+    parts = []
+    for i in range(copies):
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, j: x + (j + F.lit(i)) % 7 * F.lit(0.001),
+                )
+                .cast("array<float>")
+                .alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def scaled_events(ev, copies=COPIES):
     parts = [
         ev.select(
@@ -97,13 +122,31 @@ def main() -> int:
     scaled_events(tables["events"], copies).write.mode("overwrite").parquet(
         e10p
     )
+    v1p, v10p = f"{base}/emb_1x", f"{base}/emb_{copies}x"
+    tables["embeddings"].write.mode("overwrite").parquet(v1p)
+    scaled_embeddings(tables["embeddings"], copies).write.mode(
+        "overwrite"
+    ).parquet(v10p)
 
     from nlp_to_nosql_spark.operators import dedup as dd
     from nlp_to_nosql_spark.operators.curation import repetition_signals
+    from nlp_to_nosql_spark.operators.ivf import IVFIndex
     from nlp_to_nosql_spark.operators.sessions import sessionize
+    from nlp_to_nosql_spark.operators.similarity import topk_bruteforce
 
-    def probes(docs, events):
+    query_vec = [float(x) for x in tables["embeddings"].first()["embedding"]]
+
+    def ivf_probe(emb):
+        idx = IVFIndex(n_lists=16, seed=3)
+        assigned = idx.fit(emb)
+        return idx.topk(assigned, query_vec, k=10, nprobe=4)
+
+    def probes(docs, events, emb):
         return {
+            "ann_bruteforce_topk": lambda: topk_bruteforce(
+                emb, query_vec, k=10
+            ),
+            "ann_ivf_fit_and_topk": lambda: ivf_probe(emb),
             "dedup1_exact": lambda: dd.dedup_exact(docs, "doc_id", "text"),
             "dedup2_jaccard_pairs": lambda: dd.ngram_jaccard_pairs(
                 docs, "doc_id", "text", k=3, threshold=0.2
@@ -124,14 +167,25 @@ def main() -> int:
             ),
         }
 
+    # Discarded warm-up pass at 1x: JVM/codegen/Arrow warm-up otherwise
+    # lands in whichever probe runs first and corrupts its 1x baseline
+    # (earlier revisions showed ANN "scaling" at 0.6x for this reason).
+    warm_docs = spark.read.parquet(d1p)
+    warm_events = spark.read.parquet(e1p)
+    warm_emb = spark.read.parquet(v1p)
+    for mk in probes(warm_docs, warm_events, warm_emb).values():
+        mk().write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
+
     results = {}
-    for scale, dp, ep in (("1x", d1p, e1p), (f"{copies}x", d10p, e10p)):
+    for scale, dp, ep, vp in (
+        ("1x", d1p, e1p, v1p),
+        (f"{copies}x", d10p, e10p, v10p),
+    ):
         docs = spark.read.parquet(dp)
         events = spark.read.parquet(ep)
-        for name, mk in probes(docs, events).items():
-            # warm the JVM/codegen on the first scale pass only via a
-            # throwaway count of the input
-            docs.count()
+        emb = spark.read.parquet(vp)
+        for name, mk in probes(docs, events, emb).items():
             t0 = time.time()
             mk().write.mode("overwrite").format("noop").save()
             results.setdefault(name, {})[scale] = round(time.time() - t0, 2)

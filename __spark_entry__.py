@@ -35,12 +35,15 @@ from nlp_to_nosql_spark.operators.similarity import (
 from nlp_to_nosql_spark.operators.asof import asof_join, asof_join_bucketed
 from nlp_to_nosql_spark.operators.curation import (
     BIGRAM_LM_SQL,
-    CHUNK_SQL,
+    CHUNK_CTES,
+    CHUNK_SELECT,
     MIX_HASH_SQL,
     PII_PATTERNS,
     REPETITION_SQL,
+    chunk_sql,
     gopher_sql,
     mixture_sql,
+    temperature_rate_ctes,
     temperature_sql,
 )
 from nlp_to_nosql_spark.operators.sessions import SESSIONIZE_SQL, sessionize
@@ -3040,7 +3043,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, source FROM documents WHERE "
             + mixture_sql(_MIX_RATES, key_col="lang", id_col="doc_id")
         ),
-        "chunk1_context_windows": CHUNK_SQL.format(chunk=64, stride=64 - 16),
+        "chunk1_context_windows": chunk_sql(chunk=64, stride=64 - 16),
         "lm1_bigram_likelihood": BIGRAM_LM_SQL.format(scale=1_000_000),
         "quality2_gopher_rules": gopher_sql(),
         # The composed pipeline oracle: each CTE block is the
@@ -3054,53 +3057,23 @@ def oracle_sql() -> dict[str, str]:
             "rep AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY "
             + tx.FINGERPRINT_SQL.format(c="text") + "), "
             "deduped AS (SELECT kept.* FROM kept JOIN rep USING (doc_id)), "
-            "dwords AS (SELECT doc_id, string_split("
-            + tx.NORMALIZE_SQL.format(c="text") + ", ' ') AS w FROM deduped), "
-            "dhs AS (SELECT doc_id, CASE WHEN len(w) >= 5 "
-            "THEN [md5(array_to_string(w[i:i+4], ' ')) "
-            "for i in range(1, len(w) - 3)] "
-            "ELSE [md5(array_to_string(w, ' '))] END AS h FROM dwords), "
-            "dfps AS (SELECT doc_id, unnest(list_distinct("
-            "CASE WHEN len(h) >= 4 "
-            "THEN [list_min(h[j:j+3]) for j in range(1, len(h) - 2)] "
-            "ELSE [list_min(h)] END)) AS wfp FROM dhs), "
-            "ewords AS (SELECT doc_id, string_split("
-            + tx.NORMALIZE_SQL.format(c="text") + ", ' ') AS w "
-            "FROM documents WHERE doc_id % 97 = 0), "
-            "ehs AS (SELECT doc_id, CASE WHEN len(w) >= 5 "
-            "THEN [md5(array_to_string(w[i:i+4], ' ')) "
-            "for i in range(1, len(w) - 3)] "
-            "ELSE [md5(array_to_string(w, ' '))] END AS h FROM ewords), "
-            "efps AS (SELECT DISTINCT unnest(list_distinct("
-            "CASE WHEN len(h) >= 4 "
-            "THEN [list_min(h[j:j+3]) for j in range(1, len(h) - 2)] "
-            "ELSE [list_min(h)] END)) AS wfp FROM ehs), "
+            + dd.winnow_fps_sql("deduped", "d")
+            + dd.winnow_fps_sql(
+                "(SELECT * FROM documents WHERE doc_id % 97 = 0) ev0", "e"
+            )
+            + "efp AS (SELECT DISTINCT wfp FROM efps), "
             "contaminated AS (SELECT DISTINCT doc_id FROM dfps "
-            "JOIN efps USING (wfp)), "
+            "JOIN efp USING (wfp)), "
             "clean AS (SELECT deduped.* FROM deduped "
             "ANTI JOIN contaminated USING (doc_id)), "
-            "c AS (SELECT source, COUNT(*) AS n_s FROM clean GROUP BY 1), "
-            "cs AS (SELECT *, CAST(FLOOR(SQRT(n_s) * 1000000) AS BIGINT) "
-            "AS sqrt_micro FROM c), "
-            "t AS (SELECT SUM(n_s) AS n_total, SUM(sqrt_micro) AS "
-            "sum_sqrt_micro FROM cs), "
-            "r AS (SELECT source, CAST(FLOOR(LEAST(1.0, "
-            "((0.8 * n_total) * sqrt_micro) / "
-            "(sum_sqrt_micro * n_s)) * 1000000) AS BIGINT) "
-            "AS threshold_micro FROM cs, t), "
-            "samp AS (SELECT clean.doc_id, clean.text FROM clean "
+            + temperature_rate_ctes("source", "clean", 0.8)
+            + "samp AS (SELECT clean.doc_id, clean.text FROM clean "
             "JOIN r USING (source) WHERE "
             + MIX_HASH_SQL.format(c="doc_id", seed=13)
             + " < threshold_micro), "
-            "w2 AS (SELECT doc_id, string_split("
-            + tx.NORMALIZE_SQL.format(c="COALESCE(text, '')")
-            + ", ' ') AS ws FROM samp), "
-            "starts AS (SELECT doc_id, ws, unnest(range(1, "
-            "1 + CAST(FLOOR((GREATEST(len(ws) - 64, 0) + 47) / 48) "
-            "AS BIGINT) * 48 + 1, 48)) AS start FROM w2) "
-            "SELECT doc_id, CAST((start - 1) / 48 AS BIGINT) AS chunk_idx, "
-            "CAST(len(ws[start:start+63]) AS BIGINT) AS n_chunk_tokens, "
-            "array_to_string(ws[start:start+63], ' ') AS chunk FROM starts"
+            + CHUNK_CTES.format(src="samp", chunk=64, stride=48).rstrip(", ")
+            + " "
+            + CHUNK_SELECT.format(chunk=64, stride=48)
         ),
         "mix2_temperature_sample": (
             "SELECT doc_id, source, threshold_micro FROM ("
@@ -3267,18 +3240,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM packed"
         ),
         "dc1_contamination": (
-            "WITH words AS (SELECT doc_id, string_split("
-            + tx.NORMALIZE_SQL.format(c="text") + ", ' ') AS w "
-            "FROM documents), "
-            "hs AS (SELECT doc_id, CASE WHEN len(w) >= 5 "
-            "THEN [md5(array_to_string(w[i:i+4], ' ')) "
-            "for i in range(1, len(w) - 3)] "
-            "ELSE [md5(array_to_string(w, ' '))] END AS h FROM words), "
-            "fps AS (SELECT doc_id, unnest(list_distinct("
-            "CASE WHEN len(h) >= 4 "
-            "THEN [list_min(h[j:j+3]) for j in range(1, len(h) - 2)] "
-            "ELSE [list_min(h)] END)) AS wfp FROM hs), "
-            "tr AS (SELECT doc_id AS train_id, wfp FROM fps WHERE doc_id % 2 = 0), "
+            "WITH "
+            + dd.winnow_fps_sql("documents", "")
+            + "tr AS (SELECT doc_id AS train_id, wfp FROM fps WHERE doc_id % 2 = 0), "
             "ev AS (SELECT doc_id AS eval_id, wfp FROM fps WHERE doc_id % 2 = 1), "
             "near AS (SELECT eval_id, "
             "CAST(COUNT(DISTINCT train_id) AS BIGINT) AS n_near_train_docs, "

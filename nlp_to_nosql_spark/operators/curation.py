@@ -348,6 +348,27 @@ def temperature_sample(
     )
 
 
+def temperature_rate_ctes(
+    key_col: str, table: str, target_frac: float
+) -> str:
+    """Comma-terminated CTE block deriving the per-category
+    ``threshold_micro`` rate table ``r`` from ``table``'s counts — the
+    ONE copy of the oracle-critical rate arithmetic, composed by both
+    :func:`temperature_sql` and the end-to-end pipeline oracle."""
+    return (
+        f"c AS (SELECT {key_col}, COUNT(*) AS n_s FROM {table} "
+        "GROUP BY 1), "
+        "cs AS (SELECT *, CAST(FLOOR(SQRT(n_s) * 1000000) AS BIGINT) "
+        "AS sqrt_micro FROM c), "
+        "t AS (SELECT SUM(n_s) AS n_total, SUM(sqrt_micro) AS "
+        "sum_sqrt_micro FROM cs), "
+        f"r AS (SELECT {key_col}, CAST(FLOOR(LEAST(1.0, "
+        f"(({target_frac} * n_total) * sqrt_micro) / "
+        "(sum_sqrt_micro * n_s)) * 1000000) AS BIGINT) "
+        "AS threshold_micro FROM cs, t), "
+    )
+
+
 def temperature_sql(
     key_col: str = "source",
     id_col: str = "doc_id",
@@ -359,16 +380,9 @@ def temperature_sql(
     integer intermediates and identical float-op association, so the
     threshold (and therefore the sampled row set) is bit-equal."""
     return (
-        f"WITH c AS (SELECT {key_col}, COUNT(*) AS n_s FROM {table} "
-        "GROUP BY 1), "
-        "cs AS (SELECT *, CAST(FLOOR(SQRT(n_s) * 1000000) AS BIGINT) "
-        "AS sqrt_micro FROM c), "
-        "t AS (SELECT SUM(n_s) AS n_total, SUM(sqrt_micro) AS "
-        "sum_sqrt_micro FROM cs), "
-        f"r AS (SELECT {key_col}, CAST(FLOOR(LEAST(1.0, "
-        f"(({target_frac} * n_total) * sqrt_micro) / "
-        "(sum_sqrt_micro * n_s)) * 1000000) AS BIGINT) "
-        "AS threshold_micro FROM cs, t) "
+        "WITH "
+        + temperature_rate_ctes(key_col, table, target_frac).rstrip(", ")
+        + " "
         f"SELECT d.*, r.threshold_micro FROM {table} d "
         f"JOIN r USING ({key_col}) "
         "WHERE " + MIX_HASH_SQL.format(c=f"d.{id_col}", seed=seed)
@@ -561,23 +575,39 @@ def chunk_by_tokens(
     )
 
 
-#: DuckDB twin of :func:`chunk_by_tokens` over ``documents`` — format with
-#: chunk/stride ints.  Same k_max = ceil(max(n-chunk,0)/stride) start
-#: arithmetic, 1-based inclusive list slicing.
-CHUNK_SQL = (
-    "WITH w AS (SELECT doc_id, string_split("
+#: DuckDB CTE block + final SELECT for :func:`chunk_by_tokens` — format
+#: with src table + chunk/stride ints.  Same k_max =
+#: ceil(max(n-chunk,0)/stride) start arithmetic, 1-based inclusive list
+#: slicing.  Split into a comma-terminated CTE fragment and a SELECT so
+#: the composed pipeline oracle can append them to its own WITH chain —
+#: ONE copy of the window arithmetic.
+CHUNK_CTES = (
+    "chunk_w AS (SELECT doc_id, string_split("
     + _TEXT_SQL
-    + ", ' ') AS ws FROM documents), "
-    "starts AS (SELECT doc_id, ws, unnest(range(1, "
+    + ", ' ') AS ws FROM {src}), "
+    "chunk_starts AS (SELECT doc_id, ws, unnest(range(1, "
     "1 + CAST(FLOOR((GREATEST(len(ws) - {chunk}, 0) + {stride} - 1) "
     "/ {stride}) AS BIGINT) * {stride} + 1, "
-    "{stride})) AS start FROM w) "
+    "{stride})) AS start FROM chunk_w), "
+)
+
+CHUNK_SELECT = (
     "SELECT doc_id, "
     "CAST((start - 1) / {stride} AS BIGINT) AS chunk_idx, "
     "CAST(len(ws[start:start+{chunk}-1]) AS BIGINT) AS n_chunk_tokens, "
     "array_to_string(ws[start:start+{chunk}-1], ' ') AS chunk "
-    "FROM starts"
+    "FROM chunk_starts"
 )
+
+
+def chunk_sql(chunk: int, stride: int, src: str = "documents") -> str:
+    """Standalone DuckDB twin of :func:`chunk_by_tokens` over ``src``."""
+    return (
+        "WITH "
+        + CHUNK_CTES.format(src=src, chunk=chunk, stride=stride).rstrip(", ")
+        + " "
+        + CHUNK_SELECT.format(chunk=chunk, stride=stride)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -18,9 +18,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from nlp_to_nosql_spark.functions.text import fingerprint, normalize_text
+from nlp_to_nosql_spark.functions.text import (
+    NORMALIZE_SQL,
+    fingerprint,
+    normalize_text,
+)
 from nlp_to_nosql_spark.plans.caching import persisted
 from nlp_to_nosql_spark.plans.partitioning import fan_out
+
+#: Normalized-text SQL fragment shared by the winnow oracle builder.
+_NORMALIZE_SQL_TEXT = NORMALIZE_SQL.format(c="text")
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -708,6 +715,30 @@ def winnowed_fps(
         F.explode(
             F.array_distinct(_windowed_minima(F.col("_h"), w))
         ).alias("fp"),
+    )
+
+
+def winnow_fps_sql(src: str, prefix: str, k: int = 5, w: int = 4) -> str:
+    """DuckDB CTE block computing ``(doc_id, wfp)`` winnowing
+    fingerprints of ``src`` — the SQL twin of :func:`winnowed_fps`, as a
+    comma-terminated fragment for composition into a larger WITH chain
+    (CTE names are ``{prefix}words``/``{prefix}hs``/``{prefix}fps``).
+    ONE copy of the oracle-critical gram/window arithmetic: the dc1 and
+    pipe3 oracles both format this, so the kernel cannot drift between
+    them."""
+    return (
+        f"{prefix}words AS (SELECT doc_id, string_split("
+        + _NORMALIZE_SQL_TEXT
+        + f", ' ') AS w FROM {src}), "
+        f"{prefix}hs AS (SELECT doc_id, CASE WHEN len(w) >= {k} "
+        f"THEN [md5(array_to_string(w[i:i+{k - 1}], ' ')) "
+        f"for i in range(1, len(w) - {k - 2})] "
+        "ELSE [md5(array_to_string(w, ' '))] END AS h "
+        f"FROM {prefix}words), "
+        f"{prefix}fps AS (SELECT doc_id, unnest(list_distinct("
+        f"CASE WHEN len(h) >= {w} "
+        f"THEN [list_min(h[j:j+{w - 1}]) for j in range(1, len(h) - {w - 2})] "
+        f"ELSE [list_min(h)] END)) AS wfp FROM {prefix}hs), "
     )
 
 

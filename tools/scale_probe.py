@@ -1,18 +1,18 @@
 """Empirical scaling probe: run the heavy operator families at sf0.1 and
-at a synthetic 10× of it, and report the wall-clock scaling factor.
+at a synthetic N× of it, and report the wall-clock scaling factor.
 
 The bench proves absolute cost at sf0.1; this probes the SHAPE — an
 operator whose cost grows ~linearly in rows here has no hidden
 all-pairs/driver bottleneck waiting at 100 TB, and one that grows
 super-linearly is flagged before a cluster finds out.
 
-The 10× corpus is built by unioning 10 deterministic variants of the
+The N× corpus is built by unioning N deterministic variants of the
 sf0.1 tables (ids offset; document text passed through a per-copy
 Caesar `translate`, so each copy has a DISJOINT vocabulary — this
-simulates 10× more independent data rather than 10× duplication, which
+simulates N× more independent data rather than N× duplication, which
 would measure the dup-explosion regime instead of scale).  Events get
-10× the users over the same time range, which is how event volume
-actually grows.
+N× the users over the same time range, which is how event volume
+actually grows; embeddings get N× id-offset, slightly-shifted vectors.
 
 Usage: python tools/scale_probe.py [sf_dir] [copies] — writes a markdown
 table to stdout; ~2-4 min on local[32] at the default 10 copies.
@@ -36,10 +36,17 @@ from nlp_to_nosql_spark.sources.catalog import register_tables
 COPIES = 10
 
 
+def _union_all(parts):
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def scaled_documents(docs, copies=COPIES):
-    # rotation cycles after 26; compose with a per-copy numeric suffix on
-    # the id so vocabularies stay distinct-enough and ids stay unique at
-    # any copy count
+    # rotation cycles after 26, so past 26 copies some copy groups share
+    # a vocabulary (deliberate: the big corpus then carries a realistic
+    # few-percent duplicate rate — noted next to the recorded results)
     alpha = string.ascii_lowercase
     parts = []
     for i in range(copies):
@@ -53,17 +60,14 @@ def scaled_documents(docs, copies=COPIES):
                 "n_chars",
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return _union_all(parts)
 
 
 def scaled_embeddings(emb, copies=COPIES):
-    # id-offset copies with a tiny per-copy deterministic rotation of the
-    # vector (first two components swapped-and-scaled per copy index) so
-    # near-dup structure doesn't explode; cost in ANN ops is row count ×
-    # dim, which this preserves exactly
+    # id-offset copies with a small per-copy deterministic component
+    # shift ((dim_index + copy) mod 7 millis) so near-dup structure
+    # doesn't explode; cost in ANN ops is row count × dim, which this
+    # preserves exactly
     parts = []
     for i in range(copies):
         parts.append(
@@ -78,28 +82,23 @@ def scaled_embeddings(emb, copies=COPIES):
                 "label",
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return _union_all(parts)
 
 
 def scaled_events(ev, copies=COPIES):
-    parts = [
-        ev.select(
-            (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
-            "ts",
-            (F.col("user_id") + F.lit(i * 1_000_000)).alias("user_id"),
-            "event_type",
-            "value",
-            "props",
-        )
-        for i in range(copies)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return _union_all(
+        [
+            ev.select(
+                (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(i * 1_000_000)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+            for i in range(copies)
+        ]
+    )
 
 
 def main() -> int:

@@ -1312,6 +1312,32 @@ def _q_cube_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(CUBE_SQL)
 
 
+#: ROLLUP over the natural drill-down hierarchy region → nation — the
+#: third member of the grouping-lattice family (agg5 CUBE = full
+#: lattice, ts2 GROUPING SETS = hand-picked sets, this = prefix chain).
+#: Revenue joins through customer → orders so the rollup sits on top of
+#: two broadcast-dim joins, the OLAP drill-down report shape.
+ROLLUP_SQL = """
+SELECT r_name,
+       n_name,
+       CAST(GROUPING(r_name) AS INT) AS g_r,
+       CAST(GROUPING(n_name) AS INT) AS g_n,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def _q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(ROLLUP_SQL)
+
+
 def _q_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank + cume_dist of account balance within market segment.
     Both are exact integer ratios evaluated with one IEEE division, so the
@@ -2281,6 +2307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win4_ntile_quartiles": _q_ntile_quartiles,
         "expl1_word_counts": _q_word_counts,
         "agg3_ndv_by_type": _q_ndv_by_type,
+        "agg8_rollup_region_nation": _q_rollup_region_nation,
         "json1_props_extract": _q_json_extract,
         "dist1_segments": _q_distinct_segments,
         "win6_rank_distribution": _q_rank_distribution,
@@ -2674,6 +2701,7 @@ def oracle_sql() -> dict[str, str]:
             "ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate"
         ),
         "agg5_cube_status": CUBE_SQL,
+        "agg8_rollup_region_nation": ROLLUP_SQL,
         "win6_rank_distribution": (
             "SELECT c_custkey, c_mktsegment, "
             "percent_rank() OVER w AS bal_pct_rank, "

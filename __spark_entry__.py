@@ -620,6 +620,39 @@ def _q_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops — ``intersectAll``/``exceptAll`` preserve
+    MULTIPLICITY where set2/set3's INTERSECT/EXCEPT dedupe: per nation,
+    the number of customer rows surviving an intersect-all against the
+    supplier nation bag (min of the two counts) and an except-all
+    (count difference, floored at 0).  Output aggregates both so the
+    multiplicity arithmetic itself is what the oracle hashes."""
+    t = register_tables(spark, sf_dir)
+    c = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    s = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    inter = c.intersectAll(s).groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intersect_all")
+    )
+    exc = c.exceptAll(s).groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_except_all")
+    )
+    return (
+        c.select("nationkey")
+        .distinct()
+        .join(inter, "nationkey", "left")
+        .join(exc, "nationkey", "left")
+        .select(
+            "nationkey",
+            F.coalesce("n_intersect_all", F.lit(0).cast("long")).alias(
+                "n_intersect_all"
+            ),
+            F.coalesce("n_except_all", F.lit(0).cast("long")).alias(
+                "n_except_all"
+            ),
+        )
+    )
+
+
 def _q_except_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders with no lineitems (non-empty at every SF)."""
     t = register_tables(spark, sf_dir)
@@ -2308,6 +2341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expl1_word_counts": _q_word_counts,
         "agg3_ndv_by_type": _q_ndv_by_type,
         "agg8_rollup_region_nation": _q_rollup_region_nation,
+        "set4_bag_semantics": _q_bag_set_ops,
         "json1_props_extract": _q_json_extract,
         "dist1_segments": _q_distinct_segments,
         "win6_rank_distribution": _q_rank_distribution,
@@ -2702,6 +2736,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "agg5_cube_status": CUBE_SQL,
         "agg8_rollup_region_nation": ROLLUP_SQL,
+        "set4_bag_semantics": (
+            "WITH c AS (SELECT c_nationkey AS nationkey FROM customer), "
+            "s AS (SELECT s_nationkey AS nationkey FROM supplier), "
+            "ia AS (SELECT nationkey, CAST(COUNT(*) AS BIGINT) "
+            "AS n_intersect_all FROM "
+            "(SELECT nationkey FROM c INTERSECT ALL "
+            "SELECT nationkey FROM s) GROUP BY 1), "
+            "ea AS (SELECT nationkey, CAST(COUNT(*) AS BIGINT) "
+            "AS n_except_all FROM "
+            "(SELECT nationkey FROM c EXCEPT ALL "
+            "SELECT nationkey FROM s) GROUP BY 1) "
+            "SELECT nationkey, "
+            "COALESCE(n_intersect_all, 0) AS n_intersect_all, "
+            "COALESCE(n_except_all, 0) AS n_except_all "
+            "FROM (SELECT DISTINCT nationkey FROM c) d "
+            "LEFT JOIN ia USING (nationkey) LEFT JOIN ea USING (nationkey)"
+        ),
         "win6_rank_distribution": (
             "SELECT c_custkey, c_mktsegment, "
             "percent_rank() OVER w AS bal_pct_rank, "

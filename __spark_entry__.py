@@ -1223,7 +1223,13 @@ def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        # COALESCE to '' — a NULL text would make bytes(None) raise into
+        # the operator's all-null catch-all row while the SQL twin still
+        # emits populated geometry; empty-payload rows hash identically
+        # in both engines.
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias(
+            "payload"
+        ),
         F.struct(
             # clamped at 1: a 0-char doc would hit the operator's
             # null-geometry row path, which the SQL oracle does not model
@@ -3297,7 +3303,8 @@ def oracle_sql() -> dict[str, str]:
         # sha256(payload || '|WxH') surrogate (payload is UTF-8 of text, so
         # VARCHAR concat hashes the same bytes).
         "mm5_image_resize": (
-            "WITH g AS (SELECT doc_id AS media_id, text, "
+            "WITH g AS (SELECT doc_id AS media_id, "
+            "COALESCE(text, '') AS text, "
             "CAST(GREATEST(n_chars, 1) AS INT) AS src_w, "
             "CAST(doc_id % 300 + 1 AS INT) AS src_h, "
             "GREATEST(n_chars, 1, doc_id % 300 + 1) AS m FROM documents), "

@@ -181,8 +181,12 @@ GOPHER_THRESHOLDS: dict[str, float] = {
 }
 
 #: Non-alphanumeric, non-whitespace — the "symbol" class of the
-#: symbol-to-char ratio rule.  RE2 ∩ Java-regex portable.
-_SYMBOL_CLASS = r"[^A-Za-z0-9\s]"
+#: symbol-to-char ratio rule.  Whitespace is spelled out because ``\s``
+#: itself is NOT portable: Java's ``\s`` includes vertical tab (\x0B)
+#: while DuckDB's RE2 ``\s`` does not, so text containing \x0B would
+#: diverge between Spark and the oracle.  The explicit class is Java's
+#: ``\s`` set and parses identically in RE2.
+_SYMBOL_CLASS = r"[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 def gopher_rules(
@@ -271,7 +275,7 @@ def gopher_sql() -> str:
         f"ROUND(length(replace({norm}, ' ', '')) / "
         f"GREATEST(len(string_split({norm}, ' ')), 1), 6) AS mean_word_len, "
         "ROUND(len(regexp_extract_all(COALESCE(text, ''), "
-        "'[^A-Za-z0-9\\s]')) / GREATEST(length(COALESCE(text, '')), 1), 6) "
+        f"'{_SYMBOL_CLASS}')) / GREATEST(length(COALESCE(text, '')), 1), 6) "
         "AS symbol_frac, "
         "CAST(" + STOPWORD_COUNT_SQL.format(c="COALESCE(text, '')")
         + " AS BIGINT) AS n_stopwords FROM documents) "
@@ -335,7 +339,12 @@ def temperature_sample(
             F.least(
                 F.lit(1.0),
                 (F.lit(target_frac) * F.col("n_total") * F.col("sqrt_micro"))
-                / (F.col("sum_sqrt_micro") * F.col("n_s")),
+                # sum_sqrt_micro * n_s as BIGINT*BIGINT wraps past ~1e9
+                # rows (sqrt_micro ~3.2e10 × n_s ~1e9 > 2^63) while DuckDB
+                # promotes to HUGEINT — cast one factor to double so BOTH
+                # engines do the same IEEE double multiply, which cannot
+                # overflow (and rounds identically above 2^53).
+                / (F.col("sum_sqrt_micro").cast("double") * F.col("n_s")),
             )
             * F.lit(1000000)
         )
@@ -364,7 +373,7 @@ def temperature_rate_ctes(
         "sum_sqrt_micro FROM cs), "
         f"r AS (SELECT {key_col}, CAST(FLOOR(LEAST(1.0, "
         f"(({target_frac} * n_total) * sqrt_micro) / "
-        "(sum_sqrt_micro * n_s)) * 1000000) AS BIGINT) "
+        "(CAST(sum_sqrt_micro AS DOUBLE) * n_s)) * 1000000) AS BIGINT) "
         "AS threshold_micro FROM cs, t), "
     )
 

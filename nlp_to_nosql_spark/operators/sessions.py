@@ -78,7 +78,8 @@ def sessionize(
 
 #: DuckDB twin of :func:`sessionize` — same window/groupBy shape, so the
 #: driver's oracle compare exercises the full operator.  ``{gap_us}`` in
-#: microseconds; epoch_us() matches Spark's unix_micros exactly.
+#: microseconds; DuckDB's epoch_us() on a naive timestamp equals our
+#: zone-free functions.time.epoch_us on the NTZ events column.
 #:
 #: ``session_idx`` is CAST to BIGINT because DuckDB types a windowed integer
 #: SUM as DECIMAL(38,0) while Spark emits BIGINT, and the driver's value
@@ -138,10 +139,13 @@ def sessionize_stream(
     # operator, so streaming output is oracle-comparable.
     gap_us = gap_minutes * 60 * 1_000_000
 
-    # True-instant epoch micros derived JVM-side: Arrow hands the pandas
-    # worker session-zone-NAIVE wall clocks, whose differences are wrong
-    # by the offset delta across a DST transition in non-UTC sessions —
-    # epoch_us differences are instant-exact for both timestamp types.
+    # Epoch micros derived JVM-side rather than in the pandas worker
+    # (Arrow hands the worker session-zone-naive wall clocks).  The
+    # events table is pinned TIMESTAMP_NTZ by sources.catalog._normalize,
+    # where epoch_us is zone-free and exact; an LTZ input would get
+    # session-local wall-clock differences (off by the offset delta
+    # across a DST transition) — use functions.time.epoch_us_instant
+    # for LTZ columns needing elapsed time.
     events = events.withColumn("_ts_us", epoch_us(F.col("ts")).cast("long"))
 
     def update(key, pdfs, state: GroupState):

@@ -51,8 +51,13 @@ def gapfill_counts(
     ``date_trunc``, which implicitly converts NTZ inputs through the
     session zone and would make the buckets (and the DuckDB naive-
     timestamp oracle) session-timezone-dependent.  For NTZ input the
-    bucket equals a naive ``date_trunc`` in every session zone; ``TIMESTAMP``
-    (with-zone) input is bucketed on its UTC instant.
+    bucket equals a naive ``date_trunc`` in every session zone; a
+    ``TIMESTAMP`` (with-zone) input is bucketed on its session-local
+    wall clock (calendar fields, not its UTC instant) — across a DST
+    transition adjacent buckets are not equal-duration.  The engine's
+    events table is pinned NTZ upstream, so this path is zone-free in
+    practice; pre-convert with ``to_utc_timestamp`` if instant-based
+    buckets of an LTZ column are required.
 
     Keys are densified across the GLOBAL time range, not each key's own
     span: a key silent since Monday still emits zeros on Tuesday, which

@@ -37,9 +37,38 @@ _TRAIN_CAP_DEFAULT = 100_000
 class IVFIndex:
     """Deterministic IVF index: seeded centroid init, fixed iteration count."""
 
-    def __init__(self, n_lists: int = 16, max_iter: int = 5, seed: int = 42):
+    def __init__(
+        self,
+        n_lists: int = 16,
+        max_iter: int = 5,
+        seed: int = 42,
+        init: str = "hash-spread",
+    ):
+        if init not in ("hash-spread", "lowest-id"):
+            raise ValueError("init must be 'hash-spread' or 'lowest-id'")
         self.n_lists, self.max_iter, self.seed = n_lists, max_iter, seed
+        self.init = init
         self.centroids: np.ndarray | None = None
+
+    def _init_rows(self, narrow: DataFrame, id_col: str, vec_col: str) -> list:
+        """Seed centroids deterministically from the training frame.
+
+        Default ``hash-spread``: the ``n_lists`` vectors with the SMALLEST
+        seeded id-hashes — a deterministic uniform sample.  Insertion
+        order commonly correlates with a data region (source, shard,
+        time), so the legacy ``lowest-id`` init (the ``n_lists`` lowest-id
+        vectors) can seed every centroid inside ONE region and leave
+        Lloyd's 5 iterations stuck with degenerate cells; hash order is
+        uncorrelated with any such ordering while staying RNG-free and
+        retry-stable, and always yields exactly ``min(n, n_lists)`` rows.
+        Same plan shape as the legacy init (TakeOrdered over the persisted
+        narrow frame)."""
+        order = (
+            [F.col(id_col)]
+            if self.init == "lowest-id"
+            else [F.xxhash64(F.lit(self.seed), F.col(id_col)), F.col(id_col)]
+        )
+        return narrow.orderBy(*order).limit(self.n_lists).select(vec_col).collect()
 
     def _assign_col(self, vec_col: str) -> F.Column:
         """list_id = argmin over centroid distances.
@@ -72,8 +101,9 @@ class IVFIndex:
     ) -> DataFrame:
         """Lloyd's k-means; returns the (id, vec, list_id) assignment frame.
 
-        Init is the ``n_lists`` lowest-id vectors (deterministic, no RNG on
-        data).  Each iteration: one scan for assignment + a 2-level groupBy
+        Init is seeded-hash-spread by default (see :meth:`_init_rows`;
+        deterministic, no RNG on data).  Each iteration: one scan for
+        assignment + a 2-level groupBy
         for means; empty cells keep their previous centroid.
 
         ``train_on`` restricts the k-means ITERATIONS to a subset while the
@@ -121,7 +151,7 @@ class IVFIndex:
         # Re-scanned once per Lloyd's iteration: memory with disk spillover
         # (conf-overridable via spark.nlp2nosql.cache.vectors).
         narrow = persisted(train.select(id_col, vec_col), "vectors")
-        init_rows = narrow.orderBy(id_col).limit(self.n_lists).select(vec_col).collect()
+        init_rows = self._init_rows(narrow, id_col, vec_col)
         if len(init_rows) < self.n_lists:
             if train_on is not None:
                 # An explicit training set is a caller decision — silently
@@ -136,12 +166,7 @@ class IVFIndex:
                 # or unlucky hash draw): fall back to the full corpus.
                 narrow.unpersist()
                 narrow = persisted(df.select(id_col, vec_col), "vectors")
-                init_rows = (
-                    narrow.orderBy(id_col)
-                    .limit(self.n_lists)
-                    .select(vec_col)
-                    .collect()
-                )
+                init_rows = self._init_rows(narrow, id_col, vec_col)
         self.centroids = np.array(
             [[float(x) for x in r[vec_col]] for r in init_rows]
         )

@@ -1,0 +1,221 @@
+"""Measured recall for the APPROXIMATE operators against exact ground truth.
+
+For an approximate operator "correct" has to be a number, not a vibe: the
+weak (rows-only) driver checks prove ann2/dedup3/dedup4 run, and the
+family-equivalence tests prove the hash families agree — this module adds
+the end-to-end accuracy figure on the real sf0.01 tables.  Every input is
+deterministic (fixed seeds, fixed corpus, integer hash families), so the
+floors are asserted against reproducible measurements, with margin only
+where float accumulation order can wiggle a k-means mean (IVF fit).
+
+Measured values (sf0.01, 500 vectors / 500 docs, recorded in
+PERFORMANCE.md):
+
+* ann2 sign-LSH (nbits=16, seed=42) recall@10, mean over 8 corpus
+  queries: 0.125 @ max_hamming=2, 0.25 @ 4, 0.537 @ 6 (the entry
+  config).  The synthetic embeddings are near-random — the WORST case
+  for sign-LSH (random directions make sign bits coin flips), so these
+  are floor-of-the-floor numbers, not what correlated real embeddings
+  would give.
+* IVF (n_lists=8, max_iter=3) recall@10: 0.325 @ nprobe=1,
+  0.75 @ nprobe=4, 1.0 @ nprobe=8 (full probe — exact by construction).
+* dedup3 MinHash-LSH (k=3, 64 perms, 16 bands) vs the exact Jaccard
+  pair set at equal threshold 0.3: recall 1.0, precision 1.0.
+* dedup4 SimHash banding at max_hamming=10: EXACTLY the brute-force
+  Hamming pair set (the pigeonhole banding contract is an equality, not
+  an approximation, whenever max_hamming < bands).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nlp_to_nosql_spark.operators import dedup as dd
+from nlp_to_nosql_spark.operators.ivf import IVFIndex
+from nlp_to_nosql_spark.operators.similarity import (
+    RandomHyperplaneLSH,
+    topk_bruteforce,
+)
+from nlp_to_nosql_spark.sources import register_tables
+
+SF_DIR = os.environ.get("SPARK_GRAFT_RECALL_SF", "/root/testdata/sf0.01")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"testdata not present at {SF_DIR}"
+)
+
+N_QUERIES = 8
+K = 10
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return register_tables(spark, SF_DIR)
+
+
+@pytest.fixture(scope="module")
+def queries(tables):
+    rows = (
+        tables["embeddings"]
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in rows]
+
+
+@pytest.fixture(scope="module")
+def truth(tables, queries):
+    """Exact top-10 id sets per query (ann1 ground truth)."""
+    emb = tables["embeddings"]
+    return {
+        qid: {r["vec_id"] for r in topk_bruteforce(emb, q, k=K).collect()}
+        for qid, q in queries
+    }
+
+
+def _mean_recall(result_ids_by_query, truth):
+    recalls = [
+        len(result_ids_by_query[qid] & truth[qid]) / K for qid in truth
+    ]
+    return sum(recalls) / len(recalls)
+
+
+def test_ann2_sign_lsh_recall_floor(tables, queries, truth):
+    """Entry config (nbits=16, max_hamming=6): measured mean recall@10 is
+    0.537 on these near-random embeddings; assert ≥ 0.5 and that widening
+    the probe radius does not lose recall (0.125 measured at radius 2)."""
+    emb = tables["embeddings"]
+    dim = len(queries[0][1])
+    lsh = RandomHyperplaneLSH(dim=dim, nbits=16, seed=42)
+    means = {}
+    for mh in (2, 6):
+        got = {
+            qid: {
+                r["vec_id"]
+                for r in lsh.topk(emb, q, k=K, max_hamming=mh).collect()
+            }
+            for qid, q in queries
+        }
+        means[mh] = _mean_recall(got, truth)
+    assert means[6] >= 0.5, f"ann2 recall@10 at max_hamming=6: {means}"
+    assert means[6] >= means[2], f"wider probe lost recall: {means}"
+
+
+@pytest.fixture(scope="module")
+def ivf_assigned(tables):
+    idx = IVFIndex(n_lists=8, max_iter=3)
+    assigned = idx.fit(tables["embeddings"]).cache()
+    assigned.count()
+    yield idx, assigned
+    assigned.unpersist()
+
+
+def test_ivf_pruned_probe_recall_floor(tables, queries, truth, ivf_assigned):
+    """Measured recall@10: 0.325 @ nprobe=1, 0.75 @ nprobe=4, exactly 1.0
+    at full probe.  Floors leave margin for the float-sum wiggle in the
+    k-means means (groupBy avg accumulation order); full probe is exact
+    by construction regardless of centroids, so no margin there."""
+    idx, assigned = ivf_assigned
+    floors = {1: 0.25, 4: 0.65, 8: 1.0}
+    measured = {}
+    for nprobe, floor in floors.items():
+        got = {
+            qid: {
+                r["vec_id"]
+                for r in idx.topk(assigned, q, k=K, nprobe=nprobe).collect()
+            }
+            for qid, q in queries
+        }
+        measured[nprobe] = _mean_recall(got, truth)
+        assert measured[nprobe] >= floor, (
+            f"IVF recall@10 at nprobe={nprobe}: {measured[nprobe]:.3f} "
+            f"< floor {floor}"
+        )
+    assert measured[1] <= measured[4] <= measured[8], measured
+
+
+def test_ivf_hash_spread_inertia_not_worse(tables, ivf_assigned):
+    """The hash-spread init must not degrade clustering quality vs the
+    legacy lowest-id init (measured ratio 0.996 — slightly better).  5 %
+    tolerance for k-means float-sum wiggle."""
+    idx, assigned = ivf_assigned
+
+    def inertia(index, frame):
+        pdf = frame.select("embedding", "list_id").toPandas()
+        x = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        c = index.centroids[pdf["list_id"].to_numpy()]
+        return float(((x - c) ** 2).sum())
+
+    old = IVFIndex(n_lists=8, max_iter=3, init="lowest-id")
+    old_assigned = old.fit(tables["embeddings"])
+    ratio = inertia(idx, assigned) / inertia(old, old_assigned)
+    assert ratio <= 1.05, f"hash-spread init degraded inertia: ratio={ratio:.4f}"
+
+
+def test_dedup3_lsh_pair_recall(tables):
+    """Entry config (k=3, 64 perms, 16 bands) at threshold 0.3 vs the
+    exact n-gram Jaccard pair set at the same threshold: measured recall
+    AND precision are both 1.0 on this corpus (the duplicate pairs sit
+    far above the threshold, where a 64-perm estimate cannot miss).
+    Floors at 0.9 allow one boundary pair to flip if the corpus ever
+    changes."""
+    docs = tables["documents"]
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dd.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.3
+        )
+        .select("id_a", "id_b")
+        .collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_lsh_pairs(
+            docs, "doc_id", "text", k=3, num_perm=64, bands=16, threshold=0.3
+        )
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert exact, "ground-truth pair set is empty — corpus changed?"
+    recall = len(exact & approx) / len(exact)
+    precision = len(exact & approx) / max(len(approx), 1)
+    assert recall >= 0.9, f"dedup3 pair recall {recall:.3f}"
+    assert precision >= 0.9, f"dedup3 pair precision {precision:.3f}"
+
+
+def test_dedup4_banding_equals_bruteforce_hamming(tables):
+    """simhash_pairs' pigeonhole banding is an EXACT filter (not an
+    approximation) for max_hamming < bands — assert set equality with the
+    brute-force O(n²) Hamming filter at the entry config (max_hamming=10,
+    measured: 3717 pairs, identical sets)."""
+    docs = tables["documents"]
+    sh = docs.select(F.col("doc_id"), dd.simhash64("text").alias("s"))
+    a, b = sh.alias("a"), sh.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("a.s").bitwiseXOR(F.col("b.s")))
+        )
+        .filter(F.col("hamming") <= 10)
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in dd.simhash_pairs(
+            docs, "doc_id", "text", max_hamming=10, bands=4
+        )
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert banded == brute, (
+        f"banding lost/added pairs: brute={len(brute)} banded={len(banded)}"
+    )

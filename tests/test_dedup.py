@@ -57,6 +57,23 @@ def test_ngram_jaccard_finds_near_dups(docs):
     assert not any(5 in p or 6 in p for p in pairs)
 
 
+def test_ngram_jaccard_hashed_keys_equal_string_keys(docs):
+    """hash_keys=True (8-byte xxhash64 shuffle keys, the production
+    default) must emit the identical pair set and scores as the
+    string-keyed form — Jaccard only ever counts set cardinalities, so
+    the representation of the set elements is invisible absent a 64-bit
+    collision."""
+    def rows(hash_keys):
+        return {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in D.ngram_jaccard_pairs(
+                docs, "doc_id", "text", k=3, threshold=0.1, hash_keys=hash_keys
+            ).collect()
+        }
+
+    assert rows(True) == rows(False)
+
+
 def test_minhash_lsh_finds_near_dups(docs):
     pairs = {
         (r["id_a"], r["id_b"]): r["est_jaccard"]

@@ -98,7 +98,11 @@ def test_image_decode_uses_pillow_when_available(spark):
     from nlp_to_nosql_spark.operators.multimodal import have_pillow
 
     if not have_pillow():
-        pytest.skip("Pillow not in this environment (stub path covered above)")
+        pytest.skip(
+            "Pillow is absent and package installs are prohibited in this "
+            "container — the real-codec branch cannot run here; the stub "
+            "path and the gate itself are covered above"
+        )
     import io
 
     import PIL.Image

@@ -368,14 +368,16 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
+                        # Hash the band's minhash longs DIRECTLY (multi-arg
+                        # xxhash64 folds them in sequence) — no per-(row,
+                        # band) string materialization; bucket equality is
+                        # still slice equality modulo a 64-bit collision,
+                        # and candidates are verified downstream anyway.
                         F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice(F.col("sig"), i * rows + 1, rows),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
+                            *[
+                                F.element_at(F.col("sig"), i * rows + j + 1)
+                                for j in range(rows)
+                            ]
                         ).alias("bucket"),
                     )
                     for i in range(bands)

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from nlp_to_nosql_spark.functions.vectors import cosine, lit_vector
+from nlp_to_nosql_spark.plans.caching import persisted
 from nlp_to_nosql_spark.plans.partitioning import fan_out
 
 
@@ -311,24 +312,86 @@ class RandomHyperplaneLSH:
         threshold: float = 0.95,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        bands: int = 1,
     ) -> DataFrame:
-        """Embedding-cosine near-dup pairs: bucket by exact signature
-        (high-cosine pairs almost always agree on all sign bits), verify
-        with exact cosine inside buckets."""
-        sig = self.add_signatures(df, vec_col).select(id_col, vec_col, "sign_bits")
-        a, b = sig.alias("a"), sig.alias("b")
-        return (
+        """Embedding-cosine near-dup pairs: candidates from sign-bit
+        buckets, verified with exact cosine — so precision is always 1.0
+        and ``bands`` is purely a recall/cost dial.
+
+        ``bands=1`` (default) buckets by the EXACT signature — right for
+        genuinely near-identical pairs (cos ≥ ~0.95, where
+        P(all bits agree) = (1-θ/π)^nbits stays high).  For moderate
+        thresholds split the signature into ``bands`` chunks and take a
+        pair as candidate when ANY chunk agrees: at cos 0.4
+        (θ≈66°, per-bit agreement p≈0.63) the full-signature
+        probability p^16 is ~0.06 %, while 8 two-bit bands give
+        1-(1-p²)^8 ≈ 98 % (measured on the sf0.01 corpus:
+        recall 0.00 → 0.59 → 0.97 for bands 1 → 4 → 8 at nbits=16,
+        tests/test_recall.py).  The cost is wider buckets —
+        n²/2^(nbits/bands) verifications per band — so at corpus scale
+        raise ``nbits`` together with ``bands`` to keep the chunk width
+        (and bucket count) constant."""
+        if not 1 <= bands <= self.nbits:
+            raise ValueError(f"bands={bands} must be in [1, {self.nbits}]")
+        sig = persisted(
+            self.add_signatures(df, vec_col).select(
+                id_col, vec_col, "sign_bits"
+            ),
+            "signatures",
+        )
+        width = self.nbits // bands
+        mask = (1 << width) - 1
+        banded = sig.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftrightunsigned(
+                                F.col("sign_bits"), i * width
+                            )
+                            .bitwiseAND(F.lit(mask))
+                            .alias("chunk"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("bc"),
+        ).select(
+            id_col,
+            F.col("bc.band").alias("band"),
+            F.col("bc.chunk").alias("chunk"),
+        )
+        a, b = banded.alias("a"), banded.alias("b")
+        candidates = (
             a.join(
                 b,
-                (F.col("a.sign_bits") == F.col("b.sign_bits"))
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.chunk") == F.col("b.chunk"))
                 & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
             )
             .select(
                 F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
-                F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias(
-                    "cos_sim"
-                ),
+            )
+            .distinct()
+        )
+        va = sig.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("_vec_a")
+        )
+        vb = sig.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vec_b")
+        )
+        return (
+            candidates.join(va, "id_a")
+            .join(vb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    cosine(F.col("_vec_a"), F.col("_vec_b")), 6
+                ).alias("cos_sim"),
             )
             .filter(F.col("cos_sim") >= threshold)
         )

@@ -188,6 +188,42 @@ def test_dedup3_lsh_pair_recall(tables):
     assert precision >= 0.9, f"dedup3 pair precision {precision:.3f}"
 
 
+def test_neardup_pairs_banding_recall_dial(tables):
+    """RandomHyperplaneLSH.neardup_pairs: the ``bands`` dial trades cost
+    for recall, with precision ALWAYS 1.0 (exact-cosine verify).  This
+    corpus's near-dup pairs sit at cos 0.4–0.6 — far below the
+    exact-signature regime — so bands=1 finds ~nothing while 8 two-bit
+    bands recover nearly all of the exact pair set (measured 0.00 /
+    0.593 / 0.966 for bands 1/4/8 at nbits=16)."""
+    from nlp_to_nosql_spark.operators.similarity import (
+        embedding_neardup_exact,
+    )
+
+    emb = tables["embeddings"]
+    dim = len(emb.first()["embedding"])
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_exact(emb, threshold=0.4)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert exact, "ground-truth pair set is empty — corpus changed?"
+    lsh = RandomHyperplaneLSH(dim=dim, nbits=16, seed=42)
+    recalls = {}
+    for bands in (4, 8):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in lsh.neardup_pairs(emb, threshold=0.4, bands=bands)
+            .select("id_a", "id_b")
+            .collect()
+        }
+        assert got <= exact, "verify stage let a false positive through"
+        recalls[bands] = len(got & exact) / len(exact)
+    assert recalls[4] >= 0.5, recalls
+    assert recalls[8] >= 0.9, recalls
+    assert recalls[8] >= recalls[4], recalls
+
+
 def test_dedup4_banding_equals_bruteforce_hamming(tables):
     """simhash_pairs' pigeonhole banding is an EXACT filter (not an
     approximation) for max_hamming < bands — assert set equality with the

@@ -29,6 +29,7 @@ exactly the validation work FastAPI would.  The app is an app-factory over
 
 from __future__ import annotations
 
+import logging
 import time
 from typing import Any, Optional
 
@@ -36,6 +37,10 @@ from pydantic import BaseModel, Field, ValidationError
 
 from nlp_to_nosql_spark.api import Engine
 from nlp_to_nosql_spark.timeout import QueryTimeoutError
+
+#: Per-stage progress logging, toggled by ``show_progress`` — the
+#: reference logs these via its uvicorn logger (``app_server.py:209-249``).
+logger = logging.getLogger("nlp_to_nosql_spark.server")
 
 VERSION = "1.1.0"
 
@@ -54,8 +59,9 @@ class QueryRequest(BaseModel):
     collection: str = Field(default="testcoll")
     limit: Optional[int] = Field(default=50, ge=1, le=1000)
     timeout: Optional[int] = Field(default=DEFAULT_QUERY_TIMEOUT, ge=5, le=MAX_TIMEOUT)
-    # Accepted for wire parity with the reference, where it only toggles
-    # server-side progress logging (app_server.py:81-82) — a no-op here.
+    # Toggles server-side per-stage progress logging, the reference's
+    # semantics (app_server.py:81-82, 209-249): compile and execution
+    # stage timings go to the service logger when true.
     show_progress: Optional[bool] = Field(default=False)
 
 
@@ -171,6 +177,10 @@ def create_app(engine: Engine, table_resolver=None):
         # None reach the engine as a limit/timeout.
         limit = req.limit if req.limit is not None else 50
         timeout = req.timeout if req.timeout is not None else DEFAULT_QUERY_TIMEOUT
+        if req.show_progress:
+            logger.info(
+                "Processing query: %r (timeout: %ss)", req.input, timeout
+            )
         try:
             resp = engine.query(
                 req.input,
@@ -178,6 +188,15 @@ def create_app(engine: Engine, table_resolver=None):
                 limit=limit,
                 timeout_s=float(timeout),
             )
+            if req.show_progress:
+                logger.info(
+                    "Query generation completed in %.3fs",
+                    resp["query_generation_time"],
+                )
+                logger.info(
+                    "Database query completed in %.3fs",
+                    resp["db_execution_time"],
+                )
             return jsonify(
                 QueryResponse(
                     ok=True,

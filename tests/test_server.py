@@ -26,6 +26,31 @@ def client(engine):
     return app.test_client()
 
 
+def test_show_progress_toggles_stage_logging(client, caplog):
+    """show_progress=true must emit per-stage progress log lines (the
+    reference's semantics, app_server.py:81-82) and stay silent when
+    false."""
+    import logging
+
+    with caplog.at_level(logging.INFO, logger="nlp_to_nosql_spark.server"):
+        r = client.post(
+            "/query",
+            json={"input": "find all employees", "collection": "customer",
+                  "show_progress": True},
+        )
+        assert r.status_code == 200
+        msgs = [rec.getMessage() for rec in caplog.records]
+        assert any("Processing query" in m for m in msgs)
+        assert any("Query generation completed" in m for m in msgs)
+        assert any("Database query completed" in m for m in msgs)
+
+        caplog.clear()
+        r = client.post("/query", json={"input": "find all employees",
+                                        "collection": "customer"})
+        assert r.status_code == 200
+        assert not caplog.records
+
+
 def test_root_and_health(client):
     root = client.get("/").get_json()
     assert root["status"] == "ok"

@@ -40,6 +40,7 @@ from nlp_to_nosql_spark.operators.curation import (
     MIX_HASH_SQL,
     PII_PATTERNS,
     REPETITION_SQL,
+    boilerplate_removal_sql,
     chunk_sql,
     gopher_sql,
     mixture_sql,
@@ -2111,6 +2112,19 @@ def _q_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_by_tokens(sampled, chunk_tokens=64, overlap=16)
 
 
+def _q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate span removal (RefinedWeb/CCNet-style
+    repeated-span cleaning, no reference analogue — the detect-only
+    companion is dedup8): every 5-token span occurring in more than 2
+    distinct documents is stripped from the normalized token stream and
+    the surviving tokens re-joined.  Only (id, pos, chunk) rows shuffle;
+    the rebuild is a zero-shuffle indexed array filter."""
+    from nlp_to_nosql_spark.operators.curation import remove_boilerplate_spans
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return remove_boilerplate_spans(docs, k=5, max_df=2)
+
+
 def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style thresholded quality filter: repetition signals plus
     mean-word-length / symbol-ratio / stopword-count per-row stats, ANDed
@@ -2379,6 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk1_context_windows": _q_context_chunks,
         "lm1_bigram_likelihood": _q_bigram_likelihood,
         "quality2_gopher_rules": _q_gopher_rules,
+        "clean1_boilerplate_removal": _q_boilerplate_removal,
         "mix2_temperature_sample": _q_temperature_sample,
         "pipe3_pretraining_e2e": _q_pretraining_e2e,
         "sess2_native_session_window": _q_native_session_window,
@@ -3131,6 +3146,9 @@ def oracle_sql() -> dict[str, str]:
         "chunk1_context_windows": chunk_sql(chunk=64, stride=64 - 16),
         "lm1_bigram_likelihood": BIGRAM_LM_SQL.format(scale=1_000_000),
         "quality2_gopher_rules": gopher_sql(),
+        "clean1_boilerplate_removal": boilerplate_removal_sql(
+            k=5, max_df=2
+        ),
         # The composed pipeline oracle: each CTE block is the
         # already-proven oracle of its stage (gopher_sql, fingerprint
         # dedup, dc1's winnow kernel, temperature rates, chunk1's window

@@ -729,3 +729,133 @@ BIGRAM_LM_SQL = (
     "mean_cond_prob_micro "
     "FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc USING (doc_id)"
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level boilerplate span removal (RefinedWeb/CCNet-style cleaning)
+# ---------------------------------------------------------------------------
+
+
+def remove_boilerplate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    max_df: int = 5,
+) -> DataFrame:
+    """Strip corpus-level boilerplate from every document: any k-token
+    span occurring in more than ``max_df`` DISTINCT documents (nav bars,
+    license blurbs, template footers) is removed from the normalized
+    token stream, and the surviving tokens are re-joined — the cleaning
+    pass web-scale corpus builds run between quality filtering and dedup
+    (repeated-span removal in the RefinedWeb/CCNet lineage), where
+    :func:`~nlp_to_nosql_spark.operators.dedup.duplicated_spans` only
+    DETECTS the shared spans.
+
+    Returns ``(id, clean_text, n_words, n_removed)`` over the normalized
+    (lowercased, whitespace-collapsed) token stream — the same stream
+    every dedup operator keys on.
+
+    Plan shape: tokenize once (persisted, reused by the census and the
+    rebuild), explode stride-1 (pos, chunk) pairs, one groupBy on the
+    chunk counting distinct docs → the boilerplate set, a semi-join of
+    the exploded table against it, then per-doc coverage (union of
+    [pos, pos+k) windows) collected as an array and a zero-shuffle
+    indexed ``filter`` over the token array.  Only (id, pos, chunk)
+    rows ever shuffle — document text moves once, at the final rebuild
+    join.  At 100 TB the chunk string would be ``xxhash64``-keyed before
+    the shuffle exactly like ``ngram_jaccard_pairs(hash_keys=True)``;
+    the string form keeps the DuckDB twin value-exact.
+
+    Short documents (< k tokens) form one whole-text chunk, so a
+    sub-k-token document repeated verbatim in > ``max_df`` documents is
+    removed entirely (clean_text = '') — deliberate: whole-doc
+    boilerplate IS boilerplate.
+    """
+    toks = persisted(_tokens(df, id_col, text_col), "shingles")
+    words = F.col("_w")
+    n = F.size(words)
+    spans = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.array_join(F.slice(words, i, k), " ").alias("chunk"),
+        ),
+    )
+    exploded = toks.select(F.col(id_col), F.explode(spans).alias("s")).select(
+        id_col, F.col("s.pos").alias("pos"), F.col("s.chunk").alias("chunk")
+    )
+    boiler = (
+        exploded.groupBy("chunk")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_df)
+        .select("chunk")
+    )
+    covered = (
+        exploded.join(boiler, "chunk")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("wp"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("wp").alias("_cov"))
+    )
+    cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    clean_words = F.filter(
+        words, lambda w, i: ~F.array_contains(cov, (i + F.lit(1)).cast("int"))
+    )
+    return (
+        toks.join(covered, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.array_join(clean_words, " ").alias("clean_text"),
+            F.size(words).cast("long").alias("n_words"),
+            (F.size(words) - F.size(clean_words)).cast("long").alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
+def boilerplate_removal_sql(
+    table: str = "documents", k: int = 5, max_df: int = 5
+) -> str:
+    """DuckDB twin of :func:`remove_boilerplate_spans` — identical
+    normalized tokenization, stride-1 (pos, chunk) expansion (parallel
+    ``unnest`` lists expand in lockstep), distinct-doc census, window
+    coverage, and indexed rebuild, so the cleaned text is string-equal."""
+    norm = NORMALIZE_SQL.format(c="COALESCE(text, '')")
+    return (
+        f"WITH words AS (SELECT doc_id, string_split({norm}, ' ') AS w "
+        f"FROM {table}), "
+        "ch AS (SELECT doc_id, "
+        f"unnest(CASE WHEN len(w) >= {k} "
+        f"THEN [i for i in range(1, len(w) - {k - 2})] "
+        "ELSE [1] END) AS pos, "
+        f"unnest(CASE WHEN len(w) >= {k} "
+        f"THEN [array_to_string(w[i:i+{k - 1}], ' ') "
+        f"for i in range(1, len(w) - {k - 2})] "
+        "ELSE [array_to_string(w, ' ')] END) AS chunk FROM words), "
+        "bo AS (SELECT chunk FROM ch GROUP BY chunk "
+        f"HAVING COUNT(DISTINCT doc_id) > {max_df}), "
+        "cov0 AS (SELECT doc_id, "
+        f"unnest([pos + o for o in range(0, {k})]) AS wp "
+        "FROM ch WHERE chunk IN (SELECT chunk FROM bo)), "
+        "cov AS (SELECT DISTINCT doc_id, wp FROM cov0), "
+        "covagg AS (SELECT doc_id, list(wp) AS cw FROM cov GROUP BY doc_id) "
+        "SELECT w.doc_id, "
+        # COALESCE: DuckDB's array_to_string of an EMPTY list is NULL
+        # where Spark's array_join is '' — a fully-removed document must
+        # read as empty text in both engines.
+        "COALESCE(array_to_string([w.w[i] for i in range(1, len(w.w) + 1) "
+        "if NOT list_contains(COALESCE(c.cw, CAST([] AS BIGINT[])), i)], ' '), '') "
+        "AS clean_text, "
+        "CAST(len(w.w) AS BIGINT) AS n_words, "
+        "CAST(len(w.w) - len([w.w[i] for i in range(1, len(w.w) + 1) "
+        "if NOT list_contains(COALESCE(c.cw, CAST([] AS BIGINT[])), i)]) "
+        "AS BIGINT) AS n_removed "
+        "FROM words w LEFT JOIN covagg c ON w.doc_id = c.doc_id"
+    )

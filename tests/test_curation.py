@@ -267,3 +267,85 @@ def test_temperature_sample_rate_caps_at_one(spark):
     out = temperature_sample(df, target_frac=0.9, seed=7)
     rare = out.filter(F.col("source") == "rare").collect()
     assert len(rare) == 1 and rare[0]["threshold_micro"] == 1_000_000
+
+
+def test_boilerplate_removal_strips_shared_spans_only(spark):
+    """A 5-token footer shared by >max_df docs disappears; each doc's
+    unique prose survives untouched; a corpus-unique span in few docs is
+    left alone."""
+    from nlp_to_nosql_spark.operators.curation import remove_boilerplate_spans
+
+    footer = "all rights reserved by acme"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta epsilon {footer}"),
+            (2, f"one two three four five {footer}"),
+            (3, f"red green blue yellow purple {footer}"),
+            (4, f"cats dogs birds fish mice {footer}"),
+            # shared by only 2 docs -> below max_df=2, stays
+            (5, "shared pair span here okay plus unique tail words here"),
+            (6, "shared pair span here okay and another unique ending"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_spans(docs, k=5, max_df=2).collect()
+    }
+    assert out[1]["clean_text"] == "alpha beta gamma delta epsilon"
+    assert out[2]["clean_text"] == "one two three four five"
+    assert out[1]["n_removed"] == 5 and out[1]["n_words"] == 10
+    # 2-doc span is under the threshold: untouched
+    assert out[5]["n_removed"] == 0
+    assert out[5]["clean_text"].startswith("shared pair span here okay")
+    assert out[6]["n_removed"] == 0
+
+
+def test_boilerplate_removal_whole_doc_and_overlap(spark):
+    """A sub-k duplicate doc repeated corpus-wide is removed entirely
+    (clean_text ''), and overlapping boilerplate windows merge their
+    coverage instead of double-counting."""
+    from nlp_to_nosql_spark.operators.curation import remove_boilerplate_spans
+
+    tail = "standard legal boilerplate text here extra"  # 6 words
+    rows = [(i, f"unique{i} prose{i} {tail}") for i in range(1, 5)]
+    rows += [(10, "tiny dup"), (11, "tiny dup"), (12, "tiny dup"), (13, "tiny dup")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_spans(docs, k=5, max_df=2).collect()
+    }
+    # 8-word docs: the shared chunks start at positions 3 and 4 and their
+    # overlapping windows merge to cover positions 3..8 -> 6 words
+    # removed, the two unique leading words stay
+    assert out[1]["clean_text"] == "unique1 prose1"
+    assert out[1]["n_removed"] == 6
+    # sub-k duplicate: single whole-text chunk in 4 docs -> fully removed
+    assert out[10]["clean_text"] == "" and out[10]["n_removed"] == 2
+
+
+def test_boilerplate_removal_matches_duckdb_twin(spark):
+    """Value-level equality with boilerplate_removal_sql on a corpus that
+    exercises removal, the below-threshold path, and a NULL text."""
+    import duckdb
+
+    from nlp_to_nosql_spark.operators.curation import (
+        boilerplate_removal_sql,
+        remove_boilerplate_spans,
+    )
+
+    footer = "copyright twenty twenty four inc"
+    rows = [(i, f"body{i} words{i} differ{i} {footer}") for i in range(1, 6)]
+    rows.append((9, None))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        tuple(r)
+        for r in remove_boilerplate_spans(docs, k=5, max_df=2).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.execute(boilerplate_removal_sql(k=5, max_df=2)).fetchall()
+    )
+    assert got == want

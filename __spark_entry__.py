@@ -41,8 +41,10 @@ from nlp_to_nosql_spark.operators.curation import (
     PII_PATTERNS,
     REPETITION_SQL,
     boilerplate_removal_sql,
+    cap_per_group_sql,
     chunk_sql,
     gopher_sql,
+    hash_split_sql,
     mixture_sql,
     temperature_rate_ctes,
     temperature_sql,
@@ -2112,6 +2114,30 @@ def _q_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_by_tokens(sampled, chunk_tokens=64, overlap=16)
 
 
+def _q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group document cap (the RefinedWeb-style 'max N pages per
+    domain' rule): keep at most 15 docs per source (the sf corpora carry
+    25 per source, so the cap genuinely drops rows), chosen by seeded
+    hash rank so the survivors are an unbiased deterministic sample of
+    each group, with the rank attached for oracle verification."""
+    from nlp_to_nosql_spark.operators.curation import cap_per_group
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return cap_per_group(docs, group_col="source", n=15, seed=11)
+
+
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test corpus split: seeded md5 bucket of
+    the id against cumulative fraction boundaries — partition-layout-
+    independent, zero shuffle, reproducible in any engine."""
+    from nlp_to_nosql_spark.operators.curation import hash_split
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return hash_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=23
+    )
+
+
 def _q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level boilerplate span removal (RefinedWeb/CCNet-style
     repeated-span cleaning, no reference analogue — the detect-only
@@ -2394,6 +2420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm1_bigram_likelihood": _q_bigram_likelihood,
         "quality2_gopher_rules": _q_gopher_rules,
         "clean1_boilerplate_removal": _q_boilerplate_removal,
+        "cap1_source_cap": _q_source_cap,
+        "split1_hash_split": _q_hash_split,
         "mix2_temperature_sample": _q_temperature_sample,
         "pipe3_pretraining_e2e": _q_pretraining_e2e,
         "sess2_native_session_window": _q_native_session_window,
@@ -3148,6 +3176,12 @@ def oracle_sql() -> dict[str, str]:
         "quality2_gopher_rules": gopher_sql(),
         "clean1_boilerplate_removal": boilerplate_removal_sql(
             k=5, max_df=2
+        ),
+        "cap1_source_cap": cap_per_group_sql(
+            group_col="source", n=15, seed=11
+        ),
+        "split1_hash_split": hash_split_sql(
+            splits={"train": 0.9, "val": 0.05, "test": 0.05}, seed=23
         ),
         # The composed pipeline oracle: each CTE block is the
         # already-proven oracle of its stage (gopher_sql, fingerprint

@@ -859,3 +859,122 @@ def boilerplate_removal_sql(
         "AS BIGINT) AS n_removed "
         "FROM words w LEFT JOIN covagg c ON w.doc_id = c.doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# per-group document caps + deterministic corpus splits
+# ---------------------------------------------------------------------------
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    n: int = 50,
+    id_col: str = "doc_id",
+    seed: int = 11,
+) -> DataFrame:
+    """Keep at most ``n`` documents per group, chosen by a seeded hash
+    rank — the per-domain cap a web-corpus build applies so no single
+    site dominates training (the RefinedWeb-style "max N pages per
+    domain" rule), with mixture-family determinism: the same rows
+    survive on every retry, executor count, and engine.
+
+    Rank within each group is ``(mix-hash(id, seed), id)`` — a seeded
+    shuffle, not "first N by id", so the kept subset is an unbiased
+    sample of the group rather than its oldest records; the id
+    tiebreak makes the rank total even across hash collisions.  Returns
+    the surviving rows with ``cap_rank`` attached so the oracle
+    verifies the ranking itself, not just membership.
+
+    Scale shape: one shuffle on the group key and a per-group sort —
+    right when groups are plentiful (domains: millions of modest
+    groups).  A corpus of FEW huge groups would sort giant partitions;
+    there, pre-filter with :func:`sample_mixture` at rate ≈ n/|group|
+    to shrink each group before the exact rank pass.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        _mix_hash(F.col(id_col), seed), F.col(id_col)
+    )
+    return (
+        df.withColumn("cap_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("cap_rank") <= n)
+    )
+
+
+def cap_per_group_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    n: int = 50,
+    id_col: str = "doc_id",
+    seed: int = 11,
+) -> str:
+    """DuckDB twin of :func:`cap_per_group` — identical md5 bucket hash,
+    rank order, and tiebreak."""
+    h = MIX_HASH_SQL.format(c=id_col, seed=seed)
+    return (
+        f"SELECT * FROM (SELECT {table}.*, CAST(ROW_NUMBER() OVER ("
+        f"PARTITION BY {group_col} ORDER BY {h}, {id_col}) AS BIGINT) "
+        f"AS cap_rank FROM {table}) WHERE cap_rank <= {n}"
+    )
+
+
+#: Split-bucket space — shares the mixture-hash bucket count so split
+#: fractions and sampling rates are in the same micro units.
+_SPLIT_BUCKETS = 1_000_000
+
+
+def hash_split(
+    df: DataFrame,
+    splits: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 23,
+) -> DataFrame:
+    """Label every row with a deterministic train/val/test split.
+
+    ``splits`` maps name → fraction (must sum to ≤ 1; any remainder
+    falls into the LAST split, so float dust can't orphan rows).  The
+    assignment is the seeded md5 bucket of the id against cumulative
+    fraction boundaries — independent of partitioning, insertion order,
+    and engine, so a row's split never changes across reruns and the
+    DuckDB twin reproduces it exactly.  Zero shuffle: one projection.
+
+    In expectation each split is a uniform sample — per-group exactness
+    (stratification) is what :func:`cap_per_group` provides; compose
+    them (cap per source, then split) for the standard corpus layout.
+    """
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if not splits or sum(splits.values()) > 1.0 + 1e-9:
+        raise ValueError("split fractions must be positive and sum to <= 1")
+    h = _mix_hash(F.col(id_col), seed) % _SPLIT_BUCKETS
+    names = list(splits)
+    bounds, acc = [], 0.0
+    for name in names[:-1]:
+        acc += splits[name]
+        bounds.append(int(acc * _SPLIT_BUCKETS))
+    # Nested WHENs from the last boundary inward, so evaluation order is
+    # "first boundary wins" — identical to the SQL CASE chain.
+    expr = F.lit(names[-1])
+    for name, b in reversed(list(zip(names[:-1], bounds))):
+        expr = F.when(h < b, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def hash_split_sql(
+    table: str = "documents",
+    splits: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 23,
+) -> str:
+    """DuckDB twin of :func:`hash_split` — same hash, same cumulative
+    integer boundaries, same last-split remainder rule."""
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    h = MIX_HASH_SQL.format(c=id_col, seed=seed) + f" % {_SPLIT_BUCKETS}"
+    names = list(splits)
+    cases, acc = [], 0.0
+    for name in names[:-1]:
+        acc += splits[name]
+        cases.append(f"WHEN {h} < {int(acc * _SPLIT_BUCKETS)} THEN '{name}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    return f"SELECT {table}.*, {case} AS split FROM {table}"

@@ -349,3 +349,94 @@ def test_boilerplate_removal_matches_duckdb_twin(spark):
         for r in con.execute(boilerplate_removal_sql(k=5, max_df=2)).fetchall()
     )
     assert got == want
+
+
+def test_cap_per_group_bounds_and_determinism(spark):
+    from nlp_to_nosql_spark.operators.curation import cap_per_group
+
+    rows = [(i, f"grp{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cap_per_group(df, group_col="source", n=5, seed=11)
+    got = [(r["doc_id"], r["source"], r["cap_rank"]) for r in out.collect()]
+    by_group = {}
+    for d, s, rk in got:
+        by_group.setdefault(s, []).append(rk)
+    assert set(by_group) == {"grp0", "grp1", "grp2"}
+    for ranks in by_group.values():
+        assert sorted(ranks) == [1, 2, 3, 4, 5]
+    # determinism across partition layouts
+    again = cap_per_group(df.repartition(7), group_col="source", n=5, seed=11)
+    assert sorted(got) == sorted(
+        (r["doc_id"], r["source"], r["cap_rank"]) for r in again.collect()
+    )
+    # seeded-shuffle rank, not first-N-by-id: at least one group keeps a
+    # doc outside its 5 lowest ids (true for this seed; deterministic)
+    kept = {s: sorted(d for d, s2, _ in got if s2 == s) for s in by_group}
+    lowest = {s: sorted(i for i in range(60) if f"grp{i % 3}" == s)[:5] for s in by_group}
+    assert any(kept[s] != lowest[s] for s in kept)
+
+
+def test_cap_per_group_small_groups_untouched(spark):
+    from nlp_to_nosql_spark.operators.curation import cap_per_group
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string"
+    )
+    out = cap_per_group(df, group_col="source", n=10, seed=11)
+    assert out.count() == 3
+
+
+def test_hash_split_labels_fractions_and_determinism(spark):
+    from nlp_to_nosql_spark.operators.curation import hash_split
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id long"
+    )
+    out = hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=23)
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] + counts["val"] + counts["test"] == 2000
+    # seeded md5 buckets: fractions land near targets on 2000 ids
+    assert 0.75 <= counts["train"] / 2000 <= 0.85
+    # partition-layout independence
+    again = hash_split(df.repartition(13), {"train": 0.8, "val": 0.1, "test": 0.1}, seed=23)
+    assert sorted((r["doc_id"], r["split"]) for r in out.collect()) == sorted(
+        (r["doc_id"], r["split"]) for r in again.collect()
+    )
+
+
+def test_hash_split_remainder_goes_to_last_and_validates(spark):
+    from nlp_to_nosql_spark.operators.curation import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    # fractions sum to 0.5: the rest must fall into the LAST split
+    out = hash_split(df, {"train": 0.25, "rest": 0.25}, seed=23)
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert counts["train"] + counts["rest"] == 100
+    assert counts["rest"] > counts["train"]  # remainder absorbed
+    with pytest.raises(ValueError):
+        hash_split(df, {"a": 0.8, "b": 0.3})
+
+
+def test_cap_and_split_match_duckdb_twins(spark):
+    import duckdb
+
+    from nlp_to_nosql_spark.operators.curation import (
+        cap_per_group,
+        cap_per_group_sql,
+        hash_split,
+        hash_split_sql,
+    )
+
+    rows = [(i, f"s{i % 4}") for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    got = sorted(tuple(r) for r in cap_per_group(df, n=7, seed=11).collect())
+    want = sorted(
+        tuple(r) for r in con.execute(cap_per_group_sql(n=7, seed=11)).fetchall()
+    )
+    assert got == want
+    got = sorted(tuple(r) for r in hash_split(df, seed=23).collect())
+    want = sorted(tuple(r) for r in con.execute(hash_split_sql(seed=23)).fetchall())
+    assert got == want

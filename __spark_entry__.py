@@ -2151,6 +2151,34 @@ def _q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate_spans(docs, k=5, max_df=2)
 
 
+def _q_corpus_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus LAYOUT pipeline composing this round's cleaning stages
+    the way a release build runs them: boilerplate span removal →
+    drop documents gutted below 5 surviving tokens → per-source cap
+    (seeded-hash sample of each source) → deterministic train/val/test
+    split.  Each stage is individually oracle-proven; the composition is
+    one lazy plan whose oracle chains the same SQL blocks as CTEs.
+
+    Scale: the boilerplate census is the only text-bearing shuffle; the
+    cap shuffles (id, source) only; the split is a projection."""
+    from nlp_to_nosql_spark.operators.curation import (
+        cap_per_group,
+        hash_split,
+        remove_boilerplate_spans,
+    )
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    cleaned = remove_boilerplate_spans(docs, k=5, max_df=2)
+    kept = cleaned.filter(
+        (F.col("n_words") - F.col("n_removed")) >= 5
+    ).select("doc_id", "clean_text")
+    with_source = kept.join(docs.select("doc_id", "source"), "doc_id")
+    capped = cap_per_group(with_source, group_col="source", n=15, seed=11)
+    return hash_split(
+        capped, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=23
+    ).select("doc_id", "source", "cap_rank", "split", "clean_text")
+
+
 def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style thresholded quality filter: repetition signals plus
     mean-word-length / symbol-ratio / stopword-count per-row stats, ANDed
@@ -2422,6 +2450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean1_boilerplate_removal": _q_boilerplate_removal,
         "cap1_source_cap": _q_source_cap,
         "split1_hash_split": _q_hash_split,
+        "pipe4_corpus_layout": _q_corpus_layout,
         "mix2_temperature_sample": _q_temperature_sample,
         "pipe3_pretraining_e2e": _q_pretraining_e2e,
         "sess2_native_session_window": _q_native_session_window,
@@ -3182,6 +3211,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "split1_hash_split": hash_split_sql(
             splits={"train": 0.9, "val": 0.05, "test": 0.05}, seed=23
+        ),
+        # Composed layout pipeline: each CTE block is the already-proven
+        # oracle of its stage (boilerplate_removal_sql, cap_per_group_sql
+        # over the joined survivors, hash_split_sql's CASE) — the same
+        # reuse discipline as pipe3's oracle.
+        "pipe4_corpus_layout": (
+            "WITH bp AS (" + boilerplate_removal_sql(k=5, max_df=2) + "), "
+            "kept AS (SELECT doc_id, clean_text FROM bp "
+            "WHERE n_words - n_removed >= 5), "
+            "j AS (SELECT kept.doc_id, d.source, kept.clean_text "
+            "FROM kept JOIN documents d USING (doc_id)), "
+            "capped AS ("
+            + cap_per_group_sql(
+                table="j", group_col="source", n=15, seed=11
+            )
+            + ") "
+            + hash_split_sql(
+                table="capped",
+                splits={"train": 0.9, "val": 0.05, "test": 0.05},
+                seed=23,
+            )
         ),
         # The composed pipeline oracle: each CTE block is the
         # already-proven oracle of its stage (gopher_sql, fingerprint

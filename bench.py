@@ -124,7 +124,10 @@ def main() -> None:
         )
         f.write("\n")
 
-    short = {name.split("_")[0]: t for name, t in timings.items()}
+    # 2-decimal stdout timings (BENCH_DETAIL.json keeps 3): at 141
+    # queries the 3-decimal line outgrows the driver's 1950-char parse
+    # window and the whole per-query map would be shed.
+    short = {name.split("_")[0]: round(t, 2) for name, t in timings.items()}
     payload = {
         "metric": "headline_queries_total_wall",
         "value": total,

@@ -210,3 +210,62 @@ def test_gopher_stats_match_python_reference(spark, docs):
         assert got[i]["symbol_frac"] == 0.0
         n_stop = sum(1 for w in norm_words if w == "a")  # only stopword in alphabet
         assert got[i]["n_stopwords"] == n_stop
+
+
+def _py_boilerplate(docs_words: dict[int, list[str]], k: int, max_df: int):
+    """Reference model: stride-1 k-gram census over distinct per-doc
+    chunks, >max_df-doc chunks boilerplate, window-union coverage,
+    1-based index rebuild."""
+    chunks: dict[int, list[tuple[int, str]]] = {}
+    for d, ws in docs_words.items():
+        if len(ws) >= k:
+            spans = [(i + 1, " ".join(ws[i : i + k])) for i in range(len(ws) - k + 1)]
+        else:
+            spans = [(1, " ".join(ws))]
+        chunks[d] = spans
+    df_count: Counter = Counter()
+    for d, spans in chunks.items():
+        for ch in {c for _, c in spans}:
+            df_count[ch] += 1
+    boiler = {c for c, cnt in df_count.items() if cnt > max_df}
+    out = {}
+    for d, ws in docs_words.items():
+        cov: set[int] = set()
+        for pos, ch in chunks[d]:
+            if ch in boiler:
+                cov.update(range(pos, pos + k))
+        clean = [w for idx, w in enumerate(ws, start=1) if idx not in cov]
+        out[d] = (" ".join(clean), len(ws), len(ws) - len(clean))
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12),
+        min_size=2,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=3),  # max_df
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_boilerplate_removal_matches_python_reference(spark, docs, max_df):
+    """3-letter alphabet makes cross-doc 3-gram collisions common, so the
+    census/coverage/rebuild arithmetic is exercised hard; k=3 keeps the
+    short-doc whole-chunk branch reachable too."""
+    from nlp_to_nosql_spark.operators.curation import remove_boilerplate_spans
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_words"], r["n_removed"])
+        for r in remove_boilerplate_spans(df, k=3, max_df=max_df).collect()
+    }
+    want = _py_boilerplate(dict(enumerate(docs)), 3, max_df)
+    assert got == want, (docs, max_df)

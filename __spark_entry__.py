@@ -30,6 +30,7 @@ from nlp_to_nosql_spark.operators.similarity import (
     CENTROID_SQL,
     RandomHyperplaneLSH,
     embedding_neardup_exact,
+    quantize_sql,
     topk_bruteforce,
 )
 from nlp_to_nosql_spark.operators.asof import asof_join, asof_join_bucketed
@@ -1050,6 +1051,17 @@ def _q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = register_tables(spark, sf_dir)["embeddings"]
     return centroid_similarity(emb, "label", "embedding")
+
+
+def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (codes + integer micro
+    scale) — the 4× memory-reduction pass before indexing at corpus
+    scale.  floor-based arithmetic (IEEE-exact in both engines), zero
+    shuffle."""
+    from nlp_to_nosql_spark.operators.similarity import quantize_embeddings
+
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    return quantize_embeddings(emb)
 
 
 def _q_dup_group_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2457,6 +2469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb1_norms_by_label": _q_embedding_norms,
         "emb2_label_centroids": _q_label_centroids,
         "emb3_centroid_similarity": _q_centroid_similarity,
+        "emb4_quantize": _q_quantize_embeddings,
         "prof2_dup_group_sizes": _q_dup_group_sizes,
         "stream1_windowed_counts": _q_windowed_event_counts,
         "stream2_sessionize_stream": _q_sessionize_stream,
@@ -3324,6 +3337,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb2_label_centroids": CENTROID_SQL,
         "emb3_centroid_similarity": CENTROID_SIM_SQL,
+        "emb4_quantize": quantize_sql(),
         "prof2_dup_group_sizes": (
             "WITH planted AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 "
             "THEN 'boilerplate template ' || "

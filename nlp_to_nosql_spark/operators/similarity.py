@@ -500,3 +500,76 @@ CENTROID_SIM_SQL = (
     "FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label "
     "GROUP BY 1, 2"
 )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 127,
+) -> DataFrame:
+    """Symmetric per-vector integer quantization of an embedding column —
+    the 4× memory-reduction pass a 100 TB ANN corpus applies before
+    indexing (int8 codes + one float scale per vector; dot products run
+    on the codes and rescale once).
+
+    ``code_i = floor(x_i / maxabs · levels)`` with ``maxabs = max|x_i|``;
+    ``floor`` (not round) because IEEE floor is exact in every engine
+    while round's half-way rule differs between engines, and the
+    division/multiplication are single IEEE double ops both engines
+    perform identically — so the codes carry a value-level DuckDB
+    oracle.  Codes lie in [-levels, levels] (x = -maxabs gives exactly
+    -levels; x = +maxabs gives +levels).  The all-zero vector (maxabs =
+    0) quantizes to all-zero codes rather than NaN.
+
+    Returns ``(id, scale_micro, codes)``: ``scale_micro`` =
+    ``floor(maxabs·1e6)`` (integer, so the hash-compare never touches a
+    raw float), ``codes`` = ``array<long>``.  Dequantization is
+    ``code · maxabs / levels``, with per-component error bounded by the
+    quantization step ``maxabs / levels`` (pinned by test).
+
+    Zero shuffle: one projection — array expressions only.
+    """
+    x = F.col(vec_col)
+    maxabs = F.array_max(
+        F.transform(x, lambda v: F.abs(v.cast("double")))
+    )
+    codes = F.when(
+        maxabs > 0,
+        F.transform(
+            x,
+            lambda v: F.floor(
+                v.cast("double") / maxabs * F.lit(float(levels))
+            ).cast("long"),
+        ),
+    ).otherwise(
+        F.transform(x, lambda v: F.lit(0).cast("long"))
+    )
+    return df.select(
+        F.col(id_col),
+        F.floor(maxabs * F.lit(1000000.0)).cast("long").alias("scale_micro"),
+        codes.alias("codes"),
+    )
+
+
+def quantize_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 127,
+) -> str:
+    """DuckDB twin of :func:`quantize_embeddings` — identical IEEE
+    double ops (abs/max/divide/multiply/floor) in the same association."""
+    return (
+        f"SELECT {id_col}, "
+        f"CAST(FLOOR(list_max(list_transform({vec_col}, "
+        "v -> abs(CAST(v AS DOUBLE)))) * 1000000.0) AS BIGINT) "
+        "AS scale_micro, "
+        "CASE WHEN list_max(list_transform("
+        f"{vec_col}, v -> abs(CAST(v AS DOUBLE)))) > 0 "
+        f"THEN list_transform({vec_col}, v -> CAST(FLOOR("
+        "CAST(v AS DOUBLE) / list_max(list_transform("
+        f"{vec_col}, u -> abs(CAST(u AS DOUBLE)))) * {levels}.0) AS BIGINT)) "
+        f"ELSE list_transform({vec_col}, v -> CAST(0 AS BIGINT)) END "
+        f"AS codes FROM {table}"
+    )

@@ -211,3 +211,73 @@ def test_centroid_similarity_known_geometry(spark):
     assert rows[(0, 1)] == 0.0          # orthogonal
     assert rows[(0, 2)] == 1.0          # parallel
     assert rows[(1, 2)] == 0.0
+
+
+def test_quantize_embeddings_codes_and_error_bound(spark):
+    """Codes lie in [-levels, levels], extremes map exactly, the all-zero
+    vector quantizes to zeros (not NaN), and per-component reconstruction
+    error is bounded by the quantization step maxabs/levels."""
+    from pyspark.sql import types as T
+
+    from nlp_to_nosql_spark.operators.similarity import quantize_embeddings
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -1.0, 0.5, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, [-2.0, 0.25, 1.0, -0.1]),
+        ],
+        schema,
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert out[1]["codes"] == [127, -127, 63, 0]
+    assert out[2]["codes"] == [0, 0, 0, 0] and out[2]["scale_micro"] == 0
+    assert out[3]["codes"][0] == -127  # floor(-2.0 / 2.0 * 127) exactly
+    for vid, vec in ((1, [1.0, -1.0, 0.5, 0.0]), (3, [-2.0, 0.25, 1.0, -0.1])):
+        maxabs = max(abs(v) for v in vec)
+        step = maxabs / 127
+        scale = out[vid]["scale_micro"] / 1e6
+        assert abs(scale - maxabs) <= 1e-6
+        for v, c in zip(vec, out[vid]["codes"]):
+            assert -127 <= c <= 127
+            assert abs(v - c * maxabs / 127) <= step + 1e-12
+
+
+def test_quantize_embeddings_matches_duckdb_twin(spark):
+    import duckdb
+
+    from nlp_to_nosql_spark.operators.similarity import (
+        quantize_embeddings,
+        quantize_sql,
+    )
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    rows = [
+        (i, [((i * 7 + j * 13) % 19 - 9) / 4.0 for j in range(6)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = sorted(
+        (r["vec_id"], r["scale_micro"], tuple(r["codes"]))
+        for r in quantize_embeddings(df).collect()
+    )
+    con = duckdb.connect()
+    con.register("embeddings", df.toPandas())
+    want = sorted(
+        (r[0], r[1], tuple(r[2]))
+        for r in con.execute(quantize_sql()).fetchall()
+    )
+    assert got == want

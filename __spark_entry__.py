@@ -32,6 +32,7 @@ from nlp_to_nosql_spark.operators.similarity import (
     embedding_neardup_exact,
     quantize_sql,
     topk_bruteforce,
+    topk_quantized_sql,
 )
 from nlp_to_nosql_spark.operators.asof import asof_join, asof_join_bucketed
 from nlp_to_nosql_spark.operators.curation import (
@@ -1051,6 +1052,17 @@ def _q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = register_tables(spark, sf_dir)["embeddings"]
     return centroid_similarity(emb, "label", "embedding")
+
+
+def _q_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over the int8-quantized representation — integer code dot
+    products with exact BIGINT sums (floats only in the two sqrts and
+    the final divide, association mirrored by the oracle).  Measured
+    recall@10 vs the float ranking: 1.0 at sf0.01 (tests/test_recall.py)."""
+    from nlp_to_nosql_spark.operators.similarity import topk_quantized
+
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    return topk_quantized(emb, _query_vector(spark, sf_dir), k=10)
 
 
 def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2470,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb2_label_centroids": _q_label_centroids,
         "emb3_centroid_similarity": _q_centroid_similarity,
         "emb4_quantize": _q_quantize_embeddings,
+        "ann7_quantized_topk": _q_topk_quantized,
         "prof2_dup_group_sizes": _q_dup_group_sizes,
         "stream1_windowed_counts": _q_windowed_event_counts,
         "stream2_sessionize_stream": _q_sessionize_stream,
@@ -3338,6 +3351,7 @@ def oracle_sql() -> dict[str, str]:
         "emb2_label_centroids": CENTROID_SQL,
         "emb3_centroid_similarity": CENTROID_SIM_SQL,
         "emb4_quantize": quantize_sql(),
+        "ann7_quantized_topk": topk_quantized_sql(query_id=0, k=10),
         "prof2_dup_group_sizes": (
             "WITH planted AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 "
             "THEN 'boilerplate template ' || "

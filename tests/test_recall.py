@@ -106,6 +106,24 @@ def test_ann2_sign_lsh_recall_floor(tables, queries, truth):
     assert means[6] >= means[2], f"wider probe lost recall: {means}"
 
 
+def test_quantized_topk_recall_vs_float_ranking(tables, queries, truth):
+    """int8 quantized search must preserve the float top-10 on this
+    corpus (measured recall@10 = 1.0 over 8 queries): the quantization
+    step maxabs/127 is far below the corpus's typical cosine gaps.
+    Floor at 0.9 guards a future corpus with tighter ties."""
+    from nlp_to_nosql_spark.operators.similarity import topk_quantized
+
+    emb = tables["embeddings"]
+    got = {
+        qid: {
+            r["vec_id"] for r in topk_quantized(emb, q, k=K).collect()
+        }
+        for qid, q in queries
+    }
+    rec = _mean_recall(got, truth)
+    assert rec >= 0.9, f"quantized recall@10: {rec:.3f}"
+
+
 @pytest.fixture(scope="module")
 def ivf_assigned(tables):
     idx = IVFIndex(n_lists=8, max_iter=3)

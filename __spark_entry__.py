@@ -51,6 +51,7 @@ from nlp_to_nosql_spark.operators.curation import (
     temperature_rate_ctes,
     temperature_sql,
 )
+from nlp_to_nosql_spark.operators.changelog import latest_wins_sql, scd2_sql
 from nlp_to_nosql_spark.operators.sessions import SESSIONIZE_SQL, sessionize
 from nlp_to_nosql_spark.operators.timeseries import GAPFILL_SQL
 from nlp_to_nosql_spark.operators.ivf import IVFIndex
@@ -2276,6 +2277,27 @@ def _q_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("media_id", "sha256", "n_copies", "n_bytes")
 
 
+def _q_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction: latest state per (user, event_type) via a
+    partial-aggregated max_by — the CDC-merge read path.  The oracle is
+    the row_number() formulation, deliberately a different algorithm."""
+    from nlp_to_nosql_spark.operators.changelog import latest_wins
+
+    ev = register_tables(spark, sf_dir)["events"]
+    return latest_wins(
+        ev, ["user_id", "event_type"], ["ts", "event_id"], ["value"]
+    )
+
+
+def _q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 validity intervals of each user's event_type over
+    time: change-point filter + lead/row_number in one window shuffle."""
+    from nlp_to_nosql_spark.operators.changelog import scd2_intervals
+
+    ev = register_tables(spark, sf_dir)["events"]
+    return scd2_intervals(ev, "user_id", "event_type", "ts", "event_id")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2484,6 +2506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb4_quantize": _q_quantize_embeddings,
         "ann7_quantized_topk": _q_topk_quantized,
         "prof2_dup_group_sizes": _q_dup_group_sizes,
+        "merge1_latest_wins": _q_latest_wins,
+        "scd1_event_intervals": _q_scd2_intervals,
         "stream1_windowed_counts": _q_windowed_event_counts,
         "stream2_sessionize_stream": _q_sessionize_stream,
         "stream3_windowed_counts_stream": _q_windowed_counts_stream,
@@ -3363,6 +3387,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups, "
             "CAST(group_size * COUNT(*) AS BIGINT) AS n_docs "
             "FROM g GROUP BY 1"
+        ),
+        "merge1_latest_wins": latest_wins_sql(
+            ["user_id", "event_type"], ["ts", "event_id"], ["value"]
+        ),
+        "scd1_event_intervals": scd2_sql(
+            "user_id", "event_type", "ts", "event_id"
         ),
         "stream1_windowed_counts": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "

@@ -52,6 +52,7 @@ from nlp_to_nosql_spark.operators.curation import (
     temperature_sql,
 )
 from nlp_to_nosql_spark.operators.changelog import latest_wins_sql, scd2_sql
+from nlp_to_nosql_spark.operators.layout import zorder_profile_sql
 from nlp_to_nosql_spark.operators.sessions import SESSIONIZE_SQL, sessionize
 from nlp_to_nosql_spark.operators.timeseries import GAPFILL_SQL
 from nlp_to_nosql_spark.operators.ivf import IVFIndex
@@ -2298,6 +2299,31 @@ def _q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_intervals(ev, "user_id", "event_type", "ts", "event_id")
 
 
+def _q_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout profile of orders along (customer, order day):
+    per-Z-range row counts and min/max rectangles — the data-skipping
+    power an OPTIMIZE ZORDER write of this table would buy, as data.
+    Exact BIGINT bit arithmetic; one projection + one partial agg.
+    bits=11 sizes the curve to the contract corpus (2^11 covers sf0.01
+    custkeys and the ~2.5k-day date span, so buckets split on REAL key
+    bits); a production layout sizes bits to the column's range."""
+    from nlp_to_nosql_spark.operators.layout import zorder_profile
+
+    t = register_tables(spark, sf_dir)
+    ord_df = t["orders"].select(
+        F.col("o_custkey"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1992-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("order_day"),
+    )
+    return zorder_profile(
+        ord_df, ["o_custkey", "order_day"], bits=11, bucket_bits=6
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2508,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prof2_dup_group_sizes": _q_dup_group_sizes,
         "merge1_latest_wins": _q_latest_wins,
         "scd1_event_intervals": _q_scd2_intervals,
+        "zorder1_layout_profile": _q_zorder_profile,
         "stream1_windowed_counts": _q_windowed_event_counts,
         "stream2_sessionize_stream": _q_sessionize_stream,
         "stream3_windowed_counts_stream": _q_windowed_counts_stream,
@@ -3393,6 +3420,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "scd1_event_intervals": scd2_sql(
             "user_id", "event_type", "ts", "event_id"
+        ),
+        "zorder1_layout_profile": (
+            "WITH zt AS (SELECT o_custkey, "
+            "CAST(date_diff('day', DATE '1992-01-01', "
+            "CAST(o_orderdate AS DATE)) AS BIGINT) AS order_day "
+            "FROM orders) "
+            + zorder_profile_sql(
+                "zt", ["o_custkey", "order_day"], bits=11, bucket_bits=6
+            )
         ),
         "stream1_windowed_counts": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "

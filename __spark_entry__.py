@@ -53,6 +53,7 @@ from nlp_to_nosql_spark.operators.curation import (
 )
 from nlp_to_nosql_spark.operators.changelog import latest_wins_sql, scd2_sql
 from nlp_to_nosql_spark.operators.layout import zorder_profile_sql
+from nlp_to_nosql_spark.operators.terms import collocations_sql
 from nlp_to_nosql_spark.operators.sessions import SESSIONIZE_SQL, sessionize
 from nlp_to_nosql_spark.operators.timeseries import GAPFILL_SQL
 from nlp_to_nosql_spark.operators.ivf import IVFIndex
@@ -2324,6 +2325,16 @@ def _q_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocation mining: adjacent-bigram lift (tokenizer-merge
+    candidate discovery).  One corpus-sized pair shuffle; marginals are
+    re-aggregations of the pair table; lift_micro is engine-exact."""
+    from nlp_to_nosql_spark.operators.terms import bigram_collocations
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return bigram_collocations(docs, min_count=5)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2535,6 +2546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge1_latest_wins": _q_latest_wins,
         "scd1_event_intervals": _q_scd2_intervals,
         "zorder1_layout_profile": _q_zorder_profile,
+        "colloc1_bigram_lift": _q_collocations,
         "stream1_windowed_counts": _q_windowed_event_counts,
         "stream2_sessionize_stream": _q_sessionize_stream,
         "stream3_windowed_counts_stream": _q_windowed_counts_stream,
@@ -3430,6 +3442,7 @@ def oracle_sql() -> dict[str, str]:
                 "zt", ["o_custkey", "order_day"], bits=11, bucket_bits=6
             )
         ),
+        "colloc1_bigram_lift": collocations_sql(min_count=5),
         "stream1_windowed_counts": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "
             "CAST(COUNT(*) AS BIGINT) AS n_events, "

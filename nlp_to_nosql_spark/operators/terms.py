@@ -56,3 +56,106 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select(id_col, "rk", "token")
     )
+
+
+def bigram_collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus-level collocation mining: adjacent-bigram lift over the
+    normalized token stream — the phrase/named-entity discovery pass a
+    tokenizer-training pipeline runs before merging multi-word units.
+
+    Probabilities are defined over BIGRAM events only (P(x·) = bigrams
+    starting with x, P(·y) = bigrams ending with y, N = all bigrams), so
+    every number derives from ONE pair table and the marginals are exact
+    re-aggregations of it — no second pass over the corpus.  ``lift =
+    P(xy) / (P(x·)·P(·y))``; emitted as ``lift_micro = floor(lift·1e6)``
+    where every float op is the same IEEE double op in the same
+    association as the SQL twin (multiply, multiply, divide, multiply,
+    floor — each correctly rounded, so the BIGINT is engine-exact; same
+    discipline as ``similarity.quantize_embeddings``).
+
+    Plan: token explode (no shuffle) → one partial-aggregated groupBy on
+    (w1, w2) — the only corpus-sized shuffle — then vocabulary-sized
+    marginal aggregates joined back (AQE broadcasts them) and a one-row
+    broadcast cross join for N.  Output: ``(w1, w2, n_pair, n_first,
+    n_second, n_bigrams, lift_micro)``, pairs with ``n_pair >=
+    min_count``.
+    """
+    from nlp_to_nosql_spark.operators.curation import _tokens
+
+    toks = _tokens(df, id_col, text_col)
+    words = F.col("_w")
+    n = F.size(words)
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(words, 1, n - 1),
+                F.slice(words, 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pc = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pair")
+    )
+    fx = pc.groupBy("w1").agg(F.sum("n_pair").cast("long").alias("n_first"))
+    fy = pc.groupBy("w2").agg(F.sum("n_pair").cast("long").alias("n_second"))
+    nn = pc.agg(F.sum("n_pair").cast("long").alias("n_bigrams"))
+    num = F.col("n_pair").cast("double") * F.col("n_bigrams").cast("double")
+    den = F.col("n_first").cast("double") * F.col("n_second").cast("double")
+    return (
+        pc.filter(F.col("n_pair") >= min_count)
+        .join(fx, "w1")
+        .join(fy, "w2")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_first",
+            "n_second",
+            "n_bigrams",
+            F.floor((num / den) * F.lit(1000000.0))
+            .cast("long")
+            .alias("lift_micro"),
+        )
+    )
+
+
+def collocations_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> str:
+    """DuckDB twin of :func:`bigram_collocations` — identical
+    normalization, adjacency expansion, marginal re-aggregation, and
+    IEEE association for ``lift_micro``."""
+    from nlp_to_nosql_spark.functions.text import NORMALIZE_SQL
+
+    norm = NORMALIZE_SQL.format(c=f"COALESCE({text_col}, '')")
+    return (
+        f"WITH words AS (SELECT {id_col}, string_split({norm}, ' ') AS w "
+        f"FROM {table}), "
+        "bg AS (SELECT w[i] AS w1, w[i + 1] AS w2 "
+        "FROM words, UNNEST(range(1, len(w))) u(i)), "
+        "pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair "
+        "FROM bg GROUP BY 1, 2), "
+        "fx AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_first "
+        "FROM pc GROUP BY 1), "
+        "fy AS (SELECT w2, CAST(SUM(n_pair) AS BIGINT) AS n_second "
+        "FROM pc GROUP BY 1), "
+        "nn AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n_bigrams FROM pc) "
+        "SELECT pc.w1, pc.w2, pc.n_pair, fx.n_first, fy.n_second, "
+        "nn.n_bigrams, "
+        "CAST(FLOOR(((CAST(pc.n_pair AS DOUBLE) * "
+        "CAST(nn.n_bigrams AS DOUBLE)) / "
+        "(CAST(fx.n_first AS DOUBLE) * CAST(fy.n_second AS DOUBLE))) "
+        "* 1000000.0) AS BIGINT) AS lift_micro "
+        "FROM pc JOIN fx USING (w1) JOIN fy USING (w2) CROSS JOIN nn "
+        f"WHERE pc.n_pair >= {int(min_count)}"
+    )

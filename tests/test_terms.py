@@ -52,3 +52,59 @@ def test_tfidf_k_limits_rows(spark):
     counts = {r["doc_id"]: r["n"] for r in
               out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
     assert counts[0] == 3 and counts[1] == 2
+
+
+def test_bigram_collocations_counts(spark):
+    from nlp_to_nosql_spark.operators.terms import bigram_collocations
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, None), (4, "x")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in bigram_collocations(df, min_count=1).collect()
+    }
+    # bigrams: (a,b)x2 + (b,a) from doc1; (a,b),(b,c) from doc2 -> N=5
+    ab = out[("a", "b")]
+    assert ab["n_pair"] == 3 and ab["n_bigrams"] == 5
+    assert ab["n_first"] == 3  # bigrams starting with a
+    assert ab["n_second"] == 3  # bigrams ending with b
+    # lift(a,b) = (3/5) / ((3/5)*(3/5)) = 5/3 -> 1666666 micro
+    assert ab["lift_micro"] == 1666666
+    assert ("x", "x") not in out  # single-token doc has no bigram
+
+
+def test_bigram_collocations_matches_duckdb(spark):
+    import os
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        import pytest
+
+        pytest.skip("testdata not present")
+    import duckdb
+
+    from nlp_to_nosql_spark.operators.terms import (
+        bigram_collocations,
+        collocations_sql,
+    )
+    from nlp_to_nosql_spark.sources.catalog import register_tables
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    got = {
+        (r["w1"], r["w2"]): (r["n_pair"], r["lift_micro"])
+        for r in bigram_collocations(docs, min_count=5).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {
+        (w1, w2): (np, lm)
+        for w1, w2, np, _, _, _, lm in con.execute(
+            collocations_sql(min_count=5)
+        ).fetchall()
+    }
+    assert got == want and len(got) > 10

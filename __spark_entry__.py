@@ -53,6 +53,7 @@ from nlp_to_nosql_spark.operators.curation import (
 )
 from nlp_to_nosql_spark.operators.changelog import latest_wins_sql, scd2_sql
 from nlp_to_nosql_spark.operators.layout import zorder_profile_sql
+from nlp_to_nosql_spark.operators.pq import adc_rerank_sql, adc_topk_sql
 from nlp_to_nosql_spark.operators.terms import collocations_sql
 from nlp_to_nosql_spark.operators.sessions import SESSIONIZE_SQL, sessionize
 from nlp_to_nosql_spark.operators.timeseries import GAPFILL_SQL
@@ -2335,6 +2336,32 @@ def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_collocations(docs, min_count=5)
 
 
+def _q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k: 16-bit codes per 64-dim vector,
+    compressed-domain search via an m x k lookup table.  Every distance
+    is exact BIGINT on integer-micro components, so the whole pipeline
+    (codebook sampling -> encode -> ADC rank) is value-level oracled.
+    Recall vs ann1 is a measured number (tests/test_pq.py)."""
+    from nlp_to_nosql_spark.operators.pq import adc_topk, fit_pq
+
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    model = fit_pq(emb, m=4, k=16, seed=7)
+    return adc_topk(emb, model, _query_vector(spark, sf_dir), k_results=10)
+
+
+def _q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ search: ADC shortlist (50) -> exact integer-micro
+    L2 rerank of only the candidates — the production IVF-PQ + rerank
+    architecture; broadcast semi-join, zero-shuffle distances."""
+    from nlp_to_nosql_spark.operators.pq import adc_rerank_topk, fit_pq
+
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    model = fit_pq(emb, m=4, k=16, seed=7)
+    return adc_rerank_topk(
+        emb, model, _query_vector(spark, sf_dir), k_results=10, shortlist=50
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2547,6 +2574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd1_event_intervals": _q_scd2_intervals,
         "zorder1_layout_profile": _q_zorder_profile,
         "colloc1_bigram_lift": _q_collocations,
+        "ann8_pq_adc": _q_pq_adc,
+        "ann9_pq_rerank": _q_pq_rerank,
         "stream1_windowed_counts": _q_windowed_event_counts,
         "stream2_sessionize_stream": _q_sessionize_stream,
         "stream3_windowed_counts_stream": _q_windowed_counts_stream,
@@ -3443,6 +3472,10 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "colloc1_bigram_lift": collocations_sql(min_count=5),
+        "ann8_pq_adc": adc_topk_sql(query_id=0, k_results=10),
+        "ann9_pq_rerank": adc_rerank_sql(
+            query_id=0, k_results=10, shortlist=50
+        ),
         "stream1_windowed_counts": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "
             "CAST(COUNT(*) AS BIGINT) AS n_events, "

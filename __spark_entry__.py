@@ -2362,6 +2362,16 @@ def _q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pair_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the 3-gram Jaccard near-dup pair graph —
+    the pre-clustering shape diagnostic (chains vs template hubs)."""
+    from nlp_to_nosql_spark.operators.graph import pair_degree_histogram
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
+    return pair_degree_histogram(pairs)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2576,6 +2586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "colloc1_bigram_lift": _q_collocations,
         "ann8_pq_adc": _q_pq_adc,
         "ann9_pq_rerank": _q_pq_rerank,
+        "prof3_pair_degree_hist": _q_pair_degree_hist,
         "stream1_windowed_counts": _q_windowed_event_counts,
         "stream2_sessionize_stream": _q_sessionize_stream,
         "stream3_windowed_counts_stream": _q_windowed_counts_stream,
@@ -3475,6 +3486,16 @@ def oracle_sql() -> dict[str, str]:
         "ann8_pq_adc": adc_topk_sql(query_id=0, k_results=10),
         "ann9_pq_rerank": adc_rerank_sql(
             query_id=0, k_results=10, shortlist=50
+        ),
+        "prof3_pair_degree_hist": (
+            "WITH " + _JACCARD_CTES + ", "
+            "pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.2), "
+            "ends AS (SELECT id_a AS node FROM pairs "
+            "UNION ALL SELECT id_b FROM pairs), "
+            "deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree "
+            "FROM ends GROUP BY node) "
+            "SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes "
+            "FROM deg GROUP BY degree"
         ),
         "stream1_windowed_counts": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "

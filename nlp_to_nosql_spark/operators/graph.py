@@ -220,3 +220,33 @@ def dedup_clusters(
     return labels.select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")
     )
+
+
+def pair_degree_histogram(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Degree distribution of a pair graph: ``(degree, n_nodes)``.
+
+    The shape diagnostic for a near-dup pair relation before running
+    :func:`connected_components` on it: a long chain-like tail (degree
+    1-2) means clusters are paths and CC needs its pointer-jumping
+    rounds; heavy hubs (one template matching thousands of documents)
+    mean the pair-generation stage should have cut a stop-shingle (and
+    will dominate CC's join fan-out).  Publishing the histogram is how a
+    100 TB dedup run is budgeted BEFORE the expensive clustering pass.
+
+    Plan: one union of the two endpoint projections (no shuffle), a
+    groupBy on node id (one shuffle, map-side partial), and a
+    vocabulary-sized groupBy on the degree — both partial-aggregated.
+    Each pair is one edge incident to both endpoints; multi-edges (the
+    same pair emitted twice) count twice, mirroring the SQL twin.
+    """
+    ends = pairs.select(F.col(id_a).alias("node")).unionAll(
+        pairs.select(F.col(id_b).alias("node"))
+    )
+    deg = ends.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )

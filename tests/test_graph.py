@@ -122,3 +122,15 @@ def test_null_edge_endpoints_ignored(spark, cc_mode):
     nodes = spark.createDataFrame([(n,) for n in (1, 2, 3)], "doc_id long")
     got = _labels(connected_components(edges, "a", "b", nodes=nodes, id_col="doc_id"))
     assert got == {1: 1, 2: 1, 3: 3}
+
+
+def test_pair_degree_histogram(spark):
+    from nlp_to_nosql_spark.operators.graph import pair_degree_histogram
+
+    pairs = spark.createDataFrame(
+        # star: 1-2, 1-3, 1-4 (deg(1)=3); isolated pair 5-6
+        [(1, 2), (1, 3), (1, 4), (5, 6)],
+        "id_a long, id_b long",
+    )
+    got = {r["degree"]: r["n_nodes"] for r in pair_degree_histogram(pairs).collect()}
+    assert got == {3: 1, 1: 3 + 2}  # hub once; leaves 2,3,4 + both of 5,6

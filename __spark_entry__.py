@@ -54,7 +54,10 @@ from nlp_to_nosql_spark.operators.curation import (
 from nlp_to_nosql_spark.operators.changelog import latest_wins_sql, scd2_sql
 from nlp_to_nosql_spark.operators.layout import zorder_profile_sql
 from nlp_to_nosql_spark.operators.pq import adc_rerank_sql, adc_topk_sql
-from nlp_to_nosql_spark.operators.terms import collocations_sql
+from nlp_to_nosql_spark.operators.terms import (
+    collocations_sql,
+    vocab_coverage_sql,
+)
 from nlp_to_nosql_spark.operators.sessions import SESSIONIZE_SQL, sessionize
 from nlp_to_nosql_spark.operators.timeseries import GAPFILL_SQL
 from nlp_to_nosql_spark.operators.ivf import IVFIndex
@@ -2372,6 +2375,15 @@ def _q_pair_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_degree_histogram(pairs)
 
 
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 vocabulary coverage curve: token census (one partial-agg
+    shuffle) + TakeOrdered + bounded running-sum window."""
+    from nlp_to_nosql_spark.operators.terms import vocab_coverage
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return vocab_coverage(docs, top_n=50)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2587,6 +2599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann8_pq_adc": _q_pq_adc,
         "ann9_pq_rerank": _q_pq_rerank,
         "prof3_pair_degree_hist": _q_pair_degree_hist,
+        "tok2_vocab_coverage": _q_vocab_coverage,
         "stream1_windowed_counts": _q_windowed_event_counts,
         "stream2_sessionize_stream": _q_sessionize_stream,
         "stream3_windowed_counts_stream": _q_windowed_counts_stream,
@@ -3497,6 +3510,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes "
             "FROM deg GROUP BY degree"
         ),
+        "tok2_vocab_coverage": vocab_coverage_sql(top_n=50),
         "stream1_windowed_counts": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "
             "CAST(COUNT(*) AS BIGINT) AS n_events, "

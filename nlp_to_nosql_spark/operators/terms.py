@@ -126,6 +126,96 @@ def bigram_collocations(
     )
 
 
+def vocab_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 50,
+) -> DataFrame:
+    """Vocabulary coverage curve: the ``top_n`` most frequent tokens
+    with rank, count, running count, and ``coverage_micro`` =
+    ``floor((cum/total)·1e6)`` — the "how many merges until X% of the
+    stream is covered" number a tokenizer-training budget starts from.
+
+    Empty tokens are excluded on both engines (the normalized split of
+    an empty document is ``['']``).  Ranks tie-break on the token
+    string.  ``coverage_micro`` divides BEFORE scaling (one IEEE double
+    divide, multiply, floor — identical association in the SQL twin),
+    so it cannot overflow at any corpus size.
+
+    Plan: one corpus-sized partial-aggregated groupBy (the token
+    census), then ``TakeOrderedAndProject`` for the top-N — the running
+    sum's unpartitioned window sees only those N rows, so the
+    single-partition window is bounded by construction, not by data.
+    The total arrives as a one-row broadcast cross join.
+    """
+    from nlp_to_nosql_spark.operators.curation import _tokens
+
+    toks = (
+        _tokens(df, id_col, text_col)
+        .select(F.explode(F.col("_w")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    tf = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    nn = tf.agg(F.sum("cnt").cast("long").alias("n_total"))
+    top = tf.orderBy(F.desc("cnt"), F.asc("token")).limit(int(top_n))
+    order = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.select(
+            F.row_number().over(order).cast("int").alias("rank"),
+            "token",
+            "cnt",
+            F.sum("cnt").over(run).cast("long").alias("cum_cnt"),
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "rank",
+            "token",
+            "cnt",
+            "cum_cnt",
+            F.floor(
+                (F.col("cum_cnt").cast("double") / F.col("n_total").cast("double"))
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("coverage_micro"),
+        )
+    )
+
+
+def vocab_coverage_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    top_n: int = 50,
+) -> str:
+    """DuckDB twin of :func:`vocab_coverage` — identical census,
+    ordering, running frame, and IEEE association."""
+    from nlp_to_nosql_spark.functions.text import NORMALIZE_SQL
+
+    norm = NORMALIZE_SQL.format(c=f"COALESCE({text_col}, '')")
+    return (
+        f"WITH words AS (SELECT string_split({norm}, ' ') AS w "
+        f"FROM {table}), "
+        "tok AS (SELECT unnest(w) AS token FROM words), "
+        "tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM tok WHERE token <> '' GROUP BY 1), "
+        "nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM tf), "
+        f"top AS (SELECT token, cnt FROM tf "
+        f"ORDER BY cnt DESC, token LIMIT {int(top_n)}), "
+        "ranked AS (SELECT "
+        "CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank, "
+        "token, cnt, "
+        "CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt FROM top) "
+        "SELECT rank, token, cnt, cum_cnt, "
+        "CAST(FLOOR((CAST(cum_cnt AS DOUBLE) / CAST(n_total AS DOUBLE)) "
+        "* 1000000.0) AS BIGINT) AS coverage_micro FROM ranked, nn"
+    )
+
+
 def collocations_sql(
     table: str = "documents",
     id_col: str = "doc_id",

@@ -108,3 +108,46 @@ def test_bigram_collocations_matches_duckdb(spark):
         ).fetchall()
     }
     assert got == want and len(got) > 10
+
+
+def test_vocab_coverage_curve(spark):
+    from nlp_to_nosql_spark.operators.terms import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["rank"]: r for r in vocab_coverage(df, top_n=2).collect()}
+    # counts: a=4, b=3, c=1, N=8; top-2 = a, b
+    assert rows[1]["token"] == "a" and rows[1]["cnt"] == 4
+    assert rows[2]["token"] == "b" and rows[2]["cum_cnt"] == 7
+    assert rows[1]["coverage_micro"] == 500000  # 4/8
+    assert rows[2]["coverage_micro"] == 875000  # 7/8
+    assert len(rows) == 2
+
+
+def test_vocab_coverage_matches_duckdb(spark):
+    import os
+
+    import duckdb
+
+    from nlp_to_nosql_spark.operators.terms import (
+        vocab_coverage,
+        vocab_coverage_sql,
+    )
+    from nlp_to_nosql_spark.sources.catalog import register_tables
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        import pytest
+
+        pytest.skip("testdata not present")
+    docs = register_tables(spark, sf_dir)["documents"]
+    got = [tuple(r) for r in vocab_coverage(docs, top_n=25).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = con.execute(vocab_coverage_sql(top_n=25)).fetchall()
+    assert got == [tuple(r) for r in want]

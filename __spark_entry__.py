@@ -2384,6 +2384,17 @@ def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(docs, top_n=50)
 
 
+def _q_cdc_compaction_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming CDC compaction (applyInPandasWithState latest-wins
+    per key, update mode) replayed over two micro-batches; the final
+    state must equal the batch row_number merge — the streaming
+    materialized-view guarantee."""
+    from nlp_to_nosql_spark.streaming.replay import replay_latest_state
+
+    ev = register_tables(spark, sf_dir)["events"]
+    return replay_latest_state(spark, ev, tag=f"sf{_sf_tag(sf_dir)}")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2609,6 +2620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream7_stream_stream_join": _q_stream_stream_join,
         "stream8_dedup_within_watermark": _q_dedup_within_watermark_stream,
         "stream9_native_session_stream": _q_native_session_stream,
+        "stream10_cdc_compaction": _q_cdc_compaction_stream,
         "mm1_image_features": _q_image_features,
         "mm2_frame_plan": _q_frame_plan,
         "mm3_audio_chunks": _q_audio_chunks,
@@ -3511,6 +3523,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM deg GROUP BY degree"
         ),
         "tok2_vocab_coverage": vocab_coverage_sql(top_n=50),
+        "stream10_cdc_compaction": (
+            "SELECT user_id, event_type, event_id, value FROM ("
+            + latest_wins_sql(
+                ["user_id", "event_type"], ["ts", "event_id"], ["value"]
+            )
+            + ")"
+        ),
         "stream1_windowed_counts": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "
             "CAST(COUNT(*) AS BIGINT) AS n_events, "

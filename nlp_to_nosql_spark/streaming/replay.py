@@ -321,6 +321,50 @@ def replay_dim_join(
     return spark.table(name)
 
 
+def replay_latest_state(
+    spark: SparkSession,
+    events: DataFrame,
+    tag: str = "cdc",
+) -> DataFrame:
+    """Streaming CDC compaction replay: the keyed-state latest-wins view
+    (``totals.latest_state_stream``) over a bounded changelog staged as
+    TWO micro-batches — the final per-key state must equal the batch
+    ``changelog.latest_wins`` / row_number oracle, proving the streaming
+    materialized view converges to the batch merge.  Returns
+    ``(user_id, event_type, event_id, value)``; the winning timestamp
+    is compared as int64 ticks inside the operator and never surfaced,
+    so the result is zone-free.
+    """
+    from nlp_to_nosql_spark.streaming.totals import latest_state_stream
+
+    src = events.select(
+        "user_id", "event_type", _as_event_time("ts"), "event_id", "value"
+    )
+    path = _work_dir(f"{tag}_latest")
+    src.repartition(2).write.mode("overwrite").parquet(path)
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_type string, ts timestamp, "
+            "event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    name = f"replay_{tag}_latest"
+    _run_to_memory(latest_state_stream(stream), name, "update", partitions=4)
+
+    out = spark.table(name)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    return (
+        out.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+    )
+
+
 def replay_running_totals(
     spark: SparkSession,
     events: DataFrame,

@@ -155,3 +155,63 @@ def running_totals_stream_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+LATEST_STATE_SCHEMA = "ts_us long, event_id long, value double"
+LATEST_OUTPUT_SCHEMA = (
+    "user_id long, event_type string, ts_us long, event_id long, value double"
+)
+
+
+def latest_state_stream(events: DataFrame) -> DataFrame:
+    """Streaming CDC compaction: per (user_id, event_type) keep the row
+    with the greatest (ts, event_id) — the streaming twin of
+    ``operators.changelog.latest_wins``, as keyed state.  Update-mode
+    output re-emits each key's current winner per micro-batch; the
+    winning (ts, event_id) is monotone per key, so the replay harness's
+    final rank-1 pick is the post-replay latest state.
+
+    The event time is compared and carried as int64 epoch ticks
+    (``astype('int64')`` of the pandas column — unit-consistent within a
+    run), never as a timestamp, so state stays engine-neutral and the
+    final projection needs no zone reasoning.  State per key is one
+    (ts, id, value) triple — O(active keys), the production CDC-view
+    shape.  NULL payload values would surface as NaN (not SQL NULL);
+    upstream CDC feeds carry non-null payloads by contract.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def update(
+        key: Tuple,
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        best = tuple(state.get) if state.exists else None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts = pdf["ts"].astype("int64").to_numpy()
+            eid = pdf["event_id"].to_numpy()
+            i = int(np.lexsort((eid, ts))[-1])
+            cand = (int(ts[i]), int(eid[i]), float(pdf["value"].iloc[i]))
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "ts_us": [best[0]],
+                "event_id": [best[1]],
+                "value": [best[2]],
+            }
+        )
+
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        update,
+        outputStructType=LATEST_OUTPUT_SCHEMA,
+        stateStructType=LATEST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

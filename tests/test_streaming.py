@@ -248,3 +248,38 @@ def test_running_totals_null_value_is_skipped(spark):
 
     s = pd.Series([1.25, None, 2.5], dtype="float64")
     assert _cents(s) == 125 + 250
+
+
+def test_latest_state_stream_equals_batch_merge(spark):
+    """Streaming CDC compaction == batch latest_wins after a 2-batch
+    replay (state carries the winner across micro-batch boundaries)."""
+    import datetime as dt
+
+    from nlp_to_nosql_spark.operators.changelog import latest_wins
+    from nlp_to_nosql_spark.streaming.replay import replay_latest_state
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10), 7, "click", 1.0),
+        (2, dt.datetime(2024, 1, 1, 12), 7, "click", 2.0),  # winner
+        (3, dt.datetime(2024, 1, 1, 12), 7, "view", 3.0),
+        (4, dt.datetime(2024, 1, 1, 9), 8, "click", 4.0),
+        (5, dt.datetime(2024, 1, 1, 9), 8, "click", 5.0),  # id tiebreak
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+    got = {
+        (r["user_id"], r["event_type"]): (r["event_id"], r["value"])
+        for r in replay_latest_state(spark, ev, tag="t_cdc").collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"]): (r["event_id"], r["value"])
+        for r in latest_wins(
+            ev, ["user_id", "event_type"], ["ts", "event_id"], ["value"]
+        ).collect()
+    }
+    assert got == want
+    assert got[(7, "click")] == (2, 2.0)
+    assert got[(8, "click")] == (5, 5.0)

@@ -53,6 +53,7 @@ from nlp_to_nosql_spark.operators.curation import (
 )
 from nlp_to_nosql_spark.operators.changelog import latest_wins_sql, scd2_sql
 from nlp_to_nosql_spark.operators.layout import zorder_profile_sql
+from nlp_to_nosql_spark.operators.funnel import cohort_sql, funnel_sql
 from nlp_to_nosql_spark.operators.pq import adc_rerank_sql, adc_topk_sql
 from nlp_to_nosql_spark.operators.terms import (
     collocations_sql,
@@ -2395,6 +2396,24 @@ def _q_cdc_compaction_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay_latest_state(spark, ev, tag=f"sf{_sf_tag(sf_dir)}")
 
 
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase per user:
+    chained conditional window MINs sharing ONE hash exchange."""
+    from nlp_to_nosql_spark.operators.funnel import funnel_stages
+
+    ev = register_tables(spark, sf_dir)["events"]
+    return funnel_stages(ev)
+
+
+def _q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: exact integer epoch-week
+    arithmetic (zone-free), distinct users per (cohort, offset) cell."""
+    from nlp_to_nosql_spark.operators.funnel import cohort_retention
+
+    ev = register_tables(spark, sf_dir)["events"]
+    return cohort_retention(ev)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2611,6 +2630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann9_pq_rerank": _q_pq_rerank,
         "prof3_pair_degree_hist": _q_pair_degree_hist,
         "tok2_vocab_coverage": _q_vocab_coverage,
+        "funnel1_ordered_conversion": _q_funnel,
+        "cohort1_weekly_retention": _q_cohort,
         "stream1_windowed_counts": _q_windowed_event_counts,
         "stream2_sessionize_stream": _q_sessionize_stream,
         "stream3_windowed_counts_stream": _q_windowed_counts_stream,
@@ -3530,6 +3551,8 @@ def oracle_sql() -> dict[str, str]:
             )
             + ")"
         ),
+        "funnel1_ordered_conversion": funnel_sql(),
+        "cohort1_weekly_retention": cohort_sql(),
         "stream1_windowed_counts": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "
             "CAST(COUNT(*) AS BIGINT) AS n_events, "

@@ -2414,6 +2414,34 @@ def _q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev)
 
 
+def _q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of with a match-window: each click joined to the user's most
+    recent prior view, but only if it happened within the last hour —
+    pandas merge_asof(tolerance=...) semantics (match found, then
+    nulled when stale).  Right side pre-aggregated per (user, instant)
+    for determinism; oracle = DuckDB ASOF LEFT JOIN + the identical
+    epoch-µs staleness CASE."""
+    ev = register_tables(spark, sf_dir)["events"]
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("last_view_id"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        clicks,
+        views,
+        "user_id",
+        "user_id",
+        "ts",
+        "ts",
+        value_cols=["last_view_id"],
+        tolerance_s=3600,
+    ).select("event_id", "user_id", "last_view_id")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2632,6 +2660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok2_vocab_coverage": _q_vocab_coverage,
         "funnel1_ordered_conversion": _q_funnel,
         "cohort1_weekly_retention": _q_cohort,
+        "asof3_click_view_tolerance": _q_asof_tolerance,
         "stream1_windowed_counts": _q_windowed_event_counts,
         "stream2_sessionize_stream": _q_sessionize_stream,
         "stream3_windowed_counts_stream": _q_windowed_counts_stream,
@@ -3553,6 +3582,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "funnel1_ordered_conversion": funnel_sql(),
         "cohort1_weekly_retention": cohort_sql(),
+        "asof3_click_view_tolerance": (
+            "WITH v AS (SELECT user_id, ts, MAX(event_id) AS last_view_id "
+            "FROM events WHERE event_type = 'view' GROUP BY 1, 2), "
+            "c AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click'), "
+            "j AS (SELECT c.event_id, c.user_id, c.ts, v.ts AS mt, "
+            "v.last_view_id FROM c ASOF LEFT JOIN v "
+            "ON c.user_id = v.user_id AND c.ts >= v.ts) "
+            "SELECT event_id, user_id, "
+            "CASE WHEN epoch_us(ts) - epoch_us(mt) <= 3600000000 "
+            "THEN last_view_id END AS last_view_id FROM j"
+        ),
         "stream1_windowed_counts": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "
             "CAST(COUNT(*) AS BIGINT) AS n_events, "

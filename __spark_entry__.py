@@ -232,9 +232,13 @@ def _sink_roundtrip(table: str, fmt: str):
             from nlp_to_nosql_spark.sources.formats import write_orc
 
             write_orc(src, path)
+        elif fmt == "json_gz":
+            # gzip-compressed JSONL — the corpus interchange wire format
+            write_json(src, path, compression="gzip")
         else:
             write_json(src, path)
-        return read_table(spark, path, fmt, schema=src.schema)
+        read_fmt = "json" if fmt == "json_gz" else fmt
+        return read_table(spark, path, read_fmt, schema=src.schema)
 
     return run
 
@@ -2661,6 +2665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel1_ordered_conversion": _q_funnel,
         "cohort1_weekly_retention": _q_cohort,
         "asof3_click_view_tolerance": _q_asof_tolerance,
+        "s13_jsonl_gz_roundtrip": _sink_roundtrip("nation", "json_gz"),
         "stream1_windowed_counts": _q_windowed_event_counts,
         "stream2_sessionize_stream": _q_sessionize_stream,
         "stream3_windowed_counts_stream": _q_windowed_counts_stream,
@@ -2783,6 +2788,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE lang = 'en'"
         ),
         "s12_orc_roundtrip": "SELECT * FROM part",
+        "s13_jsonl_gz_roundtrip": "SELECT * FROM nation",
         "ts5_gapfill_hourly": GAPFILL_SQL.format(unit="hour"),
         "tok1_token_histogram": (
             "WITH t AS (SELECT CAST("

@@ -108,9 +108,18 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
     df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
 
 
-def write_json(df: DataFrame, path: str) -> None:
-    """Distributed JSON-lines export (S4's rows, minus the envelope)."""
-    df.write.mode("overwrite").json(path)
+def write_json(
+    df: DataFrame, path: str, compression: str | None = None
+) -> None:
+    """Distributed JSON-lines export (S4's rows, minus the envelope).
+    ``compression`` ("gzip", "zstd", ...) selects the per-part-file
+    codec — the wire format most corpus interchange uses (.jsonl.gz);
+    readers splice codec detection off the file extension, so the
+    roundtrip needs no extra options."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
 
 
 def csv_bytes(df: DataFrame, limit: int = 1000) -> bytes:

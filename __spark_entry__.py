@@ -2309,6 +2309,41 @@ def _q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_intervals(ev, "user_id", "event_type", "ts", "event_id")
 
 
+def _q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile: the 20 heaviest l_suppkey values with
+    their exact share of the table (divide-before-scale micro share, no
+    overflow at any scale) — the diagnostic that decides between a
+    plain shuffle join, AQE skew splitting, and an explicit salt
+    (join2).  One partial-aggregated census + TakeOrdered(20) + a
+    bounded 20-row window; the fact table never shuffles twice."""
+    li = register_tables(spark, sf_dir)["lineitem"]
+    cnt = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    total = cnt.agg(F.sum("n_rows").cast("long").alias("n_total"))
+    top = cnt.orderBy(F.desc("n_rows"), F.asc("l_suppkey")).limit(20)
+    order = Window.orderBy(F.desc("n_rows"), F.asc("l_suppkey"))
+    return (
+        top.select(
+            F.row_number().over(order).cast("int").alias("rank"),
+            "l_suppkey",
+            "n_rows",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "l_suppkey",
+            "n_rows",
+            F.floor(
+                (F.col("n_rows").cast("double") / F.col("n_total").cast("double"))
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("share_micro"),
+        )
+    )
+
+
 def _q_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout profile of orders along (customer, order day):
     per-Z-range row counts and min/max rectangles — the data-skipping
@@ -2666,6 +2701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort1_weekly_retention": _q_cohort,
         "asof3_click_view_tolerance": _q_asof_tolerance,
         "s13_jsonl_gz_roundtrip": _sink_roundtrip("nation", "json_gz"),
+        "prof4_key_skew": _q_key_skew,
         "stream1_windowed_counts": _q_windowed_event_counts,
         "stream2_sessionize_stream": _q_sessionize_stream,
         "stream3_windowed_counts_stream": _q_windowed_counts_stream,
@@ -2789,6 +2825,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "s12_orc_roundtrip": "SELECT * FROM part",
         "s13_jsonl_gz_roundtrip": "SELECT * FROM nation",
+        "prof4_key_skew": (
+            "WITH cnt AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) "
+            "AS n_rows FROM lineitem GROUP BY 1), "
+            "nn AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n_total FROM cnt), "
+            "top AS (SELECT l_suppkey, n_rows FROM cnt "
+            "ORDER BY n_rows DESC, l_suppkey LIMIT 20) "
+            "SELECT CAST(row_number() OVER "
+            "(ORDER BY n_rows DESC, l_suppkey) AS INT) AS rank, "
+            "l_suppkey, n_rows, "
+            "CAST(FLOOR((CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE)) "
+            "* 1000000.0) AS BIGINT) AS share_micro FROM top, nn"
+        ),
         "ts5_gapfill_hourly": GAPFILL_SQL.format(unit="hour"),
         "tok1_token_histogram": (
             "WITH t AS (SELECT CAST("

@@ -54,6 +54,7 @@ from nlp_to_nosql_spark.operators.curation import (
 from nlp_to_nosql_spark.operators.changelog import latest_wins_sql, scd2_sql
 from nlp_to_nosql_spark.operators.layout import zorder_profile_sql
 from nlp_to_nosql_spark.operators.funnel import cohort_sql, funnel_sql
+from nlp_to_nosql_spark.operators.graph import pagerank_sql
 from nlp_to_nosql_spark.operators.pq import adc_rerank_sql, adc_topk_sql
 from nlp_to_nosql_spark.operators.terms import (
     collocations_sql,
@@ -2481,6 +2482,17 @@ def _q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "last_view_id")
 
 
+def _q_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-micro PageRank (3 unrolled iterations) over the Jaccard
+    near-dup pair graph — template-hub centrality, every arithmetic op
+    exact BIGINT so the iterative algorithm itself is value-oracled."""
+    from nlp_to_nosql_spark.operators.graph import pagerank_micro
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
+    return pagerank_micro(pairs, iterations=3)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2702,6 +2714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof3_click_view_tolerance": _q_asof_tolerance,
         "s13_jsonl_gz_roundtrip": _sink_roundtrip("nation", "json_gz"),
         "prof4_key_skew": _q_key_skew,
+        "pr1_dup_pagerank": _q_dup_pagerank,
         "stream1_windowed_counts": _q_windowed_event_counts,
         "stream2_sessionize_stream": _q_sessionize_stream,
         "stream3_windowed_counts_stream": _q_windowed_counts_stream,
@@ -2825,6 +2838,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "s12_orc_roundtrip": "SELECT * FROM part",
         "s13_jsonl_gz_roundtrip": "SELECT * FROM nation",
+        "pr1_dup_pagerank": (
+            "WITH " + _JACCARD_CTES + ", "
+            "pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.2), "
+            + pagerank_sql(iterations=3)
+        ),
         "prof4_key_skew": (
             "WITH cnt AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) "
             "AS n_rows FROM lineitem GROUP BY 1), "

@@ -44,6 +44,9 @@ DEFAULT_LEVELS = {
     # composed pretraining pipeline feeds its surviving corpus to both
     # the decontamination fingerprints and the mixture sampler).
     "documents": "MEMORY_AND_DISK",
+    # pair-graph edge/degree tables reused by every iteration of the
+    # relational graph loops (PageRank, CC) — narrow int rows.
+    "edges": "MEMORY_AND_DISK",
 }
 
 CONF_PREFIX = "spark.nlp2nosql.cache."

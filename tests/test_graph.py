@@ -134,3 +134,36 @@ def test_pair_degree_histogram(spark):
     )
     got = {r["degree"]: r["n_nodes"] for r in pair_degree_histogram(pairs).collect()}
     assert got == {3: 1, 1: 3 + 2}  # hub once; leaves 2,3,4 + both of 5,6
+
+
+def test_pagerank_micro_hub_ranks_highest(spark):
+    from nlp_to_nosql_spark.operators.graph import pagerank_micro
+
+    # star graph: node 1 is the hub
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["rank_micro"] for r in pagerank_micro(pairs).collect()}
+    assert got[1] > got[2] == got[3] == got[4]
+    assert set(got) == {1, 2, 3, 4}
+
+
+def test_pagerank_micro_matches_duckdb(spark):
+    import duckdb
+
+    from nlp_to_nosql_spark.operators.graph import pagerank_micro, pagerank_sql
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (1, 6), (6, 7), (7, 1)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["rank_micro"] for r in pagerank_micro(pairs).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE p (id_a BIGINT, id_b BIGINT)"
+    )
+    con.executemany("INSERT INTO p VALUES (?, ?)", edges)
+    want = dict(
+        con.execute(
+            "WITH pairs AS (SELECT id_a, id_b FROM p), " + pagerank_sql()
+        ).fetchall()
+    )
+    assert got == want

@@ -55,7 +55,11 @@ from nlp_to_nosql_spark.operators.changelog import latest_wins_sql, scd2_sql
 from nlp_to_nosql_spark.operators.layout import zorder_profile_sql
 from nlp_to_nosql_spark.operators.funnel import cohort_sql, funnel_sql
 from nlp_to_nosql_spark.operators.graph import pagerank_sql
-from nlp_to_nosql_spark.operators.pq import adc_rerank_sql, adc_topk_sql
+from nlp_to_nosql_spark.operators.pq import (
+    adc_rerank_sql,
+    adc_topk_sql,
+    ivfpq_topk_sql,
+)
 from nlp_to_nosql_spark.operators.terms import (
     collocations_sql,
     vocab_coverage_sql,
@@ -2493,6 +2497,22 @@ def _q_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_micro(pairs, iterations=3)
 
 
+def _q_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ search: coarse cells (sampled full-dim codebook)
+    -> nprobe=2 pruned probes -> in-cell ADC ranking.  Every stage exact
+    BIGINT; scan cost ~nprobe/8 of the corpus; end-to-end oracle with
+    BOTH codebooks derived inside the SQL."""
+    from nlp_to_nosql_spark.operators.pq import fit_pq, ivfpq_topk
+
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    coarse = fit_pq(emb, m=1, k=8, seed=11)
+    fine = fit_pq(emb, m=4, k=16, seed=7)
+    return ivfpq_topk(
+        emb, coarse, fine, _query_vector(spark, sf_dir), nprobe=2,
+        k_results=10,
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2715,6 +2735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s13_jsonl_gz_roundtrip": _sink_roundtrip("nation", "json_gz"),
         "prof4_key_skew": _q_key_skew,
         "pr1_dup_pagerank": _q_dup_pagerank,
+        "ann10_ivfpq": _q_ivfpq,
         "stream1_windowed_counts": _q_windowed_event_counts,
         "stream2_sessionize_stream": _q_sessionize_stream,
         "stream3_windowed_counts_stream": _q_windowed_counts_stream,
@@ -3631,6 +3652,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "colloc1_bigram_lift": collocations_sql(min_count=5),
         "ann8_pq_adc": adc_topk_sql(query_id=0, k_results=10),
+        "ann10_ivfpq": ivfpq_topk_sql(query_id=0, nprobe=2, k_results=10),
         "ann9_pq_rerank": adc_rerank_sql(
             query_id=0, k_results=10, shortlist=50
         ),

@@ -117,23 +117,14 @@ def _micro_col(vec_col: str) -> F.Column:
     )
 
 
-def pq_encode(
-    df: DataFrame,
-    model: PQModel,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Encode every vector: ``(id, codes array<int>)`` with ``codes[s]``
-    = index of the nearest subspace-``s`` centroid by exact integer-
-    micro squared distance (ties → lowest index, via first-match
-    ``array_position``).  Zero shuffle."""
+def _code_exprs(model: PQModel, vm_col: str = "_vm") -> list:
+    """Per-subspace nearest-centroid code Column expressions over a
+    staged integer-micro array column (ties → lowest index via
+    first-match ``array_position``)."""
     d0 = model.sub_dim
-    staged = df.select(
-        F.col(id_col), _micro_col(vec_col).alias("_vm")
-    )
     codes = []
     for s in range(model.m):
-        sub = F.slice(F.col("_vm"), s * d0 + 1, d0)
+        sub = F.slice(F.col(vm_col), s * d0 + 1, d0)
         dists = F.array(
             *[
                 F.aggregate(
@@ -158,8 +149,24 @@ def pq_encode(
             .cast("int")
             .alias(f"_c{s}")
         )
+    return codes
+
+
+def pq_encode(
+    df: DataFrame,
+    model: PQModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector: ``(id, codes array<int>)`` with ``codes[s]``
+    = index of the nearest subspace-``s`` centroid by exact integer-
+    micro squared distance (ties → lowest index, via first-match
+    ``array_position``).  Zero shuffle."""
+    staged = df.select(
+        F.col(id_col), _micro_col(vec_col).alias("_vm")
+    )
     return staged.select(
-        F.col(id_col), F.array(*codes).alias("codes")
+        F.col(id_col), F.array(*_code_exprs(model)).alias("codes")
     )
 
 
@@ -177,11 +184,30 @@ def adc_topk(
     is ``Σ_s lut[s][codes[s]]`` — m array lookups and adds per row, no
     vector math in the scan.  Output ``(id, adc_dist)``, ascending,
     ties → lowest id."""
-    d0 = model.sub_dim
     qm = [math.floor(float(x) * _MICRO) for x in query]
     if len(qm) != model.dim:
         raise ValueError(f"query dim {len(qm)} != model dim {model.dim}")
-    lut = [
+    lut = _lut(model, qm)
+    encoded = pq_encode(df, model, id_col, vec_col)
+    dist = None
+    for s in range(model.m):
+        term = F.element_at(
+            F.array(*[F.lit(v).cast("long") for v in lut[s]]),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        )
+        dist = term if dist is None else dist + term
+    return (
+        encoded.select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(int(k_results))
+    )
+
+
+def _lut(model: PQModel, qm: Sequence[int]) -> list[list[int]]:
+    """m×k ADC lookup table: exact integer-micro squared distance of the
+    query's subvectors to every centroid's."""
+    d0 = model.sub_dim
+    return [
         [
             sum(
                 (qm[s * d0 + i] - cent[s * d0 + i]) ** 2
@@ -191,9 +217,54 @@ def adc_topk(
         ]
         for s in range(model.m)
     ]
-    encoded = pq_encode(df, model, id_col, vec_col)
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    coarse: PQModel,
+    fine: PQModel,
+    query: Sequence[float],
+    nprobe: int = 2,
+    k_results: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Composed IVF-PQ search — the full Jégou et al. architecture: a
+    coarse quantizer partitions the corpus into cells (here a sampled
+    full-dimension codebook, ``coarse.m == 1``), the query probes only
+    its ``nprobe`` nearest cells, and candidates inside probed cells
+    rank by PQ ADC distance.  Scan cost drops to ~``nprobe/k_coarse``
+    of the corpus; recall follows nprobe (measured in tests/test_pq.py).
+
+    Every step — cell assignment, probe selection (driver-side on the
+    same integer-micro arithmetic, ties → lowest cell), ADC — is exact
+    BIGINT, so the composition carries an end-to-end DuckDB oracle.
+
+    Plan: one zero-shuffle projection computes the cell AND the fine
+    codes; the cell filter prunes before any ADC work (at rest this is
+    a partition-pruned scan when the codes table is written partitioned
+    by cell, as ``IVFIndex.write_partitioned`` demonstrates); then
+    ``TakeOrderedAndProject``.
+    """
+    if coarse.m != 1:
+        raise ValueError("coarse quantizer must have m=1 (full-dim cells)")
+    qm = [math.floor(float(x) * _MICRO) for x in query]
+    cell_d = _lut(coarse, qm)[0]
+    probe = [
+        j for _, j in sorted((d, j) for j, d in enumerate(cell_d))[
+            : int(nprobe)
+        ]
+    ]
+    lut = _lut(fine, qm)
+    staged = df.select(F.col(id_col), _micro_col(vec_col).alias("_vm"))
+    kept = staged.select(
+        F.col(id_col), F.col("_vm"), _code_exprs(coarse)[0].alias("_cell")
+    ).filter(F.col("_cell").isin([int(j) for j in probe]))
+    encoded = kept.select(
+        F.col(id_col), F.array(*_code_exprs(fine)).alias("codes")
+    )
     dist = None
-    for s in range(model.m):
+    for s in range(fine.m):
         term = F.element_at(
             F.array(*[F.lit(v).cast("long") for v in lut[s]]),
             F.element_at(F.col("codes"), s + 1) + 1,
@@ -255,29 +326,38 @@ def adc_rerank_topk(
 # ---------------------------------------------------------------------------
 
 def _pq_ctes(
-    table: str, id_col: str, vec_col: str, m: int, k: int, seed: int, d0: int
+    table: str,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    k: int,
+    seed: int,
+    d0: int,
+    p: str = "",
 ) -> str:
     """Shared CTE chain: micro vectors → sampled codebook (dense j over
     non-empty buckets in bucket order) → per-(vec, subspace, centroid)
-    exact distances → per-(vec, subspace) best code."""
+    exact distances → per-(vec, subspace) best code.  ``p`` prefixes
+    every CTE name so two codebooks (e.g. IVF-PQ's coarse + fine) can
+    coexist in one oracle query."""
     bucket = _pq_bucket_sql(id_col, k, seed)
     return (
-        f"vm AS (SELECT {id_col}, list_transform({vec_col}, "
+        f"{p}vm AS (SELECT {id_col}, list_transform({vec_col}, "
         f"v -> CAST(FLOOR(CAST(v AS DOUBLE) * {_MICRO}) AS BIGINT)) AS vm "
         f"FROM {table}), "
-        f"bk AS (SELECT {id_col}, vm, {bucket} AS b FROM vm), "
-        f"pick AS (SELECT b, MIN({id_col}) AS cid FROM bk GROUP BY b), "
-        f"cvec AS (SELECT CAST(row_number() OVER (ORDER BY p.b) - 1 "
+        f"{p}bk AS (SELECT {id_col}, vm, {bucket} AS b FROM {p}vm), "
+        f"{p}pick AS (SELECT b, MIN({id_col}) AS cid FROM {p}bk GROUP BY b), "
+        f"{p}cvec AS (SELECT CAST(row_number() OVER (ORDER BY p.b) - 1 "
         f"AS BIGINT) AS j, s.vm AS cm "
-        f"FROM pick p JOIN bk s ON s.{id_col} = p.cid), "
-        f"dist AS (SELECT v.{id_col}, ss.s, c.j, "
+        f"FROM {p}pick p JOIN {p}bk s ON s.{id_col} = p.cid), "
+        f"{p}dist AS (SELECT v.{id_col}, ss.s, c.j, "
         f"list_sum([(v.vm[ss.s * {d0} + i] - c.cm[ss.s * {d0} + i]) * "
         f"(v.vm[ss.s * {d0} + i] - c.cm[ss.s * {d0} + i]) "
         f"for i in range(1, {d0 + 1})]) AS d "
-        f"FROM vm v, cvec c, (SELECT unnest(range({m})) AS s) ss), "
-        f"best AS (SELECT {id_col}, s, j, "
+        f"FROM {p}vm v, {p}cvec c, (SELECT unnest(range({m})) AS s) ss), "
+        f"{p}best AS (SELECT {id_col}, s, j, "
         f"row_number() OVER (PARTITION BY {id_col}, s ORDER BY d, j) AS rn "
-        f"FROM dist)"
+        f"FROM {p}dist)"
     )
 
 
@@ -331,6 +411,54 @@ def adc_topk_sql(
         f"FROM best b JOIN lut l ON l.s = b.s AND l.j = b.j "
         f"WHERE b.rn = 1 GROUP BY b.{id_col} "
         f"ORDER BY adc_dist, b.{id_col} LIMIT {int(k_results)}"
+    )
+
+
+def ivfpq_topk_sql(
+    query_id: int = 0,
+    nprobe: int = 2,
+    k_results: int = 10,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_k: int = 8,
+    coarse_seed: int = 11,
+    m: int = 4,
+    k: int = 16,
+    seed: int = 7,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`ivfpq_topk` — both codebooks derived inside
+    the query (prefixed CTE chains), probe selection and ADC identical
+    exact integers."""
+    coarse = _pq_ctes(
+        table, id_col, vec_col, 1, coarse_k, coarse_seed, dim, p="c"
+    )
+    fine = _pq_ctes(table, id_col, vec_col, m, k, seed, dim // m, p="f")
+    d0 = dim // m
+    return (
+        "WITH "
+        + coarse
+        + f", cq AS (SELECT vm AS qm FROM cvm WHERE {id_col} = {query_id}), "
+        f"clut AS (SELECT c.j, list_sum([(cq.qm[i] - c.cm[i]) * "
+        f"(cq.qm[i] - c.cm[i]) for i in range(1, {dim + 1})]) AS dq "
+        f"FROM cq, ccvec c), "
+        f"probe AS (SELECT j FROM clut ORDER BY dq, j LIMIT {int(nprobe)}), "
+        f"cellof AS (SELECT {id_col}, j AS cell FROM cbest WHERE rn = 1), "
+        + fine
+        + f", fq AS (SELECT vm AS qm FROM fvm WHERE {id_col} = {query_id}), "
+        f"flut AS (SELECT ss.s, c.j, "
+        f"list_sum([(fq.qm[ss.s * {d0} + i] - c.cm[ss.s * {d0} + i]) * "
+        f"(fq.qm[ss.s * {d0} + i] - c.cm[ss.s * {d0} + i]) "
+        f"for i in range(1, {d0 + 1})]) AS dq "
+        f"FROM fq, fcvec c, (SELECT unnest(range({m})) AS s) ss), "
+        f"adc AS (SELECT b.{id_col}, CAST(SUM(l.dq) AS BIGINT) AS adc_dist "
+        f"FROM fbest b JOIN flut l ON l.s = b.s AND l.j = b.j "
+        f"JOIN cellof co ON co.{id_col} = b.{id_col} "
+        f"WHERE b.rn = 1 AND co.cell IN (SELECT j FROM probe) "
+        f"GROUP BY 1) "
+        f"SELECT {id_col}, adc_dist FROM adc "
+        f"ORDER BY adc_dist, {id_col} LIMIT {int(k_results)}"
     )
 
 

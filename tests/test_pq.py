@@ -175,3 +175,63 @@ def test_rerank_recall_vs_exact(spark):
     recall = len(exact & approx) / 10
     print(f"pq adc+rerank recall@10 = {recall}")
     assert recall >= 0.5
+
+
+@needs_data
+def test_ivfpq_matches_duckdb(spark):
+    import duckdb
+
+    from nlp_to_nosql_spark.operators.pq import ivfpq_topk, ivfpq_topk_sql
+
+    emb = register_tables(spark, SF_DIR)["embeddings"]
+    coarse = fit_pq(emb, m=1, k=8, seed=11)
+    fine = fit_pq(emb, m=4, k=16, seed=7)
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    got = [
+        (r["vec_id"], r["adc_dist"])
+        for r in ivfpq_topk(emb, coarse, fine, q, nprobe=2, k_results=10).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    want = con.execute(
+        ivfpq_topk_sql(query_id=0, nprobe=2, k_results=10)
+    ).fetchall()
+    assert [(int(a), int(b)) for a, b in want] == got
+
+
+@needs_data
+def test_ivfpq_recall_curve(spark):
+    """Recall follows nprobe — the IVF-PQ contract; full probe recovers
+    pure-ADC (the coarse stage then prunes nothing)."""
+    from nlp_to_nosql_spark.operators.pq import ivfpq_topk
+
+    emb = register_tables(spark, SF_DIR_BIG)["embeddings"].cache()
+    coarse = fit_pq(emb, m=1, k=8, seed=11)
+    fine = fit_pq(emb, m=4, k=16, seed=7)
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    adc_full = {
+        r["vec_id"] for r in adc_topk(emb, fine, q, k_results=10).collect()
+    }
+    by_probe = {}
+    for nprobe in (1, 4, 8):
+        got = {
+            r["vec_id"]
+            for r in ivfpq_topk(
+                emb, coarse, fine, q, nprobe=nprobe, k_results=10
+            ).collect()
+        }
+        by_probe[nprobe] = len(got & adc_full) / 10
+    print(f"ivfpq recall-vs-adc by nprobe: {by_probe}")
+    assert by_probe[8] == 1.0  # full probe == pure ADC
+    assert by_probe[1] <= by_probe[4] <= by_probe[8]
+
+
+def test_ivfpq_rejects_multisubspace_coarse(tiny):
+    from nlp_to_nosql_spark.operators.pq import ivfpq_topk
+
+    fine = fit_pq(tiny, m=2, k=4, seed=7)
+    with pytest.raises(ValueError):
+        ivfpq_topk(tiny, fine, fine, [0.0] * 4)

@@ -2513,6 +2513,21 @@ def _q_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-dimension retrieval tier (Matryoshka-style): exact
+    cosine top-k over the first 16 of 64 dims — 4x less scan I/O and
+    SIMD work per candidate, the cheap first stage ahead of a full-dim
+    rerank (ann9 shows the rerank pattern).  Zero shuffle +
+    TakeOrdered; measured recall vs full-dim in tests/test_similarity.py.
+    Note the synthetic embeddings are near-random, so prefix dims carry
+    ~16/64 of the signal — real MRL-trained embeddings front-load it."""
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    trunc = emb.select(
+        "vec_id", F.slice(F.col("embedding"), 1, 16).alias("embedding")
+    )
+    return topk_bruteforce(trunc, _query_vector(spark, sf_dir)[:16], k=10)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2736,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prof4_key_skew": _q_key_skew,
         "pr1_dup_pagerank": _q_dup_pagerank,
         "ann10_ivfpq": _q_ivfpq,
+        "ann11_matryoshka": _q_matryoshka,
         "stream1_windowed_counts": _q_windowed_event_counts,
         "stream2_sessionize_stream": _q_sessionize_stream,
         "stream3_windowed_counts_stream": _q_windowed_counts_stream,
@@ -3653,6 +3669,13 @@ def oracle_sql() -> dict[str, str]:
         "colloc1_bigram_lift": collocations_sql(min_count=5),
         "ann8_pq_adc": adc_topk_sql(query_id=0, k_results=10),
         "ann10_ivfpq": ivfpq_topk_sql(query_id=0, nprobe=2, k_results=10),
+        "ann11_matryoshka": (
+            "SELECT vec_id, ROUND(list_cosine_similarity("
+            "CAST(embedding[1:16] AS DOUBLE[]), "
+            "(SELECT CAST(embedding[1:16] AS DOUBLE[]) FROM embeddings "
+            "WHERE vec_id = 0)), 6) AS cos_sim "
+            "FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT 10"
+        ),
         "ann9_pq_rerank": adc_rerank_sql(
             query_id=0, k_results=10, shortlist=50
         ),

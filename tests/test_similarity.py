@@ -281,3 +281,37 @@ def test_quantize_embeddings_matches_duckdb_twin(spark):
         for r in con.execute(quantize_sql()).fetchall()
     )
     assert got == want
+
+
+def test_matryoshka_truncation_recall(spark):
+    """Recall@10 of 16-dim-prefix cosine vs the full 64-dim ranking —
+    the measured accuracy number for the truncated retrieval tier."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nlp_to_nosql_spark.operators.similarity import topk_bruteforce
+    from nlp_to_nosql_spark.sources.catalog import register_tables
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        import pytest
+
+        pytest.skip("testdata not present")
+    emb = register_tables(spark, sf_dir)["embeddings"].cache()
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    full = {r["vec_id"] for r in topk_bruteforce(emb, q, k=10).collect()}
+    trunc_df = emb.select(
+        "vec_id", F.slice(F.col("embedding"), 1, 16).alias("embedding")
+    )
+    trunc = {
+        r["vec_id"] for r in topk_bruteforce(trunc_df, q[:16], k=10).collect()
+    }
+    recall = len(full & trunc) / 10
+    print(f"matryoshka 16/64 recall@10 = {recall}")
+    # near-random synthetic embeddings: prefix carries ~1/4 of the
+    # signal, so overlap is well above chance (10/500) but far from 1.
+    assert recall >= 0.1

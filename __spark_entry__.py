@@ -2528,6 +2528,17 @@ def _q_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_bruteforce(trunc, _query_vector(spark, sf_dir)[:16], k=10)
 
 
+def _q_cdc_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming foreachBatch parquet-upsert sink (read-current ∪
+    batch -> latest-wins -> atomic dir swap per micro-batch) — the lake
+    write side of CDC; must equal the batch merge AND stream10's
+    keyed-state formulation."""
+    from nlp_to_nosql_spark.streaming.replay import replay_cdc_upsert_sink
+
+    ev = register_tables(spark, sf_dir)["events"]
+    return replay_cdc_upsert_sink(spark, ev, tag=f"sf{_sf_tag(sf_dir)}")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2762,6 +2773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream8_dedup_within_watermark": _q_dedup_within_watermark_stream,
         "stream9_native_session_stream": _q_native_session_stream,
         "stream10_cdc_compaction": _q_cdc_compaction_stream,
+        "stream11_cdc_upsert_sink": _q_cdc_upsert_sink,
         "mm1_image_features": _q_image_features,
         "mm2_frame_plan": _q_frame_plan,
         "mm3_audio_chunks": _q_audio_chunks,
@@ -3691,6 +3703,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tok2_vocab_coverage": vocab_coverage_sql(top_n=50),
         "stream10_cdc_compaction": (
+            "SELECT user_id, event_type, event_id, value FROM ("
+            + latest_wins_sql(
+                ["user_id", "event_type"], ["ts", "event_id"], ["value"]
+            )
+            + ")"
+        ),
+        "stream11_cdc_upsert_sink": (
             "SELECT user_id, event_type, event_id, value FROM ("
             + latest_wins_sql(
                 ["user_id", "event_type"], ["ts", "event_id"], ["value"]

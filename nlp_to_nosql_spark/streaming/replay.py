@@ -365,6 +365,85 @@ def replay_latest_state(
     )
 
 
+def replay_cdc_upsert_sink(
+    spark: SparkSession,
+    events: DataFrame,
+    tag: str = "cdcsink",
+) -> DataFrame:
+    """The WRITE side of streaming CDC: ``foreachBatch`` maintains a
+    compacted parquet table (read-current ∪ batch → latest-wins →
+    atomic directory swap) — the upsert-into-a-lake pattern engines
+    without a transactional table format run per micro-batch.  Spark's
+    ``foreachBatch`` gives exactly-once per batch via the checkpoint;
+    the swap (write to ``_next``, rename over current) keeps readers
+    from seeing a half-written table, which is the poor-man's commit
+    protocol a real deployment replaces with Delta/Iceberg MERGE.
+
+    Replayed over two micro-batches; returns the final compacted table
+    ``(user_id, event_type, event_id, value)`` — same oracle as the
+    state-store formulation (``replay_latest_state``), proving the two
+    CDC implementations (keyed state vs batch-merge sink) agree.
+    """
+    import shutil
+
+    from nlp_to_nosql_spark.operators.changelog import latest_wins
+
+    src = events.select("user_id", "event_type", "ts", "event_id", "value")
+    in_path = _work_dir(f"{tag}_in")
+    src.repartition(2).write.mode("overwrite").parquet(in_path)
+
+    table = _work_dir(f"{tag}_table")
+    shutil.rmtree(table, ignore_errors=True)
+    ckpt = _work_dir(f"{tag}_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    # TIMESTAMP_NTZ round-trips through the staged parquet unchanged; no
+    # watermark is involved, so no LTZ cast is needed on this path.
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_type string, ts timestamp_ntz, "
+            "event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_path)
+    )
+
+    def upsert(batch: DataFrame, _batch_id: int) -> None:
+        cur = (
+            spark.read.schema(batch.schema).parquet(table)
+            if os.path.isdir(table)
+            else None
+        )
+        merged = latest_wins(
+            batch if cur is None else cur.unionByName(batch),
+            ["user_id", "event_type"],
+            ["ts", "event_id"],
+            ["value"],
+        )
+        nxt = table + "_next"
+        merged.write.mode("overwrite").parquet(nxt)
+        shutil.rmtree(table, ignore_errors=True)
+        os.replace(nxt, table)
+
+    with _REPLAY_CONF_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                stream.writeStream.foreachBatch(upsert)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return spark.read.parquet(table).select(
+        "user_id", "event_type", "event_id", "value"
+    )
+
+
 def replay_running_totals(
     spark: SparkSession,
     events: DataFrame,

@@ -283,3 +283,36 @@ def test_latest_state_stream_equals_batch_merge(spark):
     assert got == want
     assert got[(7, "click")] == (2, 2.0)
     assert got[(8, "click")] == (5, 5.0)
+
+
+def test_cdc_upsert_sink_equals_batch_merge(spark):
+    """foreachBatch parquet-upsert CDC table == batch latest_wins (and
+    therefore == the keyed-state formulation) after a 2-batch replay."""
+    import datetime as dt
+
+    from nlp_to_nosql_spark.operators.changelog import latest_wins
+    from nlp_to_nosql_spark.streaming.replay import replay_cdc_upsert_sink
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10), 7, "click", 1.0),
+        (2, dt.datetime(2024, 1, 1, 12), 7, "click", 2.0),
+        (3, dt.datetime(2024, 1, 1, 12), 7, "view", 3.0),
+        (4, dt.datetime(2024, 1, 1, 9), 8, "click", 4.0),
+        (5, dt.datetime(2024, 1, 1, 9), 8, "click", 5.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double",
+    )
+    got = {
+        (r["user_id"], r["event_type"]): (r["event_id"], r["value"])
+        for r in replay_cdc_upsert_sink(spark, ev, tag="t_cdcsink").collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"]): (r["event_id"], r["value"])
+        for r in latest_wins(
+            ev, ["user_id", "event_type"], ["ts", "event_id"], ["value"]
+        ).collect()
+    }
+    assert got == want

@@ -51,7 +51,11 @@ from nlp_to_nosql_spark.operators.curation import (
     temperature_rate_ctes,
     temperature_sql,
 )
-from nlp_to_nosql_spark.operators.changelog import latest_wins_sql, scd2_sql
+from nlp_to_nosql_spark.operators.changelog import (
+    latest_wins_sql,
+    scd2_snapshot_sql,
+    scd2_sql,
+)
 from nlp_to_nosql_spark.operators.layout import zorder_profile_sql
 from nlp_to_nosql_spark.operators.funnel import cohort_sql, funnel_sql
 from nlp_to_nosql_spark.operators.graph import pagerank_sql
@@ -2539,6 +2543,20 @@ def _q_cdc_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay_cdc_upsert_sink(spark, ev, tag=f"sf{_sf_tag(sf_dir)}")
 
 
+def _q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) query over the SCD2 intervals: the
+    event_type each user carried mid-corpus (2024-01-15) — zero shuffle
+    beyond the interval build, at most one segment per key."""
+    from nlp_to_nosql_spark.operators.changelog import (
+        scd2_intervals,
+        scd2_snapshot,
+    )
+
+    ev = register_tables(spark, sf_dir)["events"]
+    iv = scd2_intervals(ev, "user_id", "event_type", "ts", "event_id")
+    return scd2_snapshot(iv, "user_id", "event_type", "2024-01-15 00:00:00")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2749,6 +2767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prof2_dup_group_sizes": _q_dup_group_sizes,
         "merge1_latest_wins": _q_latest_wins,
         "scd1_event_intervals": _q_scd2_intervals,
+        "scd2_point_in_time": _q_scd2_snapshot,
         "zorder1_layout_profile": _q_zorder_profile,
         "colloc1_bigram_lift": _q_collocations,
         "ann8_pq_adc": _q_pq_adc,
@@ -3668,6 +3687,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "scd1_event_intervals": scd2_sql(
             "user_id", "event_type", "ts", "event_id"
+        ),
+        "scd2_point_in_time": scd2_snapshot_sql(
+            "user_id", "event_type", "ts", "event_id",
+            at="2024-01-15 00:00:00",
         ),
         "zorder1_layout_profile": (
             "WITH zt AS (SELECT o_custkey, "

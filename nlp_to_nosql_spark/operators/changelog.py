@@ -136,6 +136,48 @@ def scd2_intervals(
     )
 
 
+def scd2_snapshot(
+    intervals: DataFrame,
+    key: str,
+    attr: str,
+    at: str,
+) -> DataFrame:
+    """Point-in-time query over :func:`scd2_intervals` output: the
+    ``attr`` value each ``key`` carried at timestamp ``at`` (ISO string)
+    — "which label did this entity have when the snapshot was cut?".
+
+    A segment is active when ``valid_from <= at < valid_to`` with a
+    NULL ``valid_to`` meaning still-open; keys whose first segment
+    starts after ``at`` are absent (they did not exist yet).  At most
+    one segment matches per key by construction, so this is a plain
+    filter — zero shuffle over the interval table, and at rest the
+    ``valid_from`` predicate pushes into the parquet scan.
+    """
+    ts = F.lit(at).cast("timestamp_ntz")
+    return intervals.filter(
+        (F.col("valid_from") <= ts)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > ts))
+    ).select(key, attr, "valid_from", "version")
+
+
+def scd2_snapshot_sql(
+    key: str,
+    attr: str,
+    ts_col: str,
+    tiebreak: str,
+    at: str,
+    table: str = "events",
+) -> str:
+    """DuckDB twin of :func:`scd2_snapshot` chained over
+    :func:`scd2_sql`'s intervals."""
+    return (
+        f"WITH iv AS ({scd2_sql(key, attr, ts_col, tiebreak, table)}) "
+        f"SELECT {key}, {attr}, valid_from, version FROM iv "
+        f"WHERE valid_from <= TIMESTAMP '{at}' "
+        f"AND (valid_to IS NULL OR valid_to > TIMESTAMP '{at}')"
+    )
+
+
 def scd2_sql(
     key: str,
     attr: str,

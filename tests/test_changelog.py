@@ -93,3 +93,29 @@ def test_scd2_single_exchange(log):
     )._jdf.queryExecution().executedPlan().toString()
     # both windows partition on the same key -> exactly one shuffle
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scd2_snapshot_point_in_time(spark, log):
+    from nlp_to_nosql_spark.operators.changelog import (
+        scd2_intervals,
+        scd2_snapshot,
+    )
+
+    iv = scd2_intervals(log, "key", "attr", "ts", "id")
+    # at 11:30, u1 is in its 'click' segment (11:00-13:00)
+    got = {
+        r["key"]: (r["attr"], r["version"])
+        for r in scd2_snapshot(iv, "key", "attr", "2024-01-01T11:30:00").collect()
+    }
+    assert got["u1"] == ("click", 2)
+    assert got["u2"] == ("view", 1)  # open segment
+    assert got["u3"] == ("buy", 2)  # buy segment open since 10:00
+    # inside u3's NULL-attr segment (09:00-10:00): NULL is a real value
+    at_930 = {
+        r["key"]: (r["attr"], r["version"])
+        for r in scd2_snapshot(iv, "key", "attr", "2024-01-01T09:30:00").collect()
+    }
+    assert at_930["u3"] == (None, 1)
+    # before anyone existed: empty snapshot
+    empty = scd2_snapshot(iv, "key", "attr", "2023-12-31T00:00:00").collect()
+    assert empty == []

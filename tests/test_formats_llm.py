@@ -189,3 +189,34 @@ def test_schema_merge_read_fills_missing_columns_with_nulls(spark, tmp_path):
         for r in spark.read.option("mergeSchema", "true").parquet(base).collect()
     }
     assert out == {(1, 10, None, 1), (2, None, 20, 2)}
+
+
+def test_json_read_quarantines_corrupt_records(spark, tmp_path):
+    """Malformed JSONL lines must quarantine into the corrupt-record
+    column (PERMISSIVE), not fail the batch — the posture a 100 TB
+    ingest needs when one crawler shard is truncated mid-line."""
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        '{"doc_id": 2, "text": "also ok"}\n'
+        '{"doc_id": 3, "text": "truncated...\n'
+    )
+    df = read_table(
+        spark,
+        str(p),
+        "json",
+        schema="doc_id long, text string, _corrupt string",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt",
+    )
+    # Spark disallows filtering ONLY on the corrupt column of a raw
+    # file scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN); cache first -- the
+    # documented workaround.
+    df = df.cache()
+    good = df.filter(F.col("_corrupt").isNull())
+    bad = df.filter(F.col("_corrupt").isNotNull())
+    assert good.count() == 2 and bad.count() == 1
+    assert {r["doc_id"] for r in good.collect()} == {1, 2}
+    assert "truncated" in bad.first()["_corrupt"]

@@ -146,12 +146,25 @@ def main() -> None:
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) >= 1950:
         # The driver parses the JSON line out of the last 2000 chars of
-        # stdout; shed the load field first, then the per-query map,
-        # rather than overflow.
+        # stdout; shed the load field first, then trim the per-query map
+        # to the HEAVIEST queries that still fit (the tail a judge needs
+        # in-window; the full map is always in BENCH_DETAIL.json).
         payload.pop("load", None)
         line = json.dumps(payload, separators=(",", ":"))
     if len(line) >= 1950:
-        payload["queries"] = {}
+        base_len = len(line) - len(
+            json.dumps(payload["queries"], separators=(",", ":"))
+        )
+        kept: dict[str, float] = {}
+        budget = 1900 - base_len - 30  # slack for queries_shown field
+        for name, t in sorted(short.items(), key=lambda x: -x[1]):
+            entry = len(json.dumps({name: t}, separators=(",", ":"))) - 1
+            if budget - entry < 0:
+                break
+            budget -= entry
+            kept[name] = t
+        payload["queries"] = kept
+        payload["queries_shown"] = f"{len(kept)}/{len(short)}"
         line = json.dumps(payload, separators=(",", ":"))
     print(line)
     spark.stop()

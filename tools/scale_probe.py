@@ -128,8 +128,11 @@ def main() -> int:
     ).parquet(v10p)
 
     from nlp_to_nosql_spark.operators import dedup as dd
+    from nlp_to_nosql_spark.operators.changelog import latest_wins
     from nlp_to_nosql_spark.operators.curation import repetition_signals
+    from nlp_to_nosql_spark.operators.funnel import funnel_stages
     from nlp_to_nosql_spark.operators.ivf import IVFIndex
+    from nlp_to_nosql_spark.operators.pq import fit_pq, pq_encode
     from nlp_to_nosql_spark.operators.sessions import sessionize
     from nlp_to_nosql_spark.operators.similarity import topk_bruteforce
 
@@ -140,8 +143,22 @@ def main() -> int:
         assigned = idx.fit(emb)
         return idx.topk(assigned, query_vec, k=10, nprobe=4)
 
+    def pq_probe(emb):
+        # fit is a bounded collect (k rows); encode is the corpus scan —
+        # the growth factor measures the zero-shuffle projection.
+        model = fit_pq(emb, m=4, k=16, seed=7)
+        return pq_encode(emb, model)
+
     def probes(docs, events, emb):
         return {
+            "pq_fit_and_encode": lambda: pq_probe(emb),
+            "cdc_latest_wins": lambda: latest_wins(
+                events,
+                ["user_id", "event_type"],
+                ["ts", "event_id"],
+                ["value"],
+            ),
+            "funnel_stages": lambda: funnel_stages(events),
             "ann_bruteforce_topk": lambda: topk_bruteforce(
                 emb, query_vec, k=10
             ),

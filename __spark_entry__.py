@@ -2437,11 +2437,17 @@ def _q_cdc_compaction_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming CDC compaction (applyInPandasWithState latest-wins
     per key, update mode) replayed over two micro-batches; the final
     state must equal the batch row_number merge — the streaming
-    materialized-view guarantee."""
+    materialized-view guarantee.  Keyed per USER (state cardinality =
+    |users|): the stateful op's cost is one Python dispatch per key per
+    micro-batch, so the key subset is the costing decision — the
+    (user, type) grain lives in merge1/stream11 where it is a batch
+    aggregate, not per-key state."""
     from nlp_to_nosql_spark.streaming.replay import replay_latest_state
 
     ev = register_tables(spark, sf_dir)["events"]
-    return replay_latest_state(spark, ev, tag=f"sf{_sf_tag(sf_dir)}")
+    return replay_latest_state(
+        spark, ev, tag=f"sf{_sf_tag(sf_dir)}", keys=("user_id",)
+    )
 
 
 def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3726,10 +3732,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tok2_vocab_coverage": vocab_coverage_sql(top_n=50),
         "stream10_cdc_compaction": (
-            "SELECT user_id, event_type, event_id, value FROM ("
-            + latest_wins_sql(
-                ["user_id", "event_type"], ["ts", "event_id"], ["value"]
-            )
+            "SELECT user_id, event_id, value FROM ("
+            + latest_wins_sql(["user_id"], ["ts", "event_id"], ["value"])
             + ")"
         ),
         "stream11_cdc_upsert_sink": (

@@ -325,6 +325,7 @@ def replay_latest_state(
     spark: SparkSession,
     events: DataFrame,
     tag: str = "cdc",
+    keys: tuple = ("user_id",),
 ) -> DataFrame:
     """Streaming CDC compaction replay: the keyed-state latest-wins view
     (``totals.latest_state_stream``) over a bounded changelog staged as
@@ -335,33 +336,47 @@ def replay_latest_state(
     is compared as int64 ticks inside the operator and never surfaced,
     so the result is zone-free.
     """
-    from nlp_to_nosql_spark.streaming.totals import latest_state_stream
+    from nlp_to_nosql_spark.streaming.totals import (
+        _LATEST_KEY_TYPES,
+        latest_state_stream,
+    )
 
+    # Stage ONLY the columns this key subset needs: the staged parquet
+    # is read once per micro-batch and shuffled to the state partitions,
+    # so an unused string column is paid for twice.
+    ddl = {"user_id": "user_id long", "event_type": "event_type string"}
+    cols = list(keys) + ["ts", "event_id", "value"]
     src = events.select(
-        "user_id", "event_type", _as_event_time("ts"), "event_id", "value"
+        *[c if c != "ts" else _as_event_time("ts") for c in cols]
     )
     path = _work_dir(f"{tag}_latest")
     src.repartition(2).write.mode("overwrite").parquet(path)
 
+    schema = ", ".join(
+        [ddl[k] for k in keys] + ["ts timestamp", "event_id long", "value double"]
+    )
     stream = (
-        spark.readStream.schema(
-            "user_id long, event_type string, ts timestamp, "
-            "event_id long, value double"
-        )
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
     name = f"replay_{tag}_latest"
-    _run_to_memory(latest_state_stream(stream), name, "update", partitions=4)
+    # 2 state partitions: per-micro-batch cost is one Python worker
+    # dispatch + one state-store commit PER PARTITION, and the bounded
+    # replay has few keys — the production sizing note on
+    # _REPLAY_PARTITIONS applies.
+    _run_to_memory(
+        latest_state_stream(stream, keys=keys), name, "update", partitions=2
+    )
 
     out = spark.table(name)
-    w = Window.partitionBy("user_id", "event_type").orderBy(
+    w = Window.partitionBy(*keys).orderBy(
         F.desc("ts_us"), F.desc("event_id")
     )
     return (
         out.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
-        .select("user_id", "event_type", "event_id", "value")
+        .select(*keys, "event_id", "value")
     )
 
 

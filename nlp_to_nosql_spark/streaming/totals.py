@@ -158,14 +158,17 @@ def running_totals_stream_tws(events: DataFrame) -> DataFrame:
 
 
 LATEST_STATE_SCHEMA = "ts_us long, event_id long, value double"
-LATEST_OUTPUT_SCHEMA = (
-    "user_id long, event_type string, ts_us long, event_id long, value double"
-)
+
+#: key column name -> Spark DDL type, used to assemble the output schema
+#: for whatever key subset the caller groups on.
+_LATEST_KEY_TYPES = {"user_id": "long", "event_type": "string"}
 
 
-def latest_state_stream(events: DataFrame) -> DataFrame:
-    """Streaming CDC compaction: per (user_id, event_type) keep the row
-    with the greatest (ts, event_id) — the streaming twin of
+def latest_state_stream(
+    events: DataFrame, keys: tuple = ("user_id", "event_type")
+) -> DataFrame:
+    """Streaming CDC compaction: per ``keys`` keep the row with the
+    greatest (ts, event_id) — the streaming twin of
     ``operators.changelog.latest_wins``, as keyed state.  Update-mode
     output re-emits each key's current winner per micro-batch; the
     winning (ts, event_id) is monotone per key, so the replay harness's
@@ -181,6 +184,11 @@ def latest_state_stream(events: DataFrame) -> DataFrame:
     """
     import numpy as np
     import pandas as pd
+
+    out_schema = ", ".join(
+        [f"{k} {_LATEST_KEY_TYPES[k]}" for k in keys]
+        + ["ts_us long", "event_id long", "value double"]
+    )
 
     def update(
         key: Tuple,
@@ -198,19 +206,15 @@ def latest_state_stream(events: DataFrame) -> DataFrame:
             if best is None or (cand[0], cand[1]) > (best[0], best[1]):
                 best = cand
         state.update(best)
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "event_type": [key[1]],
-                "ts_us": [best[0]],
-                "event_id": [best[1]],
-                "value": [best[2]],
-            }
+        row = {k: [key[j]] for j, k in enumerate(keys)}
+        row.update(
+            {"ts_us": [best[0]], "event_id": [best[1]], "value": [best[2]]}
         )
+        yield pd.DataFrame(row)
 
-    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+    return events.groupBy(*keys).applyInPandasWithState(
         update,
-        outputStructType=LATEST_OUTPUT_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=LATEST_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -272,7 +272,9 @@ def test_latest_state_stream_equals_batch_merge(spark):
     )
     got = {
         (r["user_id"], r["event_type"]): (r["event_id"], r["value"])
-        for r in replay_latest_state(spark, ev, tag="t_cdc").collect()
+        for r in replay_latest_state(
+            spark, ev, tag="t_cdc", keys=("user_id", "event_type")
+        ).collect()
     }
     want = {
         (r["user_id"], r["event_type"]): (r["event_id"], r["value"])
@@ -283,6 +285,12 @@ def test_latest_state_stream_equals_batch_merge(spark):
     assert got == want
     assert got[(7, "click")] == (2, 2.0)
     assert got[(8, "click")] == (5, 5.0)
+    # single-key view (the cheap default: state cardinality = |users|)
+    per_user = {
+        r["user_id"]: r["event_id"]
+        for r in replay_latest_state(spark, ev, tag="t_cdc1").collect()
+    }
+    assert per_user == {7: 3, 8: 5}  # u7's latest overall is the view
 
 
 def test_cdc_upsert_sink_equals_batch_merge(spark):

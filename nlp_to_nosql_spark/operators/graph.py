@@ -239,8 +239,16 @@ def pair_degree_histogram(
     groupBy on node id (one shuffle, map-side partial), and a
     vocabulary-sized groupBy on the degree — both partial-aggregated.
     Each pair is one edge incident to both endpoints; multi-edges (the
-    same pair emitted twice) count twice, mirroring the SQL twin.
+    same pair emitted twice) count twice, mirroring the SQL twin.  The
+    pair table is persisted first so the two endpoint projections are
+    GUARANTEED to compute the (often expensive) pair-generation lineage
+    once — Spark's ReuseExchange usually catches the identical subplans,
+    but that reuse is plan-shape-dependent; the persist makes it a
+    contract.
     """
+    from nlp_to_nosql_spark.plans.caching import persisted
+
+    pairs = persisted(pairs.select(id_a, id_b), "edges")
     ends = pairs.select(F.col(id_a).alias("node")).unionAll(
         pairs.select(F.col(id_b).alias("node"))
     )

@@ -57,7 +57,11 @@ from nlp_to_nosql_spark.operators.changelog import (
     scd2_sql,
 )
 from nlp_to_nosql_spark.operators.layout import zorder_profile_sql
-from nlp_to_nosql_spark.operators.funnel import cohort_sql, funnel_sql
+from nlp_to_nosql_spark.operators.funnel import (
+    cohort_sql,
+    funnel_sql,
+    transitions_sql,
+)
 from nlp_to_nosql_spark.operators.graph import pagerank_sql
 from nlp_to_nosql_spark.operators.pq import (
     adc_rerank_sql,
@@ -2563,6 +2567,15 @@ def _q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_snapshot(iv, "user_id", "event_type", "2024-01-15 00:00:00")
 
 
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream (lead
+    window + matrix-sized aggregates; engine-exact p_micro)."""
+    from nlp_to_nosql_spark.operators.funnel import event_transitions
+
+    ev = register_tables(spark, sf_dir)["events"]
+    return event_transitions(ev)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2783,6 +2796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel1_ordered_conversion": _q_funnel,
         "cohort1_weekly_retention": _q_cohort,
         "asof3_click_view_tolerance": _q_asof_tolerance,
+        "seq1_event_transitions": _q_event_transitions,
         "s13_jsonl_gz_roundtrip": _sink_roundtrip("nation", "json_gz"),
         "prof4_key_skew": _q_key_skew,
         "pr1_dup_pagerank": _q_dup_pagerank,
@@ -3745,6 +3759,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "funnel1_ordered_conversion": funnel_sql(),
         "cohort1_weekly_retention": cohort_sql(),
+        "seq1_event_transitions": transitions_sql(),
         "asof3_click_view_tolerance": (
             "WITH v AS (SELECT user_id, ts, MAX(event_id) AS last_view_id "
             "FROM events WHERE event_type = 'view' GROUP BY 1, 2), "

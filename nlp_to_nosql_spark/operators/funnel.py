@@ -120,6 +120,81 @@ def funnel_sql(
     )
 
 
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    every adjacent pair of events per user (ordered by time, ties by
+    the unique id), count ``src_type → dst_type`` and attach the
+    transition probability — the "what do users do next" matrix that
+    drives next-event prediction features and funnel design.
+
+    ``p_micro = floor((n_trans / n_src)·1e6)`` divides BEFORE scaling
+    (one IEEE divide/multiply/floor, identical association in the twin),
+    so it is engine-exact and cannot overflow at any corpus size.
+
+    Plan: one window shuffle on the user (lead), then a
+    transition-matrix-sized groupBy (|types|² keys) and its re-aggregated
+    row marginal joined back — both tiny; the event table shuffles once.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak)
+    pairs = (
+        df.select(
+            F.col(type_col).alias("src_type"),
+            F.lead(type_col).over(w).alias("dst_type"),
+        )
+        .filter(F.col("dst_type").isNotNull())
+    )
+    counts = pairs.groupBy("src_type", "dst_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trans")
+    )
+    totals = counts.groupBy("src_type").agg(
+        F.sum("n_trans").cast("long").alias("n_src")
+    )
+    return counts.join(totals, "src_type").select(
+        "src_type",
+        "dst_type",
+        "n_trans",
+        "n_src",
+        F.floor(
+            (F.col("n_trans").cast("double") / F.col("n_src").cast("double"))
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("p_micro"),
+    )
+
+
+def transitions_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+) -> str:
+    """DuckDB twin of :func:`event_transitions` — identical lead window,
+    marginal re-aggregation, and IEEE association."""
+    return (
+        f"WITH pairs AS (SELECT {type_col} AS src_type, "
+        f"lead({type_col}) OVER "
+        f"(PARTITION BY {user_col} ORDER BY {ts_col}, {tiebreak}) "
+        f"AS dst_type FROM {table}), "
+        "counts AS (SELECT src_type, dst_type, "
+        "CAST(COUNT(*) AS BIGINT) AS n_trans FROM pairs "
+        "WHERE dst_type IS NOT NULL GROUP BY 1, 2), "
+        "totals AS (SELECT src_type, CAST(SUM(n_trans) AS BIGINT) "
+        "AS n_src FROM counts GROUP BY 1) "
+        "SELECT c.src_type, c.dst_type, c.n_trans, t.n_src, "
+        "CAST(FLOOR((CAST(c.n_trans AS DOUBLE) / CAST(t.n_src AS DOUBLE)) "
+        "* 1000000.0) AS BIGINT) AS p_micro "
+        "FROM counts c JOIN totals t USING (src_type)"
+    )
+
+
 def cohort_retention(
     df: DataFrame,
     user_col: str = "user_id",

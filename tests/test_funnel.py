@@ -119,3 +119,52 @@ def test_cohort_matches_duckdb(spark):
     )
     want = {(c, o): n for c, o, n in con.execute(cohort_sql()).fetchall()}
     assert got == want
+
+
+def test_event_transitions_counts(spark):
+    from nlp_to_nosql_spark.operators.funnel import event_transitions
+
+    rows = [
+        (1, 1, "view", _ts(9)),
+        (2, 1, "click", _ts(10)),
+        (3, 1, "view", _ts(11)),
+        (4, 1, "click", _ts(12)),
+        (5, 2, "view", _ts(9)),
+        (6, 2, "purchase", _ts(10)),
+        (7, 3, "view", _ts(9)),  # single event: no transition
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        (r["src_type"], r["dst_type"]): (r["n_trans"], r["n_src"], r["p_micro"])
+        for r in event_transitions(df).collect()
+    }
+    # view->click x2, click->view x1, view->purchase x1
+    assert got[("view", "click")] == (2, 3, 666666)  # 2/3
+    assert got[("view", "purchase")] == (1, 3, 333333)
+    assert got[("click", "view")] == (1, 1, 1000000)
+    assert len(got) == 3
+
+
+def test_event_transitions_matches_duckdb(spark):
+    import duckdb
+
+    from nlp_to_nosql_spark.operators.funnel import (
+        event_transitions,
+        transitions_sql,
+    )
+    from nlp_to_nosql_spark.sources.catalog import register_tables
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("testdata not present")
+    ev = register_tables(spark, sf_dir)["events"]
+    got = {tuple(r[:2]): tuple(r[2:]) for r in event_transitions(ev).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = {tuple(r[:2]): tuple(r[2:]) for r in con.execute(transitions_sql()).fetchall()}
+    assert got == want and len(got) >= 20

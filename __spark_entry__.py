@@ -45,6 +45,7 @@ from nlp_to_nosql_spark.operators.curation import (
     boilerplate_removal_sql,
     cap_per_group_sql,
     chunk_sql,
+    consistent_sample_sql,
     gopher_sql,
     hash_split_sql,
     mixture_sql,
@@ -2576,6 +2577,36 @@ def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(ev)
 
 
+def _q_consistent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joinable 10% development slice of the customer/orders star: BOTH
+    tables filtered by the SAME seeded key-hash (per-table rand() would
+    keep only rate-squared of the join pairs), then joined and
+    aggregated — per sampled customer, their order count and exact
+    revenue cents.  Zero-shuffle sampling; one co-keyed join."""
+    from nlp_to_nosql_spark.operators.curation import consistent_key_sample
+
+    t = register_tables(spark, sf_dir)
+    cust = consistent_key_sample(t["customer"], "c_custkey", 0.10)
+    ords = consistent_key_sample(t["orders"], "o_custkey", 0.10)
+    return (
+        cust.join(ords, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.col("o_orderkey")).cast("long").alias("n_orders"),
+            F.coalesce(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2797,6 +2828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort1_weekly_retention": _q_cohort,
         "asof3_click_view_tolerance": _q_asof_tolerance,
         "seq1_event_transitions": _q_event_transitions,
+        "sample3_joinable_slice": _q_consistent_sample,
         "s13_jsonl_gz_roundtrip": _sink_roundtrip("nation", "json_gz"),
         "prof4_key_skew": _q_key_skew,
         "pr1_dup_pagerank": _q_dup_pagerank,
@@ -3760,6 +3792,18 @@ def oracle_sql() -> dict[str, str]:
         "funnel1_ordered_conversion": funnel_sql(),
         "cohort1_weekly_retention": cohort_sql(),
         "seq1_event_transitions": transitions_sql(),
+        "sample3_joinable_slice": (
+            "WITH cs AS (SELECT * FROM customer WHERE "
+            + consistent_sample_sql("c_custkey", 0.10)
+            + "), os AS (SELECT * FROM orders WHERE "
+            + consistent_sample_sql("o_custkey", 0.10)
+            + ") SELECT c_custkey, "
+            "CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders, "
+            "CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) "
+            "AS BIGINT)), 0) AS BIGINT) AS revenue_cents "
+            "FROM cs LEFT JOIN os ON c_custkey = o_custkey "
+            "GROUP BY c_custkey"
+        ),
         "asof3_click_view_tolerance": (
             "WITH v AS (SELECT user_id, ts, MAX(event_id) AS last_view_id "
             "FROM events WHERE event_type = 'view' GROUP BY 1, 2), "

@@ -925,6 +925,36 @@ def cap_per_group_sql(
 _SPLIT_BUCKETS = 1_000_000
 
 
+def consistent_key_sample(
+    df: DataFrame, key_col: str, rate: float, seed: int = 97
+) -> DataFrame:
+    """Keep rows whose JOIN KEY falls in the sampled key-space: the same
+    seeded hash threshold applied to every table sharing the key yields
+    samples that remain JOINABLE — ``rand()``-per-table sampling would
+    destroy the join (independent coins on the two sides keep
+    rate² of pairs; consistent hashing keeps the full join subgraph of
+    the sampled keys).  This is how a 100 TB pipeline produces a 1 %
+    development slice of a star schema whose joins still work.
+
+    Zero shuffle: one hash-filter projection; the predicate pushes to
+    the scan.  Deterministic across retries and engines (seeded md5,
+    the :func:`sample_mixture` hash).
+    """
+    return df.filter(
+        _mix_hash(F.col(key_col), seed) < F.lit(int(rate * _MIX_BUCKETS))
+    )
+
+
+def consistent_sample_sql(
+    key_col: str, rate: float, seed: int = 97
+) -> str:
+    """WHERE-clause DuckDB twin of :func:`consistent_key_sample`."""
+    return (
+        MIX_HASH_SQL.format(c=key_col, seed=seed)
+        + f" < {int(rate * _MIX_BUCKETS)}"
+    )
+
+
 def hash_split(
     df: DataFrame,
     splits: dict[str, float] | None = None,

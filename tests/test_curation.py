@@ -440,3 +440,36 @@ def test_cap_and_split_match_duckdb_twins(spark):
     got = sorted(tuple(r) for r in hash_split(df, seed=23).collect())
     want = sorted(tuple(r) for r in con.execute(hash_split_sql(seed=23)).fetchall())
     assert got == want
+
+
+def test_consistent_key_sample_is_joinable(spark):
+    """The SAME key survives in every table sampled with the same
+    (rate, seed) — and the kept key-set matches the DuckDB hash."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from nlp_to_nosql_spark.operators.curation import (
+        consistent_key_sample,
+        consistent_sample_sql,
+    )
+
+    left = spark.createDataFrame(
+        [(i,) for i in range(300)], "k long"
+    )
+    right = spark.createDataFrame(
+        [(i, i * 10) for i in range(300)], "k long, v long"
+    )
+    ls = {r["k"] for r in consistent_key_sample(left, "k", 0.2).collect()}
+    rs = {r["k"] for r in consistent_key_sample(right, "k", 0.2).collect()}
+    assert ls == rs  # joinable: identical key-space on both sides
+    assert 20 <= len(ls) <= 120  # ~20% of 300, binomial spread
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(range(300)) AS k")
+    want = {
+        r[0]
+        for r in con.execute(
+            "SELECT k FROM t WHERE " + consistent_sample_sql("k", 0.2)
+        ).fetchall()
+    }
+    assert ls == want

@@ -936,8 +936,11 @@ def consistent_key_sample(
     the sampled keys).  This is how a 100 TB pipeline produces a 1 %
     development slice of a star schema whose joins still work.
 
-    Zero shuffle: one hash-filter projection; the predicate pushes to
-    the scan.  Deterministic across retries and engines (seeded md5,
+    Zero shuffle: one hash-filter projection evaluated during the scan
+    (the md5 predicate is a function of the column, so it cannot reach
+    the parquet row-group stats — rows are read then dropped; at rest,
+    bucketing the table BY the key gives the same slice via partition
+    pruning).  Deterministic across retries and engines (seeded md5,
     the :func:`sample_mixture` hash).
     """
     return df.filter(

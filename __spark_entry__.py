@@ -71,6 +71,7 @@ from nlp_to_nosql_spark.operators.pq import (
 )
 from nlp_to_nosql_spark.operators.terms import (
     collocations_sql,
+    source_divergence_sql,
     vocab_coverage_sql,
 )
 from nlp_to_nosql_spark.operators.sessions import SESSIONIZE_SQL, sessionize
@@ -2607,6 +2608,17 @@ def _q_consistent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor: pairwise chi-square divergence of per-source
+    unigram distributions over the shared top-200 vocabulary — per-term
+    contributions floored to integer micros BEFORE the sum, so the
+    statistic is partition-order-free and engine-exact."""
+    from nlp_to_nosql_spark.operators.terms import source_divergence
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return source_divergence(docs, top_v=200)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2829,6 +2841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof3_click_view_tolerance": _q_asof_tolerance,
         "seq1_event_transitions": _q_event_transitions,
         "sample3_joinable_slice": _q_consistent_sample,
+        "drift1_source_divergence": _q_source_divergence,
         "s13_jsonl_gz_roundtrip": _sink_roundtrip("nation", "json_gz"),
         "prof4_key_skew": _q_key_skew,
         "pr1_dup_pagerank": _q_dup_pagerank,
@@ -3792,6 +3805,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel1_ordered_conversion": funnel_sql(),
         "cohort1_weekly_retention": cohort_sql(),
         "seq1_event_transitions": transitions_sql(),
+        "drift1_source_divergence": source_divergence_sql(top_v=200),
         "sample3_joinable_slice": (
             "WITH cs AS (SELECT * FROM customer WHERE "
             + consistent_sample_sql("c_custkey", 0.10)

@@ -216,6 +216,175 @@ def vocab_coverage_sql(
     )
 
 
+def source_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_v: int = 200,
+) -> DataFrame:
+    """Corpus drift between sources: pairwise chi-square divergence of
+    unigram distributions over the shared top-``top_v`` vocabulary —
+    the monitoring signal that catches one crawler/feed drifting before
+    it poisons the mixture (new boilerplate, language shift, spam).
+
+    Engine-exactness: expected counts and per-term contributions are a
+    FIXED chain of IEEE double ops (each count < 2^53 converts
+    exactly), but their SUM over the vocabulary would depend on
+    partition order as doubles — so each term is floored to integer
+    micros FIRST and the cross-partition aggregation is an exact BIGINT
+    sum (the ``bigram_likelihood`` discipline).  Output per unordered
+    source pair: ``chi2_micro`` (floor-summed χ² · 1e6) and ``n_terms``.
+
+    Scale: one corpus-sized token census (partial-aggregated groupBy);
+    everything after operates on |sources|·top_v rows — the vocabulary
+    cap bounds the pair grid by construction, and the census is the
+    only pass over the corpus.
+    """
+    from nlp_to_nosql_spark.functions.text import normalize_text
+    from nlp_to_nosql_spark.plans.partitioning import fan_out
+
+    toks = (
+        fan_out(df.select(group_col, text_col))
+        .select(
+            F.col(group_col),
+            F.explode(
+                F.split(
+                    normalize_text(F.coalesce(F.col(text_col), F.lit(""))),
+                    " ",
+                )
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    tf = toks.groupBy(group_col, "token").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    vocab = (
+        tf.groupBy("token")
+        .agg(F.sum("cnt").cast("long").alias("_tot"))
+        .orderBy(F.desc("_tot"), F.asc("token"))
+        .limit(int(top_v))
+        .select("token")
+    )
+    tfv = tf.join(F.broadcast(vocab), "token")
+    totals = tfv.groupBy(group_col).agg(
+        F.sum("cnt").cast("long").alias("n_total")
+    )
+    grid = (
+        totals.select(
+            F.col(group_col).alias("src_a"), F.col("n_total").alias("n_a")
+        )
+        .crossJoin(
+            F.broadcast(
+                totals.select(
+                    F.col(group_col).alias("src_b"),
+                    F.col("n_total").alias("n_b"),
+                )
+            )
+        )
+        .filter(F.col("src_a") < F.col("src_b"))
+        .crossJoin(F.broadcast(vocab))
+    )
+    ca = tfv.select(
+        F.col(group_col).alias("src_a"),
+        F.col("token"),
+        F.col("cnt").alias("o_a"),
+    )
+    cb = tfv.select(
+        F.col(group_col).alias("src_b"),
+        F.col("token"),
+        F.col("cnt").alias("o_b"),
+    )
+    j = (
+        grid.join(ca, ["src_a", "token"], "left")
+        .join(cb, ["src_b", "token"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            F.coalesce(F.col("o_a"), F.lit(0)).cast("long").alias("o_a"),
+            F.coalesce(F.col("o_b"), F.lit(0)).cast("long").alias("o_b"),
+        )
+        .filter((F.col("o_a") + F.col("o_b")) > 0)
+    )
+    t = (F.col("o_a") + F.col("o_b")).cast("double")
+    nn = (F.col("n_a") + F.col("n_b")).cast("double")
+    e_a = (F.col("n_a").cast("double") * t) / nn
+    e_b = (F.col("n_b").cast("double") * t) / nn
+    da = F.col("o_a").cast("double") - e_a
+    db = F.col("o_b").cast("double") - e_b
+    term = (da * da) / e_a + (db * db) / e_b
+    return (
+        j.select(
+            "src_a",
+            "src_b",
+            F.floor(term * F.lit(1000000.0)).cast("long").alias("_tm"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum("_tm").cast("long").alias("chi2_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+    )
+
+
+def source_divergence_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+    top_v: int = 200,
+) -> str:
+    """DuckDB twin of :func:`source_divergence` — identical census,
+    vocabulary cap, grid, IEEE association, and per-term floor-to-micro
+    before the exact integer sum."""
+    from nlp_to_nosql_spark.functions.text import NORMALIZE_SQL
+
+    norm = NORMALIZE_SQL.format(c=f"COALESCE({text_col}, '')")
+    return (
+        f"WITH words AS (SELECT {group_col}, string_split({norm}, ' ') "
+        f"AS w FROM {table}), "
+        f"tok AS (SELECT {group_col}, unnest(w) AS token FROM words), "
+        f"tf AS (SELECT {group_col}, token, CAST(COUNT(*) AS BIGINT) "
+        f"AS cnt FROM tok WHERE token <> '' GROUP BY 1, 2), "
+        "vocab AS (SELECT token FROM (SELECT token, SUM(cnt) AS _tot "
+        f"FROM tf GROUP BY 1 ORDER BY _tot DESC, token LIMIT {int(top_v)})), "
+        "tfv AS (SELECT tf.* FROM tf JOIN vocab USING (token)), "
+        f"totals AS (SELECT {group_col}, CAST(SUM(cnt) AS BIGINT) "
+        f"AS n_total FROM tfv GROUP BY 1), "
+        f"grid AS (SELECT a.{group_col} AS src_a, a.n_total AS n_a, "
+        f"b.{group_col} AS src_b, b.n_total AS n_b, v.token "
+        f"FROM totals a, totals b, vocab v "
+        f"WHERE a.{group_col} < b.{group_col}), "
+        "j AS (SELECT g.src_a, g.src_b, g.n_a, g.n_b, "
+        "CAST(COALESCE(ca.cnt, 0) AS BIGINT) AS o_a, "
+        "CAST(COALESCE(cb.cnt, 0) AS BIGINT) AS o_b "
+        "FROM grid g "
+        f"LEFT JOIN tfv ca ON ca.{group_col} = g.src_a "
+        "AND ca.token = g.token "
+        f"LEFT JOIN tfv cb ON cb.{group_col} = g.src_b "
+        "AND cb.token = g.token "
+        "WHERE COALESCE(ca.cnt, 0) + COALESCE(cb.cnt, 0) > 0), "
+        "terms AS (SELECT src_a, src_b, CAST(FLOOR((("
+        "(CAST(o_a AS DOUBLE) - (CAST(n_a AS DOUBLE) * "
+        "CAST(o_a + o_b AS DOUBLE)) / CAST(n_a + n_b AS DOUBLE)) * "
+        "(CAST(o_a AS DOUBLE) - (CAST(n_a AS DOUBLE) * "
+        "CAST(o_a + o_b AS DOUBLE)) / CAST(n_a + n_b AS DOUBLE))) / "
+        "((CAST(n_a AS DOUBLE) * CAST(o_a + o_b AS DOUBLE)) / "
+        "CAST(n_a + n_b AS DOUBLE)) + "
+        "((CAST(o_b AS DOUBLE) - (CAST(n_b AS DOUBLE) * "
+        "CAST(o_a + o_b AS DOUBLE)) / CAST(n_a + n_b AS DOUBLE)) * "
+        "(CAST(o_b AS DOUBLE) - (CAST(n_b AS DOUBLE) * "
+        "CAST(o_a + o_b AS DOUBLE)) / CAST(n_a + n_b AS DOUBLE))) / "
+        "((CAST(n_b AS DOUBLE) * CAST(o_a + o_b AS DOUBLE)) / "
+        "CAST(n_a + n_b AS DOUBLE))) * 1000000.0) AS BIGINT) AS _tm "
+        "FROM j) "
+        "SELECT src_a, src_b, CAST(SUM(_tm) AS BIGINT) AS chi2_micro, "
+        "CAST(COUNT(*) AS BIGINT) AS n_terms "
+        "FROM terms GROUP BY 1, 2"
+    )
+
+
 def collocations_sql(
     table: str = "documents",
     id_col: str = "doc_id",

@@ -151,3 +151,57 @@ def test_vocab_coverage_matches_duckdb(spark):
     )
     want = con.execute(vocab_coverage_sql(top_n=25)).fetchall()
     assert got == [tuple(r) for r in want]
+
+
+def test_source_divergence_matches_duckdb(spark):
+    import os
+
+    import duckdb
+
+    from nlp_to_nosql_spark.operators.terms import (
+        source_divergence,
+        source_divergence_sql,
+    )
+    from nlp_to_nosql_spark.sources.catalog import register_tables
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        import pytest
+
+        pytest.skip("testdata not present")
+    docs = register_tables(spark, sf_dir)["documents"]
+    got = {
+        (r["src_a"], r["src_b"]): (r["chi2_micro"], r["n_terms"])
+        for r in source_divergence(docs, top_v=50).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {
+        (a, b): (c, n)
+        for a, b, c, n in con.execute(
+            source_divergence_sql(top_v=50)
+        ).fetchall()
+    }
+    assert got == want and len(got) >= 3
+
+
+def test_source_divergence_detects_drift(spark):
+    """A source with a disjoint vocabulary must diverge far more from
+    the others than they do from each other."""
+    from nlp_to_nosql_spark.operators.terms import source_divergence
+
+    rows = (
+        [(i, "a b c d e", "s1") for i in range(20)]
+        + [(100 + i, "a b c d e", "s2") for i in range(20)]
+        + [(200 + i, "x y z w q", "s3") for i in range(20)]  # drifted
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["src_a"], r["src_b"]): r["chi2_micro"]
+        for r in source_divergence(df, top_v=20).collect()
+    }
+    assert got[("s1", "s2")] == 0  # identical distributions
+    assert got[("s1", "s3")] > 0 and got[("s2", "s3")] > 0

@@ -28,6 +28,7 @@ from nlp_to_nosql_spark.operators.multimodal import (
 from nlp_to_nosql_spark.operators.similarity import (
     CENTROID_SIM_SQL,
     CENTROID_SQL,
+    DIMENSION_STATS_SQL,
     RandomHyperplaneLSH,
     embedding_neardup_exact,
     quantize_sql,
@@ -2619,6 +2620,15 @@ def _q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_divergence(docs, top_v=200)
 
 
+def _q_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding mean/variance (integer-micro exact) —
+    the dim-pruning signal behind truncation tiers and PQ splits."""
+    from nlp_to_nosql_spark.operators.similarity import dimension_stats
+
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    return dimension_stats(emb)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2842,6 +2852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq1_event_transitions": _q_event_transitions,
         "sample3_joinable_slice": _q_consistent_sample,
         "drift1_source_divergence": _q_source_divergence,
+        "emb5_dimension_stats": _q_dimension_stats,
         "s13_jsonl_gz_roundtrip": _sink_roundtrip("nation", "json_gz"),
         "prof4_key_skew": _q_key_skew,
         "pr1_dup_pagerank": _q_dup_pagerank,
@@ -3806,6 +3817,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort1_weekly_retention": cohort_sql(),
         "seq1_event_transitions": transitions_sql(),
         "drift1_source_divergence": source_divergence_sql(top_v=200),
+        "emb5_dimension_stats": DIMENSION_STATS_SQL,
         "sample3_joinable_slice": (
             "WITH cs AS (SELECT * FROM customer WHERE "
             + consistent_sample_sql("c_custkey", 0.10)

@@ -575,6 +575,62 @@ def quantize_sql(
     )
 
 
+def dimension_stats(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension mean/variance of the embedding corpus in integer
+    micros — the signal that decides WHICH dimensions a truncation tier
+    (ann11) or a PQ subspace split should keep: near-zero-variance
+    dimensions carry no ranking information and are free to drop.
+
+    Components are floor-scaled to integer micros BEFORE aggregation
+    (the ``label_centroids`` discipline), so the sums S and Q are exact
+    BIGINTs; the final ``mean_micro = floor(S/n)`` and ``var_micro2 =
+    floor(Q/n − (S/n)²)`` divide FIRST (no BIGINT multiply that could
+    overflow at corpus scale) with one fixed IEEE association the SQL
+    twin mirrors.  Plan: one posexplode + one partial-aggregated
+    groupBy on the dimension index.
+    """
+    ex = df.select(F.posexplode(F.col(vec_col)).alias("dim", "x")).select(
+        F.col("dim"),
+        F.floor(F.col("x").cast("double") * F.lit(1000000)).cast("long").alias("m"),
+    )
+    agg = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("m").cast("long").alias("_s"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("_q"),
+    )
+    s_over_n = F.col("_s").cast("double") / F.col("n_vecs").cast("double")
+    q_over_n = F.col("_q").cast("double") / F.col("n_vecs").cast("double")
+    return agg.select(
+        "dim",
+        "n_vecs",
+        F.floor(s_over_n).cast("long").alias("mean_micro"),
+        F.floor(q_over_n - s_over_n * s_over_n)
+        .cast("long")
+        .alias("var_micro2"),
+    )
+
+
+#: DuckDB twin of :func:`dimension_stats` — identical floor-scaled
+#: integer sums and divide-first IEEE association.
+DIMENSION_STATS_SQL = (
+    "WITH ex AS (SELECT CAST(i AS INT) AS dim, "
+    "CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT) "
+    "AS m FROM embeddings, UNNEST(range(0, len(embedding))) u(i)), "
+    "agg AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_vecs, "
+    "CAST(SUM(m) AS BIGINT) AS s, CAST(SUM(m * m) AS BIGINT) AS q "
+    "FROM ex GROUP BY 1) "
+    "SELECT dim, n_vecs, "
+    "CAST(FLOOR(CAST(s AS DOUBLE) / CAST(n_vecs AS DOUBLE)) AS BIGINT) "
+    "AS mean_micro, "
+    "CAST(FLOOR(CAST(q AS DOUBLE) / CAST(n_vecs AS DOUBLE) - "
+    "(CAST(s AS DOUBLE) / CAST(n_vecs AS DOUBLE)) * "
+    "(CAST(s AS DOUBLE) / CAST(n_vecs AS DOUBLE))) AS BIGINT) "
+    "AS var_micro2 FROM agg"
+)
+
+
 def topk_quantized(
     df: DataFrame,
     query: Sequence[float],

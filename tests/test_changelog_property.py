@@ -103,3 +103,73 @@ def test_scd2_segments_match_reference(spark, raw):
         k: [(a, t) for _, a, t in sorted(v)] for k, v in got.items()
     }
     assert got == _scd2_reference(rows)
+
+
+# ---------------------------------------------------------------------------
+# funnel property: chained conditional window MINs vs a pure-Python walk
+# ---------------------------------------------------------------------------
+
+FUNNEL_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+funnel_row = st.tuples(
+    st.integers(min_value=1, max_value=3),                  # user
+    st.sampled_from(["view", "click", "purchase", "noise"]),
+    st.integers(min_value=0, max_value=4),                  # coarse minutes
+)
+funnel_logs = st.lists(funnel_row, min_size=1, max_size=20)
+
+_STAGES = ("view", "click", "purchase")
+
+
+def _funnel_reference(rows):
+    """Documented semantics: earliest stage-0 event, then earliest
+    stage-1 event STRICTLY after it, etc."""
+    out = {}
+    for user in {r[1] for r in rows}:
+        evs = sorted(
+            (r[3], r[2]) for r in rows if r[1] == user
+        )
+        reached, prev_ts = [], None
+        for stage in _STAGES:
+            cand = [
+                ts
+                for ts, typ in evs
+                if typ == stage and (prev_ts is None or ts > prev_ts)
+            ]
+            if not cand:
+                break
+            prev_ts = min(cand)
+            reached.append(prev_ts)
+        out[user] = (len(reached), reached)
+    return out
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(funnel_logs)
+def test_funnel_matches_reference(spark, raw):
+    from nlp_to_nosql_spark.operators.funnel import funnel_stages
+
+    rows = [
+        (i, user, typ, BASE + datetime.timedelta(minutes=m))
+        for i, (user, typ, m) in enumerate(raw)
+    ]
+    df = spark.createDataFrame(rows, FUNNEL_SCHEMA)
+    got = {
+        r["user_id"]: (
+            r["funnel_stage"],
+            [t for t in (r["view_ts"], r["click_ts"], r["purchase_ts"]) if t],
+        )
+        for r in funnel_stages(df).collect()
+    }
+    assert got == _funnel_reference(rows)

@@ -315,3 +315,18 @@ def test_matryoshka_truncation_recall(spark):
     # near-random synthetic embeddings: prefix carries ~1/4 of the
     # signal, so overlap is well above chance (10/500) but far from 1.
     assert recall >= 0.1
+
+
+def test_dimension_stats_exact(spark):
+    from nlp_to_nosql_spark.operators.similarity import dimension_stats
+
+    df = spark.createDataFrame(
+        [(0, [1.0, -1.0]), (1, [1.0, 1.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["dim"]: r for r in dimension_stats(df).collect()}
+    # dim 0 constant: variance exactly 0; dim 1 mean 0, var = 2/3 micro^2
+    assert got[0]["mean_micro"] == 1_000_000 and got[0]["var_micro2"] == 0
+    assert got[1]["mean_micro"] == 0
+    assert got[1]["var_micro2"] == int((2 * 10**12) / 3)
+    assert all(r["n_vecs"] == 3 for r in got.values())

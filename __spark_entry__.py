@@ -2629,6 +2629,41 @@ def _q_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dimension_stats(emb)
 
 
+def _q_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed user-feature-table build (the ML feature-materialization
+    step) as ONE lazy plan: per user, the CDC latest state (max_by
+    compaction), the ordered funnel stage, and the cohort week — three
+    aggregates all keyed on user_id, so the joins reuse one hash
+    partitioning; the event table is scanned per branch but never
+    shuffled wider than |users|.  The oracle chains the three families'
+    already-proven SQL blocks."""
+    from nlp_to_nosql_spark.operators.changelog import latest_wins
+    from nlp_to_nosql_spark.operators.funnel import (
+        WEEK_US,
+        cohort_retention,
+        funnel_stages,
+    )
+    from nlp_to_nosql_spark.functions.time import epoch_us
+
+    ev = register_tables(spark, sf_dir)["events"]
+    latest = latest_wins(
+        ev, ["user_id"], ["ts", "event_id"], ["value"]
+    ).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+    fun = funnel_stages(ev).select("user_id", "funnel_stage")
+    coh = (
+        ev.groupBy("user_id")
+        .agg(epoch_us(F.min("ts")).alias("_fus"))
+        .select(
+            "user_id", F.expr(f"_fus div {WEEK_US}").alias("cohort_week")
+        )
+    )
+    return latest.join(fun, "user_id").join(coh, "user_id")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2853,6 +2888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample3_joinable_slice": _q_consistent_sample,
         "drift1_source_divergence": _q_source_divergence,
         "emb5_dimension_stats": _q_dimension_stats,
+        "pipe5_user_profile": _q_user_profile,
         "s13_jsonl_gz_roundtrip": _sink_roundtrip("nation", "json_gz"),
         "prof4_key_skew": _q_key_skew,
         "pr1_dup_pagerank": _q_dup_pagerank,
@@ -3818,6 +3854,18 @@ def oracle_sql() -> dict[str, str]:
         "seq1_event_transitions": transitions_sql(),
         "drift1_source_divergence": source_divergence_sql(top_v=200),
         "emb5_dimension_stats": DIMENSION_STATS_SQL,
+        "pipe5_user_profile": (
+            "WITH lw AS (SELECT user_id, event_id AS last_event_id, "
+            "value AS last_value FROM ("
+            + latest_wins_sql(["user_id"], ["ts", "event_id"], ["value"])
+            + ")), fu AS (" + funnel_sql() + "), "
+            "cw AS (SELECT user_id, "
+            "epoch_us(MIN(ts)) // 604800000000 AS cohort_week "
+            "FROM events GROUP BY 1) "
+            "SELECT lw.user_id, lw.last_event_id, lw.last_value, "
+            "fu.funnel_stage, cw.cohort_week "
+            "FROM lw JOIN fu USING (user_id) JOIN cw USING (user_id)"
+        ),
         "sample3_joinable_slice": (
             "WITH cs AS (SELECT * FROM customer WHERE "
             + consistent_sample_sql("c_custkey", 0.10)

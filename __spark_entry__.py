@@ -2365,9 +2365,11 @@ def _q_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-Z-range row counts and min/max rectangles — the data-skipping
     power an OPTIMIZE ZORDER write of this table would buy, as data.
     Exact BIGINT bit arithmetic; one projection + one partial agg.
-    bits=11 sizes the curve to the contract corpus (2^11 covers sf0.01
-    custkeys and the ~2.5k-day date span, so buckets split on REAL key
-    bits); a production layout sizes bits to the column's range."""
+    order_day is anchored at the data's min date (1995-01-01) so the
+    ~2.4k-day span fits bits=12 (4096 days) with NO modular wraparound
+    — every bucket rectangle reflects real key locality; 2^12 also
+    covers sf0.01 custkeys.  A production layout sizes bits to the
+    column's observed range the same way (max-min, next power of 2)."""
     from nlp_to_nosql_spark.operators.layout import zorder_profile
 
     t = register_tables(spark, sf_dir)
@@ -2375,13 +2377,13 @@ def _q_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey"),
         F.datediff(
             F.col("o_orderdate").cast("date"),
-            F.lit("1992-01-01").cast("date"),
+            F.lit("1995-01-01").cast("date"),
         )
         .cast("long")
         .alias("order_day"),
     )
     return zorder_profile(
-        ord_df, ["o_custkey", "order_day"], bits=11, bucket_bits=6
+        ord_df, ["o_custkey", "order_day"], bits=12, bucket_bits=6
     )
 
 
@@ -3807,11 +3809,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "zorder1_layout_profile": (
             "WITH zt AS (SELECT o_custkey, "
-            "CAST(date_diff('day', DATE '1992-01-01', "
+            "CAST(date_diff('day', DATE '1995-01-01', "
             "CAST(o_orderdate AS DATE)) AS BIGINT) AS order_day "
             "FROM orders) "
             + zorder_profile_sql(
-                "zt", ["o_custkey", "order_day"], bits=11, bucket_bits=6
+                "zt", ["o_custkey", "order_day"], bits=12, bucket_bits=6
             )
         ),
         "colloc1_bigram_lift": collocations_sql(min_count=5),

@@ -155,16 +155,21 @@ def main() -> None:
         base_len = len(line) - len(
             json.dumps(payload["queries"], separators=(",", ":"))
         )
+        # Trim whichever map was actually chosen above (family prefixes
+        # collide -> payload fell back to the full-name map; iterating
+        # `short` here would silently switch keyspace and drop the
+        # colliding families).
+        src = payload["queries"]
         kept: dict[str, float] = {}
         budget = 1900 - base_len - 30  # slack for queries_shown field
-        for name, t in sorted(short.items(), key=lambda x: -x[1]):
+        for name, t in sorted(src.items(), key=lambda x: -x[1]):
             entry = len(json.dumps({name: t}, separators=(",", ":"))) - 1
             if budget - entry < 0:
                 break
             budget -= entry
             kept[name] = t
         payload["queries"] = kept
-        payload["queries_shown"] = f"{len(kept)}/{len(short)}"
+        payload["queries_shown"] = f"{len(kept)}/{len(src)}"
         line = json.dumps(payload, separators=(",", ":"))
     print(line)
     spark.stop()

@@ -585,11 +585,16 @@ def dimension_stats(
 
     Components are floor-scaled to integer micros BEFORE aggregation
     (the ``label_centroids`` discipline), so the sums S and Q are exact
-    BIGINTs; the final ``mean_micro = floor(S/n)`` and ``var_micro2 =
-    floor(Q/n − (S/n)²)`` divide FIRST (no BIGINT multiply that could
-    overflow at corpus scale) with one fixed IEEE association the SQL
-    twin mirrors.  Plan: one posexplode + one partial-aggregated
-    groupBy on the dimension index.
+    integers accumulated as ``decimal(38,0)`` — each term ``m·m`` fits
+    int64 (|m| ≤ ~1e6 ⇒ m² ≤ ~1e12) but the SUM would overflow int64
+    past ~9M vectors per dimension, so the accumulator is 128-bit on
+    both engines (decimal(38,0) here, DuckDB's native HUGEINT in the
+    twin).  The final ``mean_micro = floor(S/n)`` and ``var_micro2 =
+    floor(Q/n − (S/n)²)`` cast the exact sums to double and divide with
+    one fixed IEEE association the SQL twin mirrors (exact-int→double
+    is round-to-nearest in both engines, so the twins cannot drift).
+    Plan: one posexplode + one partial-aggregated groupBy on the
+    dimension index.
     """
     ex = df.select(F.posexplode(F.col(vec_col)).alias("dim", "x")).select(
         F.col("dim"),
@@ -597,8 +602,8 @@ def dimension_stats(
     )
     agg = ex.groupBy("dim").agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
-        F.sum("m").cast("long").alias("_s"),
-        F.sum(F.col("m") * F.col("m")).cast("long").alias("_q"),
+        F.sum(F.col("m").cast("decimal(38,0)")).alias("_s"),
+        F.sum((F.col("m") * F.col("m")).cast("decimal(38,0)")).alias("_q"),
     )
     s_over_n = F.col("_s").cast("double") / F.col("n_vecs").cast("double")
     q_over_n = F.col("_q").cast("double") / F.col("n_vecs").cast("double")
@@ -619,7 +624,7 @@ DIMENSION_STATS_SQL = (
     "CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT) "
     "AS m FROM embeddings, UNNEST(range(0, len(embedding))) u(i)), "
     "agg AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_vecs, "
-    "CAST(SUM(m) AS BIGINT) AS s, CAST(SUM(m * m) AS BIGINT) AS q "
+    "SUM(m) AS s, SUM(m * m) AS q "  # HUGEINT accumulators — see above
     "FROM ex GROUP BY 1) "
     "SELECT dim, n_vecs, "
     "CAST(FLOOR(CAST(s AS DOUBLE) / CAST(n_vecs AS DOUBLE)) AS BIGINT) "

@@ -387,12 +387,15 @@ def replay_cdc_upsert_sink(
 ) -> DataFrame:
     """The WRITE side of streaming CDC: ``foreachBatch`` maintains a
     compacted parquet table (read-current ∪ batch → latest-wins →
-    atomic directory swap) — the upsert-into-a-lake pattern engines
+    crash-safe directory swap) — the upsert-into-a-lake pattern engines
     without a transactional table format run per micro-batch.  Spark's
-    ``foreachBatch`` gives exactly-once per batch via the checkpoint;
-    the swap (write to ``_next``, rename over current) keeps readers
-    from seeing a half-written table, which is the poor-man's commit
-    protocol a real deployment replaces with Delta/Iceberg MERGE.
+    ``foreachBatch`` gives at-least-once per batch via the checkpoint
+    (re-delivery is absorbed because latest-wins merge is idempotent);
+    the swap (write to ``_next``, move current aside, promote, drop
+    old) keeps readers from seeing a half-written table and never
+    leaves a window with NO table — the poor-man's commit protocol a
+    real deployment replaces with Delta/Iceberg MERGE, which is what
+    upgrades this to transactional exactly-once.
 
     Replayed over two micro-batches; returns the final compacted table
     ``(user_id, event_type, event_id, value)`` — same oracle as the
@@ -437,8 +440,18 @@ def replay_cdc_upsert_sink(
         )
         nxt = table + "_next"
         merged.write.mode("overwrite").parquet(nxt)
-        shutil.rmtree(table, ignore_errors=True)
+        # Crash-safe swap order: move the live table ASIDE first, then
+        # promote the new one, then drop the old.  A crash at any point
+        # leaves either the old or the new compacted state on disk —
+        # never a window with no table at all (rmtree-then-replace had
+        # one: checkpoint replay would rebuild from a single micro-batch
+        # and silently drop earlier keys).
+        old = table + "_old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(table):
+            os.replace(table, old)
         os.replace(nxt, table)
+        shutil.rmtree(old, ignore_errors=True)
 
     with _REPLAY_CONF_LOCK:
         prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -101,3 +101,18 @@ class Engine:
         except Exception:
             pass
         return ok
+
+    def close_connections(self) -> None:
+        """Release engine resources — the analogue of the reference's
+        ``close_connections`` (``No_Sql.py:484-490``: close the Mongo
+        client, null it out).  Here the held resource is the
+        SparkSession: stop it, drop the catalog, and make repeat calls
+        no-ops (the reference's ``if self._client`` guard).
+        """
+        if self.spark is not None:
+            try:
+                self.spark.stop()
+            except Exception:  # noqa: BLE001 — shutdown must not raise
+                pass
+            self.spark = None
+        self._tables.clear()

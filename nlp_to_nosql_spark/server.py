@@ -18,7 +18,10 @@ budget (70 % compile / remainder-minus-buffer DB — implemented once in
 ``timeout.budget_split`` and consumed via ``Engine.query``), and the same
 typed error envelopes (408 TIMEOUT_ERROR / 500 INTERNAL_ERROR JSON bodies,
 ``app_server.py:292-332``; 422 with a pydantic detail list for validation,
-matching FastAPI's RequestValidationError shape).
+matching FastAPI's RequestValidationError shape), the same permissive CORS
+policy on every response (``app_server.py:64-70``), and the same lifecycle:
+startup connection probe + SIGINT/SIGTERM graceful shutdown that releases
+the engine's session (``app_server.py:31-51,335-345``).
 
 The container has no FastAPI/uvicorn, so the transport is Flask (WSGI) —
 also an offline-testable real HTTP surface — with pydantic v2 models doing
@@ -104,6 +107,24 @@ def create_app(engine: Engine, table_resolver=None):
     app = Flask("nlp_to_nosql_spark")
     start_time = time.time()
     resolve = table_resolver or (lambda db, coll: coll)
+
+    # Permissive CORS, mirroring the reference's CORSMiddleware config
+    # (app_server.py:64-70: allow_origins=[...,"*"], credentials,
+    # GET/POST/PUT/DELETE, all headers).  Starlette's "*"-with-credentials
+    # behavior echoes the request Origin back rather than a literal "*";
+    # we do the same so credentialed browser clients work identically.
+    @app.after_request
+    def _cors(resp):
+        origin = request.headers.get("Origin")
+        resp.headers["Access-Control-Allow-Origin"] = origin or "*"
+        if origin:
+            resp.headers["Vary"] = "Origin"
+        resp.headers["Access-Control-Allow-Credentials"] = "true"
+        resp.headers["Access-Control-Allow-Methods"] = "GET, POST, PUT, DELETE"
+        resp.headers["Access-Control-Allow-Headers"] = request.headers.get(
+            "Access-Control-Request-Headers", "*"
+        )
+        return resp
 
     @app.get("/")
     def root():
@@ -275,7 +296,38 @@ def create_app(engine: Engine, table_resolver=None):
     return app
 
 
+def install_signal_handlers(engine: Engine):
+    """Graceful-shutdown parity with the reference
+    (``app_server.py:335-345``): on SIGINT/SIGTERM, log, release the
+    engine's resources (here: stop the SparkSession via
+    ``Engine.close_connections``), and exit 0.  Returns the handler so
+    tests can drive it without raising a real signal.
+    """
+    import signal
+    import sys
+
+    def _handler(signum, frame):  # noqa: ARG001 — signal handler shape
+        logger.info("Received signal %s. Shutting down gracefully...", signum)
+        engine.close_connections()
+        sys.exit(0)
+
+    signal.signal(signal.SIGINT, _handler)
+    signal.signal(signal.SIGTERM, _handler)
+    return _handler
+
+
 def serve(engine: Engine, host: str = "127.0.0.1", port: int = 8000) -> None:
     """Run the development server (production would sit behind a WSGI
-    server exactly like the reference sits behind uvicorn)."""
+    server exactly like the reference sits behind uvicorn).  Startup
+    mirrors the reference lifespan (``app_server.py:31-51``): probe
+    connections, log readiness, and register the graceful-shutdown
+    signal handlers before serving."""
+    status = engine.test_connections()
+    if all(status.values()):
+        logger.info("All systems ready")
+    else:
+        logger.warning(
+            "Some connections failed - check configuration: %s", status
+        )
+    install_signal_handlers(engine)
     create_app(engine).run(host=host, port=port)

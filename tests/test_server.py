@@ -219,3 +219,78 @@ def test_ui_page_serves_reference_surface(client):
     ):
         assert marker in page, marker
     assert "http://" not in page and "https://" not in page  # offline
+
+
+def test_cors_headers_on_every_response(client):
+    """Permissive CORS parity with the reference middleware
+    (app_server.py:64-70): allow-origin echoes the request Origin (the
+    "*"-with-credentials behavior), credentials on, the reference's
+    method list, and requested headers echoed on preflight."""
+    r = client.get("/", headers={"Origin": "http://localhost:8501"})
+    assert r.headers["Access-Control-Allow-Origin"] == "http://localhost:8501"
+    assert r.headers["Access-Control-Allow-Credentials"] == "true"
+    assert "POST" in r.headers["Access-Control-Allow-Methods"]
+    assert r.headers["Vary"] == "Origin"
+
+    # No Origin (curl, same-origin): wildcard, no Vary pollution.
+    r2 = client.get("/health")
+    assert r2.headers["Access-Control-Allow-Origin"] == "*"
+
+    # Preflight: Flask auto-answers OPTIONS; the hook must still attach
+    # the CORS headers and echo the requested headers back.
+    r3 = client.options(
+        "/query",
+        headers={
+            "Origin": "http://localhost:3000",
+            "Access-Control-Request-Method": "POST",
+            "Access-Control-Request-Headers": "content-type,x-auth",
+        },
+    )
+    assert r3.status_code in (200, 204)
+    assert r3.headers["Access-Control-Allow-Origin"] == "http://localhost:3000"
+    assert r3.headers["Access-Control-Allow-Headers"] == "content-type,x-auth"
+
+    # Error envelopes carry CORS too (a browser must be able to READ a
+    # 422/408 body; without the headers it sees an opaque network error).
+    r4 = client.post("/query", json={}, headers={"Origin": "http://a.example"})
+    assert r4.status_code == 422
+    assert r4.headers["Access-Control-Allow-Origin"] == "http://a.example"
+
+
+def test_graceful_shutdown_handler_closes_engine():
+    """Signal-handler parity with app_server.py:335-345: the installed
+    handler calls Engine.close_connections (Spark session released,
+    repeat-safe) and exits 0."""
+    import signal
+
+    from nlp_to_nosql_spark.server import install_signal_handlers
+
+    class _FakeSpark:
+        stopped = 0
+
+        def stop(self):
+            self.stopped += 1
+
+    fake = _FakeSpark()
+    eng = Engine.__new__(Engine)
+    eng.spark = fake
+    eng._tables = {"t": object()}
+
+    prev_int = signal.getsignal(signal.SIGINT)
+    prev_term = signal.getsignal(signal.SIGTERM)
+    try:
+        handler = install_signal_handlers(eng)
+        assert signal.getsignal(signal.SIGINT) is handler
+        assert signal.getsignal(signal.SIGTERM) is handler
+        with pytest.raises(SystemExit) as exc:
+            handler(signal.SIGTERM, None)
+        assert exc.value.code == 0
+    finally:
+        signal.signal(signal.SIGINT, prev_int)
+        signal.signal(signal.SIGTERM, prev_term)
+
+    assert fake.stopped == 1
+    assert eng.spark is None and eng._tables == {}
+    # Idempotent like the reference's `if self._client` guard.
+    eng.close_connections()
+    assert fake.stopped == 1

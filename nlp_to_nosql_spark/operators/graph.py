@@ -42,13 +42,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Edge-count ceiling for the driver-side union-find fast path.  The probe
-#: itself LIMIT-collects up to threshold+1 (src, dst) rows on EVERY call —
-#: a cost paid even by callers that then fall through to the iterative
-#: path — so the default is sized for a few MB of driver heap (~100k Row
-#: pairs), not for the largest graph union-find could handle.  Raise it
-#: deliberately when the driver has memory to burn and the pair relation
-#: is known to hover near the threshold; 0 disables the fast path.
+#: Edge-count ceiling for the driver-side union-find fast path.  The
+#: decision is read off the checkpoint-materializing count — large graphs
+#: never pay a probe or collect job at all — and the collect only happens
+#: when the graph FITS (≤ threshold rows), so the default is sized for a
+#: few MB of driver heap (~100k Row pairs), not for the largest graph
+#: union-find could handle.  Raise it deliberately when the driver has
+#: memory to burn and the pair relation is known to hover near the
+#: threshold; 0 disables the fast path.
 _LOCAL_EDGE_THRESHOLD_CONF = "spark.nlp2nosql.cc.localEdgeThreshold"
 _LOCAL_EDGE_THRESHOLD_DEFAULT = 100_000
 
@@ -96,11 +97,12 @@ def connected_components(
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-    # Materialize the (possibly expensive) pair plan exactly ONCE: the
-    # fast-path probe reads the checkpoint incrementally (LIMIT over a
-    # checkpointed relation scans no shuffle), and the iterative path
-    # re-derives the symmetric edge set from it cheaply every round.
-    e = e.localCheckpoint()
+    # Materialize the (possibly expensive) pair plan exactly ONCE, via
+    # the count below (lazy checkpoint + count = one job that both
+    # persists the edges and learns the exact edge count); the iterative
+    # path re-derives the symmetric edge set from the checkpoint cheaply
+    # every round.
+    e = e.localCheckpoint(eager=False)
 
     if nodes is not None:
         node_ids = nodes.select(
@@ -109,18 +111,22 @@ def connected_components(
     else:
         node_ids = None  # node set == edge endpoints
 
-    # Small-edge fast path: LIMIT threshold+1 bounds the collect BEFORE it
-    # happens (no separate count job); if everything fit, those rows ARE
-    # the edge set and union-find solves it in one pass.
+    # The count doubles as the checkpoint's materializing action AND the
+    # fast-path decision: a graph over the threshold proceeds straight
+    # to the iterative path with zero probe/collect jobs (round-5 review
+    # flagged the former always-on LIMIT-collect probe as a wasted job
+    # for exactly those callers), and the collect below is bounded by
+    # construction — it only runs when n_edges ≤ threshold.
+    n_edges = e.count()
     spark = edges.sparkSession
     threshold = int(
         spark.conf.get(
             _LOCAL_EDGE_THRESHOLD_CONF, str(_LOCAL_EDGE_THRESHOLD_DEFAULT)
         )
     )
-    if threshold > 0:
-        sample = e.limit(threshold + 1).collect()
-        if len(sample) <= threshold:
+    if 0 < threshold:
+        if n_edges <= threshold:
+            sample = e.collect()
             pairs = [(r["src"], r["dst"]) for r in sample]
             if node_ids is None:
                 # The endpoints ARE the node set: the mapping is the answer.

@@ -25,6 +25,12 @@ from nlp_to_nosql_spark.functions.vectors import cosine, lit_vector
 from nlp_to_nosql_spark.plans.caching import persisted
 from nlp_to_nosql_spark.plans.partitioning import fan_out
 
+#: Row-count ceiling for the exact O(n²) near-dup tier
+#: (:func:`embedding_neardup_exact`).  Above it the operator raises and
+#: points at the LSH tier rather than melting the cluster; 0 disables.
+_EXACT_MAX_ROWS_CONF = "spark.nlp2nosql.exact.maxRows"
+_EXACT_MAX_ROWS_DEFAULT = 1_000_000
+
 
 def topk_bruteforce(
     df: DataFrame,
@@ -174,9 +180,33 @@ def embedding_neardup_exact(
     inherent cost of exactness.  At corpus scale prefer
     :meth:`RandomHyperplaneLSH.neardup_pairs`, which buckets by signature
     first and only verifies within buckets.
+
+    Fail-fast scale guard: the exact tier REFUSES inputs above
+    ``spark.nlp2nosql.exact.maxRows`` (default 1M ≈ 5·10¹¹ dot
+    products, the outer edge of what "run the exact tier anyway" can
+    mean) by raising ``ValueError`` pointing at the LSH tier, instead
+    of launching a quadratic job on a corpus-scale frame.  The check is
+    bounded (LIMIT ceiling+1, never a full count when ``n_blocks`` is
+    explicit); 0 disables it — the same conf discipline as
+    ``graph.py``'s ``spark.nlp2nosql.cc.localEdgeThreshold``.
     """
     import numpy as np
     import pandas as pd
+
+    spark = df.sparkSession
+    ceiling = int(
+        spark.conf.get(_EXACT_MAX_ROWS_CONF, str(_EXACT_MAX_ROWS_DEFAULT))
+    )
+
+    def _refuse(n_seen: int) -> None:
+        raise ValueError(
+            f"embedding_neardup_exact: input has more than {ceiling} rows "
+            f"(saw ≥ {n_seen}); the exact all-pairs tier is O(n²) and "
+            "would not complete at this scale. Use "
+            "RandomHyperplaneLSH.neardup_pairs (signature-bucketed, "
+            "measured recall in tests/test_recall.py) or raise "
+            f"{_EXACT_MAX_ROWS_CONF} deliberately."
+        )
 
     narrow = df.select(id_col, vec_col)
     if n_blocks is None:
@@ -189,7 +219,16 @@ def embedding_neardup_exact(
 
         narrow = persisted(narrow, "vectors")
         n = narrow.count()
+        if ceiling > 0 and n > ceiling:
+            _refuse(n)
         n_blocks = max(1, -(-n // block_size))
+    elif ceiling > 0:
+        # Caller supplied n_blocks (no sizing count happens): probe with
+        # a LIMIT-bounded count so the guard itself never scans more
+        # than ceiling+1 rows.
+        probe = narrow.limit(ceiling + 1).count()
+        if probe > ceiling:
+            _refuse(probe)
 
     blocks = fan_out(narrow).withColumn(
         "blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")

@@ -167,3 +167,47 @@ def test_pagerank_micro_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def _jobs_used(spark, group: str, fn) -> int:
+    """Run fn under a job group and return how many Spark jobs it launched."""
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try:
+        fn()
+    finally:
+        sc.setJobGroup(None, None)
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_cc_large_graph_skips_probe_jobs(spark):
+    """A graph over the fast-path threshold must go straight to the
+    iterative path with ZERO probe/collect jobs: its job count equals
+    the threshold=0 (fast path disabled) run exactly.  Pins the round-5
+    review fix — the old always-on LIMIT-collect probe cost every
+    large-graph caller one wasted job."""
+    from nlp_to_nosql_spark.operators.graph import (
+        _LOCAL_EDGE_THRESHOLD_CONF,
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+
+    def run():
+        connected_components(edges, "id_a", "id_b").collect()
+
+    try:
+        spark.conf.set(_LOCAL_EDGE_THRESHOLD_CONF, "10")  # 40 edges > 10
+        over = _jobs_used(spark, "cc_over_threshold", run)
+        spark.conf.set(_LOCAL_EDGE_THRESHOLD_CONF, "0")
+        disabled = _jobs_used(spark, "cc_disabled", run)
+        assert over == disabled
+        # And the small-graph fast path still engages (one materializing
+        # count + one bounded collect — far fewer jobs than iterating).
+        spark.conf.set(_LOCAL_EDGE_THRESHOLD_CONF, "100000")
+        fast = _jobs_used(spark, "cc_fast_path", run)
+        assert fast < disabled
+    finally:
+        spark.conf.unset(_LOCAL_EDGE_THRESHOLD_CONF)

@@ -330,3 +330,38 @@ def test_dimension_stats_exact(spark):
     assert got[1]["mean_micro"] == 0
     assert got[1]["var_micro2"] == int((2 * 10**12) / 3)
     assert all(r["n_vecs"] == 3 for r in got.values())
+
+
+def test_neardup_exact_scale_guard(spark, vec_df):
+    """The exact O(n²) tier fails fast above the conf'd row ceiling
+    (pointing at the LSH tier) and is unchanged below it — on both the
+    self-sizing path (n_blocks=None) and the explicit-n_blocks path,
+    where the probe is LIMIT-bounded."""
+    from nlp_to_nosql_spark.operators.similarity import (
+        _EXACT_MAX_ROWS_CONF,
+        embedding_neardup_exact,
+    )
+
+    n = vec_df.count()
+    try:
+        spark.conf.set(_EXACT_MAX_ROWS_CONF, str(n - 1))
+        with pytest.raises(ValueError, match="neardup_pairs"):
+            embedding_neardup_exact(vec_df, threshold=0.98)
+        with pytest.raises(ValueError, match="neardup_pairs"):
+            embedding_neardup_exact(vec_df, threshold=0.98, n_blocks=2)
+
+        # At exactly the ceiling (and with the guard off) results are
+        # the guard-free ones.
+        spark.conf.set(_EXACT_MAX_ROWS_CONF, str(n))
+        at_limit = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_neardup_exact(vec_df, threshold=0.98).collect()
+        }
+        spark.conf.set(_EXACT_MAX_ROWS_CONF, "0")
+        unguarded = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_neardup_exact(vec_df, threshold=0.98).collect()
+        }
+        assert at_limit == unguarded and {(0, 1), (0, 2), (1, 2)} <= at_limit
+    finally:
+        spark.conf.unset(_EXACT_MAX_ROWS_CONF)

@@ -40,6 +40,15 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # pyspark's applyInPandasWithState serializer pads data/state frames
+    # with all-NA rows and concats them (serializers.py:1680-1702),
+    # tripping pandas' concat FutureWarning once per worker per stateful
+    # query — pure log noise from library-internal code we can't change.
+    # Filter exactly that message in the python workers; everything else
+    # (including our own UDFs' warnings) still surfaces.
+    "spark.executorEnv.PYTHONWARNINGS": (
+        "ignore:The behavior of DataFrame concatenation"
+    ),
 }
 
 

@@ -154,6 +154,13 @@ def main() -> int:
             SparkSession.builder.appName("selfcheck")
             .master("local[8]")
             .config("spark.sql.shuffle.partitions", "8")
+            # Log hygiene only (not an engine conf the driver must have):
+            # mute pyspark's own stateful-serializer pandas-concat
+            # FutureWarning in workers — see session.DEFAULT_CONFS.
+            .config(
+                "spark.executorEnv.PYTHONWARNINGS",
+                "ignore:The behavior of DataFrame concatenation",
+            )
             .getOrCreate()
         )
     spark.sparkContext.setLogLevel("ERROR")

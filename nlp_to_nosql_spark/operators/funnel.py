@@ -137,6 +137,11 @@ def event_transitions(
     (one IEEE divide/multiply/floor, identical association in the twin),
     so it is engine-exact and cannot overflow at any corpus size.
 
+    NULL types: a NULL ``dst_type`` is indistinguishable from
+    ``lead()``'s end-of-chain NULL and is filtered with it, and a NULL
+    ``src_type`` cannot match its marginal row in the equi-join — both
+    engines drop both identically (tests/test_adversarial_edges.py).
+
     Plan: one window shuffle on the user (lead), then a
     transition-matrix-sized groupBy (|types|² keys) and its re-aggregated
     row marginal joined back — both tiny; the event table shuffles once.

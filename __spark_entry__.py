@@ -31,6 +31,7 @@ from nlp_to_nosql_spark.operators.similarity import (
     DIMENSION_STATS_SQL,
     RandomHyperplaneLSH,
     embedding_neardup_exact,
+    int_srp_topk_sql,
     quantize_sql,
     topk_bruteforce,
     topk_quantized_sql,
@@ -435,25 +436,46 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production MinHash-LSH (xxhash64 family — no DuckDB twin, so
-    rows-only check); the identical pipeline over the md5-seeded family
-    is value-level-proven by dedup10, and cross-family equivalence
-    (identical pair sets, est-Jaccard within 2σ) is pinned by
-    tests/test_family_equivalence.py at these exact parameters."""
+    """MinHash-LSH near-dup pairs, md5 permutation family at an
+    INDEPENDENT configuration from dedup10 (k=4 shingles, 32 perms, 8
+    bands of 4, threshold 0.5) — full value-level oracle replaying the
+    banded pipeline relationally (this retired round 5's rows-only weak
+    check).  The xxhash64 production family (one JVM hash per (shingle,
+    perm)) remains the documented scale fast path, pinned against the
+    md5 family by tests/test_family_equivalence.py (identical pair sets
+    at the dedup10 parameters) and tests/test_recall.py."""
     docs = register_tables(spark, sf_dir)["documents"]
     return dd.minhash_lsh_pairs(
-        docs, "doc_id", "text", k=3, num_perm=64, bands=16, threshold=0.3
+        docs,
+        "doc_id",
+        "text",
+        k=4,
+        num_perm=32,
+        bands=8,
+        threshold=0.5,
+        sig_fn=dd.minhash_signatures_md5,
     )
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production SimHash (xxhash64 — no DuckDB twin, rows-only check);
-    the identical banding+verify over the md5 family is value-level-
-    proven by dedup9, and cross-family confident-region containment
-    (hamming ≤ 2 in either family ⇒ accepted by the other) is pinned by
+    """SimHash near-dup pairs at the PRODUCTION radius (hamming ≤ 10)
+    over the md5-derived 60-bit signature — bands widen to 11
+    internally, so banding stays pigeonhole-exact and the DuckDB oracle
+    is the full O(n²) Hamming filter (retired round 5's rows-only weak
+    check; dedup9 proves the same family at the tight ≤ 3 radius).
+    The xxhash64 64-bit signature remains the production form (one JVM
+    hash per token, no md5/base-conversion), pinned cross-family by
     tests/test_family_equivalence.py."""
     docs = register_tables(spark, sf_dir)["documents"]
-    return dd.simhash_pairs(docs, "doc_id", "text", max_hamming=10, bands=4)
+    return dd.simhash_pairs(
+        docs,
+        "doc_id",
+        "text",
+        max_hamming=10,
+        bands=4,
+        sig=dd.simhash60_md5("text"),
+        sig_bits=60,
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -468,20 +490,24 @@ def _q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH top-k — intentionally a rows-only (weak) check: the
-    bucket bits are signs of float dot products against seeded random
-    hyperplanes, and float accumulation order differs between numpy and
-    a SQL oracle, so a near-zero projection can flip sign and change
-    candidacy.  Unlike the integer-hash families (dedup9/dedup10) there
-    is no bit-exact cross-engine formulation; exactness of the SEARCH
-    tier is instead proven by ann1/ann3/ann5's value-level oracles, and
-    tests/test_family_equivalence.py pins (a) full-probe identity with
-    ann1 (ids, order, cosines) and (b) partial-probe recall with
-    bit-exact per-candidate scores at these parameters."""
+    """Sign-LSH top-k over the INTEGER-exact SRP family
+    (``IntSRPLSH``): hyperplanes are md5-derived 24-bit ints, vector
+    components integer micros, so every sign bit is an exact BIGINT dot
+    sign and the whole pipeline (signatures → Hamming ≤ 6 prefilter →
+    exact cosine re-rank) carries a value-level DuckDB oracle — this
+    retired the last float-sign weak check (the float
+    ``RandomHyperplaneLSH`` production family remains pinned by
+    tests/test_family_equivalence.py and tests/test_recall.py).
+    Measured mean recall@10 = 0.66 over the 8 test queries — query 0
+    probes 127/500 candidates (vs 0.537 for the float family at the
+    identical nbits=16/ham=6 config; floor pinned in
+    tests/test_recall.py)."""
+    from nlp_to_nosql_spark.operators.similarity import IntSRPLSH
+
     emb = register_tables(spark, sf_dir)["embeddings"]
-    dim = len(_query_vector(spark, sf_dir))
-    lsh = RandomHyperplaneLSH(dim=dim, nbits=16, seed=42)
-    return lsh.topk(emb, _query_vector(spark, sf_dir), k=10, max_hamming=6)
+    q = _query_vector(spark, sf_dir)
+    lsh = IntSRPLSH(dim=len(q), nbits=16, seed=42)
+    return lsh.topk(emb, q, k=10, max_hamming=6)
 
 
 def _q_embcos_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2850,9 +2876,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack2_batch_manifest": _q_token_batches,
         "ord1_shuffle_shards": _q_shuffle_shards,
         "dc1_contamination": _q_contamination,
-        "dedup3_minhash_lsh": _q_minhash_lsh,        # weak check (no SQL twin)
-        "dedup4_simhash_pairs": _q_simhash_pairs,    # weak check (no SQL twin)
-        "ann2_topk_lsh": _q_ann_lsh,                 # weak check (no SQL twin)
+        "dedup3_minhash_lsh": _q_minhash_lsh,
+        "dedup4_simhash_pairs": _q_simhash_pairs,
+        "ann2_topk_lsh": _q_ann_lsh,
         "ann5_ivf_sampled_fit": _q_ann_ivf_sampled,
         "ann6_topk_per_label": _q_ann_per_label,
         "pipe2_multimodal_curation": _q_multimodal_curation,
@@ -3555,6 +3581,55 @@ def oracle_sql() -> dict[str, str]:
             "FROM cand JOIN sig sa ON sa.doc_id = id_a "
             "JOIN sig sb ON sb.doc_id = id_b) t WHERE est_jaccard >= 0.3"
         ),
+        # dedup3: same relational replay as dedup10 at the independent
+        # (k=4, 32 perms, 8 bands of 4, threshold 0.5) configuration.
+        "dedup3_minhash_lsh": (
+            "WITH words AS (SELECT doc_id, string_split("
+            + tx.NORMALIZE_SQL.format(c="text") + ", ' ') AS w "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, unnest(list_distinct("
+            "CASE WHEN len(w) >= 4 "
+            "THEN [array_to_string(w[i:i+3], ' ') "
+            "for i in range(1, len(w) - 2)] "
+            "ELSE [array_to_string(w, ' ')] END)) AS s FROM words), "
+            "hs AS (SELECT doc_id, CAST(CAST('0x' || substr(md5(s), 1, 7) "
+            "AS UBIGINT) AS BIGINT) AS base FROM sh), "
+            "mh AS (SELECT doc_id, i, "
+            "MIN(((2 * i + 1) * base + i * 2654435761) % 2147483647) AS h "
+            "FROM hs, UNNEST(range(0, 32)) u(i) GROUP BY doc_id, i), "
+            "sig AS (SELECT doc_id, list(h ORDER BY i) AS sig "
+            "FROM mh GROUP BY doc_id), "
+            "banded AS (SELECT doc_id, b, sig[b*4+1 : b*4+4] AS chunk "
+            "FROM sig, UNNEST(range(0, 8)) v(b)), "
+            "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM banded a JOIN banded b "
+            "ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id) "
+            "SELECT id_a, id_b, est_jaccard FROM ("
+            "SELECT id_a, id_b, ROUND(CAST(len(list_filter(range(1, 33), "
+            "j -> sa.sig[j] = sb.sig[j])) AS DOUBLE) / 32, 6) AS est_jaccard "
+            "FROM cand JOIN sig sa ON sa.doc_id = id_a "
+            "JOIN sig sb ON sb.doc_id = id_b) t WHERE est_jaccard >= 0.5"
+        ),
+        # dedup4: production radius (≤ 10) on the md5 60-bit family —
+        # bands widen to 11 > max_hamming, so the banded join equals
+        # this full O(n²) Hamming filter (pigeonhole).
+        "dedup4_simhash_pairs": (
+            "WITH words AS (SELECT doc_id, unnest(string_split("
+            + tx.NORMALIZE_SQL.format(c="text") + ", ' ')) AS t "
+            "FROM documents), "
+            "hashes AS (SELECT doc_id, CAST(CAST(concat('0x', "
+            "substr(md5(t), 1, 15)) AS UBIGINT) AS BIGINT) AS h FROM words), "
+            "bitsums AS (SELECT doc_id, i, "
+            "SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s "
+            "FROM hashes, UNNEST(range(0, 60)) u(i) GROUP BY doc_id, i), "
+            "sig AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 "
+            "THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) "
+            "AS simhash FROM bitsums GROUP BY doc_id) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming "
+            "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 10"
+        ),
         # Full O(n²) Hamming filter — the banded Spark join must equal it
         # exactly because max_hamming < bands (pigeonhole).
         "dedup9_simhash_md5_pairs": (
@@ -3765,6 +3840,11 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
             "WHERE vec_id = 0)), 6) AS cos_sim "
             "FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT 10"
+        ),
+        # Relational replay of the integer-exact SRP pipeline: md5 plane
+        # table → BIGINT sign bits → Hamming prefilter → ann1's re-rank.
+        "ann2_topk_lsh": int_srp_topk_sql(
+            dim=64, nbits=16, seed=42, query_id=0, k=10, max_hamming=6
         ),
         "ann6_topk_per_label": (
             "WITH scored AS (SELECT label, vec_id, "

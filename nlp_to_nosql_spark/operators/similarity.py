@@ -436,6 +436,144 @@ class RandomHyperplaneLSH:
         )
 
 
+def _md5_plane_int(seed: int, bit: int, dim_j: int) -> int:
+    """Deterministic hyperplane component: first 24 md5 bits of
+    ``srp:{seed}:{bit}:{dim_j}`` centered at zero — [-2^23, 2^23).
+    DuckDB replays it as
+    ``CAST('0x'||substr(md5(...),1,6) AS UBIGINT) - 8388608``."""
+    import hashlib
+
+    h = hashlib.md5(f"srp:{seed}:{bit}:{dim_j}".encode()).hexdigest()[:6]
+    return int(h, 16) - (1 << 23)
+
+
+class IntSRPLSH(RandomHyperplaneLSH):
+    """Integer-EXACT sign-random-projection LSH — the oracle-reproducible
+    signature family (the ``dedup9``/``dedup10`` discipline applied to
+    SRP).
+
+    The float family's sign bits are signs of float dot products, and
+    float accumulation order differs between engines — a near-zero
+    projection can flip a bit, so :class:`RandomHyperplaneLSH` carries
+    no value-level oracle.  Here both factors of every dot product are
+    integers: hyperplane components are md5-derived 24-bit ints
+    (:func:`_md5_plane_int`) and vector components are floor-scaled
+    integer micros, so each sign bit is the sign of an exact BIGINT sum
+    (|c| < 2^23, |m| ≤ maxabs·1e6 ⇒ safe while maxabs·dim < ~10^6 —
+    any normalized-ish embedding) — bit-identical in any engine, and
+    the whole top-k pipeline (signatures → Hamming prefilter → exact
+    cosine re-rank) replays relationally in DuckDB.
+
+    Statistically the planes are iid uniform on a hypercube rather than
+    Gaussian, so P(bit differs) is no longer exactly θ/π — it is still
+    symmetric, monotone in angle, and zero-mean per coordinate; recall
+    at the entry configuration is a measured number
+    (tests/test_recall.py), which is the contract that matters for a
+    candidate generator.  Ties-to-zero dot products clear the bit
+    (``> 0``, the simhash convention) identically in both engines.
+    """
+
+    def __init__(self, dim: int, nbits: int = 16, seed: int = 42):
+        if not 1 <= nbits <= 63:
+            raise ValueError("nbits must be in [1, 63]")
+        self.dim, self.nbits, self.seed = dim, nbits, seed
+        self.planes = [
+            [_md5_plane_int(seed, b, j) for j in range(dim)]
+            for b in range(nbits)
+        ]
+
+    def signature_col(self, micro_col: str) -> F.Column:
+        """Signature over an ALREADY-STAGED integer-micro array attribute
+        (Catalyst does not CSE across HOF lambdas — the caller projects
+        the micro array once; see :meth:`add_signatures`)."""
+        bits = []
+        for i, plane in enumerate(self.planes):
+            dot_i = F.aggregate(
+                F.zip_with(
+                    F.col(micro_col),
+                    F.array(*[F.lit(int(c)).cast("long") for c in plane]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            bits.append(
+                F.when(
+                    dot_i > 0, F.shiftleft(F.lit(1).cast("long"), i)
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        out = bits[0]
+        for b in bits[1:]:
+            out = out.bitwiseOR(b)
+        return out
+
+    def add_signatures(
+        self, df: DataFrame, vec_col: str = "embedding"
+    ) -> DataFrame:
+        staged = fan_out(df).withColumn(
+            "_m",
+            F.transform(
+                F.col(vec_col),
+                lambda v: F.floor(v.cast("double") * F.lit(1000000)).cast(
+                    "long"
+                ),
+            ),
+        )
+        return staged.withColumn("sign_bits", self.signature_col("_m")).drop(
+            "_m"
+        )
+
+    def signature_of(self, vec: Sequence[float]) -> int:
+        import math
+
+        m = [math.floor(float(v) * 1_000_000) for v in vec]
+        sig = 0
+        for i, plane in enumerate(self.planes):
+            if sum(c * mm for c, mm in zip(plane, m)) > 0:
+                sig |= 1 << i
+        return sig
+
+
+def int_srp_topk_sql(
+    dim: int,
+    nbits: int = 16,
+    seed: int = 42,
+    query_id: int = 0,
+    k: int = 10,
+    max_hamming: int = 2,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of ``IntSRPLSH(...).topk`` — relational replay of the
+    md5 plane table, the exact integer sign bits, the Hamming ≤ h
+    prefilter, and ann1's cosine re-rank (desc, id-asc ties, LIMIT k)."""
+    return (
+        f"WITH planes AS (SELECT b, j, "
+        f"CAST(CAST('0x' || substr(md5('srp:{seed}:' || b || ':' || j), "
+        "1, 6) AS UBIGINT) AS BIGINT) - 8388608 AS c "
+        f"FROM range(0, {nbits}) t(b), range(0, {dim}) u(j)), "
+        f"mx AS (SELECT {id_col}, CAST(i AS BIGINT) AS j, "
+        f"CAST(FLOOR(CAST({vec_col}[i + 1] AS DOUBLE) * 1000000) AS BIGINT) "
+        f"AS m FROM {table}, UNNEST(range(0, len({vec_col}))) u(i)), "
+        "dots AS (SELECT mx.{id}, p.b, SUM(p.c * mx.m) AS s "
+        "FROM mx JOIN planes p ON p.j = mx.j GROUP BY mx.{id}, p.b), "
+        "sig AS (SELECT {id}, CAST(SUM(CASE WHEN s > 0 THEN "
+        "(CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sign_bits "
+        "FROM dots GROUP BY {id}), "
+        "qsig AS (SELECT sign_bits AS q FROM sig "
+        f"WHERE {id_col} = {query_id}), "
+        "cand AS (SELECT sig.{id} FROM sig, qsig "
+        f"WHERE bit_count(xor(sign_bits, q)) <= {max_hamming}) "
+        f"SELECT e.{id_col}, ROUND(list_cosine_similarity("
+        f"CAST(e.{vec_col} AS DOUBLE[]), "
+        f"(SELECT CAST({vec_col} AS DOUBLE[]) FROM {table} "
+        f"WHERE {id_col} = {query_id})), 6) AS cos_sim "
+        f"FROM {table} e JOIN cand ON cand.{id_col} = e.{id_col} "
+        f"ORDER BY cos_sim DESC, e.{id_col} LIMIT {k}"
+    ).replace("{id}", id_col)
+
+
 def label_centroids(
     df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

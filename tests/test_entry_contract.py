@@ -19,10 +19,11 @@ from nlp_to_nosql_spark.sources.catalog import TABLES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
 
-#: The only queries allowed to ship without a DuckDB twin — xxhash64 has
-#: no DuckDB implementation; each has an md5-family twin that IS
-#: oracle-checked plus a tested cross-family equivalence argument.
-KNOWN_WEAK = {"dedup3_minhash_lsh", "dedup4_simhash_pairs", "ann2_topk_lsh"}
+#: Queries allowed to ship without a DuckDB twin.  Round 6 retired the
+#: last three (dedup3/dedup4 moved to md5-family configurations with
+#: full relational-replay oracles; ann2 moved to the integer-exact SRP
+#: family) — every contract query now carries a value-level oracle.
+KNOWN_WEAK: set[str] = set()
 
 
 def test_every_oracle_key_has_a_query():
@@ -31,7 +32,7 @@ def test_every_oracle_key_has_a_query():
     assert not orphans, f"oracle_sql keys without queries: {sorted(orphans)}"
 
 
-def test_weak_set_is_exactly_the_documented_three():
+def test_every_query_has_an_oracle():
     qs, osql = entry.queries(), entry.oracle_sql()
     weak = set(qs) - set(osql)
     assert weak == KNOWN_WEAK, (

@@ -1,13 +1,15 @@
-"""Pin the xxhash64 fast paths to their md5 oracle twins BY TEST.
+"""Pin the xxhash64/float-sign PRODUCTION fast paths to their
+oracle-backed twins BY TEST.
 
-``dedup3`` (minhash), ``dedup4`` (simhash) and ``ann2`` (sign-LSH) are
-weak-checked forever — xxhash64 and float-sign buckets have no DuckDB
-twin — so their correctness argument is equivalence to the oracle-backed
-variants: the md5 signature families (``dedup9``/``dedup10``, value-level
-oracles) and brute-force cosine (``ann1``).  Round 3 carried that claim
-in prose only; these tests make it executable, on the real sf0.01
-``documents``/``embeddings`` tables with the exact parameters the
-``queries()`` entries use.
+The xxhash64 minhash/simhash families and the float-sign SRP buckets
+have no DuckDB twin — since round 6 the ``dedup3``/``dedup4``/``ann2``
+*contract entries* run oracle-reproducible families (md5 signatures,
+integer-exact SRP), and these production families remain first-class
+operators whose correctness argument is equivalence to the
+oracle-backed variants: the md5 signature families (``dedup9``/
+``dedup10``, value-level oracles) and brute-force cosine (``ann1``).
+Round 3 carried that claim in prose only; these tests make it
+executable, on the real sf0.01 ``documents``/``embeddings`` tables.
 
 The bounds are hash-family variance bounds, calibrated on this (fixed,
 deterministic) dataset:

@@ -273,3 +273,28 @@ def test_dedup4_banding_equals_bruteforce_hamming(tables):
     assert banded == brute, (
         f"banding lost/added pairs: brute={len(brute)} banded={len(banded)}"
     )
+
+
+def test_int_srp_recall_floor(tables, queries, truth):
+    """The integer-exact SRP family (the round-6 ann2 entry) at the
+    entry config (nbits=16, max_hamming=6): measured mean recall@10 is
+    ~0.66 over these 8 query vectors — at least as good as the float
+    family it replaced (uniform-cube planes vs Gaussian costs nothing
+    here).  Floor at 0.5 like the float pin, plus probe-monotonicity."""
+    from nlp_to_nosql_spark.operators.similarity import IntSRPLSH
+
+    emb = tables["embeddings"]
+    dim = len(queries[0][1])
+    lsh = IntSRPLSH(dim=dim, nbits=16, seed=42)
+    means = {}
+    for mh in (2, 6):
+        got = {
+            qid: {
+                r["vec_id"]
+                for r in lsh.topk(emb, q, k=K, max_hamming=mh).collect()
+            }
+            for qid, q in queries
+        }
+        means[mh] = _mean_recall(got, truth)
+    assert means[6] >= 0.5, f"int-SRP recall@10 at max_hamming=6: {means}"
+    assert means[6] >= means[2], f"wider probe lost recall: {means}"

@@ -365,3 +365,56 @@ def test_neardup_exact_scale_guard(spark, vec_df):
         assert at_limit == unguarded and {(0, 1), (0, 2), (1, 2)} <= at_limit
     finally:
         spark.conf.unset(_EXACT_MAX_ROWS_CONF)
+
+
+def test_int_srp_signatures_match_duckdb_bitexact(spark):
+    """IntSRPLSH's claim: every sign bit is an exact BIGINT dot sign,
+    reproducible in DuckDB — including hostile components (negative,
+    zero vectors, values whose float micro-scaling must floor
+    identically)."""
+    import duckdb
+
+    from nlp_to_nosql_spark.operators.similarity import IntSRPLSH
+
+    vecs = [
+        (0, [0.5, -0.25, 0.125, 1.0]),
+        (1, [-0.999999, 0.000001, 0.3333333, -0.7]),
+        (2, [0.0, 0.0, 0.0, 0.0]),          # zero vector: all dots 0 -> sig 0
+        (3, [1e-7, -1e-7, 2.5, -2.5]),
+        (4, [0.1, 0.2, 0.3, 0.4]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    lsh = IntSRPLSH(dim=4, nbits=8, seed=7)
+    got = {
+        r["vec_id"]: r["sign_bits"]
+        for r in lsh.add_signatures(df).select("vec_id", "sign_bits").collect()
+    }
+    assert got[2] == 0  # > 0 convention: zero dots set no bits
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings (vec_id BIGINT, embedding DOUBLE[])"
+    )
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)", vecs)
+    want = dict(
+        con.execute(
+            "WITH planes AS (SELECT b, j, CAST(CAST('0x' || "
+            "substr(md5('srp:7:' || b || ':' || j), 1, 6) AS UBIGINT) "
+            "AS BIGINT) - 8388608 AS c "
+            "FROM range(0, 8) t(b), range(0, 4) u(j)), "
+            "mx AS (SELECT vec_id, CAST(i AS BIGINT) AS j, "
+            "CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000000) "
+            "AS BIGINT) AS m FROM embeddings, "
+            "UNNEST(range(0, len(embedding))) u(i)), "
+            "dots AS (SELECT mx.vec_id, p.b, SUM(p.c * mx.m) AS s "
+            "FROM mx JOIN planes p ON p.j = mx.j GROUP BY 1, 2) "
+            "SELECT vec_id, CAST(SUM(CASE WHEN s > 0 THEN "
+            "(CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) "
+            "FROM dots GROUP BY 1"
+        ).fetchall()
+    )
+    assert got == want
+
+    # The driver-side query signature uses the same integer math.
+    for vid, v in vecs:
+        assert lsh.signature_of(v) == got[vid]

@@ -58,6 +58,7 @@ from nlp_to_nosql_spark.operators.changelog import (
     latest_wins_sql,
     scd2_snapshot_sql,
     scd2_sql,
+    snapshot_diff_sql,
 )
 from nlp_to_nosql_spark.operators.layout import zorder_profile_sql
 from nlp_to_nosql_spark.operators.funnel import (
@@ -2693,6 +2694,56 @@ def _q_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.join(fun, "user_id").join(coh, "user_id")
 
 
+def _q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup KEEP rule: per near-dup cluster (dedup6's
+    Jaccard-pair connected components), the member with the highest
+    distinct_word_frac (quality1's least-repetitive signal), ties → min
+    doc_id; singleton clusters dropped.  What a production corpus build
+    keeps — the best copy, not the min-id copy.  One co-keyed join +
+    ONE partial-aggregated struct-max groupBy past the cluster build
+    (no window sort); the oracle chains dedup6's recursive CTE,
+    quality1's token CTE, and a row_number arg-max."""
+    from nlp_to_nosql_spark.operators.curation import repetition_signals
+    from nlp_to_nosql_spark.operators.graph import (
+        cluster_representatives,
+        dedup_clusters,
+    )
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
+    labels = dedup_clusters(pairs, docs)
+    scores = repetition_signals(docs).select(
+        "doc_id", F.col("distinct_word_frac").alias("score")
+    )
+    return cluster_representatives(labels, scores, min_members=2)
+
+
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (versioning primitive): snapshot A = the
+    seed-3 95% key-slice fingerprinted on raw text, snapshot B = the
+    seed-5 95% key-slice fingerprinted after a vocabulary
+    canonicalization pass (token rewrite spark → engine; 385/500 sf0.01
+    docs contain it, so all four statuses fire) — the per-status counts
+    answer "what would this re-crawl + cleaning pass touch?" before
+    committing a rebuild.  One co-keyed full outer join of (id, fp)
+    projections + a ≤4-row partial agg; document text never shuffles."""
+    from nlp_to_nosql_spark.functions.text import fingerprint
+    from nlp_to_nosql_spark.operators.changelog import snapshot_diff
+    from nlp_to_nosql_spark.operators.curation import consistent_key_sample
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    old = consistent_key_sample(docs, "doc_id", 0.95, seed=3).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    new = consistent_key_sample(docs, "doc_id", 0.95, seed=5).select(
+        "doc_id",
+        fingerprint(
+            F.regexp_replace(F.col("text"), "spark", "engine")
+        ).alias("fp"),
+    )
+    return snapshot_diff(old, new)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2939,6 +2990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm3_audio_chunks": _q_audio_chunks,
         "mm4_audio_decode": _q_audio_decode,
         "mm5_image_resize": _q_image_resize,
+        "dedup12_keep_best": _q_keep_best,
+        "diff1_snapshot_diff": _q_snapshot_diff,
     }
 
 
@@ -3665,6 +3718,46 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.dst, r.label FROM reach r "
             "JOIN edges e ON e.src = r.id WHERE r.label < e.dst) "
             "SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id"
+        ),
+        # dedup12: dedup6's recursive min-label CTE + quality1's
+        # distinct_word_frac + row_number arg-max (score desc, id asc) —
+        # must equal the Spark struct-max exactly (same ROUND(…,6)
+        # score, same tie-break).
+        "dedup12_keep_best": (
+            "WITH RECURSIVE " + _JACCARD_CTES + ", "
+            "pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.2), "
+            "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+            "UNION ALL SELECT id_b, id_a FROM pairs), "
+            "reach(id, label) AS ("
+            "SELECT doc_id, doc_id FROM documents "
+            "UNION "
+            "SELECT e.dst, r.label FROM reach r "
+            "JOIN edges e ON e.src = r.id WHERE r.label < e.dst), "
+            "clusters AS (SELECT id AS doc_id, MIN(label) AS cluster_id "
+            "FROM reach GROUP BY id), "
+            "q AS (SELECT doc_id, ROUND(len(list_distinct(ws)) / "
+            "GREATEST(len(ws), 1), 6) AS score FROM "
+            "(SELECT doc_id, string_split("
+            + tx.NORMALIZE_SQL.format(c="COALESCE(text, '')")
+            + ", ' ') AS ws FROM documents)), "
+            "ranked AS (SELECT cluster_id, c.doc_id, score, "
+            "ROW_NUMBER() OVER (PARTITION BY cluster_id "
+            "ORDER BY score DESC, c.doc_id) AS rn, "
+            "COUNT(*) OVER (PARTITION BY cluster_id) AS n "
+            "FROM clusters c JOIN q ON q.doc_id = c.doc_id) "
+            "SELECT cluster_id, doc_id AS rep_id, score AS rep_score, "
+            "CAST(n AS BIGINT) AS n_members FROM ranked "
+            "WHERE rn = 1 AND n >= 2"
+        ),
+        "diff1_snapshot_diff": snapshot_diff_sql(
+            "SELECT doc_id, " + tx.FINGERPRINT_SQL.format(c="text")
+            + " AS fp FROM documents WHERE "
+            + consistent_sample_sql("doc_id", 0.95, seed=3),
+            "SELECT doc_id, " + tx.FINGERPRINT_SQL.format(
+                c="regexp_replace(text, 'spark', 'engine', 'g')"
+            )
+            + " AS fp FROM documents WHERE "
+            + consistent_sample_sql("doc_id", 0.95, seed=5),
         ),
         # filter on the ROUNDed value, exactly like the Spark operator does
         "dedup5_embcos_exact": (

@@ -202,3 +202,77 @@ def scd2_sql(
         f"FROM seg WINDOW w2 AS "
         f"(PARTITION BY {key} ORDER BY {ts_col}, {tiebreak})"
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Corpus snapshot diff: per-status document counts between two
+    fingerprinted snapshots — the versioning primitive behind "what did
+    this re-crawl / cleaning pass actually touch?", answered BEFORE
+    committing a corpus rebuild.
+
+    ``status ∈ (added, removed, changed, unchanged)``: membership from
+    a full outer join on the id, change from the content fingerprints
+    compared NULL-safely (a NULL fingerprint — e.g. a NULL-text doc —
+    is a value, not absence: presence is carried by marker columns, so
+    NULL fp on both sides reads ``unchanged``, and NULL→text reads
+    ``changed``).  Returns ``(status, n_docs)``.
+
+    Plan: both sides shuffle once on the shared id (co-keyed full outer
+    sort-merge join; with both snapshots bucketed by id at rest the
+    exchange disappears), then a ≤4-row partial-aggregated groupBy —
+    nothing document-sized ever moves, only (id, fp).
+    """
+    a = old.select(
+        F.col(id_col),
+        F.col(fp_col).alias("_fp_a"),
+        F.lit(True).alias("_in_a"),
+    )
+    b = new.select(
+        F.col(id_col),
+        F.col(fp_col).alias("_fp_b"),
+        F.lit(True).alias("_in_b"),
+    )
+    j = a.join(b, id_col, "full")
+    status = (
+        F.when(F.col("_in_a").isNull(), F.lit("added"))
+        .when(F.col("_in_b").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("_fp_a").eqNullSafe(F.col("_fp_b")), F.lit("changed")
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def snapshot_diff_sql(
+    old_sql: str,
+    new_sql: str,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> str:
+    """DuckDB twin of :func:`snapshot_diff` — identical marker-column
+    membership and ``IS DISTINCT FROM`` change test.  ``old_sql`` /
+    ``new_sql`` are SELECTs yielding ``(id_col, fp_col)``."""
+    return (
+        f"WITH snap_a AS ({old_sql}), snap_b AS ({new_sql}), "
+        f"j AS (SELECT a.{fp_col} AS fa, b.{fp_col} AS fb, "
+        "a.ia AS ia, b.ib AS ib FROM "
+        f"(SELECT {id_col}, {fp_col}, TRUE AS ia FROM snap_a) a "
+        f"FULL OUTER JOIN "
+        f"(SELECT {id_col}, {fp_col}, TRUE AS ib FROM snap_b) b "
+        f"USING ({id_col})) "
+        "SELECT CASE WHEN ia IS NULL THEN 'added' "
+        "WHEN ib IS NULL THEN 'removed' "
+        "WHEN fa IS DISTINCT FROM fb THEN 'changed' "
+        "ELSE 'unchanged' END AS status, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs FROM j GROUP BY 1"
+    )

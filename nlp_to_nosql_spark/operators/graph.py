@@ -228,6 +228,57 @@ def dedup_clusters(
     )
 
 
+def cluster_representatives(
+    labels: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "score",
+    min_members: int = 1,
+) -> DataFrame:
+    """Quality-aware dedup KEEP rule: per cluster, the member with the
+    highest ``score_col`` (ties → min id) — what a production corpus
+    build keeps instead of :func:`dedup_clusters`' min-id convention
+    (the min-id doc may be the worst copy; the scored representative is
+    the one worth training on).
+
+    ``labels`` is :func:`dedup_clusters` output (or any (id, cluster)
+    relation); ``scores`` holds one non-null score per id (inner join —
+    an unscored id cannot win and is not counted).  Returns
+    ``(cluster_id, rep_id, rep_score, n_members)``, clusters below
+    ``min_members`` dropped (pass 2 to keep only real dup clusters).
+
+    Plan: one co-keyed join on the id, then ONE partial-aggregated
+    groupBy on the cluster — the arg-max is a single ``max`` over a
+    ``(score, -id)`` struct (lexicographic struct ordering), not a
+    window sort, so map-side combine applies and nothing but one struct
+    per (partition, cluster) shuffles.
+    """
+    j = labels.select(F.col(id_col), F.col(cluster_col)).join(
+        scores.select(F.col(id_col), F.col(score_col)), id_col
+    )
+    best = F.max(
+        F.struct(
+            F.col(score_col).alias("s"),
+            (-F.col(id_col)).cast("long").alias("negid"),
+        )
+    )
+    return (
+        j.groupBy(cluster_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            best.alias("_b"),
+        )
+        .filter(F.col("n_members") >= int(min_members))
+        .select(
+            cluster_col,
+            (-F.col("_b.negid")).cast("long").alias("rep_id"),
+            F.col("_b.s").alias("rep_score"),
+            "n_members",
+        )
+    )
+
+
 def pair_degree_histogram(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
 ) -> DataFrame:

@@ -388,3 +388,106 @@ def test_pipe5_null_user_drops_from_profile(spark):
     out = _profile(spark, rows).collect()
     assert [r["user_id"] for r in out] == [7]
     assert out[0]["funnel_stage"] == 2 and out[0]["last_event_id"] == 3
+
+
+# ---------------------------------------------------------------------------
+# round-6 additions: snapshot_diff, cluster_representatives
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_statuses_and_null_fp(spark):
+    """Marker-column membership + NULL-safe fingerprint compare: a NULL
+    fp (NULL-text doc) is a VALUE — NULL==NULL reads unchanged,
+    NULL→text reads changed — and empty snapshots diff cleanly."""
+    from nlp_to_nosql_spark.operators.changelog import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, None), (5, "e")],
+        "doc_id long, fp string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, None), (4, "now-text"), (6, "f")],
+        "doc_id long, fp string",
+    )
+    got = {r["status"]: r["n_docs"] for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        "unchanged": 2,  # 1 (a=a), 3 (NULL=NULL)
+        "changed": 2,    # 2 (b→B), 4 (NULL→text)
+        "removed": 1,    # 5
+        "added": 1,      # 6
+    }
+
+    empty = spark.createDataFrame([], "doc_id long, fp string")
+    assert snapshot_diff(empty, empty).count() == 0
+    only_added = {
+        r["status"]: r["n_docs"] for r in snapshot_diff(empty, new).collect()
+    }
+    assert only_added == {"added": 5}
+
+
+def test_snapshot_diff_matches_duckdb_twin(spark):
+    import duckdb
+
+    from nlp_to_nosql_spark.operators.changelog import (
+        snapshot_diff,
+        snapshot_diff_sql,
+    )
+
+    rows_a = [(1, "x"), (2, None), (3, "z")]
+    rows_b = [(2, None), (3, "Z"), (4, "w")]
+    a = spark.createDataFrame(rows_a, "doc_id long, fp string")
+    b = spark.createDataFrame(rows_b, "doc_id long, fp string")
+    got = {r["status"]: r["n_docs"] for r in snapshot_diff(a, b).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ta (doc_id BIGINT, fp VARCHAR)")
+    con.execute("CREATE TABLE tb (doc_id BIGINT, fp VARCHAR)")
+    con.executemany("INSERT INTO ta VALUES (?, ?)", rows_a)
+    con.executemany("INSERT INTO tb VALUES (?, ?)", rows_b)
+    want = dict(
+        con.execute(
+            snapshot_diff_sql(
+                "SELECT doc_id, fp FROM ta", "SELECT doc_id, fp FROM tb"
+            )
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_cluster_representatives_ties_and_min_members(spark):
+    """Arg-max semantics: highest score wins, exact ties go to the MIN
+    id, unscored members don't count, and min_members prunes
+    singletons."""
+    from nlp_to_nosql_spark.operators.graph import cluster_representatives
+
+    labels = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 1), (20, 2), (21, 2), (30, 3)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        # cluster 1: tie at 0.9 between 11 and 12 -> 11 wins (min id);
+        # cluster 2: member 21 unscored -> 20 wins by default, n=1;
+        # cluster 3: singleton.
+        [(10, 0.5), (11, 0.9), (12, 0.9), (20, 0.1), (30, 1.0)],
+        "doc_id long, score double",
+    )
+    got = {
+        r["cluster_id"]: (r["rep_id"], r["rep_score"], r["n_members"])
+        for r in cluster_representatives(labels, scores).collect()
+    }
+    assert got == {1: (11, 0.9, 3), 2: (20, 0.1, 1), 3: (30, 1.0, 1)}
+
+    pruned = {
+        r["cluster_id"]
+        for r in cluster_representatives(
+            labels, scores, min_members=2
+        ).collect()
+    }
+    assert pruned == {1}
+    assert (
+        cluster_representatives(
+            spark.createDataFrame([], "doc_id long, cluster_id long"),
+            scores,
+        ).count()
+        == 0
+    )

@@ -337,8 +337,13 @@ class RandomHyperplaneLSH:
         max_hamming: int = 2,
     ) -> DataFrame:
         """Approximate top-k: score only vectors whose signature is within
-        ``max_hamming`` bits of the query's (multi-probe)."""
-        sig_df = self.add_signatures(df, vec_col)
+        ``max_hamming`` bits of the query's (multi-probe).
+
+        Projects to ``(id, vec)`` BEFORE the signature pass: signature
+        impls that route through ``mapInPandas`` are a column-pruning
+        barrier, so the narrow select here is what keeps payload columns
+        out of the Arrow round-trip."""
+        sig_df = self.add_signatures(df.select(id_col, vec_col), vec_col)
         qsig = self.signature_of(query)
         candidates = sig_df.filter(
             F.bit_count(F.col("sign_bits").bitwiseXOR(F.lit(qsig))) <= max_hamming
@@ -373,9 +378,7 @@ class RandomHyperplaneLSH:
         if not 1 <= bands <= self.nbits:
             raise ValueError(f"bands={bands} must be in [1, {self.nbits}]")
         sig = persisted(
-            self.add_signatures(df, vec_col).select(
-                id_col, vec_col, "sign_bits"
-            ),
+            self.add_signatures(df.select(id_col, vec_col), vec_col),
             "signatures",
         )
         width = self.nbits // bands
@@ -485,7 +488,15 @@ class IntSRPLSH(RandomHyperplaneLSH):
     def signature_col(self, micro_col: str) -> F.Column:
         """Signature over an ALREADY-STAGED integer-micro array attribute
         (Catalyst does not CSE across HOF lambdas — the caller projects
-        the micro array once; see :meth:`add_signatures`)."""
+        the micro array once; see :meth:`add_signatures`).
+
+        This is the plan-shape/oracle REFERENCE form (interpreted
+        higher-order-function dot products — nbits·dim integer ops per
+        row in the expression interpreter).  Production callers go
+        through :meth:`add_signatures`'s default ``impl="arrow"`` numpy
+        matmul, measured ~2× faster end-to-end on ann2 at sf0.1; the two
+        are pinned value-equal by tests/test_family_equivalence.py.
+        """
         bits = []
         for i, plane in enumerate(self.planes):
             dot_i = F.aggregate(
@@ -508,24 +519,99 @@ class IntSRPLSH(RandomHyperplaneLSH):
         return out
 
     def add_signatures(
-        self, df: DataFrame, vec_col: str = "embedding"
+        self, df: DataFrame, vec_col: str = "embedding", impl: str = "arrow"
     ) -> DataFrame:
-        staged = fan_out(df).withColumn(
-            "_m",
-            F.transform(
-                F.col(vec_col),
-                lambda v: F.floor(v.cast("double") * F.lit(1000000)).cast(
-                    "long"
+        """Append ``sign_bits`` (long).  Two value-identical
+        implementations (equality pinned by test, the ``pq_encode``
+        pattern):
+
+        * ``impl="arrow"`` (default) — ``mapInPandas``; the nbits·dim
+          integer multiply-adds per row run as ONE exact numpy int64
+          matmul per Arrow batch against the plane matrix (|c| < 2^23,
+          |m| ≤ maxabs·1e6, dim·2^23·maxabs·1e6 ≪ 2^63 for any
+          normalized-ish embedding — no overflow).  Zero shuffle, zero
+          driver traffic; rows stream through Python workers
+          batch-at-a-time.
+        * ``impl="column"`` — pure Column expressions (no Python
+          workers); interpreted HOF per-element lambdas, the known ~2-4×
+          constant-factor slow path (PERFORMANCE.md), kept as the
+          JVM-only form whose plan the DuckDB oracle replays.
+
+        Both FAIL FAST on ragged input (``len(vec) != dim``): the Column
+        form's fixed-length ``zip_with`` would silently NULL the dot and
+        clear every bit while DuckDB's partial-dot replay would not — the
+        engine-divergence hole flagged in round-6 advice is closed by
+        raising instead.
+        """
+        if impl == "column":
+            staged = fan_out(df).withColumn(
+                "_m",
+                F.transform(
+                    F.col(vec_col),
+                    lambda v: F.floor(
+                        v.cast("double") * F.lit(1000000)
+                    ).cast("long"),
                 ),
-            ),
+            )
+            guarded = F.when(
+                F.size(F.col(vec_col)) == F.lit(self.dim),
+                self.signature_col("_m"),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"IntSRPLSH: vector dim != {self.dim} (got "
+                        ),
+                        F.size(F.col(vec_col)).cast("string"),
+                        F.lit(
+                            "); ragged input would produce an all-zero "
+                            "signature"
+                        ),
+                    )
+                ).cast("long")
+            )
+            return staged.withColumn("sign_bits", guarded).drop("_m")
+
+        import pandas as pd
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        planes_t = np.asarray(self.planes, dtype=np.int64).T  # dim × nbits
+        dim, nbits = self.dim, self.nbits
+        weights = np.int64(1) << np.arange(nbits, dtype=np.int64)
+        cols = [f.name for f in df.schema.fields]
+        out_schema = StructType(
+            df.schema.fields + [StructField("sign_bits", LongType(), False)]
         )
-        return staged.withColumn("sign_bits", self.signature_col("_m")).drop(
-            "_m"
-        )
+
+        def sign(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                lens = pdf[vec_col].map(len)
+                if (lens != dim).any():
+                    bad = int(lens[lens != dim].iloc[0])
+                    raise ValueError(
+                        f"IntSRPLSH: vector dim != {dim} (got {bad}); "
+                        "ragged input would produce an all-zero signature"
+                    )
+                vm = np.floor(
+                    np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                    * 1_000_000
+                ).astype(np.int64)
+                dots = vm @ planes_t  # exact int64 matmul, n × nbits
+                pdf = pdf[cols].copy()
+                pdf["sign_bits"] = ((dots > 0) * weights).sum(axis=1)
+                yield pdf
+
+        return fan_out(df).mapInPandas(sign, schema=out_schema)
 
     def signature_of(self, vec: Sequence[float]) -> int:
         import math
 
+        if len(vec) != self.dim:
+            raise ValueError(
+                f"IntSRPLSH: vector dim != {self.dim} (got {len(vec)})"
+            )
         m = [math.floor(float(v) * 1_000_000) for v in vec]
         sig = 0
         for i, plane in enumerate(self.planes):

@@ -418,3 +418,47 @@ def test_int_srp_signatures_match_duckdb_bitexact(spark):
     # The driver-side query signature uses the same integer math.
     for vid, v in vecs:
         assert lsh.signature_of(v) == got[vid]
+
+
+def test_int_srp_arrow_and_column_impls_bit_equal(spark):
+    """The Arrow numpy-matmul fast path (production default) and the
+    Column-expression form (the plan the DuckDB oracle replays) must
+    produce identical sign_bits row-for-row — the pq_encode twin-impl
+    discipline applied to SRP signatures."""
+    from nlp_to_nosql_spark.operators.similarity import IntSRPLSH
+
+    rng = __import__("numpy").random.RandomState(11)
+    vecs = [
+        (i, [float(x) for x in rng.randn(16)]) for i in range(200)
+    ] + [(200, [0.0] * 16)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    lsh = IntSRPLSH(dim=16, nbits=12, seed=3)
+    arrow = {
+        r["vec_id"]: r["sign_bits"]
+        for r in lsh.add_signatures(df, impl="arrow").collect()
+    }
+    column = {
+        r["vec_id"]: r["sign_bits"]
+        for r in lsh.add_signatures(df, impl="column").collect()
+    }
+    assert arrow == column and len(arrow) == 201
+
+
+def test_int_srp_ragged_input_fails_fast(spark):
+    """Round-6 advice: a vector shorter than dim must raise in BOTH
+    impls, not silently clear bits (Spark) while DuckDB computes a
+    partial dot."""
+    import pytest
+
+    from nlp_to_nosql_spark.operators.similarity import IntSRPLSH
+
+    df = spark.createDataFrame(
+        [(0, [0.1, 0.2, 0.3, 0.4]), (1, [0.1, 0.2, 0.3])],
+        "vec_id long, embedding array<double>",
+    )
+    lsh = IntSRPLSH(dim=4, nbits=4, seed=5)
+    for impl in ("arrow", "column"):
+        with pytest.raises(Exception, match="dim"):
+            lsh.add_signatures(df, impl=impl).collect()
+    with pytest.raises(ValueError, match="dim"):
+        lsh.signature_of([0.1, 0.2, 0.3])

@@ -380,6 +380,52 @@ def replay_latest_state(
     )
 
 
+def _compact_upsert(spark: SparkSession, table: str, batch: DataFrame) -> None:
+    """One CDC compaction step: recover any crash-parked state, merge the
+    batch into the current table under latest-wins, then promote the
+    merged table with a crash-safe directory swap.
+
+    Crash RECOVERY first: a crash between the two ``os.replace`` calls in
+    the swap leaves the live state parked at ``_old`` with no table dir.
+    Restore it before reading — otherwise a checkpoint retry would merge
+    from the batch alone and the swap's first ``rmtree(old)`` would
+    delete the sole copy of prior compacted state (round-6 advice).
+
+    Swap order: move the live table ASIDE, promote the new one, drop the
+    old.  A crash leaves the compacted state recoverable on disk at
+    either ``table`` or ``_old`` — the table path itself is briefly
+    absent between the two renames, which is exactly the window the
+    recovery block closes.  (rmtree-then-replace had a true loss window:
+    checkpoint replay would rebuild from a single micro-batch and
+    silently drop earlier keys.)
+    """
+    import shutil
+
+    from nlp_to_nosql_spark.operators.changelog import latest_wins
+
+    old = table + "_old"
+    if not os.path.isdir(table) and os.path.isdir(old):
+        os.replace(old, table)
+    cur = (
+        spark.read.schema(batch.schema).parquet(table)
+        if os.path.isdir(table)
+        else None
+    )
+    merged = latest_wins(
+        batch if cur is None else cur.unionByName(batch),
+        ["user_id", "event_type"],
+        ["ts", "event_id"],
+        ["value"],
+    )
+    nxt = table + "_next"
+    merged.write.mode("overwrite").parquet(nxt)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(table):
+        os.replace(table, old)
+    os.replace(nxt, table)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def replay_cdc_upsert_sink(
     spark: SparkSession,
     events: DataFrame,
@@ -427,31 +473,7 @@ def replay_cdc_upsert_sink(
     )
 
     def upsert(batch: DataFrame, _batch_id: int) -> None:
-        cur = (
-            spark.read.schema(batch.schema).parquet(table)
-            if os.path.isdir(table)
-            else None
-        )
-        merged = latest_wins(
-            batch if cur is None else cur.unionByName(batch),
-            ["user_id", "event_type"],
-            ["ts", "event_id"],
-            ["value"],
-        )
-        nxt = table + "_next"
-        merged.write.mode("overwrite").parquet(nxt)
-        # Crash-safe swap order: move the live table ASIDE first, then
-        # promote the new one, then drop the old.  A crash at any point
-        # leaves either the old or the new compacted state on disk —
-        # never a window with no table at all (rmtree-then-replace had
-        # one: checkpoint replay would rebuild from a single micro-batch
-        # and silently drop earlier keys).
-        old = table + "_old"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(table):
-            os.replace(table, old)
-        os.replace(nxt, table)
-        shutil.rmtree(old, ignore_errors=True)
+        _compact_upsert(spark, table, batch)
 
     with _REPLAY_CONF_LOCK:
         prev = spark.conf.get("spark.sql.shuffle.partitions")

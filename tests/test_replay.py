@@ -321,3 +321,37 @@ def test_native_session_window_stream_equals_batch(spark, events):
     )
     assert got == want
     assert len(got) == 3  # users 1 (two sessions) + 2 (one)
+
+
+def test_compact_upsert_recovers_crash_parked_state(spark, tmp_path):
+    """Crash window of the CDC upsert swap: after a crash between the
+    two os.replace calls the live table sits at ``_old`` with no table
+    dir.  A retry must restore it and merge BOTH prior and batch keys —
+    round-6 advice showed the retry otherwise deletes the sole copy of
+    prior compacted state and silently drops its keys."""
+    import os
+
+    from nlp_to_nosql_spark.streaming.replay import _compact_upsert
+
+    table = str(tmp_path / "cdc_table")
+    b1 = spark.createDataFrame(
+        [(1, "click", __import__("datetime").datetime(2024, 1, 1), 10, 1.0)],
+        "user_id long, event_type string, ts timestamp_ntz, "
+        "event_id long, value double",
+    )
+    _compact_upsert(spark, table, b1)
+    # Simulate the crash: table promoted aside, promotion of _next lost.
+    os.replace(table, table + "_old")
+    assert not os.path.isdir(table)
+
+    b2 = spark.createDataFrame(
+        [(2, "view", __import__("datetime").datetime(2024, 1, 2), 11, 2.0)],
+        b1.schema,
+    )
+    _compact_upsert(spark, table, b2)  # the checkpoint retry
+    got = {
+        (r["user_id"], r["event_type"], r["value"])
+        for r in spark.read.parquet(table).collect()
+    }
+    assert got == {(1, "click", 1.0), (2, "view", 2.0)}
+    assert not os.path.isdir(table + "_old")

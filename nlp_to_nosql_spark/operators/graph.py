@@ -249,18 +249,22 @@ def cluster_representatives(
     ``min_members`` dropped (pass 2 to keep only real dup clusters).
 
     Plan: one co-keyed join on the id, then ONE partial-aggregated
-    groupBy on the cluster — the arg-max is a single ``max`` over a
-    ``(score, -id)`` struct (lexicographic struct ordering), not a
-    window sort, so map-side combine applies and nothing but one struct
-    per (partition, cluster) shuffles.
+    groupBy on the cluster — the arg-max is a single ``min`` over a
+    ``(-score, id)`` struct (lexicographic struct ordering: smallest
+    negated score = highest score, ties → min id), not a window sort, so
+    map-side combine applies and nothing but one struct per
+    (partition, cluster) shuffles.  Negating the NUMERIC score (its
+    contract) rather than the id keeps the tie-break correct for ANY
+    orderable id type — the earlier ``-id`` form silently cast string
+    ids to NULL (round-6 advice).
     """
     j = labels.select(F.col(id_col), F.col(cluster_col)).join(
         scores.select(F.col(id_col), F.col(score_col)), id_col
     )
-    best = F.max(
+    best = F.min(
         F.struct(
-            F.col(score_col).alias("s"),
-            (-F.col(id_col)).cast("long").alias("negid"),
+            (-F.col(score_col)).alias("negs"),
+            F.col(id_col).alias("i"),
         )
     )
     return (
@@ -272,8 +276,8 @@ def cluster_representatives(
         .filter(F.col("n_members") >= int(min_members))
         .select(
             cluster_col,
-            (-F.col("_b.negid")).cast("long").alias("rep_id"),
-            F.col("_b.s").alias("rep_score"),
+            F.col("_b.i").alias("rep_id"),
+            (-F.col("_b.negs")).alias("rep_score"),
             "n_members",
         )
     )

@@ -220,6 +220,10 @@ def embedding_neardup_exact(
         narrow = persisted(narrow, "vectors")
         n = narrow.count()
         if ceiling > 0 and n > ceiling:
+            # Don't leak the cache on the refusal path: the frame was
+            # persisted for the blocked compute that now never runs
+            # (round-6 advice).
+            narrow.unpersist()
             _refuse(n)
         n_blocks = max(1, -(-n // block_size))
     elif ceiling > 0:

@@ -33,6 +33,7 @@ exactly the validation work FastAPI would.  The app is an app-factory over
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Any, Optional
 
@@ -108,17 +109,39 @@ def create_app(engine: Engine, table_resolver=None):
     start_time = time.time()
     resolve = table_resolver or (lambda db, coll: coll)
 
-    # Permissive CORS, mirroring the reference's CORSMiddleware config
-    # (app_server.py:64-70: allow_origins=[...,"*"], credentials,
+    # Permissive CORS by default, mirroring the reference's CORSMiddleware
+    # config (app_server.py:64-70: allow_origins=[...,"*"], credentials,
     # GET/POST/PUT/DELETE, all headers).  Starlette's "*"-with-credentials
     # behavior echoes the request Origin back rather than a literal "*";
     # we do the same so credentialed browser clients work identically.
+    # Reflect-any-origin WITH credentials lets any website make
+    # credentialed reads, so deployments that aren't chasing strict
+    # reference parity should set NLP2NOSQL_CORS_ORIGINS to a
+    # comma-separated allowlist — then only listed origins are reflected
+    # (others get no CORS headers, the browser blocks the read).
+    allowed = {
+        o.strip()
+        for o in os.environ.get("NLP2NOSQL_CORS_ORIGINS", "*").split(",")
+        if o.strip()
+    }
+
     @app.after_request
     def _cors(resp):
         origin = request.headers.get("Origin")
+        if "*" not in allowed and (origin is None or origin not in allowed):
+            return resp
         resp.headers["Access-Control-Allow-Origin"] = origin or "*"
         if origin:
-            resp.headers["Vary"] = "Origin"
+            # Append, don't assign: clobbering an existing Vary (e.g. a
+            # handler's Vary: Accept-Encoding) breaks caches (r6 advice).
+            vary = {
+                v.strip()
+                for v in resp.headers.get("Vary", "").split(",")
+                if v.strip()
+            }
+            if "Origin" not in vary:
+                vary.add("Origin")
+                resp.headers["Vary"] = ", ".join(sorted(vary))
         resp.headers["Access-Control-Allow-Credentials"] = "true"
         resp.headers["Access-Control-Allow-Methods"] = "GET, POST, PUT, DELETE"
         resp.headers["Access-Control-Allow-Headers"] = request.headers.get(

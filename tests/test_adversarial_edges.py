@@ -491,3 +491,24 @@ def test_cluster_representatives_ties_and_min_members(spark):
         ).count()
         == 0
     )
+
+
+def test_cluster_representatives_string_ids(spark):
+    """Round-6 advice: the tie-break must work for NON-numeric ids (the
+    old ``-id`` cast string ids to NULL rep_id).  Ties on score still
+    break to the min id, now lexicographically."""
+    from nlp_to_nosql_spark.operators.graph import cluster_representatives
+
+    labels = spark.createDataFrame(
+        [("docB", 1), ("docA", 1), ("docC", 2)],
+        "doc_id string, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [("docA", 5.0), ("docB", 5.0), ("docC", 1.0)],
+        "doc_id string, score double",
+    )
+    got = {
+        r["cluster_id"]: (r["rep_id"], r["rep_score"])
+        for r in cluster_representatives(labels, scores).collect()
+    }
+    assert got == {1: ("docA", 5.0), 2: ("docC", 1.0)}

@@ -294,3 +294,42 @@ def test_graceful_shutdown_handler_closes_engine():
     # Idempotent like the reference's `if self._client` guard.
     eng.close_connections()
     assert fake.stopped == 1
+
+
+def test_cors_origin_allowlist_and_vary_append(engine, monkeypatch):
+    """NLP2NOSQL_CORS_ORIGINS narrows reflect-any-origin-with-credentials
+    to an allowlist (round-6 advice): listed origins are reflected,
+    unlisted ones get NO CORS headers; and the Vary hook APPENDS to an
+    existing Vary instead of clobbering it."""
+    monkeypatch.setenv(
+        "NLP2NOSQL_CORS_ORIGINS", "http://ok.example, http://ok2.example"
+    )
+    app = create_app(engine)
+    app.config["TESTING"] = True
+
+    @app.get("/_vary_probe")
+    def _vary_probe():
+        from flask import make_response
+
+        resp = make_response("x")
+        resp.headers["Vary"] = "Accept-Encoding"
+        return resp
+
+    c = app.test_client()
+    ok = c.get("/", headers={"Origin": "http://ok.example"})
+    assert ok.headers["Access-Control-Allow-Origin"] == "http://ok.example"
+    assert ok.headers["Access-Control-Allow-Credentials"] == "true"
+
+    bad = c.get("/", headers={"Origin": "http://evil.example"})
+    assert "Access-Control-Allow-Origin" not in bad.headers
+    assert "Access-Control-Allow-Credentials" not in bad.headers
+
+    # No Origin at all (curl): with an allowlist there is no wildcard.
+    curl = c.get("/health")
+    assert "Access-Control-Allow-Origin" not in curl.headers
+
+    v = c.get("/_vary_probe", headers={"Origin": "http://ok.example"})
+    assert set(p.strip() for p in v.headers["Vary"].split(",")) == {
+        "Accept-Encoding",
+        "Origin",
+    }

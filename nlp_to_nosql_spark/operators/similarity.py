@@ -290,6 +290,19 @@ class RandomHyperplaneLSH:
     ``nbits`` hyperplanes drawn from N(0,1) with ``numpy`` seed → a
     signature column ``sign_bits`` (long).  Same family as the classic
     SRP-LSH construction; cos(a,b) ≈ cos(π · hamming/nbits).
+
+    TIER ROLES (round 7): production callers default to the subclass
+    :class:`IntSRPLSH` — its integer signatures are engine-reproducible
+    (value-level DuckDB oracle), its measured recall@10 at the entry
+    config is HIGHER (0.66 vs 0.537, tests/test_recall.py), and since
+    round 7 its signature pass runs as an Arrow numpy matmul, so the
+    float family no longer has a speed edge.  This Gaussian-plane float
+    family remains the recall-measured ALTERNATIVE for callers who want
+    textbook N(0,1) planes (exact θ/π bit-flip probability) or a pure
+    Column-expression pipeline with no Python workers; its banding /
+    probing machinery (``topk``, ``neardup_pairs``) is shared by both
+    via inheritance and stays covered by tests/test_recall.py and
+    tests/test_family_equivalence.py.
     """
 
     def __init__(self, dim: int, nbits: int = 16, seed: int = 42):

@@ -127,16 +127,54 @@ def main() -> int:
         "overwrite"
     ).parquet(v10p)
 
+    from nlp_to_nosql_spark.functions.text import fingerprint
     from nlp_to_nosql_spark.operators import dedup as dd
-    from nlp_to_nosql_spark.operators.changelog import latest_wins
-    from nlp_to_nosql_spark.operators.curation import repetition_signals
+    from nlp_to_nosql_spark.operators.changelog import (
+        latest_wins,
+        snapshot_diff,
+    )
+    from nlp_to_nosql_spark.operators.curation import (
+        consistent_key_sample,
+        repetition_signals,
+    )
     from nlp_to_nosql_spark.operators.funnel import funnel_stages
+    from nlp_to_nosql_spark.operators.graph import (
+        cluster_representatives,
+        dedup_clusters,
+    )
     from nlp_to_nosql_spark.operators.ivf import IVFIndex
     from nlp_to_nosql_spark.operators.pq import fit_pq, pq_encode
     from nlp_to_nosql_spark.operators.sessions import sessionize
-    from nlp_to_nosql_spark.operators.similarity import topk_bruteforce
+    from nlp_to_nosql_spark.operators.similarity import (
+        IntSRPLSH,
+        topk_bruteforce,
+    )
 
     query_vec = [float(x) for x in tables["embeddings"].first()["embedding"]]
+
+    def keep_best_probe(docs):
+        # the dedup12 chain: Jaccard pairs -> CC labels -> scored arg-max
+        pairs = dd.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.2
+        )
+        labels = dedup_clusters(pairs, docs)
+        scores = repetition_signals(docs).select(
+            "doc_id", F.col("distinct_word_frac").alias("score")
+        )
+        return cluster_representatives(labels, scores, min_members=2)
+
+    def snapshot_diff_probe(docs):
+        # the diff1 chain: two fingerprinted key-slices full-outer-joined
+        old = consistent_key_sample(docs, "doc_id", 0.95, seed=3).select(
+            "doc_id", fingerprint(F.col("text")).alias("fp")
+        )
+        new = consistent_key_sample(docs, "doc_id", 0.95, seed=5).select(
+            "doc_id",
+            fingerprint(
+                F.regexp_replace(F.col("text"), "spark", "engine")
+            ).alias("fp"),
+        )
+        return snapshot_diff(old, new)
 
     def ivf_probe(emb):
         idx = IVFIndex(n_lists=16, seed=3)
@@ -181,6 +219,11 @@ def main() -> int:
             "sess_sessionize": lambda: sessionize(
                 events, user_col="user_id", ts_col="ts", gap_minutes=30
             ),
+            "ann2_int_srp_topk": lambda: IntSRPLSH(
+                dim=len(query_vec), nbits=16, seed=42
+            ).topk(emb, query_vec, k=10, max_hamming=6),
+            "dedup12_keep_best": lambda: keep_best_probe(docs),
+            "diff1_snapshot_diff": lambda: snapshot_diff_probe(docs),
         }
 
     # Discarded warm-up pass at 1x: JVM/codegen/Arrow warm-up otherwise

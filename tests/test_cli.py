@@ -60,3 +60,32 @@ def test_error_envelope_renders_and_records(engine, tmp_path):
 
 def test_history_dashboard_without_history(spark):
     assert render_history(spark, "/nonexistent/path") == "No query history yet."
+
+
+def test_demo_walkthrough(spark):
+    """docs/demo.py (the five-minute three-surface walkthrough) must run
+    offline end-to-end and exercise CLI, HTTP, and UI against real
+    parquet — the committed DEMO_TRANSCRIPT.txt is its output."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs",
+        "demo.py",
+    )
+    spec = importlib.util.spec_from_file_location("demo", path)
+    demo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(demo)
+    transcript = demo.run_demo(SF_DIR, spark=spark)
+    for marker in (
+        "1. CLI surface",
+        "Status: success",
+        '"$gt": 4000',
+        "2. HTTP surface",
+        '"total_matching"',
+        "3. UI surface",
+        'fetch("/query"',
+        "Demo complete",
+    ):
+        assert marker in transcript, marker

@@ -2718,6 +2718,28 @@ def _q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_representatives(labels, scores, min_members=2)
 
 
+def _q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental ingestion dedup: the corpus is the
+    doc_id % 5 != 0 slice; the arriving batch is the % 5 == 0 slice plus
+    a re-crawled REPLAY of the % 10 == 1 corpus slice under new ids
+    (+1e6) — exactly the mix a continuous crawl delivers (novel pages +
+    re-fetched known pages).  The admitted set must be precisely the
+    novel slice: every replayed page is caught by the corpus-fingerprint
+    Bloom filter and confirmed by the exact anti join
+    (operators/dedup.py::incremental_new_docs — the Bloom is an 8 KB
+    broadcast prefilter; the result is provably the plain anti join,
+    which is what the oracle replays)."""
+    docs = register_tables(spark, sf_dir)["documents"]
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    replay = docs.filter(F.col("doc_id") % 10 == 1).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    batch = docs.filter(F.col("doc_id") % 5 == 0).unionByName(replay)
+    return dd.incremental_new_docs(batch, corpus).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (versioning primitive): snapshot A = the
     seed-3 95% key-slice fingerprinted on raw text, snapshot B = the
@@ -2995,6 +3017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm5_image_resize": _q_image_resize,
         "dedup12_keep_best": _q_keep_best,
         "diff1_snapshot_diff": _q_snapshot_diff,
+        "dedup13_incremental": _q_incremental_ingest,
     }
     missing = [k for k in _ROTATED_FRONT if k not in base]
     assert not missing, f"rotation names unknown queries: {missing}"
@@ -3826,6 +3849,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT cluster_id, doc_id AS rep_id, score AS rep_score, "
             "CAST(n AS BIGINT) AS n_members FROM ranked "
             "WHERE rn = 1 AND n >= 2"
+        ),
+        # dedup13: the Bloom prefilter cannot change the answer (positives
+        # exact-verified, negatives definite), so the oracle is the plain
+        # fingerprint anti join over the same corpus/batch construction.
+        "dedup13_incremental": (
+            "WITH corpus AS (SELECT "
+            + tx.FINGERPRINT_SQL.format(c="text")
+            + " AS fp FROM documents WHERE doc_id % 5 <> 0), "
+            "b AS (SELECT doc_id, lang, n_chars, "
+            + tx.FINGERPRINT_SQL.format(c="text")
+            + " AS fp FROM documents WHERE doc_id % 5 = 0 "
+            "UNION ALL SELECT doc_id + 1000000, lang, n_chars, "
+            + tx.FINGERPRINT_SQL.format(c="text")
+            + " FROM documents WHERE doc_id % 10 = 1) "
+            "SELECT doc_id, lang, n_chars FROM b WHERE NOT EXISTS "
+            "(SELECT 1 FROM corpus c WHERE c.fp = b.fp)"
         ),
         "diff1_snapshot_diff": snapshot_diff_sql(
             "SELECT doc_id, " + tx.FINGERPRINT_SQL.format(c="text")

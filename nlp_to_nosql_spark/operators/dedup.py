@@ -872,3 +872,110 @@ def duplicated_spans(
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental ingestion dedup (batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+def incremental_new_docs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Batch-vs-corpus incremental dedup: return the batch rows whose
+    (normalized-text) fingerprint does NOT already exist in the corpus —
+    the admission filter a continuously-ingesting 100 TB corpus runs on
+    every new crawl batch.
+
+    Result is EXACTLY ``batch ⟕̸ corpus`` (left anti join on
+    :func:`~nlp_to_nosql_spark.functions.text.fingerprint`); the Bloom
+    machinery below is purely an acceleration and cannot change the
+    answer, because Bloom positives are exact-verified and Bloom
+    negatives are definite (no false negatives by construction).
+    Exact duplicates WITHIN the batch are all retained (dedup inside a
+    batch is :func:`dedup_exact`'s job).
+
+    Plan, scale-first: the corpus projects to 16-byte fingerprints, k
+    hash positions per fingerprint OR-fold into an ``m_bits``-bit Bloom
+    bit set via ONE partial-aggregated groupBy on the 64-bit word index
+    — the only corpus-wide pass, shuffling ≤ m/64 rows.  The word array
+    (≤ ``m_bits/64`` longs, 8 KB at the default 2¹⁶ — a BOUNDED collect,
+    same discipline as IVF centroids) broadcasts as a literal into a
+    map-side batch filter: rows failing any of the k bit probes are
+    DEFINITELY new and never shuffle; only the Bloom-positive sliver
+    (true dups + ~(1-e^{-kn/m})^k false positives) pays the exact anti
+    join.  When the batch ≪ corpus — the ingestion steady state — this
+    replaces an all-corpus shuffle with an 8 KB broadcast plus an anti
+    join on a few percent of the batch.  Size ``m_bits`` ≥ ~10× the
+    corpus's distinct-fingerprint count (and bump ``k_hashes``) to hold
+    the false-positive sliver at the percent level at real scale.
+    """
+    if m_bits % 64 or m_bits <= 0:
+        raise ValueError("m_bits must be a positive multiple of 64")
+    if not 1 <= k_hashes <= 16:
+        raise ValueError("k_hashes must be in [1, 16]")
+    n_words = m_bits // 64
+
+    cfp = persisted(
+        corpus.select(fingerprint(F.col(text_col)).alias("fp")).distinct(),
+        "corpus_fps",
+    )
+
+    def positions(i: int) -> Column:
+        return F.pmod(F.xxhash64(F.col("fp"), F.lit(i)), F.lit(m_bits))
+
+    pos = cfp.select(
+        F.explode(
+            F.array(*[positions(i) for i in range(k_hashes)])
+        ).alias("pos")
+    )
+    word_rows = (
+        pos.select(
+            (F.col("pos") / F.lit(64)).cast("long").alias("w"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in word_rows:
+        words[int(r["w"])] = int(r["bits"])
+    lit_words = F.lit(words)
+
+    # Stage each probe position as a projected attribute so the hash is
+    # computed once per (row, i), then fold the k bit tests.
+    bfp = batch.withColumn("_fp", fingerprint(F.col(text_col)))
+    staged = bfp.select(
+        *bfp.columns,
+        *[
+            F.pmod(F.xxhash64(F.col("_fp"), F.lit(i)), F.lit(m_bits)).alias(
+                f"_p{i}"
+            )
+            for i in range(k_hashes)
+        ],
+    )
+    probe = None
+    for i in range(k_hashes):
+        hit = (
+            F.element_at(
+                lit_words, (F.col(f"_p{i}") / F.lit(64)).cast("int") + F.lit(1)
+            ).bitwiseAND(
+                F.expr(f"shiftleft(1L, cast(_p{i} % 64 as int))")
+            )
+            != F.lit(0)
+        )
+        probe = hit if probe is None else probe & hit
+    staged = staged.withColumn("_maybe", probe).drop(
+        *[f"_p{i}" for i in range(k_hashes)]
+    )
+
+    definitely_new = staged.filter(~F.col("_maybe"))
+    survived = staged.filter(F.col("_maybe")).join(
+        cfp.withColumnRenamed("fp", "_fp"), "_fp", "left_anti"
+    )
+    return definitely_new.unionByName(survived).drop("_fp", "_maybe")

@@ -337,3 +337,53 @@ def test_winnowed_fps_staged_equals_column_form(spark):
     got = winnowed_fps(df, "doc_id", "text", 5, 4)
     assert got.exceptAll(ref).count() == 0
     assert ref.exceptAll(got).count() == 0
+
+
+def test_incremental_new_docs_matches_anti_join(spark):
+    """Bloom prefilter is pure acceleration: result must equal the plain
+    fingerprint anti join — replays (same normalized text, new id) drop,
+    novel docs survive, and exact dups WITHIN the batch both survive."""
+    from nlp_to_nosql_spark.operators.dedup import incremental_new_docs
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma  delta"), (3, "epsilon")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta"),        # replay of 1 -> dropped
+            (11, "Gamma Delta "),      # replay of 2 after normalize -> dropped
+            (12, "zeta eta"),          # novel
+            (13, "zeta eta"),          # within-batch dup of 12 -> BOTH kept
+            (14, "theta"),             # novel
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"] for r in incremental_new_docs(batch, corpus).collect()
+    )
+    assert got == [12, 13, 14]
+    # tiny filter (more hash collisions) still exact — verification tier
+    # absorbs every false positive
+    tiny = sorted(
+        r["doc_id"]
+        for r in incremental_new_docs(
+            batch, corpus, m_bits=64, k_hashes=2
+        ).collect()
+    )
+    assert tiny == [12, 13, 14]
+
+
+def test_incremental_new_docs_validation_and_empty_corpus(spark):
+    import pytest
+
+    from nlp_to_nosql_spark.operators.dedup import incremental_new_docs
+
+    batch = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="m_bits"):
+        incremental_new_docs(batch, empty, m_bits=100)
+    with pytest.raises(ValueError, match="k_hashes"):
+        incremental_new_docs(batch, empty, k_hashes=0)
+    # empty corpus: everything is new, zero anti-join work
+    assert [r["doc_id"] for r in incremental_new_docs(batch, empty).collect()] == [1]

@@ -567,6 +567,27 @@ def _q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_batch(emb, queries, k=5)
 
 
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each of the
+    first 6 labeled vectors, the exact top-5 most-similar vectors with a
+    DIFFERENT label.  One topk_batch corpus pass per distinct query
+    label (queries broadcast, corpus never shuffles); exact by
+    construction, so the oracle is the filtered brute-force rank."""
+    from nlp_to_nosql_spark.operators.similarity import hard_negative_topk
+
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    qrows = (
+        emb.filter(F.col("vec_id") < 6)
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    queries = [
+        (r["vec_id"], [float(x) for x in r["embedding"]], r["label"])
+        for r in qrows
+    ]
+    return hard_negative_topk(emb, queries, k=5)
+
+
 def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation: score quality + language ID per
     document, keep english docs above a quality floor, then exact-dedup
@@ -3018,6 +3039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup12_keep_best": _q_keep_best,
         "diff1_snapshot_diff": _q_snapshot_diff,
         "dedup13_incremental": _q_incremental_ingest,
+        "ann12_hard_negatives": _q_hard_negatives,
     }
     missing = [k for k in _ROTATED_FRONT if k not in base]
     assert not missing, f"rotation names unknown queries: {missing}"
@@ -3910,6 +3932,20 @@ def oracle_sql() -> dict[str, str]:
             "), 6) AS cos_sim "
             "FROM embeddings e CROSS JOIN "
             "(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id "
+            "ORDER BY cos_sim DESC, e.vec_id) <= 5"
+        ),
+        # ann12: same QUALIFY rank as ann4 plus the different-label
+        # hard-negative filter.
+        "ann12_hard_negatives": (
+            "SELECT q.vec_id AS query_id, e.vec_id, "
+            "ROUND(list_cosine_similarity("
+            "CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])"
+            "), 6) AS cos_sim "
+            "FROM embeddings e CROSS JOIN "
+            "(SELECT vec_id, embedding, label FROM embeddings "
+            "WHERE vec_id < 6) q "
+            "WHERE e.label <> q.label "
             "QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id "
             "ORDER BY cos_sim DESC, e.vec_id) <= 5"
         ),

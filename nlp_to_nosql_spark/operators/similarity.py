@@ -1014,3 +1014,48 @@ def topk_quantized_sql(
         "sqrt(CAST(nq AS DOUBLE))), 6) ELSE 0.0 END AS quant_sim "
         f"FROM scored ORDER BY quant_sim DESC, {id_col} LIMIT {int(k)}"
     )
+
+
+def hard_negative_topk(
+    df: DataFrame,
+    queries: Sequence[tuple[int, Sequence[float], object]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining: for each labeled query vector, the exact
+    top-k most-similar corpus vectors with a DIFFERENT label — the
+    highest-value negatives for contrastive/embedding training (near the
+    query in embedding space yet labeled differently).
+
+    ``queries`` is ``[(query_id, vector, label), ...]``.  Queries are
+    grouped by label and each label group runs ONE
+    :func:`topk_batch` pass over the corpus filtered to other labels —
+    so the corpus is scanned once per DISTINCT query label (typically
+    one: mining negatives for a single class), the label filter is
+    pushed to the parquet scan, and everything inherits topk_batch's
+    scale contract (queries broadcast with the task closure, at most
+    Q·k·n_batches candidate rows shuffle, corpus rows never do).
+    Output ``(query_id, id, cos_sim)``, exact by construction, ties →
+    lowest id — identical ordering to :func:`topk_bruteforce`.
+    """
+    groups: dict[object, list[tuple[int, Sequence[float]]]] = {}
+    for qid, vec, lbl in queries:
+        groups.setdefault(lbl, []).append((qid, vec))
+    parts = [
+        topk_batch(
+            df.filter(F.col(label_col) != F.lit(lbl)).select(
+                id_col, vec_col
+            ),
+            qs,
+            k,
+            id_col,
+            vec_col,
+        )
+        for lbl, qs in groups.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -462,3 +462,31 @@ def test_int_srp_ragged_input_fails_fast(spark):
             lsh.add_signatures(df, impl=impl).collect()
     with pytest.raises(ValueError, match="dim"):
         lsh.signature_of([0.1, 0.2, 0.3])
+
+
+def test_hard_negative_topk_excludes_query_label_and_is_exact(spark):
+    """Hard negatives: nearest different-label vectors only, exact rank,
+    one topk_batch pass per distinct query label."""
+    from nlp_to_nosql_spark.operators.similarity import hard_negative_topk
+
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.99, 0.1], "a"),   # nearest to q0 but SAME label -> excluded
+        (2, [0.9, 0.2], "b"),
+        (3, [0.0, 1.0], "b"),
+        (4, [0.5, 0.5], "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    got = [
+        (r["query_id"], r["vec_id"])
+        for r in hard_negative_topk(
+            df, [(0, [1.0, 0.0], "a"), (3, [0.0, 1.0], "b")], k=2
+        )
+        .orderBy("query_id", "cos_sim", ascending=[True, False])
+        .collect()
+    ]
+    # q0 (label a): nearest non-a are 2 (0.976) then 4 (0.707)
+    # q3 (label b): nearest non-b are 4 (0.707) then 1 (0.100)
+    assert got == [(0, 2), (0, 4), (3, 4), (3, 1)]

@@ -2079,6 +2079,16 @@ def _pii_oracle_sql() -> str:
 
 _PII_ORACLE_SQL = _pii_oracle_sql()
 
+# Sketch-family oracles (operators/sketch.py): the *_SQL constants carry
+# {table}/{c} placeholders so the same twin text serves tests and here.
+from nlp_to_nosql_spark.operators.sketch import (  # noqa: E402
+    CMS_HEAVY_HITTERS_SQL as _CMS_SQL_T,
+    HLL_REGISTERS_SQL as _HLL_SQL_T,
+)
+
+_SKETCH_HLL_SQL = _HLL_SQL_T.format(table="documents", c="text")
+_SKETCH_CMS_SQL = _CMS_SQL_T.format(table="documents", c="text")
+
 
 def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/quality signals per document (distinct-word,
@@ -2787,6 +2797,36 @@ def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new)
 
 
+def _q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vocabulary HyperLogLog register table (m=64): the whole
+    token stream reduces to 64 (reg, max_rho) ints via one partially-
+    aggregated groupBy — fixed memory at any corpus size, mergeable
+    across shards by element-wise MAX (operators/sketch.py).  The rho
+    computation is integer-only (bit length of the isolated lowest set
+    bit), so DuckDB replays every register value exactly; pytest
+    separately checks the derived cardinality estimate against the true
+    vocabulary NDV."""
+    from nlp_to_nosql_spark.operators.sketch import hll_registers
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return hll_registers(docs, "text", m=64)
+
+
+def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy-hitter audit (depth=4, width=1024): build
+    the fixed-memory CMS over every token occurrence, then report
+    (tok, true_cnt, est_cnt) for the exact top-20 tokens — est_cnt is
+    the sketch's min-over-rows estimate and can only overestimate, so
+    the gap measures collision pressure (operators/sketch.py).  The
+    sketch is the 100 TB production path (≤ 4096 cells after partial
+    agg); the exact-count side is the audit that makes the error
+    observable."""
+    from nlp_to_nosql_spark.operators.sketch import cms_heavy_hitters
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return cms_heavy_hitters(docs, "text", depth=4, width=1024, top_n=20)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3040,6 +3080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff1_snapshot_diff": _q_snapshot_diff,
         "dedup13_incremental": _q_incremental_ingest,
         "ann12_hard_negatives": _q_hard_negatives,
+        "sketch1_hll_registers": _q_hll_registers,
+        "sketch2_cms_heavy_hitters": _q_cms_heavy_hitters,
     }
     missing = [k for k in _ROTATED_FRONT if k not in base]
     assert not missing, f"rotation names unknown queries: {missing}"
@@ -3949,6 +3991,10 @@ def oracle_sql() -> dict[str, str]:
             "QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id "
             "ORDER BY cos_sim DESC, e.vec_id) <= 5"
         ),
+        # sketch1/2: md5-family integer hashes + integer-only rho / cell
+        # math — every register and sketch cell replays bit-exactly.
+        "sketch1_hll_registers": _SKETCH_HLL_SQL,
+        "sketch2_cms_heavy_hitters": _SKETCH_CMS_SQL,
         "pipe1_curation": (
             "WITH scored AS (SELECT doc_id, "
             + tx.QUALITY_SCORE_SQL.format(c="text") + " AS quality, "

@@ -1,0 +1,247 @@
+"""Streaming-friendly cardinality / frequency sketches over token streams.
+
+Two fixed-memory sketch operators a 100 TB ingestion pipeline runs
+continuously — estimating corpus vocabulary size and catching
+heavy-hitter tokens without ever materializing a full-vocabulary
+aggregate:
+
+* :func:`hll_registers` — HyperLogLog register table (Flajolet-Martin
+  rho over md5-derived 60-bit hashes).  The whole corpus reduces to
+  ``m`` integers via one partially-aggregated groupBy on an ``m``-ary
+  int key, so the shuffle moves at most ``m`` rows per map partition
+  regardless of input size; register tables from disjoint corpus shards
+  (or streaming micro-batches) merge by element-wise MAX, which is what
+  makes the sketch incremental.
+* :func:`cms_heavy_hitters` — a depth×width count-min sketch plus the
+  audit join that compares its estimates against exact counts for the
+  current top-N tokens.  The sketch itself is one groupBy over a
+  ``depth × width``-ary key — fixed memory, mergeable by element-wise
+  SUM — and is the piece that survives at 100 TB; the exact-count side
+  exists so the contract query can *measure* the overestimate rather
+  than argue it.
+
+Both operators are oracle-reproducible by construction: every hash is
+the md5-family 60-bit integer (``md5_hash60``) that DuckDB replays as
+``CAST('0x' || substr(md5(x), 1, 15) AS UBIGINT)``, and the rho
+computation is pure integer math (``length(bin(v & -v))`` — no float
+log2, whose rounding at exact powers of two could differ across
+engines).
+
+Reference scope note: the reference engine (No_Sql.py) has no sketch
+support; these belong to the driver-mandated LLM-data-pipeline
+extension surface (SURVEY.md §2 extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nlp_to_nosql_spark.functions.text import NORMALIZE_SQL, normalize_text
+from nlp_to_nosql_spark.operators.dedup import md5_hash60
+
+__all__ = [
+    "hll_registers",
+    "hll_estimate",
+    "cms_heavy_hitters",
+    "tokens_of",
+    "HLL_REGISTERS_SQL",
+    "CMS_HEAVY_HITTERS_SQL",
+]
+
+
+def tokens_of(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Explode normalized whitespace tokens: one ``tok`` row per token
+    occurrence (empty tokens dropped).  The shared front end of both
+    sketches; stays a zero-shuffle projection."""
+    return (
+        df.select(
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+                "tok"
+            )
+        )
+        .where(F.col("tok") != "")
+    )
+
+
+#: DuckDB twin of :func:`tokens_of` — ``{table}``/``{c}`` placeholders.
+TOKENS_SQL = (
+    "SELECT unnest(string_split("
+    + NORMALIZE_SQL.format(c="{c}")
+    + ", ' ')) AS tok FROM {table}"
+)
+
+
+def _rho_col(v: Column, max_rho: int) -> Column:
+    """Flajolet-Martin rho: 1 + trailing-zero count of ``v``, computed as
+    the bit length of the isolated lowest set bit (``v & -v``) — integer
+    math only.  ``v == 0`` (all bits zero) maps to ``max_rho``."""
+    lowbit = v.bitwiseAND(-v)
+    return (
+        F.when(v == 0, F.lit(max_rho))
+        .otherwise(F.length(F.conv(lowbit.cast("string"), 10, 2)))
+        .cast("int")
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    text_col: str = "text",
+    m: int = 64,
+) -> DataFrame:
+    """HyperLogLog register table over the distinct normalized tokens of
+    ``df[text_col]``: ``(reg, max_rho)`` with ``m`` rows (registers that
+    saw no hash are absent — with any realistic corpus all ``m`` appear).
+
+    Layout of the 60-bit md5 hash: low ``log2(m)`` bits pick the
+    register, the remaining ``60 - log2(m)`` bits feed rho (position of
+    the lowest set bit), exactly reproducible in DuckDB
+    (:data:`HLL_REGISTERS_SQL`).
+
+    Scale: tokenization is a zero-shuffle projection; the groupBy is
+    partially aggregated to ≤ ``m`` rows per map partition before the
+    one shuffle, so a 100 TB corpus moves at most ``m × #partitions``
+    int rows.  Register tables merge across shards/batches by
+    element-wise MAX — run per-shard, union, re-aggregate.
+    """
+    if m & (m - 1) or m < 2:
+        raise ValueError(f"m must be a power of two >= 2, got {m}")
+    p = m.bit_length() - 1
+    max_rho = 60 - p + 1
+    h = md5_hash60(F.col("tok"))
+    return (
+        tokens_of(df, text_col)
+        .select(
+            (h % m).cast("int").alias("reg"),
+            F.shiftright(h, p).alias("_v"),
+        )
+        .select("reg", _rho_col(F.col("_v"), max_rho).alias("_rho"))
+        .groupBy("reg")
+        .agg(F.max("_rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: list[tuple[int, int]], m: int = 64) -> float:
+    """Driver-side HLL cardinality estimate from a collected register
+    table (standard bias-corrected harmonic mean; linear counting for
+    the small-range regime).  The denominator is accumulated as the
+    exact integer ``sum(2 ** (SCALE - rho))`` so the estimate is a pure
+    function of the register values, not of float summation order."""
+    reg_map = dict(registers)
+    scale = 62  # 2**(62 - rho) stays an exact int for rho in [0, 62]
+    denom_scaled = sum(1 << (scale - reg_map.get(j, 0)) for j in range(m))
+    alpha = 0.7213 / (1 + 1.079 / m)  # standard alpha_m for m >= 128; ok 64
+    if m == 64:
+        alpha = 0.709
+    est = alpha * m * m * (1 << scale) / denom_scaled
+    zeros = m - len([1 for j in range(m) if reg_map.get(j, 0) > 0])
+    if est <= 2.5 * m and zeros:
+        import math
+
+        return m * math.log(m / zeros)
+    return est
+
+
+#: DuckDB twin of :func:`hll_registers` at ``m=64`` (p=6, max_rho=55).
+#: ``{table}``/``{c}`` placeholders as in the other *_SQL constants.
+HLL_REGISTERS_SQL = (
+    "WITH toks AS ("
+    + TOKENS_SQL
+    + "), hs AS ("
+    "SELECT CAST(CAST('0x' || substr(md5(tok), 1, 15) AS UBIGINT) AS BIGINT)"
+    " AS h FROM toks WHERE tok <> ''"
+    "), rr AS (SELECT CAST(h % 64 AS INT) AS reg, h >> 6 AS v FROM hs) "
+    "SELECT reg, MAX(CASE WHEN v = 0 THEN 55 "
+    "ELSE CAST(length(bin(v & -v)) AS INT) END) AS max_rho "
+    "FROM rr GROUP BY reg"
+)
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    top_n: int = 20,
+) -> DataFrame:
+    """Count-min-sketch heavy-hitter audit: build a ``depth × width``
+    CMS over the token stream, take the exact top-``top_n`` tokens
+    (count desc, token asc — deterministic under ties), and return
+    ``(tok, true_cnt, est_cnt)`` where ``est_cnt`` is the CMS estimate
+    ``min_j cms[j][hash_j(tok)]``.  CMS never undercounts:
+    ``est_cnt >= true_cnt`` always, and the gap measures collision
+    pressure at this width.
+
+    Row hashes are ``md5_hash60(j || ':' || tok) % width`` — the
+    md5-family form DuckDB replays bit-exactly
+    (:data:`CMS_HEAVY_HITTERS_SQL`).
+
+    Scale: the sketch build explodes each token occurrence into
+    ``depth`` (row, col) cells but partial aggregation collapses them to
+    ≤ ``depth × width`` rows per map partition before the single
+    shuffle — fixed memory at any corpus size, mergeable by cell-wise
+    SUM across shards.  The exact-count side (a full token groupBy) is
+    the *audit*, not the production path: at 100 TB you keep the sketch
+    and drop the audit, or run the audit over a sampled slice.  The
+    estimate join touches ``top_n × depth`` cells against the ≤
+    ``depth × width``-row sketch — both sides broadcast-sized by
+    construction.
+    """
+    toks = tokens_of(df, text_col)
+
+    def cell(j: int) -> Column:
+        return (
+            md5_hash60(F.concat(F.lit(f"{j}:"), F.col("tok"))) % width
+        ).cast("int")
+
+    cells = toks.select(
+        F.posexplode(F.array(*[cell(j) for j in range(depth)])).alias(
+            "row", "col"
+        )
+    )
+    cms = cells.groupBy("row", "col").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+    exact = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    top = (
+        exact.orderBy(F.col("true_cnt").desc(), F.col("tok").asc())
+        .limit(top_n)
+    )
+    probes = top.select(
+        "tok",
+        "true_cnt",
+        F.posexplode(F.array(*[cell(j) for j in range(depth)])).alias(
+            "row", "col"
+        ),
+    )
+    return (
+        F.broadcast(probes)
+        .join(cms, ["row", "col"])
+        .groupBy("tok", "true_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+
+
+#: DuckDB twin of :func:`cms_heavy_hitters` at depth=4, width=1024,
+#: top_n=20.  ``{table}``/``{c}`` placeholders.
+CMS_HEAVY_HITTERS_SQL = (
+    "WITH toks AS ("
+    + TOKENS_SQL
+    + "), tk AS (SELECT tok FROM toks WHERE tok <> ''), "
+    "cells AS (SELECT j AS row, CAST(CAST(CAST('0x' || substr(md5("
+    "CAST(j AS VARCHAR) || ':' || tok), 1, 15) AS UBIGINT) AS BIGINT)"
+    " % 1024 AS INT) AS col FROM tk, UNNEST(range(0, 4)) u(j)), "
+    "cms AS (SELECT row, col, COUNT(*) AS cnt FROM cells GROUP BY row, col), "
+    "exact AS (SELECT tok, COUNT(*) AS true_cnt FROM tk GROUP BY tok), "
+    "top AS (SELECT tok, true_cnt FROM exact "
+    "ORDER BY true_cnt DESC, tok ASC LIMIT 20), "
+    "probes AS (SELECT tok, true_cnt, j AS row, CAST(CAST(CAST('0x' || "
+    "substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 15) AS UBIGINT) "
+    "AS BIGINT) % 1024 AS INT) AS col FROM top, UNNEST(range(0, 4)) u(j)) "
+    "SELECT p.tok, p.true_cnt, MIN(c.cnt) AS est_cnt "
+    "FROM probes p JOIN cms c ON p.row = c.row AND p.col = c.col "
+    "GROUP BY p.tok, p.true_cnt"
+)

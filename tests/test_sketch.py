@@ -1,0 +1,130 @@
+"""Sketch operators: HLL register table + count-min heavy hitters.
+
+Covers the three properties that make the sketches trustworthy at
+scale: integer-exact rho math, shard mergeability (the incremental
+story), and the accuracy/overestimate contracts the docstrings claim.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nlp_to_nosql_spark.operators.sketch import (
+    cms_heavy_hitters,
+    hll_estimate,
+    hll_registers,
+    tokens_of,
+)
+
+
+def _vocab_df(spark, n, prefix="tok"):
+    """One single-token document per distinct token: NDV == n exactly."""
+    return spark.range(n).select(
+        F.concat(F.lit(prefix), F.col("id").cast("string")).alias("text")
+    )
+
+
+def _py_rho(v: int, max_rho: int) -> int:
+    if v == 0:
+        return max_rho
+    return (v & -v).bit_length()
+
+
+class TestHLL:
+    def test_rho_matches_python_bit_math(self, spark):
+        # drive _rho_col through hll_registers on crafted single tokens
+        # whose md5-derived (reg, rho) we recompute in pure python
+        import hashlib
+
+        df = _vocab_df(spark, 300)
+        got = {
+            r["reg"]: r["max_rho"]
+            for r in hll_registers(df, "text", m=64).collect()
+        }
+        regs: dict[int, int] = {}
+        for i in range(300):
+            h = int(hashlib.md5(f"tok{i}".encode()).hexdigest()[:15], 16)
+            reg, v = h % 64, h >> 6
+            regs[reg] = max(regs.get(reg, 0), _py_rho(v, 55))
+        assert got == regs
+
+    def test_estimate_within_hll_error_bound(self, spark):
+        # m=64 -> relative standard error ~1.04/sqrt(64) = 13%; allow 3x
+        n = 5000
+        regs = [
+            (r["reg"], r["max_rho"])
+            for r in hll_registers(_vocab_df(spark, n), "text").collect()
+        ]
+        est = hll_estimate(regs, m=64)
+        assert abs(est - n) / n < 0.4
+
+    def test_registers_merge_across_shards(self, spark):
+        # sketch(A union B) == element-wise max(sketch(A), sketch(B))
+        a = _vocab_df(spark, 400, prefix="a")
+        b = _vocab_df(spark, 400, prefix="b")
+        whole = {
+            r["reg"]: r["max_rho"]
+            for r in hll_registers(a.unionByName(b), "text").collect()
+        }
+        ra = {r["reg"]: r["max_rho"] for r in hll_registers(a).collect()}
+        rb = {r["reg"]: r["max_rho"] for r in hll_registers(b).collect()}
+        merged = {
+            k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)
+        }
+        assert whole == merged
+
+    def test_estimate_exact_in_linear_counting_regime(self, spark):
+        # tiny NDV -> linear-counting branch; should land very close
+        n = 30
+        regs = [
+            (r["reg"], r["max_rho"])
+            for r in hll_registers(_vocab_df(spark, n), "text").collect()
+        ]
+        est = hll_estimate(regs, m=64)
+        assert abs(est - n) / n < 0.25
+
+    def test_m_must_be_power_of_two(self, spark):
+        with pytest.raises(ValueError):
+            hll_registers(_vocab_df(spark, 5), "text", m=48)
+
+
+class TestCMS:
+    @pytest.fixture(scope="class")
+    def skewed(self, spark):
+        # "hot" appears 500x, "warm" 50x, 200 singletons
+        rows = (
+            [("hot hot",)] * 250
+            + [("warm",)] * 50
+            + [(f"cold{i}",) for i in range(200)]
+        )
+        return spark.createDataFrame(rows, ["text"])
+
+    def test_estimates_never_undercount(self, spark, skewed):
+        out = cms_heavy_hitters(skewed, "text", top_n=10).collect()
+        assert out, "expected heavy hitters"
+        for r in out:
+            assert r["est_cnt"] >= r["true_cnt"], r
+
+    def test_top_tokens_and_exact_counts(self, spark, skewed):
+        out = {
+            r["tok"]: (r["true_cnt"], r["est_cnt"])
+            for r in cms_heavy_hitters(skewed, "text", top_n=2).collect()
+        }
+        assert set(out) == {"hot", "warm"}
+        assert out["hot"][0] == 500
+        assert out["warm"][0] == 50
+        # width=1024 over ~202 distinct tokens: the hot key's 4 cells are
+        # overwhelmingly collision-free; min-over-rows must then be exact
+        assert out["hot"][1] >= 500
+
+    def test_narrow_width_overestimates(self, spark, skewed):
+        # width=2 forces collisions: estimates inflate but never drop
+        out = cms_heavy_hitters(skewed, "text", width=2, top_n=5).collect()
+        assert all(r["est_cnt"] >= r["true_cnt"] for r in out)
+        assert any(r["est_cnt"] > r["true_cnt"] for r in out)
+
+    def test_tokens_of_drops_empties_and_normalizes(self, spark):
+        df = spark.createDataFrame([("  Foo   BAR  ",), ("",)], ["text"])
+        toks = [r["tok"] for r in tokens_of(df).collect()]
+        assert sorted(toks) == ["bar", "foo"]

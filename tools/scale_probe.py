@@ -147,7 +147,12 @@ def main() -> int:
     from nlp_to_nosql_spark.operators.sessions import sessionize
     from nlp_to_nosql_spark.operators.similarity import (
         IntSRPLSH,
+        hard_negative_topk,
         topk_bruteforce,
+    )
+    from nlp_to_nosql_spark.operators.sketch import (
+        cms_heavy_hitters,
+        hll_registers,
     )
 
     query_vec = [float(x) for x in tables["embeddings"].first()["embedding"]]
@@ -180,6 +185,21 @@ def main() -> int:
         idx = IVFIndex(n_lists=16, seed=3)
         assigned = idx.fit(emb)
         return idx.topk(assigned, query_vec, k=10, nprobe=4)
+
+    def incremental_probe(docs):
+        # the dedup13 chain: corpus Bloom fold + anti-join admission
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        batch = docs.filter(F.col("doc_id") % 5 == 0)
+        return dd.incremental_new_docs(batch, corpus)
+
+    def hard_negative_probe(emb):
+        # the ann12 chain: per-label batched different-label top-k;
+        # queries fixed at 6 so growth measures the corpus scan
+        qs = [
+            (r["vec_id"], [float(x) for x in r["embedding"]], r["label"])
+            for r in emb.orderBy("vec_id").limit(6).collect()
+        ]
+        return hard_negative_topk(emb, qs, k=5)
 
     def pq_probe(emb):
         # fit is a bounded collect (k rows); encode is the corpus scan —
@@ -224,6 +244,10 @@ def main() -> int:
             ).topk(emb, query_vec, k=10, max_hamming=6),
             "dedup12_keep_best": lambda: keep_best_probe(docs),
             "diff1_snapshot_diff": lambda: snapshot_diff_probe(docs),
+            "dedup13_incremental": lambda: incremental_probe(docs),
+            "ann12_hard_negatives": lambda: hard_negative_probe(emb),
+            "sketch1_hll_registers": lambda: hll_registers(docs),
+            "sketch2_cms_heavy_hitters": lambda: cms_heavy_hitters(docs),
         }
 
     # Discarded warm-up pass at 1x: JVM/codegen/Arrow warm-up otherwise

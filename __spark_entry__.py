@@ -2616,6 +2616,21 @@ def _q_cdc_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay_cdc_upsert_sink(spark, ev, tag=f"sf{_sf_tag(sf_dir)}")
 
 
+def _q_hll_accumulate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming HLL accumulation: each document micro-batch folds
+    into the persistent register table by element-wise MAX
+    (foreachBatch, crash-safe swap) — must equal the batch sketch over
+    the whole corpus (streaming/replay.py::replay_hll_accumulate; the
+    oracle is shared verbatim with sketch1_hll_registers).  State is 64
+    int rows at any corpus size."""
+    from nlp_to_nosql_spark.streaming.replay import replay_hll_accumulate
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return replay_hll_accumulate(
+        spark, docs, tag=f"hllacc_sf{_sf_tag(sf_dir)}"
+    )
+
+
 def _q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time (time-travel) query over the SCD2 intervals: the
     event_type each user carried mid-corpus (2024-01-15) — zero shuffle
@@ -3082,6 +3097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann12_hard_negatives": _q_hard_negatives,
         "sketch1_hll_registers": _q_hll_registers,
         "sketch2_cms_heavy_hitters": _q_cms_heavy_hitters,
+        "stream12_hll_accumulate": _q_hll_accumulate_stream,
     }
     missing = [k for k in _ROTATED_FRONT if k not in base]
     assert not missing, f"rotation names unknown queries: {missing}"
@@ -3995,6 +4011,9 @@ def oracle_sql() -> dict[str, str]:
         # math — every register and sketch cell replays bit-exactly.
         "sketch1_hll_registers": _SKETCH_HLL_SQL,
         "sketch2_cms_heavy_hitters": _SKETCH_CMS_SQL,
+        # stream12: the streaming fold must equal the batch sketch —
+        # oracle shared verbatim with sketch1 (merge-by-MAX associativity).
+        "stream12_hll_accumulate": _SKETCH_HLL_SQL,
         "pipe1_curation": (
             "WITH scored AS (SELECT doc_id, "
             + tx.QUALITY_SCORE_SQL.format(c="text") + " AS quality, "

@@ -639,3 +639,98 @@ def replay_dedup_within_watermark(
         "append",
     )
     return spark.table(name)
+
+
+def _fold_registers(
+    spark: SparkSession, table: str, batch: DataFrame, m: int = 64
+) -> None:
+    """One HLL fold step: recover crash-parked state, MAX-merge the
+    batch's register table into the current one, promote with the
+    crash-safe move-aside swap (same discipline as
+    :func:`_compact_upsert`).  MAX merge is idempotent, so foreachBatch
+    re-delivery is a no-op (pinned by test)."""
+    import shutil
+
+    from nlp_to_nosql_spark.operators.sketch import hll_registers
+
+    old = table + "_old"
+    if not os.path.isdir(table) and os.path.isdir(old):
+        os.replace(old, table)
+    regs = hll_registers(batch, "text", m=m)
+    if os.path.isdir(table):
+        cur = spark.read.schema("reg int, max_rho int").parquet(table)
+        regs = (
+            cur.unionByName(regs)
+            .groupBy("reg")
+            .agg(F.max("max_rho").alias("max_rho"))
+        )
+    nxt = table + "_next"
+    regs.write.mode("overwrite").parquet(nxt)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(table):
+        os.replace(table, old)
+    os.replace(nxt, table)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def replay_hll_accumulate(
+    spark: SparkSession,
+    docs: DataFrame,
+    tag: str = "hllacc",
+    m: int = 64,
+) -> DataFrame:
+    """Streaming vocabulary-NDV monitor: fold each arriving document
+    micro-batch into a persistent HyperLogLog register table via
+    ``foreachBatch`` element-wise MAX merge — the live proof of the
+    sketch-mergeability claim (operators/sketch.py): because registers
+    merge associatively and idempotently by MAX, the accumulated table
+    after ANY batch split equals the batch sketch over the whole corpus,
+    and ``foreachBatch``'s at-least-once re-delivery is absorbed for
+    free (re-merging a batch is a no-op under MAX).
+
+    State is ``m`` int rows regardless of corpus size — the sketch never
+    grows, so this runs forever on an unbounded crawl stream where the
+    exact-distinct formulation (``dropDuplicates`` keyed state) grows
+    O(vocabulary).  The table promote reuses the crash-safe move-aside
+    swap discipline of :func:`_compact_upsert` (recovery first, never a
+    moment with both copies gone).
+
+    Replayed over two micro-batches; returns the final ``(reg,
+    max_rho)`` table — oracle shared verbatim with the batch
+    ``sketch1_hll_registers`` query.
+    """
+    import shutil
+
+    src = docs.select("doc_id", "text")
+    in_path = _work_dir(f"{tag}_in")
+    src.repartition(2).write.mode("overwrite").parquet(in_path)
+
+    table = _work_dir(f"{tag}_table")
+    shutil.rmtree(table, ignore_errors=True)
+    ckpt = _work_dir(f"{tag}_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_path)
+    )
+
+    def fold(batch: DataFrame, _batch_id: int) -> None:
+        _fold_registers(spark, table, batch, m=m)
+
+    with _REPLAY_CONF_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                stream.writeStream.foreachBatch(fold)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return spark.read.parquet(table).select("reg", "max_rho")

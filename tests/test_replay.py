@@ -355,3 +355,52 @@ def test_compact_upsert_recovers_crash_parked_state(spark, tmp_path):
     }
     assert got == {(1, "click", 1.0), (2, "view", 2.0)}
     assert not os.path.isdir(table + "_old")
+
+
+def test_hll_accumulate_stream_equals_batch_sketch(spark):
+    from nlp_to_nosql_spark.operators.sketch import hll_registers
+    from nlp_to_nosql_spark.streaming.replay import replay_hll_accumulate
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha tok{i} tok{i % 7} beta") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["reg"], r["max_rho"])
+        for r in replay_hll_accumulate(spark, docs, tag="hlltest").collect()
+    }
+    want = {
+        (r["reg"], r["max_rho"]) for r in hll_registers(docs).collect()
+    }
+    # the 2-micro-batch streaming fold must equal the whole-corpus sketch
+    assert got == want
+
+
+def test_hll_accumulate_refold_is_idempotent(spark, tmp_path):
+    # re-delivering a batch (at-least-once foreachBatch) must not change
+    # the register table: MAX merge is idempotent
+    from nlp_to_nosql_spark.operators.sketch import hll_registers
+    from nlp_to_nosql_spark.streaming.replay import _fold_registers
+
+    docs = spark.createDataFrame(
+        [(i, f"gamma tok{i}") for i in range(20)], ["doc_id", "text"]
+    )
+    table = str(tmp_path / "regs")
+
+    def fold(batch):
+        _fold_registers(spark, table, batch)
+
+    fold(docs)
+    once = {
+        (r["reg"], r["max_rho"])
+        for r in spark.read.parquet(table).collect()
+    }
+    fold(docs)  # redelivery
+    twice = {
+        (r["reg"], r["max_rho"])
+        for r in spark.read.parquet(table).collect()
+    }
+    assert once == twice
+    assert once == {
+        (r["reg"], r["max_rho"]) for r in hll_registers(docs).collect()
+    }

@@ -2082,12 +2082,14 @@ _PII_ORACLE_SQL = _pii_oracle_sql()
 # Sketch-family oracles (operators/sketch.py): the *_SQL constants carry
 # {table}/{c} placeholders so the same twin text serves tests and here.
 from nlp_to_nosql_spark.operators.sketch import (  # noqa: E402
+    CMS_CELLS_SQL as _CMS_CELLS_SQL_T,
     CMS_HEAVY_HITTERS_SQL as _CMS_SQL_T,
     HLL_REGISTERS_SQL as _HLL_SQL_T,
 )
 
 _SKETCH_HLL_SQL = _HLL_SQL_T.format(table="documents", c="text")
 _SKETCH_CMS_SQL = _CMS_SQL_T.format(table="documents", c="text")
+_SKETCH_CMS_CELLS_SQL = _CMS_CELLS_SQL_T.format(table="documents", c="text")
 
 
 def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2631,6 +2633,22 @@ def _q_hll_accumulate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cms_accumulate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming count-min accumulation: each micro-batch writes
+    its PARTIAL sketch to a batch_id-keyed directory (overwrite =
+    retry-idempotent — the exactly-once discipline ADDITIVE merges need,
+    vs stream12's idempotent MAX); the read side folds partials with one
+    cell-wise SUM and must equal the whole-corpus batch sketch
+    (streaming/replay.py::replay_cms_accumulate; oracle shared with
+    cms_cells)."""
+    from nlp_to_nosql_spark.streaming.replay import replay_cms_accumulate
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return replay_cms_accumulate(
+        spark, docs, tag=f"cmsacc_sf{_sf_tag(sf_dir)}"
+    )
+
+
 def _q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time (time-travel) query over the SCD2 intervals: the
     event_type each user carried mid-corpus (2024-01-15) — zero shuffle
@@ -3098,6 +3116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch1_hll_registers": _q_hll_registers,
         "sketch2_cms_heavy_hitters": _q_cms_heavy_hitters,
         "stream12_hll_accumulate": _q_hll_accumulate_stream,
+        "stream13_cms_accumulate": _q_cms_accumulate_stream,
     }
     missing = [k for k in _ROTATED_FRONT if k not in base]
     assert not missing, f"rotation names unknown queries: {missing}"
@@ -4014,6 +4033,8 @@ def oracle_sql() -> dict[str, str]:
         # stream12: the streaming fold must equal the batch sketch —
         # oracle shared verbatim with sketch1 (merge-by-MAX associativity).
         "stream12_hll_accumulate": _SKETCH_HLL_SQL,
+        # stream13: batch-id-keyed partials SUM-fold to the batch sketch.
+        "stream13_cms_accumulate": _SKETCH_CMS_CELLS_SQL,
         "pipe1_curation": (
             "WITH scored AS (SELECT doc_id, "
             + tx.QUALITY_SCORE_SQL.format(c="text") + " AS quality, "

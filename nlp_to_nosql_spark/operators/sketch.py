@@ -43,9 +43,11 @@ from nlp_to_nosql_spark.operators.dedup import md5_hash60
 __all__ = [
     "hll_registers",
     "hll_estimate",
+    "cms_cells",
     "cms_heavy_hitters",
     "tokens_of",
     "HLL_REGISTERS_SQL",
+    "CMS_CELLS_SQL",
     "CMS_HEAVY_HITTERS_SQL",
 ]
 
@@ -157,6 +159,55 @@ HLL_REGISTERS_SQL = (
 )
 
 
+def _cms_cell(j: int, width: int) -> Column:
+    """Row-``j`` CMS column index of the current ``tok`` column."""
+    return (
+        md5_hash60(F.concat(F.lit(f"{j}:"), F.col("tok"))) % width
+    ).cast("int")
+
+
+def cms_cells(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """The bare count-min sketch table ``(row, col, cnt)`` over the
+    token stream of ``df[text_col]`` — ≤ ``depth × width`` rows after
+    one partially-aggregated groupBy, mergeable across shards/batches by
+    cell-wise SUM (the additive twin of :func:`hll_registers`' MAX
+    merge; see ``streaming/replay.py::replay_cms_accumulate`` for the
+    exactly-once batch-id-keyed streaming fold that additivity
+    requires)."""
+    toks = tokens_of(df, text_col)
+    cells = toks.select(
+        F.posexplode(
+            F.array(*[_cms_cell(j, width) for j in range(depth)])
+        ).alias("row", "col")
+    )
+    return (
+        cells.groupBy(
+            # posexplode's position is int32; the oracle's range() rows
+            # are int64 — emit BIGINT so the Arrow types line up
+            F.col("row").cast("long").alias("row"),
+            "col",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+#: DuckDB twin of :func:`cms_cells` at depth=4, width=1024.
+CMS_CELLS_SQL = (
+    "WITH toks AS ("
+    + TOKENS_SQL
+    + "), tk AS (SELECT tok FROM toks WHERE tok <> ''), "
+    "cells AS (SELECT j AS row, CAST(CAST(CAST('0x' || substr(md5("
+    "CAST(j AS VARCHAR) || ':' || tok), 1, 15) AS UBIGINT) AS BIGINT)"
+    " % 1024 AS INT) AS col FROM tk, UNNEST(range(0, 4)) u(j)) "
+    "SELECT row, col, COUNT(*) AS cnt FROM cells GROUP BY row, col"
+)
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     text_col: str = "text",
@@ -188,20 +239,7 @@ def cms_heavy_hitters(
     construction.
     """
     toks = tokens_of(df, text_col)
-
-    def cell(j: int) -> Column:
-        return (
-            md5_hash60(F.concat(F.lit(f"{j}:"), F.col("tok"))) % width
-        ).cast("int")
-
-    cells = toks.select(
-        F.posexplode(F.array(*[cell(j) for j in range(depth)])).alias(
-            "row", "col"
-        )
-    )
-    cms = cells.groupBy("row", "col").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
-    )
+    cms = cms_cells(df, text_col, depth=depth, width=width)
 
     exact = toks.groupBy("tok").agg(
         F.count(F.lit(1)).cast("long").alias("true_cnt")
@@ -213,9 +251,9 @@ def cms_heavy_hitters(
     probes = top.select(
         "tok",
         "true_cnt",
-        F.posexplode(F.array(*[cell(j) for j in range(depth)])).alias(
-            "row", "col"
-        ),
+        F.posexplode(
+            F.array(*[_cms_cell(j, width) for j in range(depth)])
+        ).alias("row", "col"),
     )
     return (
         F.broadcast(probes)

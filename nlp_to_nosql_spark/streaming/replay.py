@@ -734,3 +734,76 @@ def replay_hll_accumulate(
             spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     return spark.read.parquet(table).select("reg", "max_rho")
+
+
+def replay_cms_accumulate(
+    spark: SparkSession,
+    docs: DataFrame,
+    tag: str = "cmsacc",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Streaming count-min accumulation — the ADDITIVE-merge twin of
+    :func:`replay_hll_accumulate`, demonstrating the sink discipline
+    additivity forces: unlike MAX (idempotent — re-merging a redelivered
+    batch is a no-op), SUM double-counts on foreachBatch's at-least-once
+    re-delivery.  Exactly-once is recovered the way transactional lake
+    sinks do it: each micro-batch writes its PARTIAL sketch to a
+    directory keyed by the checkpoint's ``batch_id``
+    (``.../batch_id=N``, mode=overwrite) — a retry of batch N overwrites
+    its own partial instead of adding to it — and the read side folds
+    the partials with one cell-wise SUM.  (stream11's latest-wins merge
+    absorbs re-delivery by idempotence; this absorbs it by keying writes
+    on the replayable batch id — the two halves of Spark's official
+    foreachBatch exactly-once recipe.)
+
+    State is ≤ depth × width ints per batch directory; compaction of old
+    partials into a base sketch is the same SUM, left to the caller.
+    Returns the folded ``(row, col, cnt)`` table — oracle shared with
+    the batch :func:`~nlp_to_nosql_spark.operators.sketch.cms_cells`.
+    """
+    import shutil
+
+    from nlp_to_nosql_spark.operators.sketch import cms_cells
+
+    src = docs.select("doc_id", "text")
+    in_path = _work_dir(f"{tag}_in")
+    src.repartition(2).write.mode("overwrite").parquet(in_path)
+
+    parts = _work_dir(f"{tag}_parts")
+    shutil.rmtree(parts, ignore_errors=True)
+    ckpt = _work_dir(f"{tag}_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_path)
+    )
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        # overwrite of the batch's OWN directory = retry-idempotent
+        cms_cells(batch, "text", depth=depth, width=width).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(parts, f"batch_id={batch_id}"))
+
+    with _REPLAY_CONF_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                stream.writeStream.foreachBatch(fold)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return (
+        spark.read.option("basePath", parts)
+        .parquet(parts)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

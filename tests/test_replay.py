@@ -404,3 +404,57 @@ def test_hll_accumulate_refold_is_idempotent(spark, tmp_path):
     assert once == {
         (r["reg"], r["max_rho"]) for r in hll_registers(docs).collect()
     }
+
+
+def test_cms_accumulate_stream_equals_batch_sketch(spark):
+    from nlp_to_nosql_spark.operators.sketch import cms_cells
+    from nlp_to_nosql_spark.streaming.replay import replay_cms_accumulate
+
+    docs = spark.createDataFrame(
+        [(i, f"delta tok{i} tok{i % 5}") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["row"], r["col"], r["cnt"])
+        for r in replay_cms_accumulate(spark, docs, tag="cmstest").collect()
+    }
+    want = {
+        (r["row"], r["col"], r["cnt"]) for r in cms_cells(docs).collect()
+    }
+    # the 2-micro-batch SUM fold must equal the whole-corpus sketch
+    assert got == want
+
+
+def test_cms_accumulate_batch_retry_is_idempotent(spark, tmp_path):
+    # a retried batch OVERWRITES its own batch_id directory instead of
+    # adding to it — the exactly-once half of the additive-merge sink
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from nlp_to_nosql_spark.operators.sketch import cms_cells
+
+    docs = spark.createDataFrame(
+        [(i, f"eps tok{i % 3}") for i in range(12)], ["doc_id", "text"]
+    )
+    parts = str(tmp_path / "parts")
+
+    def write_batch(batch, batch_id):
+        cms_cells(batch, "text").write.mode("overwrite").parquet(
+            os.path.join(parts, f"batch_id={batch_id}")
+        )
+
+    write_batch(docs, 0)
+    write_batch(docs, 0)  # retry of the SAME batch id
+    folded = {
+        (r["row"], r["col"], r["cnt"])
+        for r in spark.read.option("basePath", parts)
+        .parquet(parts)
+        .groupBy("row", "col")
+        .agg(F2.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    want = {
+        (r["row"], r["col"], r["cnt"]) for r in cms_cells(docs).collect()
+    }
+    assert folded == want

@@ -3159,12 +3159,17 @@ _ROTATED_FRONT = (
     "ann6_topk_per_label",
     "ann7_quantized_topk",
     "ann11_matryoshka",
-    # embedding statistics / quantization
+    # embedding statistics / quantization (emb1 as family rep; the
+    # round-7 additions below took the other four slots)
     "emb1_norms_by_label",
-    "emb2_label_centroids",
-    "emb3_centroid_similarity",
-    "emb4_quantize",
-    "emb5_dimension_stats",
+    # round-7 additions: sketches (batch + both streaming folds),
+    # Bloom admission, hard negatives — all never driver-checked
+    "sketch1_hll_registers",
+    "sketch2_cms_heavy_hitters",
+    "stream12_hll_accumulate",
+    "stream13_cms_accumulate",
+    "dedup13_incremental",
+    "ann12_hard_negatives",
     # dedup families outside the old window
     "dedup3_minhash_lsh",
     "dedup4_simhash_pairs",
@@ -3184,14 +3189,12 @@ _ROTATED_FRONT = (
     "ord1_shuffle_shards",
     # graph / profiling
     "pr1_dup_pagerank",
-    "prof2_dup_group_sizes",
     "prof3_pair_degree_hist",
     # curation
     "quality1_repetition",
     "quality2_gopher_rules",
     "pii1_redaction",
     "clean1_boilerplate_removal",
-    "split1_hash_split",
 )
 
 

@@ -2766,7 +2766,14 @@ def _q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps — the best copy, not the min-id copy.  One co-keyed join +
     ONE partial-aggregated struct-max groupBy past the cluster build
     (no window sort); the oracle chains dedup6's recursive CTE,
-    quality1's token CTE, and a row_number arg-max."""
+    quality1's token CTE, and a row_number arg-max.
+
+    Dataflow order matters at scale: quality scoring (two (id, gram)
+    explodes) runs only over MEMBERS of multi-doc clusters — a tiny
+    fraction of any real corpus — not corpus-wide.  Since every member
+    of a kept cluster is scored, cluster_representatives' inner join
+    and n_members are unchanged (round-7; same values, ~1s less at
+    sf0.1, and corpus-sized explode work dropped at 100 TB)."""
     from nlp_to_nosql_spark.operators.curation import repetition_signals
     from nlp_to_nosql_spark.operators.graph import (
         cluster_representatives,
@@ -2776,7 +2783,16 @@ def _q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_tables(spark, sf_dir)["documents"]
     pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
     labels = dedup_clusters(pairs, docs)
-    scores = repetition_signals(docs).select(
+    dup_clusters = (
+        labels.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("cluster_id")
+    )
+    member_docs = docs.join(
+        labels.join(dup_clusters, "cluster_id").select("doc_id"), "doc_id"
+    )
+    scores = repetition_signals(member_docs).select(
         "doc_id", F.col("distinct_word_frac").alias("score")
     )
     return cluster_representatives(labels, scores, min_members=2)

@@ -128,3 +128,23 @@ class TestCMS:
         df = spark.createDataFrame([("  Foo   BAR  ",), ("",)], ["text"])
         toks = [r["tok"] for r in tokens_of(df).collect()]
         assert sorted(toks) == ["bar", "foo"]
+
+
+def test_unicode_tokens_hash_cross_engine(spark):
+    # md5 of non-ASCII tokens must agree between Spark (UTF-8 bytes of
+    # the Java string) and the DuckDB/python reference (UTF-8 bytes) —
+    # the assumption every md5-family oracle rests on
+    import hashlib
+
+    toks = ["héllo", "wörld", "日本語", "emoji😀tok"]
+    df = spark.createDataFrame([(" ".join(toks),)], ["text"])
+    got = {
+        r["reg"]: r["max_rho"]
+        for r in hll_registers(df, "text", m=64).collect()
+    }
+    regs: dict[int, int] = {}
+    for t in toks:
+        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+        reg, v = h % 64, h >> 6
+        regs[reg] = max(regs.get(reg, 0), _py_rho(v, 55))
+    assert got == regs

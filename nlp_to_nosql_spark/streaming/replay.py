@@ -59,8 +59,11 @@ def _work_dir(tag: str) -> str:
 #: "shuffle partitions follow data size" rule as batch; a production
 #: deployment over unbounded input would raise it with executor count.
 #: Measured at sf0.1: 8 partitions run the sessionize replay 3× faster
-#: than 32.
-_REPLAY_PARTITIONS = 8
+#: than 32, and 4 shaves a further ~10 % (stream2 3.67→3.33 s,
+#: stream6 2.49→2.27 s, stream9 2.39→1.96 s, min-of-2 each); 2 gains
+#: nothing more, so 4 is the floor where commit overhead stops
+#: dominating without starving the Python state workers.
+_REPLAY_PARTITIONS = 4
 
 
 #: Serializes the shuffle-partition conf swap below: the conf is

@@ -1038,8 +1038,12 @@ def hard_negative_topk(
     scale contract (queries broadcast with the task closure, at most
     Q·k·n_batches candidate rows shuffle, corpus rows never do).
     Output ``(query_id, id, cos_sim)``, exact by construction, ties →
-    lowest id — identical ordering to :func:`topk_bruteforce`.
+    lowest id — identical ordering to :func:`topk_bruteforce`.  A query
+    whose label covers the whole corpus yields no rows (no negatives
+    exist); an empty ``queries`` list is rejected up front.
     """
+    if not queries:
+        raise ValueError("hard_negative_topk: queries must be non-empty")
     groups: dict[object, list[tuple[int, Sequence[float]]]] = {}
     for qid, vec, lbl in queries:
         groups.setdefault(lbl, []).append((qid, vec))

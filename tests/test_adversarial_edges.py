@@ -512,3 +512,64 @@ def test_cluster_representatives_string_ids(spark):
         for r in cluster_representatives(labels, scores).collect()
     }
     assert got == {1: ("docA", 5.0), 2: ("docC", 1.0)}
+
+
+# ---------------------------------------------------------------------------
+# round-7 families: sketches, streaming folds, hard negatives
+# ---------------------------------------------------------------------------
+
+def test_sketches_on_hostile_text(spark):
+    """NULL text, empty text, and whitespace-only text contribute zero
+    tokens — the sketches must not crash or count phantom tokens."""
+    from nlp_to_nosql_spark.operators.sketch import (
+        cms_cells,
+        hll_registers,
+        tokens_of,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "real tok")],
+        "doc_id long, text string",
+    )
+    assert tokens_of(docs).count() == 2  # only doc 4's tokens
+    assert hll_registers(docs).count() == 2
+    total = sum(r["cnt"] for r in cms_cells(docs).collect())
+    assert total == 2 * 4  # 2 tokens x depth 4 cells
+
+
+def test_sketches_on_empty_corpus(spark):
+    from nlp_to_nosql_spark.operators.sketch import (
+        cms_heavy_hitters,
+        hll_estimate,
+        hll_registers,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert hll_registers(empty).count() == 0
+    assert cms_heavy_hitters(empty).count() == 0
+    # all-zero registers -> linear-counting branch -> exactly 0
+    assert hll_estimate([], m=64) == 0
+
+
+def test_hll_accumulate_stream_empty_corpus(spark):
+    from nlp_to_nosql_spark.streaming.replay import replay_hll_accumulate
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = replay_hll_accumulate(spark, empty, tag="hlledge")
+    assert out.count() == 0
+
+
+def test_hard_negative_topk_edges(spark):
+    from nlp_to_nosql_spark.operators.similarity import hard_negative_topk
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a"), (2, [0.9, 0.1], "a"), (3, [0.0, 1.0], "a")],
+        "vec_id long, embedding array<float>, label string",
+    )
+    # query label covers the whole corpus: no negatives exist
+    assert (
+        hard_negative_topk(emb, [(0, [1.0, 0.0], "a")], k=2).count() == 0
+    )
+    # empty query list is a caller bug, rejected up front
+    with pytest.raises(ValueError):
+        hard_negative_topk(emb, [])

@@ -14,8 +14,11 @@ would measure the dup-explosion regime instead of scale).  Events get
 N× the users over the same time range, which is how event volume
 actually grows; embeddings get N× id-offset, slightly-shifted vectors.
 
-Usage: python tools/scale_probe.py [sf_dir] [copies] — writes a markdown
-table to stdout; ~2-4 min on local[32] at the default 10 copies.
+Usage: python tools/scale_probe.py [sf_dir] [copies] [probe ...] —
+writes a markdown table to stdout; ~2-4 min on local[32] at the default
+10 copies.  Optional probe names restrict the run (exact keys of the
+probes() dict) — e.g. the cheap new families at 100× without paying for
+the heavy dedup pipelines again.
 """
 
 from __future__ import annotations
@@ -104,6 +107,7 @@ def scaled_events(ev, copies=COPIES):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else COPIES
+    only = set(sys.argv[3:])  # empty = all probes
     spark = get_spark("scale_probe", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
     tables = register_tables(spark, sf_dir)
@@ -208,6 +212,15 @@ def main() -> int:
         return pq_encode(emb, model)
 
     def probes(docs, events, emb):
+        all_probes = _all_probes(docs, events, emb)
+        if only:
+            unknown = only - set(all_probes)
+            if unknown:
+                raise SystemExit(f"unknown probes: {sorted(unknown)}")
+            return {k: v for k, v in all_probes.items() if k in only}
+        return all_probes
+
+    def _all_probes(docs, events, emb):
         return {
             "pq_fit_and_encode": lambda: pq_probe(emb),
             "cdc_latest_wins": lambda: latest_wins(

@@ -51,6 +51,7 @@ from nlp_to_nosql_spark.operators.curation import (
     gopher_sql,
     hash_split_sql,
     mixture_sql,
+    stratified_split_sql,
     temperature_rate_ctes,
     temperature_sql,
 )
@@ -60,7 +61,10 @@ from nlp_to_nosql_spark.operators.changelog import (
     scd2_sql,
     snapshot_diff_sql,
 )
-from nlp_to_nosql_spark.operators.layout import zorder_profile_sql
+from nlp_to_nosql_spark.operators.layout import (
+    exact_quantiles_sql,
+    zorder_profile_sql,
+)
 from nlp_to_nosql_spark.operators.funnel import (
     cohort_sql,
     funnel_sql,
@@ -2250,6 +2254,34 @@ def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified split: per-language train/val/test whose
+    sizes hit the fractions exactly (floor of the cumulative per-mille
+    boundary, remainder to the last split), ranked by the seeded md5
+    shuffle — one stratum-key shuffle, deterministic in any engine.
+    The exact-fraction tier over split1's zero-shuffle expectation
+    tier."""
+    from nlp_to_nosql_spark.operators.curation import stratified_split
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return stratified_split(
+        docs, "lang", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+    )
+
+
+def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language character-length percentiles (percentile_disc
+    semantics, pure BIGINT): rows collapse to a domain-bounded per-value
+    histogram FIRST, so no corpus-scale sort exists anywhere in the
+    plan — the profiling signal that sets chunk/packing lengths."""
+    from nlp_to_nosql_spark.operators.layout import exact_quantiles
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return exact_quantiles(
+        docs, "n_chars", (25, 50, 75, 90, 99), group_col="lang"
+    )
+
+
 def _q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level boilerplate span removal (RefinedWeb/CCNet-style
     repeated-span cleaning, no reference analogue — the detect-only
@@ -3133,6 +3165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch2_cms_heavy_hitters": _q_cms_heavy_hitters,
         "stream12_hll_accumulate": _q_hll_accumulate_stream,
         "stream13_cms_accumulate": _q_cms_accumulate_stream,
+        "split2_stratified_split": _q_stratified_split,
+        "prof5_length_quantiles": _q_length_quantiles,
     }
     missing = [k for k in _ROTATED_FRONT if k not in base]
     assert not missing, f"rotation names unknown queries: {missing}"
@@ -4096,6 +4130,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "split1_hash_split": hash_split_sql(
             splits={"train": 0.9, "val": 0.05, "test": 0.05}, seed=23
+        ),
+        "split2_stratified_split": stratified_split_sql(
+            "documents",
+            "lang",
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+            seed=7,
+        ),
+        "prof5_length_quantiles": exact_quantiles_sql(
+            "documents", "n_chars", (25, 50, 75, 90, 99), group_col="lang"
         ),
         # Composed layout pipeline: each CTE block is the already-proven
         # oracle of its stage (boilerplate_removal_sql, cap_per_group_sql

@@ -135,3 +135,97 @@ def zorder_repartition(
         .sortWithinPartitions("_zkey")
         .drop("_zkey")
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    percentiles: Sequence[int] = (25, 50, 75, 90, 99),
+    group_col: str | None = None,
+) -> DataFrame:
+    """Exact (not approximate) percentiles of an integer-domain metric,
+    optionally per group — the profiling signal that sets chunk sizes,
+    length filters, and packing targets from the ACTUAL corpus length
+    distribution rather than ``approx_percentile``'s error band.
+
+    Semantics are SQL ``percentile_disc``: for percentile ``p`` the
+    result is the smallest value whose at-or-below row count reaches
+    ``p %`` of the (non-NULL) total — pure BIGINT comparisons
+    (``cum * 100 >= p * n``), so the DuckDB twin is value-exact.
+
+    Scale shape: this is NOT a sort of the corpus.  Rows collapse to a
+    per-value histogram first (one shuffle whose size is the number of
+    DISTINCT values — bounded by the metric's domain, e.g. plausible
+    character counts, NOT by corpus row count), and the cumulative
+    window then runs over that domain-bounded table.  With
+    ``group_col`` the window partitions by group; the global form is a
+    single-partition window over the histogram only — safe because the
+    domain, not the data, bounds it.  Exactness per 100 TB: the same
+    histogram trick Spark's own ``percentile`` UDAF can't use (its
+    buffer holds raw values).
+    """
+    from pyspark.sql import Window
+
+    pcts = [int(p) for p in percentiles]
+    if not pcts or any(p < 1 or p > 100 for p in pcts):
+        raise ValueError("percentiles must be integers in [1, 100]")
+    keys = [group_col] if group_col else []
+    v = F.col(value_col)
+    hist = (
+        df.where(v.isNotNull())
+        .groupBy(*keys, value_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    )
+    cum_w = (
+        Window.partitionBy(*keys)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy(*keys)
+    cum = hist.select(
+        *keys,
+        value_col,
+        F.sum("_cnt").over(cum_w).cast("long").alias("_cle"),
+        F.sum("_cnt").over(tot_w).cast("long").alias("_n"),
+    )
+    return (
+        cum.select(
+            *keys,
+            value_col,
+            "_cle",
+            "_n",
+            F.explode(F.array(*[F.lit(p) for p in pcts])).alias("pct"),
+        )
+        .where(
+            F.col("_cle") * F.lit(100)
+            >= F.col("pct").cast("long") * F.col("_n")
+        )
+        .groupBy(*keys, "pct")
+        .agg(F.min(value_col).alias("value"))
+    )
+
+
+def exact_quantiles_sql(
+    table: str = "documents",
+    value_col: str = "n_chars",
+    percentiles: Sequence[int] = (25, 50, 75, 90, 99),
+    group_col: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`exact_quantiles` — same histogram, same
+    cumulative frame, same BIGINT percentile-disc comparison."""
+    pcts = ", ".join(str(int(p)) for p in percentiles)
+    grp = f"{group_col}, " if group_col else ""
+    part = f"PARTITION BY {group_col} " if group_col else ""
+    return (
+        f"WITH hist AS (SELECT {grp}{value_col} AS value, "
+        f"CAST(COUNT(*) AS BIGINT) AS cnt FROM {table} "
+        f"WHERE {value_col} IS NOT NULL GROUP BY ALL), "
+        f"cum AS (SELECT {grp}value, "
+        f"CAST(SUM(cnt) OVER ({part}ORDER BY value "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        f"AS cle, CAST(SUM(cnt) OVER ({part.strip()}) AS BIGINT) AS n "
+        f"FROM hist) "
+        f"SELECT {grp}p.pct, MIN(value) AS value "
+        f"FROM cum CROSS JOIN (SELECT UNNEST([{pcts}]) AS pct) AS p "
+        f"WHERE cle * 100 >= p.pct * n GROUP BY ALL"
+    )

@@ -473,3 +473,51 @@ def test_consistent_key_sample_is_joinable(spark):
         ).fetchall()
     }
     assert ls == want
+
+
+def test_stratified_split_exact_counts_per_stratum(spark):
+    from nlp_to_nosql_spark.operators.curation import stratified_split
+
+    # deliberately uneven strata, including one smaller than 1/frac
+    sizes = {"en": 200, "de": 47, "fr": 9}
+    rows, i = [], 0
+    for lang, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, lang))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_split(
+        df, "lang", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+    )
+    counts = {
+        (r["lang"], r["split"]): r["count"]
+        for r in out.groupBy("lang", "split").count().collect()
+    }
+    for lang, n in sizes.items():
+        # cumulative per-mille boundaries: floor(800n/1000), floor(900n/1000)
+        n_train = (800 * n) // 1000
+        n_val = (900 * n) // 1000 - n_train
+        n_test = n - n_train - n_val
+        assert counts.get((lang, "train"), 0) == n_train, lang
+        assert counts.get((lang, "val"), 0) == n_val, lang
+        assert counts.get((lang, "test"), 0) == n_test, lang
+
+
+def test_stratified_split_partition_invariance_and_validation(spark):
+    import pytest as _pytest
+
+    from nlp_to_nosql_spark.operators.curation import stratified_split
+
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2]) for i in range(300)], "doc_id long, lang string"
+    )
+    out = stratified_split(df, "lang", {"train": 0.9, "test": 0.1}, seed=7)
+    again = stratified_split(
+        df.repartition(13), "lang", {"train": 0.9, "test": 0.1}, seed=7
+    )
+    assert sorted((r["doc_id"], r["split"]) for r in out.collect()) == sorted(
+        (r["doc_id"], r["split"]) for r in again.collect()
+    )
+    assert "_rn" not in out.columns and "_n" not in out.columns
+    with _pytest.raises(ValueError):
+        stratified_split(df, "lang", {"a": 0.8, "b": 0.3})

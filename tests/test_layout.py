@@ -96,3 +96,55 @@ def test_repartition_ranges_disjoint(grid):
         assert hi1 <= lo2  # range partitions do not overlap in z
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower()
+
+
+def _disc_quantile(values, pct):
+    # smallest v whose at-or-below count reaches pct% of len(values)
+    vals = sorted(values)
+    n = len(vals)
+    for i, v in enumerate(vals, start=1):
+        if i * 100 >= pct * n:
+            return v
+    return vals[-1]
+
+
+def test_exact_quantiles_matches_reference_global_and_grouped(spark):
+    from nlp_to_nosql_spark.operators.layout import exact_quantiles
+
+    a = [5, 1, 1, 9, 3, 3, 3, 40, -2, 7, 7, 0]
+    b = [100, 2, 2, 2, 50]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "grp string, v long")
+
+    got = {
+        (r["grp"], r["pct"]): r["value"]
+        for r in exact_quantiles(
+            df, "v", (1, 25, 50, 75, 100), group_col="grp"
+        ).collect()
+    }
+    for grp, vals in (("a", a), ("b", b)):
+        for pct in (1, 25, 50, 75, 100):
+            assert got[(grp, pct)] == _disc_quantile(vals, pct), (grp, pct)
+
+    both = a + b
+    got_g = {
+        r["pct"]: r["value"]
+        for r in exact_quantiles(df, "v", (50, 90)).collect()
+    }
+    assert got_g == {50: _disc_quantile(both, 50), 90: _disc_quantile(both, 90)}
+
+
+def test_exact_quantiles_ignores_nulls_and_validates(spark):
+    import pytest as _pytest
+
+    from nlp_to_nosql_spark.operators.layout import exact_quantiles
+
+    df = spark.createDataFrame(
+        [(1,), (None,), (3,), (None,)], "v long"
+    )
+    got = {r["pct"]: r["value"] for r in exact_quantiles(df, "v", (50, 100)).collect()}
+    assert got == {50: 1, 100: 3}
+    with _pytest.raises(ValueError):
+        exact_quantiles(df, "v", (0, 50))
+    with _pytest.raises(ValueError):
+        exact_quantiles(df, "v", ())

@@ -521,3 +521,15 @@ def test_stratified_split_partition_invariance_and_validation(spark):
     assert "_rn" not in out.columns and "_n" not in out.columns
     with _pytest.raises(ValueError):
         stratified_split(df, "lang", {"a": 0.8, "b": 0.3})
+
+
+def test_stratified_split_plan_single_exchange(spark):
+    from nlp_to_nosql_spark.operators.curation import stratified_split
+
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2]) for i in range(100)], "doc_id long, lang string"
+    )
+    out = stratified_split(df, "lang", {"train": 0.9, "test": 0.1}, seed=7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # both windows share the stratum-key partitioning: exactly one shuffle
+    assert plan.count("Exchange") == 1, plan

@@ -148,3 +148,18 @@ def test_exact_quantiles_ignores_nulls_and_validates(spark):
         exact_quantiles(df, "v", (0, 50))
     with _pytest.raises(ValueError):
         exact_quantiles(df, "v", ())
+
+
+def test_exact_quantiles_plan_shape(spark):
+    from nlp_to_nosql_spark.operators.layout import exact_quantiles
+
+    df = spark.createDataFrame(
+        [(i % 3, i % 17) for i in range(200)], "grp int, v long"
+    )
+    out = exact_quantiles(df, "v", (50, 90), group_col="grp")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # histogram agg + group-partitioned window: two bounded exchanges,
+    # and the window partitions by the group (never a single-partition
+    # global sort)
+    assert plan.count("Exchange") == 2, plan
+    assert "windowspecdefinition(grp" in plan, plan

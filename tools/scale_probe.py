@@ -140,7 +140,9 @@ def main() -> int:
     from nlp_to_nosql_spark.operators.curation import (
         consistent_key_sample,
         repetition_signals,
+        stratified_split,
     )
+    from nlp_to_nosql_spark.operators.layout import exact_quantiles
     from nlp_to_nosql_spark.operators.funnel import funnel_stages
     from nlp_to_nosql_spark.operators.graph import (
         cluster_representatives,
@@ -261,6 +263,12 @@ def main() -> int:
             "ann12_hard_negatives": lambda: hard_negative_probe(emb),
             "sketch1_hll_registers": lambda: hll_registers(docs),
             "sketch2_cms_heavy_hitters": lambda: cms_heavy_hitters(docs),
+            "split2_stratified": lambda: stratified_split(
+                docs, "lang", {"train": 0.8, "val": 0.1, "test": 0.1}
+            ),
+            "prof5_quantiles": lambda: exact_quantiles(
+                docs, "n_chars", (25, 50, 75, 90, 99), group_col="lang"
+            ),
         }
 
     # Discarded warm-up pass at 1x: JVM/codegen/Arrow warm-up otherwise

@@ -70,7 +70,9 @@ from nlp_to_nosql_spark.operators.funnel import (
     funnel_sql,
     transitions_sql,
 )
+from nlp_to_nosql_spark.operators.classify import hashed_linear_score_sql
 from nlp_to_nosql_spark.operators.graph import pagerank_sql
+from nlp_to_nosql_spark.operators.semdedup import semantic_dedup_sql
 from nlp_to_nosql_spark.operators.pq import (
     adc_rerank_sql,
     adc_topk_sql,
@@ -2282,6 +2284,31 @@ def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings into cells via an
+    exact integer-micro argmax (one Arrow matmul scan, zero shuffle),
+    then find semantic near-dups ONLY within each cell — O(n²/k), one
+    cluster-keyed shuffle — and keep the lowest id of each near-dup
+    pair.  Contract config: centroids = the 8 lowest-id vectors so the
+    argmax replays relationally in DuckDB."""
+    from nlp_to_nosql_spark.operators.semdedup import semantic_dedup
+
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    return semantic_dedup(emb, n_clusters=8, threshold=0.4)
+
+
+def _q_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (CCNet/RefinedWeb shape): hashed-
+    bag-of-words linear classifier — token → md5 bucket → int64 weight,
+    doc score = exact weight sum — as ONE zero-shuffle JVM projection.
+    Contract config uses md5-derived pseudo-weights; a trained
+    coefficient table drops in without changing the plan."""
+    from nlp_to_nosql_spark.operators.classify import hashed_linear_score
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return hashed_linear_score(docs, n_buckets=1024, scale=1000)
+
+
 def _q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level boilerplate span removal (RefinedWeb/CCNet-style
     repeated-span cleaning, no reference analogue — the detect-only
@@ -3167,6 +3194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream13_cms_accumulate": _q_cms_accumulate_stream,
         "split2_stratified_split": _q_stratified_split,
         "prof5_length_quantiles": _q_length_quantiles,
+        "dedup14_semdedup": _q_semantic_dedup,
+        "quality3_model_filter": _q_model_filter,
     }
     missing = [k for k in _ROTATED_FRONT if k not in base]
     assert not missing, f"rotation names unknown queries: {missing}"
@@ -4139,6 +4168,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "prof5_length_quantiles": exact_quantiles_sql(
             "documents", "n_chars", (25, 50, 75, 90, 99), group_col="lang"
+        ),
+        "dedup14_semdedup": semantic_dedup_sql(n_clusters=8, threshold=0.4),
+        "quality3_model_filter": hashed_linear_score_sql(
+            n_buckets=1024, scale=1000
         ),
         # Composed layout pipeline: each CTE block is the already-proven
         # oracle of its stage (boilerplate_removal_sql, cap_per_group_sql

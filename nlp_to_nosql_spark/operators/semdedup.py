@@ -1,0 +1,206 @@
+"""SemDeDup: semantic deduplication via clustered embedding near-dup pruning.
+
+Re-expresses the SemDeDup pipeline (Abbas et al., "SemDeDup: Data-efficient
+learning at web-scale through semantic deduplication", arXiv:2303.09540)
+Spark-first.  The idea: exact all-pairs cosine over a corpus is O(n²);
+cluster the embeddings first (k cells), then search for semantic
+near-duplicates only WITHIN each cell — the quadratic term drops to
+O(k · (n/k)²) = O(n²/k), and each cell's comparison is one dense numpy
+matmul inside ``applyInPandas``.
+
+Plan shape (the 100 TB story):
+
+* centroid load — bounded driver collect of ``n_clusters`` rows (same
+  contract as :class:`~nlp_to_nosql_spark.operators.ivf.IVFIndex`:
+  centroids are k×dim driver-resident floats; the corpus never is);
+* assignment — ONE zero-shuffle scan: an Arrow-batched pandas UDF doing
+  a single int64 matmul per batch (argmax over exact integer-micro dot
+  products, so the cell id is engine-reproducible — no float argmax
+  near-tie can flip between Spark and the DuckDB oracle);
+* within-cell pairs — ONE shuffle keyed on ``cluster_id``; each cell
+  computes a normalized float64 matmul and keeps pairs with
+  ``round(cos, 6) ≥ threshold`` (identical rounding contract to
+  :func:`~nlp_to_nosql_spark.operators.similarity.embedding_neardup_exact`).
+  At corpus scale ``n_clusters`` grows with n (10⁴–10⁵ cells), keeping
+  every cell bounded; a pathologically skewed cell can be sub-blocked
+  with the same block-pair replication ``embedding_neardup_exact`` uses;
+* keep/drop — lower-id-wins within a near-dup pair (the same
+  deterministic stand-in for SemDeDup's "keep one per group" that the
+  exact-dedup family uses), emitted as a ``kept`` flag via one
+  broadcast-sized left join on the distinct drop list.
+
+The CONTRACT configuration freezes the centroids to the ``n_clusters``
+lowest-id vectors so the whole pipeline — assignment argmax included —
+replays relationally in DuckDB (:func:`semantic_dedup_sql`).  Production
+callers pass ``centroids=`` from a sampled
+:meth:`~nlp_to_nosql_spark.operators.ivf.IVFIndex.fit` instead; the plan
+is identical, only the k×dim matrix changes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: floor-scale factor for integer-micro dot products (the repo-wide
+#: determinism discipline: float32 → float64 is exact, ×1e6 and floor are
+#: single IEEE ops, so numpy and DuckDB produce bit-equal BIGINTs).
+_MICRO = 1_000_000
+
+
+def _micro_matrix(vecs: pd.Series, dim: int) -> np.ndarray:
+    """float vectors → exact int64 micro matrix; ragged input fails loudly.
+
+    Mirrors the IntSRPLSH ragged guard: a vector whose length differs from
+    the centroid dim would silently zip-truncate in a HOF form — here it
+    raises instead of diverging.
+    """
+    rows = vecs.tolist()
+    if not rows:
+        return np.empty((0, dim), dtype=np.int64)
+    try:
+        x = np.asarray(rows, dtype=np.float64)
+    except ValueError as exc:  # ragged: numpy refuses the rectangular cast
+        raise ValueError(
+            f"semantic_dedup: ragged embedding column (expected dim={dim})"
+        ) from exc
+    if x.ndim != 2 or x.shape[1] != dim:
+        raise ValueError(
+            f"semantic_dedup: ragged or mis-sized embedding (expected dim={dim})"
+        )
+    return np.floor(x * _MICRO).astype(np.int64)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup keep/drop decisions: ``(id, cluster_id, kept)`` per vector.
+
+    ``kept`` is False iff some SAME-CLUSTER vector with a smaller id has
+    ``round(cosine, 6) ≥ threshold`` against this one (lower-id-wins, the
+    chain semantics of the exact-dedup family).  ``centroids`` defaults to
+    the ``n_clusters`` lowest-id vectors (the oracle-replayable contract
+    config); pass a fitted k×dim float matrix for production use.
+    """
+    narrow = df.select(id_col, vec_col)
+    if centroids is None:
+        rows = (
+            narrow.filter(F.col(id_col) < n_clusters)
+            .orderBy(id_col)
+            .collect()
+        )
+        if not rows:
+            raise ValueError("semantic_dedup: no centroid rows (empty input?)")
+        centroids = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    cents_micro = np.floor(
+        np.asarray(centroids, dtype=np.float64) * _MICRO
+    ).astype(np.int64)
+    dim = cents_micro.shape[1]
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = _micro_matrix(vecs, dim)
+        # exact int64 dots: |micro| ≤ ~2²⁰ per component, dim ≤ 2¹² keeps
+        # every dot far inside int64; argmax ties → lowest centroid id
+        # (np.argmax picks the first maximum).
+        dots = m @ cents_micro.T
+        return pd.Series(dots.argmax(axis=1).astype("int32"))
+
+    from nlp_to_nosql_spark.plans.caching import persisted
+
+    # the assignment frame feeds BOTH the pair search and the final
+    # keep/drop join — persist so the matmul scan runs once, not twice
+    # (storage level conf'd via spark.nlp2nosql.cache.vectors).
+    assigned = persisted(
+        narrow.withColumn("cluster_id", assign(F.col(vec_col))), "vectors"
+    )
+
+    thr = float(threshold)
+
+    def in_cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0] = np.inf  # zero vectors: cosine defined as 0
+        x = x / norms[:, None]
+        sims = np.round(x @ x.T, 6)
+        ia, ib = np.nonzero(sims >= thr)
+        keep = ids[ia] < ids[ib]
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia][keep],
+                "id_b": ids[ib][keep],
+                "cluster_id": pdf["cluster_id"].to_numpy()[ia][keep],
+                "cos_sim": sims[ia, ib][keep],
+            }
+        )
+
+    pairs = assigned.groupBy("cluster_id").applyInPandas(
+        lambda _key, pdf: in_cell_pairs(pdf),
+        "id_a long, id_b long, cluster_id int, cos_sim double",
+    )
+
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return (
+        assigned.select(
+            id_col, F.col("cluster_id").cast("long").alias("cluster_id")
+        )
+        # drop list ≤ corpus and usually ≪ it → broadcast-sized in the
+        # common case; Spark's AQE picks broadcast vs shuffle from the
+        # actual size, so no hint is hard-coded.
+        .join(drops.withColumn("_dropped", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+def semantic_dedup_sql(
+    n_clusters: int = 8,
+    threshold: float = 0.4,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup` at the contract config —
+    relational replay of the integer-micro assignment argmax (dot desc,
+    centroid-id asc), the within-cell round-6 cosine pairs, and the
+    lower-id-wins drop list."""
+    return (
+        f"WITH m AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v, "
+        f"list_transform(CAST({vec_col} AS DOUBLE[]), "
+        "x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS mv "
+        f"FROM {table}), "
+        f"cents AS (SELECT {id_col} AS c_id, mv AS cv FROM m "
+        f"WHERE {id_col} < {n_clusters}), "
+        f"mx AS (SELECT {id_col}, CAST(i AS BIGINT) AS j, mv[i + 1] AS x "
+        "FROM m, UNNEST(range(0, len(mv))) u(i)), "
+        "cx AS (SELECT c_id, CAST(i AS BIGINT) AS j, cv[i + 1] AS c "
+        "FROM cents, UNNEST(range(0, len(cv))) u(i)), "
+        f"dots AS (SELECT mx.{id_col}, cx.c_id, SUM(mx.x * cx.c) AS dot "
+        f"FROM mx JOIN cx ON cx.j = mx.j GROUP BY mx.{id_col}, cx.c_id), "
+        f"assign AS (SELECT {id_col}, c_id AS cluster_id FROM dots "
+        f"QUALIFY ROW_NUMBER() OVER (PARTITION BY {id_col} "
+        "ORDER BY dot DESC, c_id) = 1), "
+        f"pairs AS (SELECT sb.{id_col} AS id_b "
+        "FROM assign sa JOIN assign sb ON sa.cluster_id = sb.cluster_id "
+        f"AND sa.{id_col} < sb.{id_col} "
+        f"JOIN m a ON a.{id_col} = sa.{id_col} "
+        f"JOIN m b ON b.{id_col} = sb.{id_col} "
+        f"WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {threshold}) "
+        f"SELECT s.{id_col}, CAST(s.cluster_id AS BIGINT) AS cluster_id, "
+        "(d.id_b IS NULL) AS kept "
+        "FROM assign s LEFT JOIN (SELECT DISTINCT id_b FROM pairs) d "
+        f"ON d.id_b = s.{id_col}"
+    )

@@ -1,0 +1,93 @@
+"""Hashed-linear quality classifier vs a pure-python md5 model."""
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import types as T
+
+from nlp_to_nosql_spark.operators.classify import hashed_linear_score
+
+N_BUCKETS = 64
+SCALE = 100
+
+
+def _h15(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _model_score(text: str):
+    norm = re.sub(r"\s+", " ", text.strip().lower())
+    toks = [t for t in norm.split(" ") if t != ""]
+    if not toks:
+        return None
+    s = 0
+    for t in toks:
+        bucket = _h15(t) % N_BUCKETS
+        s += _h15(f"qw:{bucket}") % (2 * SCALE + 1) - SCALE
+    return len(toks), s, round(s / len(toks), 6), s > 0
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog"),
+        (1, "  Multiple   SPACES\tand\nnewlines  "),
+        (2, ""),  # zero tokens → filtered
+        (3, "   \t  "),  # whitespace only → filtered
+        (4, "one"),
+        (5, "repeat repeat repeat repeat"),
+        (6, "Ünïcode tökens and punctuation, too!"),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    return rows, spark.createDataFrame(rows, schema)
+
+
+def test_matches_pure_python_model(docs):
+    rows, df = docs
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["score_sum"], r["score"], r["keep"])
+        for r in hashed_linear_score(df, n_buckets=N_BUCKETS, scale=SCALE).collect()
+    }
+    want = {i: _model_score(t) for i, t in rows if _model_score(t) is not None}
+    assert got == want
+
+
+def test_zero_token_docs_filtered(docs):
+    _, df = docs
+    ids = {
+        r["doc_id"]
+        for r in hashed_linear_score(df, n_buckets=N_BUCKETS, scale=SCALE).collect()
+    }
+    assert 2 not in ids and 3 not in ids
+
+
+def test_keep_is_sign_of_exact_sum(docs):
+    _, df = docs
+    for r in hashed_linear_score(df, n_buckets=N_BUCKETS, scale=SCALE).collect():
+        assert r["keep"] == (r["score_sum"] > 0)
+        assert abs(r["score_sum"]) <= SCALE * r["n_tokens"]
+
+
+def test_repeated_token_scales_linearly(docs):
+    rows, df = docs
+    got = {
+        r["doc_id"]: r
+        for r in hashed_linear_score(df, n_buckets=N_BUCKETS, scale=SCALE).collect()
+    }
+    one = got[4]["score_sum"]  # weight of the single token "one"
+    # doc 5 is one token repeated 4x of a different word; check doc 4's
+    # own linearity via the model instead: score of "one one one" = 3*w
+    import pyspark.sql.functions as F
+
+    df3 = df.filter(F.col("doc_id") == 4).withColumn(
+        "text", F.lit("one one one")
+    )
+    tripled = hashed_linear_score(df3, n_buckets=N_BUCKETS, scale=SCALE).collect()[0]
+    assert tripled["score_sum"] == 3 * one
+    assert tripled["score"] == got[4]["score"]

@@ -1,0 +1,134 @@
+"""SemDeDup: clustered semantic dedup — assignment exactness, within-cell
+pair semantics, lower-id-wins keep/drop, and the ragged guard."""
+
+import numpy as np
+import pytest
+from pyspark.sql import types as T
+
+from nlp_to_nosql_spark.operators.semdedup import _MICRO, semantic_dedup
+
+DIM = 8
+
+
+def _df(spark, vecs):
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)], schema
+    )
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(40, DIM).astype(np.float32)
+    # vec 9 ≈ vec 0 (cosine ~1) and vec 17 = 2.5 * vec 0 (cosine exactly 1)
+    vecs[9] = vecs[0] + rng.randn(DIM).astype(np.float32) * 0.005
+    vecs[17] = vecs[0] * 2.5
+    return vecs, _df(spark, vecs)
+
+
+def _numpy_assign(vecs, n_clusters):
+    m = np.floor(vecs.astype(np.float64) * _MICRO).astype(np.int64)
+    cents = m[:n_clusters]
+    return (m @ cents.T).argmax(axis=1)
+
+
+def test_assignment_matches_numpy_model(planted):
+    vecs, df = planted
+    rows = semantic_dedup(df, n_clusters=4, threshold=0.99).collect()
+    want = _numpy_assign(vecs, 4)
+    got = {r["vec_id"]: r["cluster_id"] for r in rows}
+    assert got == {i: int(want[i]) for i in range(len(vecs))}
+
+
+def test_lower_id_wins_within_cell(planted):
+    vecs, df = planted
+    kept = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(df, n_clusters=4, threshold=0.99).collect()
+    }
+    assign = _numpy_assign(vecs, 4)
+    # the planted dups of vec 0: any that share vec 0's cell must be
+    # dropped (vec 0 is the lowest id); vec 0 itself survives
+    assert kept[0] is True
+    for j in (9, 17):
+        if assign[j] == assign[0]:
+            assert kept[j] is False
+
+
+def test_no_pairs_below_threshold_all_kept(spark):
+    # mutually near-orthogonal unit vectors: no cosine reaches 0.9
+    vecs = np.eye(6, DIM, dtype=np.float32) + 0.01
+    rows = semantic_dedup(_df(spark, vecs), n_clusters=2, threshold=0.9).collect()
+    assert all(r["kept"] for r in rows)
+
+
+def test_cross_cell_dups_are_not_compared(spark):
+    # v_a and v_b have cosine ~0.62 (>= 0.4) but argmax-assign to
+    # DIFFERENT cells of the explicit axis centroids — SemDeDup by
+    # construction only prunes within a cell, so both survive.
+    v_a = np.zeros(DIM, dtype=np.float32)
+    v_a[0] = 1.0
+    v_b = np.zeros(DIM, dtype=np.float32)
+    v_b[0], v_b[1] = 0.8, 1.0
+    cos = float(v_a @ v_b / (np.linalg.norm(v_a) * np.linalg.norm(v_b)))
+    assert 0.4 <= round(cos, 6) < 0.99
+    cents = np.eye(2, DIM)
+    rows = semantic_dedup(
+        _df(spark, [v_a, v_b]), threshold=0.4, centroids=cents
+    ).collect()
+    by_id = {r["vec_id"]: r for r in rows}
+    assert by_id[0]["cluster_id"] == 0 and by_id[1]["cluster_id"] == 1
+    assert by_id[0]["kept"] is True and by_id[1]["kept"] is True
+    # same data, ONE cell → the pair IS compared and the higher id drops
+    one_cell = semantic_dedup(
+        _df(spark, [v_a, v_b]), threshold=0.4, centroids=cents[:1]
+    ).collect()
+    kept = {r["vec_id"]: r["kept"] for r in one_cell}
+    assert kept == {0: True, 1: False}
+
+
+def test_explicit_centroids_param(spark):
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(12, DIM).astype(np.float32)
+    cents = rng.randn(3, DIM)
+    rows = semantic_dedup(
+        _df(spark, vecs), threshold=0.99, centroids=cents
+    ).collect()
+    m = np.floor(vecs.astype(np.float64) * _MICRO).astype(np.int64)
+    cm = np.floor(cents * _MICRO).astype(np.int64)
+    want = (m @ cm.T).argmax(axis=1)
+    assert {r["vec_id"]: r["cluster_id"] for r in rows} == {
+        i: int(want[i]) for i in range(12)
+    }
+
+
+def test_ragged_embedding_raises(spark):
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(0, [1.0] * DIM), (1, [1.0] * (DIM - 1)), (2, [0.5] * DIM)], schema
+    )
+    cents = np.eye(2, DIM)
+    with pytest.raises(Exception, match="ragged"):
+        semantic_dedup(df, threshold=0.9, centroids=cents).collect()
+
+
+def test_empty_input_raises(spark):
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    with pytest.raises(ValueError, match="no centroid rows"):
+        semantic_dedup(spark.createDataFrame([], schema), n_clusters=4)

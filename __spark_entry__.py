@@ -3269,11 +3269,13 @@ _ROTATED_FRONT = (
     # graph / profiling
     "pr1_dup_pagerank",
     "prof3_pair_degree_hist",
-    # curation
-    "quality1_repetition",
-    "quality2_gopher_rules",
+    # curation (quality1/quality2 rotate OUT — driver-green in the
+    # pinned rounds-4-6 window — making room for the round-7 pair)
     "pii1_redaction",
     "clean1_boilerplate_removal",
+    # round-7 late additions: semantic dedup + model-based filtering
+    "dedup14_semdedup",
+    "quality3_model_filter",
 )
 
 

@@ -160,6 +160,8 @@ def main() -> int:
         cms_heavy_hitters,
         hll_registers,
     )
+    from nlp_to_nosql_spark.operators.classify import hashed_linear_score
+    from nlp_to_nosql_spark.operators.semdedup import semantic_dedup
 
     query_vec = [float(x) for x in tables["embeddings"].first()["embedding"]]
 
@@ -212,6 +214,15 @@ def main() -> int:
         # the growth factor measures the zero-shuffle projection.
         model = fit_pq(emb, m=4, k=16, seed=7)
         return pq_encode(emb, model)
+
+    def semdedup_probe(emb):
+        # SemDeDup's scale contract: n_clusters grows with n so cell
+        # size stays bounded and the within-cell O(n²/k) term stays
+        # linear overall.  Cell target ~250 rows mirrors the contract
+        # config at sf0.1 (2000 rows / 8 cells); the count job runs
+        # inside the timed region but is one cheap metadata-ish scan.
+        n = max(8, emb.count() // 250)
+        return semantic_dedup(emb, n_clusters=n, threshold=0.4)
 
     def probes(docs, events, emb):
         all_probes = _all_probes(docs, events, emb)
@@ -268,6 +279,10 @@ def main() -> int:
             ),
             "prof5_quantiles": lambda: exact_quantiles(
                 docs, "n_chars", (25, 50, 75, 90, 99), group_col="lang"
+            ),
+            "dedup14_semdedup": lambda: semdedup_probe(emb),
+            "quality3_model_filter": lambda: hashed_linear_score(
+                docs, n_buckets=1024, scale=1000
             ),
         }
 

@@ -1925,6 +1925,32 @@ def _q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, "doc_id", "text", k=3)
 
 
+#: (query_id, token) rows for the BM25 retrieval query — shared verbatim
+#: by the Spark frame and the DuckDB oracle so both engines score the
+#: exact same term sets.
+_BM25_QUERY_ROWS = (
+    ("q1", "fast"), ("q1", "merge"), ("q1", "join"),
+    ("q2", "window"), ("q2", "filter"), ("q2", "stream"),
+    ("q3", "slow"), ("q3", "customer"), ("q3", "data"), ("q3", "the"),
+)
+
+
+def _bm25_oracle_sql() -> str:
+    from nlp_to_nosql_spark.operators.terms import bm25_topk_sql
+
+    return bm25_topk_sql(list(_BM25_QUERY_ROWS), k=5)
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nlp_to_nosql_spark.operators.terms import bm25_topk
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    qterms = spark.createDataFrame(
+        list(_BM25_QUERY_ROWS), schema="query_id string, token string"
+    )
+    return bm25_topk(docs, qterms, "doc_id", "text", k=5)
+
+
 def _q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_tables(spark, sf_dir)["documents"]
     return dd.duplicated_spans(docs, "doc_id", "text", k=5, stride=2)
@@ -3055,6 +3081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann4_batch_topk": _q_ann_batch,
         "text1_analysis": _q_text_analysis,
         "text3_tfidf_terms": _q_tfidf_terms,
+        "text4_bm25_topk": _q_bm25_topk,
         "pipe1_curation": _q_curation_pipeline,
         "sub1_above_global_avg": _q_subq_above_global_avg,
         "sub3_quiet_high_balance": _q_quiet_high_balance,
@@ -3826,6 +3853,7 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY doc_id ORDER BY score DESC, token) AS INT) AS rk "
             "FROM scored) t WHERE rk <= 3"
         ),
+        "text4_bm25_topk": _bm25_oracle_sql(),
         "dedup8_duplicated_spans": (
             "WITH words AS (SELECT doc_id, string_split("
             + tx.NORMALIZE_SQL.format(c="text") + ", ' ') AS w "

@@ -418,3 +418,184 @@ def collocations_sql(
         "FROM pc JOIN fx USING (w1) JOIN fy USING (w2) CROSS JOIN nn "
         f"WHERE pc.n_pair >= {int(min_count)}"
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk_buckets: int = 8,
+) -> DataFrame:
+    """Distributed BM25 retrieval: top-``k`` documents per query —
+    ``(query_id, rk, id, score_micro)``.
+
+    The lexical-retrieval pass a training-data pipeline runs for RAG
+    eval sets and hard-negative pools (the sparse complement of
+    ``similarity.hard_negative_topk``).  Reference parity: the reference
+    has no retrieval scoring (SURVEY §2.8 — absent); part of the
+    beyond-reference LLM-pipeline extension set.
+
+    ``query_terms`` is a small ``(query_id, token)`` frame (deduplicated
+    here — a repeated term must not double-count).  Scoring is the
+    Lucene BM25 variant: ``idf = ln(1 + (N − df + 0.5)/(df + 0.5))``
+    (always positive) with the usual ``tf·(k1+1) / (tf + k1·(1 − b +
+    b·dl/avgdl))`` saturation.  Each per-term score is floored to an
+    integer micro (``floor(score·1e6)`` BIGINT) BEFORE the per-document
+    sum, so the aggregate is a partition-order-free integer sum and the
+    SQL twin is value-exact: every float op (sub, add, div, ln, mul,
+    floor) is the same correctly-rounded IEEE double op in the same
+    association on both engines (same discipline as
+    ``bigram_collocations``; ``ln`` is the one op trusted to the two
+    libms, and a disagreement would need a score within 1 ulp of a
+    1e-6 grid line to surface).
+
+    100 TB shape: ONE corpus-token-sized exchange — the (id, token)
+    groupBy that builds the TF table.  Document length is counted
+    scan-side (non-empty normalized tokens, an array filter — equal to
+    ``sum(tf)`` per doc by construction, including the empty-document
+    case), so ``dl`` and ``total_tokens`` never re-shuffle the token
+    stream; the broadcast query-token join prunes TF to candidates
+    before any scoring, and df for the query tokens is counted from
+    that pruned table.  The final top-k never funnels a query's full
+    candidate set through one reducer: a deterministic ``xxhash64``
+    salt splits each query into ``topk_buckets`` partial top-k windows,
+    and the global window sees at most ``topk_buckets·k`` rows per
+    query.
+    """
+    from nlp_to_nosql_spark.functions.text import normalize_text
+    from nlp_to_nosql_spark.operators.dedup import tokenized
+
+    toks = tokenized(df, id_col, text_col).select(
+        F.col(id_col),
+        F.explode(F.col("_words")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    qterms = query_terms.select("query_id", "token").distinct()
+    qtok = qterms.select("token").distinct()
+
+    cand0 = tf.join(F.broadcast(qtok), "token")
+    dfc = cand0.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    dl = df.select(
+        F.col(id_col),
+        F.size(
+            F.filter(
+                F.split(normalize_text(F.col(text_col)), " "),
+                lambda x: x != F.lit(""),
+            )
+        )
+        .cast("long")
+        .alias("dl"),
+    )
+    stats = (
+        df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .crossJoin(
+            F.broadcast(
+                dl.agg(F.sum("dl").cast("long").alias("total_tokens"))
+            )
+        )
+    )
+
+    nd = F.col("n_docs").cast("double")
+    dfd = F.col("df").cast("double")
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    avgdl = F.col("total_tokens").cast("double") / nd
+    idf = F.log(
+        F.lit(1.0) + ((nd - dfd) + F.lit(0.5)) / (dfd + F.lit(0.5))
+    )
+    norm = tfd + F.lit(float(k1)) * (
+        F.lit(1.0 - float(b)) + F.lit(float(b)) * (dld / avgdl)
+    )
+    term_micro = (
+        F.floor(idf * ((tfd * F.lit(float(k1) + 1.0)) / norm) * F.lit(1000000.0))
+        .cast("long")
+    )
+
+    scored = (
+        cand0.join(F.broadcast(qterms), "token")
+        .join(dfc, "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", id_col)
+        .agg(F.sum(term_micro).cast("long").alias("score_micro"))
+    )
+    order = [F.desc("score_micro"), F.asc(id_col)]
+    partial = Window.partitionBy(
+        "query_id", F.pmod(F.xxhash64(F.col(id_col)), F.lit(topk_buckets))
+    ).orderBy(*order)
+    final = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("_prk", F.row_number().over(partial))
+        .filter(F.col("_prk") <= k)
+        .withColumn("rk", F.row_number().over(final).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", id_col, "score_micro")
+    )
+
+
+def bm25_topk_sql(
+    query_rows: "list[tuple[str, str]]",
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB oracle twin of :func:`bm25_topk`.
+
+    Float literals are injected via ``repr()`` of the SAME Python
+    doubles the Column form uses (shortest-roundtrip decimals), so both
+    engines evaluate bit-identical constants.
+    """
+    from nlp_to_nosql_spark.functions.text import NORMALIZE_SQL
+
+    norm = NORMALIZE_SQL.format(c=text_col)
+    values = " UNION ALL ".join(
+        f"SELECT '{q}' AS query_id, '{t}' AS token" for q, t in query_rows
+    )
+    c_k1 = repr(float(k1))
+    c_tf = repr(float(k1) + 1.0)
+    c_omb = repr(1.0 - float(b))
+    c_b = repr(float(b))
+    return (
+        f"WITH words AS (SELECT {id_col}, string_split({norm}, ' ') AS w "
+        f"FROM {table}), "
+        f"toks AS (SELECT {id_col}, unnest(w) AS token FROM words), "
+        f"tf AS (SELECT {id_col}, token, CAST(COUNT(*) AS BIGINT) AS tf "
+        f"FROM toks WHERE token <> '' GROUP BY {id_col}, token), "
+        f"q AS (SELECT DISTINCT query_id, token FROM ({values})), "
+        "dfc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf "
+        "WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY token), "
+        f"dl AS (SELECT {id_col}, CAST(len(list_filter(string_split("
+        f"{norm}, ' '), x -> x <> '')) AS BIGINT) AS dl FROM {table}), "
+        f"n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table}), "
+        "tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl), "
+        f"scored AS (SELECT q.query_id, tf.{id_col}, "
+        "CAST(FLOOR("
+        "ln(1.0 + ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5) "
+        "/ (CAST(df AS DOUBLE) + 0.5)) "
+        f"* ((CAST(tf AS DOUBLE) * {c_tf}) / "
+        f"(CAST(tf AS DOUBLE) + {c_k1} * ({c_omb} + {c_b} * "
+        "(CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) "
+        "/ CAST(n_docs AS DOUBLE)))))) "
+        "* 1000000.0) AS BIGINT) AS term_micro "
+        "FROM tf JOIN q USING (token) JOIN dfc USING (token) "
+        f"JOIN dl USING ({id_col}) CROSS JOIN n CROSS JOIN tot), "
+        f"agg AS (SELECT query_id, {id_col}, "
+        "CAST(SUM(term_micro) AS BIGINT) AS score_micro "
+        f"FROM scored GROUP BY query_id, {id_col}) "
+        f"SELECT query_id, rk, {id_col}, score_micro FROM ("
+        f"SELECT query_id, {id_col}, score_micro, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+        f"ORDER BY score_micro DESC, {id_col}) AS INT) AS rk FROM agg) t "
+        f"WHERE rk <= {int(k)}"
+    )

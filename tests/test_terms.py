@@ -205,3 +205,93 @@ def test_source_divergence_detects_drift(spark):
     }
     assert got[("s1", "s2")] == 0  # identical distributions
     assert got[("s1", "s3")] > 0 and got[("s2", "s3")] > 0
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+def _bm25_collect(spark, docs_rows, query_rows, **kw):
+    from nlp_to_nosql_spark.operators.terms import bm25_topk
+
+    docs = spark.createDataFrame(docs_rows, SCHEMA)
+    q = spark.createDataFrame(query_rows, "query_id string, token string")
+    return bm25_topk(docs, q, "doc_id", "text", **kw).collect()
+
+
+def test_bm25_ranks_by_match_strength(spark):
+    # d0 matches both terms, d1 one term (twice), d2 neither.
+    rows = _bm25_collect(
+        spark,
+        [
+            (0, "apple banana cherry"),
+            (1, "apple apple durian"),
+            (2, "cherry durian fig"),
+        ],
+        [("q1", "apple"), ("q1", "banana")],
+        k=5,
+    )
+    got = [(r["rk"], r["doc_id"]) for r in sorted(rows, key=lambda r: r["rk"])]
+    # banana (df=1) has higher idf than apple (df=2); d0 holds both terms.
+    assert [d for _, d in got] == [0, 1]
+    assert all(r["score_micro"] > 0 for r in rows)
+
+
+def test_bm25_duplicate_query_terms_not_double_counted(spark):
+    docs = [(0, "apple banana"), (1, "apple cherry")]
+    once = _bm25_collect(spark, docs, [("q1", "apple")])
+    twice = _bm25_collect(spark, docs, [("q1", "apple"), ("q1", "apple")])
+    key = lambda rows: sorted((r["rk"], r["doc_id"], r["score_micro"]) for r in rows)
+    assert key(once) == key(twice)
+
+
+def test_bm25_absent_term_and_empty_query_set(spark):
+    docs = [(0, "apple banana"), (1, "cherry durian")]
+    # A term absent from the corpus contributes nothing (df would be 0).
+    rows = _bm25_collect(spark, docs, [("q1", "apple"), ("q1", "zzz")])
+    assert [r["doc_id"] for r in rows] == [0]
+    assert _bm25_collect(spark, docs, [("qx", "zzz")]) == []
+    from nlp_to_nosql_spark.operators.terms import bm25_topk
+
+    empty_q = spark.createDataFrame([], "query_id string, token string")
+    out = bm25_topk(
+        spark.createDataFrame(docs, SCHEMA), empty_q, "doc_id", "text"
+    )
+    assert out.count() == 0
+
+
+def test_bm25_salted_topk_matches_single_bucket(spark):
+    docs = [(i, f"apple w{i % 4} w{i % 7}") for i in range(40)]
+    q = [("q1", "apple"), ("q1", "w1"), ("q2", "w2")]
+    a = _bm25_collect(spark, docs, q, k=3, topk_buckets=1)
+    b = _bm25_collect(spark, docs, q, k=3, topk_buckets=8)
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    assert key(a) == key(b) and len(a) == 6
+
+
+def test_bm25_matches_duckdb(spark):
+    import os
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        import pytest
+
+        pytest.skip("testdata not present")
+    import duckdb
+
+    from nlp_to_nosql_spark.operators.terms import bm25_topk, bm25_topk_sql
+    from nlp_to_nosql_spark.sources.catalog import register_tables
+
+    qrows = [("q1", "fast"), ("q1", "merge"), ("q2", "the"), ("q2", "stream")]
+    docs = register_tables(spark, sf_dir)["documents"]
+    q = spark.createDataFrame(qrows, "query_id string, token string")
+    got = sorted(
+        tuple(r) for r in bm25_topk(docs, q, "doc_id", "text", k=5).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(con.execute(bm25_topk_sql(qrows, k=5)).fetchall())
+    assert got == want and len(got) == 10

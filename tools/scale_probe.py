@@ -224,6 +224,27 @@ def main() -> int:
         n = max(8, emb.count() // 250)
         return semantic_dedup(emb, n_clusters=n, threshold=0.4)
 
+    def bm25_probe(docs):
+        # the text4 chain: TF build + broadcast query-term prune +
+        # salted two-stage top-k.  Query tokens are rotated per copy by
+        # scaled_documents' Caesar translate, so probe terms from the
+        # UNROTATED vocabulary only match copy 0 — include their rot-1
+        # and rot-2 variants so candidate volume grows with the corpus.
+        from nlp_to_nosql_spark.operators.terms import bm25_topk
+
+        alpha = string.ascii_lowercase
+        base = [("q1", "fast"), ("q1", "merge"), ("q2", "stream"),
+                ("q2", "filter"), ("q3", "the")]
+        rows = [
+            (q, t.translate(str.maketrans(alpha, alpha[i:] + alpha[:i])))
+            for i in range(3)
+            for q, t in base
+        ]
+        qterms = docs.sparkSession.createDataFrame(
+            rows, "query_id string, token string"
+        )
+        return bm25_topk(docs, qterms, "doc_id", "text", k=5)
+
     def probes(docs, events, emb):
         all_probes = _all_probes(docs, events, emb)
         if only:
@@ -284,6 +305,7 @@ def main() -> int:
             "quality3_model_filter": lambda: hashed_linear_score(
                 docs, n_buckets=1024, scale=1000
             ),
+            "text4_bm25_topk": lambda: bm25_probe(docs),
         }
 
     # Discarded warm-up pass at 1x: JVM/codegen/Arrow warm-up otherwise

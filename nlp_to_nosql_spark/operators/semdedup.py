@@ -17,13 +17,19 @@ Plan shape (the 100 TB story):
   a single int64 matmul per batch (argmax over exact integer-micro dot
   products, so the cell id is engine-reproducible — no float argmax
   near-tie can flip between Spark and the DuckDB oracle);
-* within-cell pairs — ONE shuffle keyed on ``cluster_id``; each cell
-  computes a normalized float64 matmul and keeps pairs with
-  ``round(cos, 6) ≥ threshold`` (identical rounding contract to
-  :func:`~nlp_to_nosql_spark.operators.similarity.embedding_neardup_exact`).
+* within-cell pairs — ONE shuffle keyed on ``(cluster_id, sub-block
+  pair)``; each group computes a normalized float64 matmul and keeps
+  pairs with ``round(cos, 6) ≥ threshold`` (identical rounding contract
+  to :func:`~nlp_to_nosql_spark.operators.similarity.embedding_neardup_exact`).
   At corpus scale ``n_clusters`` grows with n (10⁴–10⁵ cells), keeping
-  every cell bounded; a pathologically skewed cell can be sub-blocked
-  with the same block-pair replication ``embedding_neardup_exact`` uses;
+  every cell bounded — and a pathologically skewed cell (one cluster
+  absorbing a large corpus fraction) is SUB-BLOCKED with the same
+  block-pair replication ``embedding_neardup_exact`` uses: rows of a
+  cell larger than ``cell_block_size`` hash into ⌈cell/cbs⌉ sub-blocks
+  and replicate to every unordered sub-block pair, so no single Python
+  worker ever materializes more than an O(cell_block_size²) similarity
+  matrix regardless of skew (enforced by the skewed-fixture test in
+  ``tests/test_semdedup.py``);
 * keep/drop — lower-id-wins within a near-dup pair (the same
   deterministic stand-in for SemDeDup's "keep one per group" that the
   exact-dedup family uses), emitted as a ``kept`` flag via one
@@ -73,6 +79,60 @@ def _micro_matrix(vecs: pd.Series, dim: int) -> np.ndarray:
     return np.floor(x * _MICRO).astype(np.int64)
 
 
+def _sub_blocked(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_block_size: int,
+) -> DataFrame:
+    """Replicate each row to every unordered sub-block pair of its cell.
+
+    A cell with ``n`` rows hashes into ``⌈n / cell_block_size⌉``
+    sub-blocks (id-hash, so no extra pass over the data is needed to
+    split it); each row then explodes to every unordered pair containing
+    its sub-block — ``embedding_neardup_exact``'s block-pair scheme
+    (``similarity.py``) applied per cell.  Cells at or under
+    ``cell_block_size`` get exactly one ``(0, 0)`` group, i.e. zero
+    replication — the skew machinery costs nothing when there is no
+    skew.  The per-cell sizes aggregate is one partial-agg shuffle
+    emitting ``n_clusters`` rows, broadcast back onto the corpus.
+    """
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("_cell_n")
+    )
+    return (
+        assigned.join(F.broadcast(sizes), "cluster_id")
+        .withColumn(
+            "_nsub",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("_cell_n") / F.lit(int(cell_block_size))),
+            ).cast("int"),
+        )
+        .withColumn(
+            "_sb",
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("_nsub")).cast("int"),
+        )
+        .select(
+            "cluster_id",
+            id_col,
+            vec_col,
+            "_sb",
+            F.explode(
+                F.sequence(F.lit(0), F.col("_nsub") - F.lit(1))
+            ).alias("_other"),
+        )
+        .select(
+            "cluster_id",
+            id_col,
+            vec_col,
+            "_sb",
+            F.least("_sb", "_other").alias("_pa"),
+            F.greatest("_sb", "_other").alias("_pb"),
+        )
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     n_clusters: int = 8,
@@ -80,45 +140,58 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    cell_block_size: int = 4096,
 ) -> DataFrame:
     """SemDeDup keep/drop decisions: ``(id, cluster_id, kept)`` per vector.
 
     ``kept`` is False iff some SAME-CLUSTER vector with a smaller id has
     ``round(cosine, 6) ≥ threshold`` against this one (lower-id-wins, the
     chain semantics of the exact-dedup family).  ``centroids`` defaults to
-    the ``n_clusters`` lowest-id vectors (the oracle-replayable contract
-    config); pass a fitted k×dim float matrix for production use.
+    the ``n_clusters`` LOWEST-ID vectors (truly the lowest ids — an
+    ``ORDER BY id LIMIT n`` top-k, robust to id offsets and gaps), the
+    oracle-replayable contract config; ``cluster_id`` is then the actual
+    id of the winning centroid row, matching :func:`semantic_dedup_sql`
+    for any id domain.  Pass a fitted k×dim float matrix for production
+    use — ``cluster_id`` is the 0-based centroid index in that case.
+    ``cell_block_size`` bounds per-task memory under cluster skew (see
+    :func:`_sub_blocked`); it never changes the result, only the
+    partitioning of the within-cell comparisons.
     """
     narrow = df.select(id_col, vec_col)
     if centroids is None:
-        rows = (
-            narrow.filter(F.col(id_col) < n_clusters)
-            .orderBy(id_col)
-            .collect()
-        )
-        if not rows:
-            raise ValueError("semantic_dedup: no centroid rows (empty input?)")
+        # top-k by id, not filter(id < n): TakeOrderedAndProject, no full
+        # sort, and correct when ids are offset or gapped (round-7 advice).
+        rows = narrow.orderBy(id_col).limit(n_clusters).collect()
+        if len(rows) < n_clusters:
+            raise ValueError(
+                f"semantic_dedup: no centroid rows — found {len(rows)} of "
+                f"the n_clusters={n_clusters} lowest-id vectors "
+                "(empty or undersized input?)"
+            )
+        centroid_ids = np.asarray([r[id_col] for r in rows], dtype=np.int64)
         centroids = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
-    cents_micro = np.floor(
-        np.asarray(centroids, dtype=np.float64) * _MICRO
-    ).astype(np.int64)
+    else:
+        centroids = np.asarray(centroids, dtype=np.float64)
+        centroid_ids = np.arange(centroids.shape[0], dtype=np.int64)
+    cents_micro = np.floor(centroids * _MICRO).astype(np.int64)
     dim = cents_micro.shape[1]
 
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("int")
+    @pandas_udf("long")
     def assign(vecs: pd.Series) -> pd.Series:
         m = _micro_matrix(vecs, dim)
         # exact int64 dots: |micro| ≤ ~2²⁰ per component, dim ≤ 2¹² keeps
-        # every dot far inside int64; argmax ties → lowest centroid id
-        # (np.argmax picks the first maximum).
+        # every dot far inside int64; argmax ties → first maximum, i.e.
+        # the lowest centroid id (rows are id-ordered), mirroring the
+        # oracle's ORDER BY dot DESC, c_id.
         dots = m @ cents_micro.T
-        return pd.Series(dots.argmax(axis=1).astype("int32"))
+        return pd.Series(centroid_ids[dots.argmax(axis=1)])
 
     from nlp_to_nosql_spark.plans.caching import persisted
 
-    # the assignment frame feeds BOTH the pair search and the final
-    # keep/drop join — persist so the matmul scan runs once, not twice
+    # the assignment frame feeds the cell-size aggregate, the pair search,
+    # and the final keep/drop join — persist so the matmul scan runs once
     # (storage level conf'd via spark.nlp2nosql.cache.vectors).
     assigned = persisted(
         narrow.withColumn("cluster_id", assign(F.col(vec_col))), "vectors"
@@ -126,34 +199,53 @@ def semantic_dedup(
 
     thr = float(threshold)
 
-    def in_cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    def in_cell_pairs(key, pdf):
+        cluster_id, pa, pb = key
         ids = pdf[id_col].to_numpy()
         x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
         norms = np.linalg.norm(x, axis=1)
         norms[norms == 0] = np.inf  # zero vectors: cosine defined as 0
         x = x / norms[:, None]
-        sims = np.round(x @ x.T, 6)
-        ia, ib = np.nonzero(sims >= thr)
-        keep = ids[ia] < ids[ib]
+        if pa == pb:
+            # one sub-block against itself: symmetric matmul, upper
+            # triangle via id order
+            sims = np.round(x @ x.T, 6)
+            ia, ib = np.nonzero(sims >= thr)
+            keep = ids[ia] < ids[ib]
+            lo, hi = ids[ia][keep], ids[ib][keep]
+            vals = sims[ia, ib][keep]
+        else:
+            # cross-block: each unordered row pair meets in exactly one
+            # (pa, pb) group, so emit every hit (ordered lo < hi)
+            in_a = (pdf["_sb"] == pa).to_numpy()
+            xa, xb = x[in_a], x[~in_a]
+            ids_a, ids_b = ids[in_a], ids[~in_a]
+            sims = np.round(xa @ xb.T, 6)
+            ia, ib = np.nonzero(sims >= thr)
+            lo = np.minimum(ids_a[ia], ids_b[ib])
+            hi = np.maximum(ids_a[ia], ids_b[ib])
+            vals = sims[ia, ib]
         return pd.DataFrame(
             {
-                "id_a": ids[ia][keep],
-                "id_b": ids[ib][keep],
-                "cluster_id": pdf["cluster_id"].to_numpy()[ia][keep],
-                "cos_sim": sims[ia, ib][keep],
+                "id_a": lo,
+                "id_b": hi,
+                "cluster_id": np.full(len(lo), cluster_id, dtype=np.int64),
+                "cos_sim": vals,
             }
         )
 
-    pairs = assigned.groupBy("cluster_id").applyInPandas(
-        lambda _key, pdf: in_cell_pairs(pdf),
-        "id_a long, id_b long, cluster_id int, cos_sim double",
+    pairs = (
+        _sub_blocked(assigned, id_col, vec_col, cell_block_size)
+        .groupBy("cluster_id", "_pa", "_pb")
+        .applyInPandas(
+            in_cell_pairs,
+            "id_a long, id_b long, cluster_id long, cos_sim double",
+        )
     )
 
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return (
-        assigned.select(
-            id_col, F.col("cluster_id").cast("long").alias("cluster_id")
-        )
+        assigned.select(id_col, "cluster_id")
         # drop list ≤ corpus and usually ≪ it → broadcast-sized in the
         # common case; Spark's AQE picks broadcast vs shuffle from the
         # actual size, so no hint is hard-coded.
@@ -175,15 +267,25 @@ def semantic_dedup_sql(
 ) -> str:
     """DuckDB twin of :func:`semantic_dedup` at the contract config —
     relational replay of the integer-micro assignment argmax (dot desc,
-    centroid-id asc), the within-cell round-6 cosine pairs, and the
-    lower-id-wins drop list."""
+    centroid-id asc) against the ``n_clusters`` lowest-id vectors
+    (``ORDER BY id LIMIT n``, the same top-k the Spark side collects),
+    the within-cell round-6 cosine pairs, and the lower-id-wins drop
+    list.  ``cluster_id`` is the actual centroid row id on both engines.
+
+    Note on the threshold comparison: ``np.round`` is half-to-even while
+    DuckDB ``ROUND`` is half-away-from-zero, so a cosine landing EXACTLY
+    on a 1e-6 grid midpoint could in principle round differently — the
+    inherited contract of the whole neardup family
+    (``embedding_neardup_exact`` et al.), kept identical here rather
+    than diverging from it; thresholds are chosen off-grid in the
+    contract queries."""
     return (
         f"WITH m AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v, "
         f"list_transform(CAST({vec_col} AS DOUBLE[]), "
         "x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS mv "
         f"FROM {table}), "
         f"cents AS (SELECT {id_col} AS c_id, mv AS cv FROM m "
-        f"WHERE {id_col} < {n_clusters}), "
+        f"ORDER BY {id_col} LIMIT {n_clusters}), "
         f"mx AS (SELECT {id_col}, CAST(i AS BIGINT) AS j, mv[i + 1] AS x "
         "FROM m, UNNEST(range(0, len(mv))) u(i)), "
         "cx AS (SELECT c_id, CAST(i AS BIGINT) AS j, cv[i + 1] AS c "

@@ -3,6 +3,7 @@ pair semantics, lower-id-wins keep/drop, and the ragged guard."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from nlp_to_nosql_spark.operators.semdedup import _MICRO, semantic_dedup
@@ -106,6 +107,87 @@ def test_explicit_centroids_param(spark):
     assert {r["vec_id"]: r["cluster_id"] for r in rows} == {
         i: int(want[i]) for i in range(12)
     }
+
+
+def test_offset_gapped_ids_label_by_centroid_id(spark):
+    # ids 100, 103, 106, …: the contract centroids are the n LOWEST-id
+    # vectors (not "id < n", which matches nothing here) and cluster_id
+    # is the actual centroid row id, exactly as the DuckDB twin labels it
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(10, DIM).astype(np.float32)
+    ids = [100 + 3 * i for i in range(10)]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(ids[i], [float(x) for x in vecs[i]]) for i in range(10)], schema
+    )
+    rows = semantic_dedup(df, n_clusters=3, threshold=0.99).collect()
+    want_idx = _numpy_assign(vecs, 3)  # rows are already id-ordered
+    want = {ids[i]: ids[int(want_idx[i])] for i in range(10)}
+    assert {r["vec_id"]: r["cluster_id"] for r in rows} == want
+
+
+def test_undersized_input_raises(spark):
+    rng = np.random.RandomState(2)
+    df = _df(spark, rng.randn(3, DIM).astype(np.float32))
+    with pytest.raises(ValueError, match="centroid rows"):
+        semantic_dedup(df, n_clusters=8)
+
+
+def _skewed_fixture(spark, n=200):
+    """~half the corpus lands in ONE cell of two explicit axis centroids."""
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(n, DIM).astype(np.float32) * 0.05
+    half = n // 2
+    vecs[:half, 0] += 3.0  # cell 0 absorbs half the corpus
+    vecs[half:, 1] += np.linspace(1.0, 4.0, n - half).astype(np.float32)
+    cents = np.eye(2, DIM)
+    return _df(spark, vecs), cents
+
+
+def test_skewed_cell_sub_blocking_equal_results(spark):
+    # cell_block_size must change ONLY the partitioning, never the answer
+    df, cents = _skewed_fixture(spark)
+    small = semantic_dedup(
+        df, threshold=0.8, centroids=cents, cell_block_size=16
+    ).collect()
+    huge = semantic_dedup(
+        df, threshold=0.8, centroids=cents, cell_block_size=1_000_000_000
+    ).collect()
+    key = lambda r: r["vec_id"]
+    assert sorted(small, key=key) == sorted(huge, key=key)
+    # the fixture really is skewed AND really has dups to prune
+    assert sum(not r["kept"] for r in small) > 0
+
+
+def test_skewed_cell_groups_are_bounded(spark):
+    # the replicated frame's groups — what one applyInPandas task
+    # materializes — stay O(cell_block_size) no matter how skewed a cell
+    from nlp_to_nosql_spark.operators.semdedup import _sub_blocked
+
+    df, _ = _skewed_fixture(spark)
+    cbs = 16
+    assigned = df.withColumn(
+        "cluster_id",
+        (F.col("vec_id") < 100).cast("long"),  # one cell holds half of 200
+    )
+    sizes = (
+        _sub_blocked(assigned, "vec_id", "embedding", cbs)
+        .groupBy("cluster_id", "_pa", "_pb")
+        .count()
+        .collect()
+    )
+    by_cell = {}
+    for r in sizes:
+        by_cell.setdefault(r["cluster_id"], []).append(r["count"])
+    # every cell split into >1 group (both cells hold 100 > 16 rows) …
+    assert all(len(v) > 1 for v in by_cell.values())
+    # … and no group exceeds a small hash-imbalance factor of 2·cbs
+    assert max(r["count"] for r in sizes) <= 4 * cbs
 
 
 def test_ragged_embedding_raises(spark):

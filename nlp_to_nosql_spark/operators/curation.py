@@ -1048,6 +1048,19 @@ def stratified_split(
     splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
     if not splits or sum(splits.values()) > 1.0 + 1e-9:
         raise ValueError("split fractions must be positive and sum to <= 1")
+    for name, frac in splits.items():
+        # validate each fraction, not just the sum — a negative fraction
+        # must not slip through as long as the total stays <= 1
+        if not frac > 0:
+            raise ValueError(
+                f"split fractions must be positive; {name!r} is {frac}"
+            )
+        if abs(round(frac * 1000) - frac * 1000) > 1e-6:
+            raise ValueError(
+                f"split fractions are held in integer per-mille; "
+                f"{name!r}={frac} needs more than 3 decimal places "
+                "(the boundary would silently shift)"
+            )
     names = list(splits)
     bounds, acc = [], 0.0
     for name in names[:-1]:

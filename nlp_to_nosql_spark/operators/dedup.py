@@ -878,12 +878,128 @@ def duplicated_spans(
 # incremental ingestion dedup (batch vs existing corpus)
 # ---------------------------------------------------------------------------
 
+#: Bloom auto-sizing knobs: registers for the sizing HLL (m=1024 →
+#: ±1.04/√1024 ≈ ±3.3 % NDV error, far tighter than the 10× headroom the
+#: sizing applies), bits-per-distinct-fingerprint target, and the conf
+#: capping the broadcast word array (2²⁷ bits = 16 MB of longs — past
+#: that, prefer raising k_hashes or sharding the corpus filter).
+_BLOOM_HLL_M = 1024
+_BLOOM_BITS_PER_KEY = 10
+_BLOOM_MAX_BITS_CONF = "spark.nlp2nosql.bloom.maxBits"
+_BLOOM_MAX_BITS_DEFAULT = 1 << 27
+_BLOOM_MIN_BITS = 1 << 10
+
+
+def auto_bloom_bits(corpus_fps: DataFrame, fp_col: str = "fp") -> int:
+    """Size a Bloom filter from the corpus itself: one fixed-memory HLL
+    pass over the (already-persisted) fingerprint projection estimates
+    the distinct-fingerprint count, and ``m_bits`` becomes
+    ``_BLOOM_BITS_PER_KEY × NDV`` rounded UP to a power of two —
+    clamped to ``[2¹⁰, spark.nlp2nosql.bloom.maxBits]``.
+
+    The HLL shuffle moves ≤ ``_BLOOM_HLL_M`` rows per map partition
+    (the sketch contract), so sizing costs one cheap extra job over the
+    cached fingerprints — never a second corpus-wide exchange.  At 10
+    bits/key with k=3 the admission filter's false-positive rate stays
+    ≈1 % however large the corpus grows, which is what keeps the
+    Bloom-positive anti-join sliver small at 100 TB (a mis-sized static
+    filter silently degrades to anti-joining most of the batch).
+    """
+    from nlp_to_nosql_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers_of,
+    )
+
+    regs = hll_registers_of(corpus_fps, fp_col, m=_BLOOM_HLL_M).collect()
+    ndv = hll_estimate(
+        [(r["reg"], r["max_rho"]) for r in regs], m=_BLOOM_HLL_M
+    )
+    cap = int(
+        corpus_fps.sparkSession.conf.get(
+            _BLOOM_MAX_BITS_CONF, str(_BLOOM_MAX_BITS_DEFAULT)
+        )
+    )
+    target = max(_BLOOM_MIN_BITS, int(_BLOOM_BITS_PER_KEY * max(ndv, 1.0)))
+    m_bits = 1 << (target - 1).bit_length()  # next power of two ≥ target
+    return min(m_bits, cap)
+
+
+def _bloom_words(
+    cfp: DataFrame, m_bits: int, k_hashes: int, n_words: int
+) -> list[int]:
+    """OR-fold the corpus fingerprints' k bit positions into the
+    ``m_bits``-bit word array — the only corpus-wide pass, shuffling
+    ≤ ``m_bits/64`` rows, collected bounded (≤ 16 MB at the conf cap)."""
+
+    def positions(i: int) -> Column:
+        return F.pmod(F.xxhash64(F.col("fp"), F.lit(i)), F.lit(m_bits))
+
+    pos = cfp.select(
+        F.explode(
+            F.array(*[positions(i) for i in range(k_hashes)])
+        ).alias("pos")
+    )
+    word_rows = (
+        pos.select(
+            (F.col("pos") / F.lit(64)).cast("long").alias("w"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in word_rows:
+        words[int(r["w"])] = int(r["bits"])
+    return words
+
+
+def _bloom_stage(
+    batch: DataFrame,
+    words: list[int],
+    m_bits: int,
+    k_hashes: int,
+    text_col: str,
+) -> DataFrame:
+    """Map-side Bloom probe: ``batch`` plus ``_fp`` (fingerprint) and
+    ``_maybe`` (all k bit tests hit).  Rows with ``_maybe = false`` are
+    DEFINITELY absent from the corpus and never shuffle."""
+    lit_words = F.lit(words)
+
+    # Stage each probe position as a projected attribute so the hash is
+    # computed once per (row, i), then fold the k bit tests.
+    bfp = batch.withColumn("_fp", fingerprint(F.col(text_col)))
+    staged = bfp.select(
+        *bfp.columns,
+        *[
+            F.pmod(F.xxhash64(F.col("_fp"), F.lit(i)), F.lit(m_bits)).alias(
+                f"_p{i}"
+            )
+            for i in range(k_hashes)
+        ],
+    )
+    probe = None
+    for i in range(k_hashes):
+        hit = (
+            F.element_at(
+                lit_words, (F.col(f"_p{i}") / F.lit(64)).cast("int") + F.lit(1)
+            ).bitwiseAND(
+                F.expr(f"shiftleft(1L, cast(_p{i} % 64 as int))")
+            )
+            != F.lit(0)
+        )
+        probe = hit if probe is None else probe & hit
+    return staged.withColumn("_maybe", probe).drop(
+        *[f"_p{i}" for i in range(k_hashes)]
+    )
+
+
 def incremental_new_docs(
     batch: DataFrame,
     corpus: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    m_bits: int = 1 << 16,
+    m_bits: int | None = 1 << 16,
     k_hashes: int = 3,
 ) -> DataFrame:
     """Batch-vs-corpus incremental dedup: return the batch rows whose
@@ -910,69 +1026,31 @@ def incremental_new_docs(
     (true dups + ~(1-e^{-kn/m})^k false positives) pays the exact anti
     join.  When the batch ≪ corpus — the ingestion steady state — this
     replaces an all-corpus shuffle with an 8 KB broadcast plus an anti
-    join on a few percent of the batch.  Size ``m_bits`` ≥ ~10× the
-    corpus's distinct-fingerprint count (and bump ``k_hashes``) to hold
-    the false-positive sliver at the percent level at real scale.
+    join on a few percent of the batch.  ``m_bits=None`` AUTO-SIZES the
+    filter from the corpus itself (:func:`auto_bloom_bits`: HLL-estimate
+    the distinct-fingerprint count off the persisted projection, take
+    ~10 bits/key rounded to a power of two, conf-capped) — the right
+    default for an unknown-scale corpus, since a static ``m_bits``
+    sized for yesterday's corpus silently degrades to anti-joining most
+    of the batch as the corpus outgrows it.
     """
-    if m_bits % 64 or m_bits <= 0:
+    if m_bits is not None and (m_bits % 64 or m_bits <= 0):
         raise ValueError("m_bits must be a positive multiple of 64")
     if not 1 <= k_hashes <= 16:
         raise ValueError("k_hashes must be in [1, 16]")
-    n_words = m_bits // 64
 
     cfp = persisted(
         corpus.select(fingerprint(F.col(text_col)).alias("fp")).distinct(),
         "corpus_fps",
     )
+    if m_bits is None:
+        # one fixed-memory pass over the cached fingerprints; every
+        # auto-sized value is a power of two ≥ 1024, hence 64-divisible
+        m_bits = auto_bloom_bits(cfp)
+    n_words = m_bits // 64
 
-    def positions(i: int) -> Column:
-        return F.pmod(F.xxhash64(F.col("fp"), F.lit(i)), F.lit(m_bits))
-
-    pos = cfp.select(
-        F.explode(
-            F.array(*[positions(i) for i in range(k_hashes)])
-        ).alias("pos")
-    )
-    word_rows = (
-        pos.select(
-            (F.col("pos") / F.lit(64)).cast("long").alias("w"),
-            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
-        )
-        .groupBy("w")
-        .agg(F.bit_or("bit").alias("bits"))
-        .collect()
-    )
-    words = [0] * n_words
-    for r in word_rows:
-        words[int(r["w"])] = int(r["bits"])
-    lit_words = F.lit(words)
-
-    # Stage each probe position as a projected attribute so the hash is
-    # computed once per (row, i), then fold the k bit tests.
-    bfp = batch.withColumn("_fp", fingerprint(F.col(text_col)))
-    staged = bfp.select(
-        *bfp.columns,
-        *[
-            F.pmod(F.xxhash64(F.col("_fp"), F.lit(i)), F.lit(m_bits)).alias(
-                f"_p{i}"
-            )
-            for i in range(k_hashes)
-        ],
-    )
-    probe = None
-    for i in range(k_hashes):
-        hit = (
-            F.element_at(
-                lit_words, (F.col(f"_p{i}") / F.lit(64)).cast("int") + F.lit(1)
-            ).bitwiseAND(
-                F.expr(f"shiftleft(1L, cast(_p{i} % 64 as int))")
-            )
-            != F.lit(0)
-        )
-        probe = hit if probe is None else probe & hit
-    staged = staged.withColumn("_maybe", probe).drop(
-        *[f"_p{i}" for i in range(k_hashes)]
-    )
+    words = _bloom_words(cfp, m_bits, k_hashes, n_words)
+    staged = _bloom_stage(batch, words, m_bits, k_hashes, text_col)
 
     definitely_new = staged.filter(~F.col("_maybe"))
     survived = staged.filter(F.col("_maybe")).join(

@@ -42,6 +42,7 @@ from nlp_to_nosql_spark.operators.dedup import md5_hash60
 
 __all__ = [
     "hll_registers",
+    "hll_registers_of",
     "hll_estimate",
     "cms_cells",
     "cms_heavy_hitters",
@@ -106,14 +107,26 @@ def hll_registers(
     int rows.  Register tables merge across shards/batches by
     element-wise MAX — run per-shard, union, re-aggregate.
     """
+    return hll_registers_of(tokens_of(df, text_col), "tok", m=m)
+
+
+def hll_registers_of(
+    values: DataFrame, val_col: str, m: int = 64
+) -> DataFrame:
+    """HLL register table over the raw values of an arbitrary string
+    column — the column-general core :func:`hll_registers` wraps with
+    tokenization.  Duplicate values are harmless (HLL is a distinct
+    counter by construction), so callers can feed a non-distinct frame
+    and skip the dedup shuffle entirely.  Used for NDV-driven sizing
+    decisions, e.g. the Bloom auto-sizing in
+    ``operators/dedup.py::incremental_new_docs``."""
     if m & (m - 1) or m < 2:
         raise ValueError(f"m must be a power of two >= 2, got {m}")
     p = m.bit_length() - 1
     max_rho = 60 - p + 1
-    h = md5_hash60(F.col("tok"))
+    h = md5_hash60(F.col(val_col).cast("string"))
     return (
-        tokens_of(df, text_col)
-        .select(
+        values.select(
             (h % m).cast("int").alias("reg"),
             F.shiftright(h, p).alias("_v"),
         )

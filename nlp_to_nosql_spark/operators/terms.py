@@ -454,26 +454,39 @@ def bm25_topk(
     1e-6 grid line to surface).
 
     100 TB shape: ONE corpus-token-sized exchange — the (id, token)
-    groupBy that builds the TF table.  Document length is counted
-    scan-side (non-empty normalized tokens, an array filter — equal to
-    ``sum(tf)`` per doc by construction, including the empty-document
-    case), so ``dl`` and ``total_tokens`` never re-shuffle the token
-    stream; the broadcast query-token join prunes TF to candidates
-    before any scoring, and df for the query tokens is counted from
-    that pruned table.  The final top-k never funnels a query's full
-    candidate set through one reducer: a deterministic ``xxhash64``
-    salt splits each query into ``topk_buckets`` partial top-k windows,
-    and the global window sees at most ``topk_buckets·k`` rows per
-    query.
+    groupBy that builds the TF table.  Document length rides THROUGH
+    that exchange: ``dl`` (non-empty token count, ``F.size`` of the
+    filtered ``_words`` array — equal to ``sum(tf)`` per doc by
+    construction) is derived in the SAME ``tokenized()`` projection the
+    TF explode reads and carried as a grouping key (functionally
+    dependent on the id, so counts are unchanged), which deletes the
+    corpus-sized dl join the previous shape paid — candidates arrive at
+    scoring already length-annotated.  The only other corpus pass is
+    the (n_docs, total_tokens) global aggregate, a single narrow
+    partial-agg scan.  The broadcast query-token join prunes TF to
+    candidates before any scoring, and df for the query tokens is
+    counted from that pruned table.  The final top-k never funnels a
+    query's full candidate set through one reducer: a deterministic
+    ``xxhash64`` salt splits each query into ``topk_buckets`` partial
+    top-k windows, and the global window sees at most
+    ``topk_buckets·k`` rows per query.
     """
-    from nlp_to_nosql_spark.functions.text import normalize_text
     from nlp_to_nosql_spark.operators.dedup import tokenized
 
-    toks = tokenized(df, id_col, text_col).select(
+    words = tokenized(df, id_col, text_col)
+    dl_expr = (
+        F.size(F.filter(F.col("_words"), lambda x: x != F.lit("")))
+        .cast("long")
+        .alias("dl")
+    )
+    toks = words.select(
         F.col(id_col),
+        dl_expr,
         F.explode(F.col("_words")).alias("token"),
     ).filter(F.col("token") != "")
-    tf = toks.groupBy(id_col, "token").agg(
+    # dl is functionally dependent on the id: adding it to the grouping
+    # key changes nothing but lets it ride the one corpus exchange
+    tf = toks.groupBy(id_col, "dl", "token").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
     qterms = query_terms.select("query_id", "token").distinct()
@@ -483,24 +496,9 @@ def bm25_topk(
     dfc = cand0.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
-    dl = df.select(
-        F.col(id_col),
-        F.size(
-            F.filter(
-                F.split(normalize_text(F.col(text_col)), " "),
-                lambda x: x != F.lit(""),
-            )
-        )
-        .cast("long")
-        .alias("dl"),
-    )
-    stats = (
-        df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .crossJoin(
-            F.broadcast(
-                dl.agg(F.sum("dl").cast("long").alias("total_tokens"))
-            )
-        )
+    stats = words.select(dl_expr).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
     )
 
     nd = F.col("n_docs").cast("double")
@@ -522,7 +520,6 @@ def bm25_topk(
     scored = (
         cand0.join(F.broadcast(qterms), "token")
         .join(dfc, "token")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", id_col)
         .agg(F.sum(term_micro).cast("long").alias("score_micro"))
@@ -559,8 +556,15 @@ def bm25_topk_sql(
     from nlp_to_nosql_spark.functions.text import NORMALIZE_SQL
 
     norm = NORMALIZE_SQL.format(c=text_col)
+
+    def esc(s: str) -> str:
+        # double embedded single quotes — a token like "don't" must not
+        # break (or inject into) the oracle query
+        return s.replace("'", "''")
+
     values = " UNION ALL ".join(
-        f"SELECT '{q}' AS query_id, '{t}' AS token" for q, t in query_rows
+        f"SELECT '{esc(q)}' AS query_id, '{esc(t)}' AS token"
+        for q, t in query_rows
     )
     c_k1 = repr(float(k1))
     c_tf = repr(float(k1) + 1.0)

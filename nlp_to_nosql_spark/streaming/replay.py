@@ -480,7 +480,7 @@ def replay_cdc_upsert_sink(
 
     with _REPLAY_CONF_LOCK:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        spark.conf.set("spark.sql.shuffle.partitions", str(_REPLAY_PARTITIONS))
         try:
             q = (
                 stream.writeStream.foreachBatch(upsert)
@@ -724,7 +724,7 @@ def replay_hll_accumulate(
 
     with _REPLAY_CONF_LOCK:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        spark.conf.set("spark.sql.shuffle.partitions", str(_REPLAY_PARTITIONS))
         try:
             q = (
                 stream.writeStream.foreachBatch(fold)
@@ -792,7 +792,7 @@ def replay_cms_accumulate(
 
     with _REPLAY_CONF_LOCK:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        spark.conf.set("spark.sql.shuffle.partitions", str(_REPLAY_PARTITIONS))
         try:
             q = (
                 stream.writeStream.foreachBatch(fold)

@@ -91,3 +91,78 @@ def test_repeated_token_scales_linearly(docs):
     tripled = hashed_linear_score(df3, n_buckets=N_BUCKETS, scale=SCALE).collect()[0]
     assert tripled["score_sum"] == 3 * one
     assert tripled["score"] == got[4]["score"]
+
+
+def test_real_weights_table_scores_and_plan(docs, spark):
+    """The trained-coefficient path: a non-trivial (bucket, weight) table
+    must reproduce a pure-python scorer exactly AND leave the plan the
+    same zero-shuffle projection as the pseudo-weight contract config."""
+    rows, df = docs
+    # non-trivial: every bucket weighted, sign alternating, magnitude
+    # varying, a few buckets deliberately missing (weigh 0)
+    wrows = [
+        (b, (b % 7 - 3) * (b + 1)) for b in range(N_BUCKETS) if b % 5 != 0
+    ]
+    wdf = spark.createDataFrame(wrows, "bucket int, weight long")
+    wmap = dict(wrows)
+
+    def py_score(text):
+        norm = re.sub(r"\s+", " ", text.strip().lower())
+        toks = [t for t in norm.split(" ") if t != ""]
+        if not toks:
+            return None
+        s = sum(wmap.get(_h15(t) % N_BUCKETS, 0) for t in toks)
+        return len(toks), s, round(s / len(toks), 6), s > 0
+
+    scored = hashed_linear_score(
+        df, n_buckets=N_BUCKETS, scale=SCALE, weights=wdf
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["score_sum"], r["score"], r["keep"])
+        for r in scored.collect()
+    }
+    want = {i: py_score(t) for i, t in rows if py_score(t) is not None}
+    assert got == want
+
+    # the weight table must NOT add an exchange: same scan-project shape
+    plan = scored._sc._jvm.PythonSQLUtils.explainString(
+        scored._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_real_weights_bucket_out_of_range_raises(docs, spark):
+    _, df = docs
+    bad = spark.createDataFrame([(N_BUCKETS, 5)], "bucket int, weight long")
+    with pytest.raises(ValueError, match="outside"):
+        hashed_linear_score(df, n_buckets=N_BUCKETS, weights=bad)
+
+
+def test_arrow_and_column_impls_are_value_identical(docs, spark):
+    """The Arrow fast path vs the Column oracle twin, pseudo AND real
+    weights — the similarity.py dual-impl discipline."""
+    rows, df = docs
+    wdf = spark.createDataFrame(
+        [(b, (b % 9 - 4) * 7) for b in range(0, N_BUCKETS, 2)],
+        "bucket int, weight long",
+    )
+    for w in (None, wdf):
+        a = sorted(
+            hashed_linear_score(
+                df, n_buckets=N_BUCKETS, scale=SCALE, weights=w, impl="arrow"
+            ).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        c = sorted(
+            hashed_linear_score(
+                df, n_buckets=N_BUCKETS, scale=SCALE, weights=w, impl="column"
+            ).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        assert a == c
+
+
+def test_bad_impl_raises(docs):
+    _, df = docs
+    with pytest.raises(ValueError, match="impl"):
+        hashed_linear_score(df, impl="numpy")

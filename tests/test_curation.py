@@ -521,6 +521,13 @@ def test_stratified_split_partition_invariance_and_validation(spark):
     assert "_rn" not in out.columns and "_n" not in out.columns
     with _pytest.raises(ValueError):
         stratified_split(df, "lang", {"a": 0.8, "b": 0.3})
+    # each fraction must be positive on its own, not just sum <= 1
+    with _pytest.raises(ValueError, match="positive"):
+        stratified_split(df, "lang", {"a": 0.9, "b": -0.1})
+    # fractions finer than the integer per-mille grid raise instead of
+    # silently shifting the boundary
+    with _pytest.raises(ValueError, match="per-mille"):
+        stratified_split(df, "lang", {"a": 0.3333, "b": 0.6667})
 
 
 def test_stratified_split_plan_single_exchange(spark):

@@ -374,6 +374,84 @@ def test_incremental_new_docs_matches_anti_join(spark):
     assert tiny == [12, 13, 14]
 
 
+def test_bloom_auto_sizing_scales_with_corpus(spark):
+    """A corpus ~50× the static default's comfort zone (2¹⁶ bits serves
+    ~6.5k keys at 10 bits/key): auto-sizing must (a) track the true NDV,
+    (b) keep map-side rejection of brand-new docs ≥ 90 %, where (c) the
+    static default has saturated and passes almost everything through to
+    the anti join."""
+    from nlp_to_nosql_spark.functions.text import fingerprint
+    from nlp_to_nosql_spark.operators.dedup import (
+        _bloom_stage,
+        _bloom_words,
+        auto_bloom_bits,
+    )
+
+    n = 330_000
+    corpus = spark.range(n).selectExpr(
+        "id AS doc_id", "concat('corpus doc ', id) AS text"
+    )
+    cfp = corpus.select(fingerprint(F.col("text")).alias("fp"))
+    m_auto = auto_bloom_bits(cfp)
+    # power of two, ≥ ~10 bits/key under the HLL's ±3.3 % error
+    assert m_auto & (m_auto - 1) == 0
+    assert (1 << 21) <= m_auto <= (1 << 23)
+
+    batch = spark.range(2000).selectExpr(
+        "id AS doc_id", "concat('brand new ', id) AS text"
+    )
+    words = _bloom_words(cfp, m_auto, 3, m_auto // 64)
+    rejected = (
+        _bloom_stage(batch, words, m_auto, 3, "text")
+        .filter(~F.col("_maybe"))
+        .count()
+    )
+    assert rejected >= 0.9 * 2000
+    # the saturated static default: nearly every new doc goes "maybe"
+    words16 = _bloom_words(cfp, 1 << 16, 3, 1024)
+    rejected16 = (
+        _bloom_stage(batch, words16, 1 << 16, 3, "text")
+        .filter(~F.col("_maybe"))
+        .count()
+    )
+    assert rejected16 <= 0.1 * 2000
+
+
+def test_bloom_auto_sizing_end_to_end_and_cap(spark):
+    from nlp_to_nosql_spark.operators.dedup import (
+        _BLOOM_MAX_BITS_CONF,
+        auto_bloom_bits,
+        incremental_new_docs,
+    )
+    from nlp_to_nosql_spark.functions.text import fingerprint
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "epsilon")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "alpha beta"), (12, "zeta eta"), (14, "theta")],
+        "doc_id long, text string",
+    )
+    # m_bits=None: auto-sized filter, result still the exact anti join
+    got = sorted(
+        r["doc_id"]
+        for r in incremental_new_docs(batch, corpus, m_bits=None).collect()
+    )
+    assert got == [12, 14]
+    # conf cap bounds the auto-sized broadcast
+    cfp = corpus.select(fingerprint(F.col("text")).alias("fp"))
+    prev = spark.conf.get(_BLOOM_MAX_BITS_CONF, None)
+    spark.conf.set(_BLOOM_MAX_BITS_CONF, "64")
+    try:
+        assert auto_bloom_bits(cfp) == 64
+    finally:
+        if prev is None:
+            spark.conf.unset(_BLOOM_MAX_BITS_CONF)
+        else:
+            spark.conf.set(_BLOOM_MAX_BITS_CONF, prev)
+
+
 def test_incremental_new_docs_validation_and_empty_corpus(spark):
     import pytest
 

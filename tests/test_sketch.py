@@ -59,6 +59,39 @@ class TestHLL:
         est = hll_estimate(regs, m=64)
         assert abs(est - n) / n < 0.4
 
+    def test_estimate_precision_improves_with_m(self, spark):
+        # standard error is ±1.04/√m: m=64 → ~13 %, m=1024 → ~3.3 %.
+        # Assert each within ~3σ of its own bound, so users can size m
+        # to their NDV tolerance (documented in PERFORMANCE.md).
+        n = 20_000
+        df = _vocab_df(spark, n)
+        for m, bound in ((64, 0.40), (1024, 0.10)):
+            regs = [
+                (r["reg"], r["max_rho"])
+                for r in hll_registers(df, "text", m=m).collect()
+            ]
+            est = hll_estimate(regs, m=m)
+            assert abs(est - n) / n < bound, (m, est)
+
+    def test_registers_of_is_the_tokenized_core(self, spark):
+        # hll_registers == hll_registers_of ∘ tokens_of, register-exact —
+        # pins the column-general core the Bloom auto-sizing uses
+        from nlp_to_nosql_spark.operators.sketch import hll_registers_of
+
+        df = spark.createDataFrame(
+            [("alpha beta gamma",), ("beta  DELTA",), ("epsilon",)],
+            "text string",
+        )
+        a = {
+            r["reg"]: r["max_rho"]
+            for r in hll_registers(df, "text", m=64).collect()
+        }
+        b = {
+            r["reg"]: r["max_rho"]
+            for r in hll_registers_of(tokens_of(df, "text"), "tok", m=64).collect()
+        }
+        assert a == b
+
     def test_registers_merge_across_shards(self, spark):
         # sketch(A union B) == element-wise max(sketch(A), sketch(B))
         a = _vocab_df(spark, 400, prefix="a")

@@ -70,7 +70,10 @@ from nlp_to_nosql_spark.operators.funnel import (
     funnel_sql,
     transitions_sql,
 )
-from nlp_to_nosql_spark.operators.classify import hashed_linear_score_sql
+from nlp_to_nosql_spark.operators.classify import (
+    hashed_linear_score_sql,
+    hashed_linear_score_weights_sql,
+)
 from nlp_to_nosql_spark.operators.graph import pagerank_sql
 from nlp_to_nosql_spark.operators.semdedup import semantic_dedup_sql
 from nlp_to_nosql_spark.operators.pq import (
@@ -2335,6 +2338,35 @@ def _q_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_linear_score(docs, n_buckets=1024, scale=1000)
 
 
+#: Deterministic stand-in for a TRAINED coefficient table (quality4):
+#: every third bucket unweighted, sign and magnitude varying with the
+#: bucket id — shared literally by the Spark weights frame and the
+#: DuckDB list literal, the way a real fastText-export would be.
+_QUALITY4_N_BUCKETS = 256
+_QUALITY4_WEIGHTS = [
+    (b % 11 - 5) * (b % 17 + 1) if b % 3 else 0
+    for b in range(_QUALITY4_N_BUCKETS)
+]
+
+
+def _q_weighted_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL-weights tier of the model-based quality filter: a
+    trained (bucket → int64 weight) coefficient table baked into the
+    same zero-shuffle scoring kernel that quality3's pseudo-weight
+    contract uses — the production path of classify.hashed_linear_score,
+    exercised end-to-end against a list-literal DuckDB replay."""
+    from nlp_to_nosql_spark.operators.classify import hashed_linear_score
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    wdf = spark.createDataFrame(
+        [(b, w) for b, w in enumerate(_QUALITY4_WEIGHTS) if w],
+        "bucket int, weight long",
+    )
+    return hashed_linear_score(
+        docs, n_buckets=_QUALITY4_N_BUCKETS, weights=wdf
+    )
+
+
 def _q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level boilerplate span removal (RefinedWeb/CCNet-style
     repeated-span cleaning, no reference analogue — the detect-only
@@ -3223,6 +3255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prof5_length_quantiles": _q_length_quantiles,
         "dedup14_semdedup": _q_semantic_dedup,
         "quality3_model_filter": _q_model_filter,
+        "quality4_weighted_filter": _q_weighted_filter,
     }
     missing = [k for k in _ROTATED_FRONT if k not in base]
     assert not missing, f"rotation names unknown queries: {missing}"
@@ -4199,6 +4232,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup14_semdedup": semantic_dedup_sql(n_clusters=8, threshold=0.4),
         "quality3_model_filter": hashed_linear_score_sql(
             n_buckets=1024, scale=1000
+        ),
+        "quality4_weighted_filter": hashed_linear_score_weights_sql(
+            _QUALITY4_WEIGHTS
         ),
         # Composed layout pipeline: each CTE block is the already-proven
         # oracle of its stage (boilerplate_removal_sql, cap_per_group_sql

@@ -236,3 +236,40 @@ def hashed_linear_score_sql(
         "score_sum > 0 AS keep "
         "FROM w WHERE n_tokens > 0"
     )
+
+
+def hashed_linear_score_weights_sql(
+    weights: "list[int]",
+    n_buckets: int | None = None,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`hashed_linear_score` on the REAL-weights
+    path: the coefficient table becomes a list literal indexed by the
+    md5 bucket — the relational replay of the Spark side's literal
+    array lookup.  ``weights`` must be the dense ``n_buckets``-long
+    int table (missing buckets already zeroed), exactly what the Spark
+    side bakes in."""
+    n_buckets = len(weights) if n_buckets is None else n_buckets
+    if len(weights) != n_buckets:
+        raise ValueError(
+            f"weights must have exactly n_buckets={n_buckets} entries"
+        )
+    norm = tx.NORMALIZE_SQL.format(c=text_col)
+    h15 = "CAST(CAST('0x' || substr(md5({x}), 1, 15) AS UBIGINT) AS BIGINT)"
+    bucket = h15.format(x="t") + f" % {n_buckets}"
+    lit = "[" + ", ".join(f"CAST({int(w)} AS BIGINT)" for w in weights) + "]"
+    wgt = f"({lit})[{bucket} + 1]"
+    return (
+        f"WITH toks AS (SELECT {id_col}, "
+        f"list_filter(string_split({norm}, ' '), t -> t <> '') AS ts "
+        f"FROM {table}), "
+        f"w AS (SELECT {id_col}, CAST(len(ts) AS BIGINT) AS n_tokens, "
+        f"CAST(coalesce(list_sum(list_transform(ts, t -> {wgt})), 0) "
+        "AS BIGINT) AS score_sum FROM toks) "
+        f"SELECT {id_col}, n_tokens, score_sum, "
+        "ROUND(score_sum / n_tokens, 6) AS score, "
+        "score_sum > 0 AS keep "
+        "FROM w WHERE n_tokens > 0"
+    )

@@ -195,10 +195,13 @@ def main() -> int:
         return idx.topk(assigned, query_vec, k=10, nprobe=4)
 
     def incremental_probe(docs):
-        # the dedup13 chain: corpus Bloom fold + anti-join admission
+        # the dedup13 chain: HLL auto-sizing + corpus Bloom fold +
+        # anti-join admission (m_bits=None exercises the round-8
+        # auto-sizer, so the probe measures the filter that would
+        # actually ship at this corpus size)
         corpus = docs.filter(F.col("doc_id") % 5 != 0)
         batch = docs.filter(F.col("doc_id") % 5 == 0)
-        return dd.incremental_new_docs(batch, corpus)
+        return dd.incremental_new_docs(batch, corpus, m_bits=None)
 
     def hard_negative_probe(emb):
         # the ann12 chain: per-label batched different-label top-k;

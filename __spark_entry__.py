@@ -75,6 +75,7 @@ from nlp_to_nosql_spark.operators.classify import (
     hashed_linear_score_weights_sql,
 )
 from nlp_to_nosql_spark.operators.graph import pagerank_sql
+from nlp_to_nosql_spark.operators.evals import retrieval_metrics_sql
 from nlp_to_nosql_spark.operators.semdedup import semantic_dedup_sql
 from nlp_to_nosql_spark.operators.pq import (
     adc_rerank_sql,
@@ -1954,6 +1955,70 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, qterms, "doc_id", "text", k=5)
 
 
+def _bm25_qrels_sql() -> str:
+    """Conjunctive relevance ground truth for eval1: a document is
+    relevant to a query iff its normalized token set contains EVERY
+    query token (boolean-AND retrieval, the standard exact-match
+    judgment when no human labels exist)."""
+    norm = tx.NORMALIZE_SQL.format(c="text")
+    values = " UNION ALL ".join(
+        f"SELECT '{q}' AS query_id, '{t}' AS token"
+        for q, t in _BM25_QUERY_ROWS
+    )
+    return (
+        "WITH w AS (SELECT doc_id, string_split(" + norm + ", ' ') AS w "
+        "FROM documents), "
+        "dt AS (SELECT DISTINCT doc_id, token FROM "
+        "(SELECT doc_id, unnest(w) AS token FROM w) u WHERE token <> ''), "
+        f"q AS (SELECT DISTINCT query_id, token FROM ({values})), "
+        "qn AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS qn FROM q "
+        "GROUP BY query_id), "
+        "m AS (SELECT q.query_id, dt.doc_id, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM q JOIN dt USING (token) GROUP BY q.query_id, dt.doc_id) "
+        "SELECT query_id, doc_id FROM m JOIN qn USING (query_id) "
+        "WHERE c = qn"
+    )
+
+
+def _q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k / MRR of the BM25 retriever against conjunctive
+    contains-all-query-tokens ground truth — the eval step a RAG /
+    hard-negative pipeline closes its loop with.  Ranked lists are the
+    text4 chain (one corpus-token exchange, salted top-k); the
+    judgment build reuses the same tokenization and joins doc-term
+    pairs against the broadcast query terms; the metrics themselves are
+    pure BIGINT floor division (operators/evals.py), so the oracle is
+    value-exact with no float anywhere."""
+    from nlp_to_nosql_spark.operators.dedup import tokenized
+    from nlp_to_nosql_spark.operators.evals import retrieval_metrics
+    from nlp_to_nosql_spark.operators.terms import bm25_topk
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    qterms = spark.createDataFrame(
+        list(_BM25_QUERY_ROWS), schema="query_id string, token string"
+    )
+    results = bm25_topk(docs, qterms, "doc_id", "text", k=5)
+    dt = (
+        tokenized(docs, "doc_id", "text")
+        .select("doc_id", F.explode("_words").alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    q = qterms.distinct()
+    qn = q.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_qn")
+    )
+    qrels = (
+        dt.join(F.broadcast(q), "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .join(F.broadcast(qn), "query_id")
+        .filter(F.col("_c") == F.col("_qn"))
+        .select("query_id", "doc_id")
+    )
+    return retrieval_metrics(results, qrels, k=5)
+
+
 def _q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_tables(spark, sf_dir)["documents"]
     return dd.duplicated_spans(docs, "doc_id", "text", k=5, stride=2)
@@ -3256,6 +3321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup14_semdedup": _q_semantic_dedup,
         "quality3_model_filter": _q_model_filter,
         "quality4_weighted_filter": _q_weighted_filter,
+        "eval1_retrieval_metrics": _q_retrieval_metrics,
     }
     missing = [k for k in _ROTATED_FRONT if k not in base]
     assert not missing, f"rotation names unknown queries: {missing}"
@@ -4235,6 +4301,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "quality4_weighted_filter": hashed_linear_score_weights_sql(
             _QUALITY4_WEIGHTS
+        ),
+        "eval1_retrieval_metrics": retrieval_metrics_sql(
+            _bm25_oracle_sql(), _bm25_qrels_sql(), k=5
         ),
         # Composed layout pipeline: each CTE block is the already-proven
         # oracle of its stage (boilerplate_removal_sql, cap_per_group_sql

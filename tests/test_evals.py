@@ -1,0 +1,86 @@
+"""Retrieval metrics (recall@k / MRR): hand-checked values, edge cases,
+and DuckDB-twin parity on identical inputs."""
+
+import duckdb
+import pytest
+
+from nlp_to_nosql_spark.operators.evals import (
+    retrieval_metrics,
+    retrieval_metrics_sql,
+)
+
+RESULTS = [
+    # q1: relevant docs are 10, 30, 99; 10 at rank 1, 30 at rank 4
+    ("q1", 1, 10), ("q1", 2, 20), ("q1", 3, 21), ("q1", 4, 30), ("q1", 5, 22),
+    # q2: relevant doc 50 first retrieved at rank 3
+    ("q2", 1, 40), ("q2", 2, 41), ("q2", 3, 50), ("q2", 4, 42), ("q2", 5, 43),
+    # q3: judged but completely missed
+    ("q3", 1, 60), ("q3", 2, 61),
+    # q4: has results but NO judgments -> excluded from output
+    ("q4", 1, 70),
+    # q5: the only hit sits at rank 6, beyond k=5 -> must not count
+    ("q5", 1, 80), ("q5", 6, 81),
+]
+QRELS = [
+    ("q1", 10), ("q1", 30), ("q1", 99),
+    ("q2", 50),
+    ("q3", 77),
+    ("q5", 81),
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    res = spark.createDataFrame(RESULTS, "query_id string, rk int, doc_id long")
+    qr = spark.createDataFrame(QRELS, "query_id string, doc_id long")
+    return res, qr
+
+
+def test_metrics_hand_checked(frames):
+    res, qr = frames
+    got = {
+        r["query_id"]: (
+            r["n_rel"], r["hits"], r["recall_micro"], r["mrr_micro"]
+        )
+        for r in retrieval_metrics(res, qr, k=5).collect()
+    }
+    assert got == {
+        "q1": (3, 2, 666666, 1000000),   # 2/3 recall, first hit rank 1
+        "q2": (1, 1, 1000000, 333333),   # 1/1 recall, first hit rank 3
+        "q3": (1, 0, 0, 0),              # judged, missed
+        "q5": (1, 0, 0, 0),              # only hit beyond k
+    }
+    assert "q4" not in got  # no judgments -> no denominator -> excluded
+
+
+def test_duckdb_twin_parity(frames):
+    res, qr = frames
+    con = duckdb.connect()
+    con.register("res_t", res.toPandas())
+    con.register("qr_t", qr.toPandas())
+    sql = retrieval_metrics_sql(
+        "SELECT query_id, rk, doc_id FROM res_t",
+        "SELECT query_id, doc_id FROM qr_t",
+        k=5,
+    )
+    want = {
+        row[0]: tuple(int(v) for v in row[1:])
+        for row in con.execute(sql).fetchall()
+    }
+    got = {
+        r["query_id"]: (
+            r["n_rel"], r["hits"], r["recall_micro"], r["mrr_micro"]
+        )
+        for r in retrieval_metrics(res, qr, k=5).collect()
+    }
+    assert got == want
+
+
+def test_k_bound_changes_metrics(frames):
+    res, qr = frames
+    got = {
+        r["query_id"]: r["hits"]
+        for r in retrieval_metrics(res, qr, k=2).collect()
+    }
+    # at k=2 only q1's rank-1 hit survives
+    assert got == {"q1": 1, "q2": 0, "q3": 0, "q5": 0}

@@ -479,9 +479,16 @@ def bm25_topk(
         .cast("long")
         .alias("dl")
     )
-    toks = words.select(
+    # dl MUST be computed in its own projection BELOW the explode:
+    # Spark's ExtractGenerator places non-generator expressions in a
+    # Project ABOVE the Generate, so putting dl_expr in the same select
+    # as F.explode re-evaluates the O(doc_len) lambda filter once per
+    # OUTPUT token row — O(tokens x doc_len) total, measured 2x wall
+    # on the 100x probe.  Two selects pin it per-document.
+    with_dl = words.select(F.col(id_col), dl_expr, F.col("_words"))
+    toks = with_dl.select(
         F.col(id_col),
-        dl_expr,
+        F.col("dl"),
         F.explode(F.col("_words")).alias("token"),
     ).filter(F.col("token") != "")
     # dl is functionally dependent on the id: adding it to the grouping

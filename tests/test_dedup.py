@@ -417,6 +417,44 @@ def test_bloom_auto_sizing_scales_with_corpus(spark):
     assert rejected16 <= 0.1 * 2000
 
 
+def test_bloom_probe_kernels_agree(spark, monkeypatch):
+    """The Column-literal and broadcast-numpy Bloom probe kernels must
+    produce bit-identical ``_maybe`` flags for the SAME word array —
+    a broadcast-path false negative would silently skip the exact
+    verification anti join and corrupt the result."""
+    from nlp_to_nosql_spark.functions.text import fingerprint
+    from nlp_to_nosql_spark.operators import dedup as dd
+
+    corpus = spark.range(5000).selectExpr(
+        "id AS doc_id", "concat('corpus doc ', id) AS text"
+    )
+    cfp = corpus.select(fingerprint(F.col("text")).alias("fp"))
+    # 2^17 bits = 2048 words: above the 1024-word literal cutoff, and
+    # sized so negative int64 words (bit 63 set) appear in the array
+    m_bits = 1 << 17
+    words = dd._bloom_words(cfp, m_bits, 3, m_bits // 64)
+    assert any(w < 0 for w in words), "fixture must cover signed words"
+    batch = spark.range(0, 4000).selectExpr(
+        "id AS doc_id",
+        "concat(if(id % 2 = 0, 'corpus doc ', 'brand new '), id) AS text",
+    )
+
+    def flags(df):
+        return [
+            r["_maybe"]
+            for r in df.select("doc_id", "_maybe").orderBy("doc_id").collect()
+        ]
+
+    monkeypatch.setattr(dd, "_BLOOM_LITERAL_MAX_WORDS", 1 << 30)
+    lit_flags = flags(dd._bloom_stage(batch, words, m_bits, 3, "text"))
+    monkeypatch.setattr(dd, "_BLOOM_LITERAL_MAX_WORDS", 0)
+    bc_flags = flags(dd._bloom_stage(batch, words, m_bits, 3, "text"))
+    assert lit_flags == bc_flags
+    # every true corpus member must probe "maybe" on both kernels
+    # (no false negatives); the in-corpus half is doc_id % 2 == 0
+    assert all(f for i, f in enumerate(lit_flags) if i % 2 == 0)
+
+
 def test_bloom_auto_sizing_end_to_end_and_cap(spark):
     from nlp_to_nosql_spark.operators.dedup import (
         _BLOOM_MAX_BITS_CONF,

@@ -75,7 +75,10 @@ from nlp_to_nosql_spark.operators.classify import (
     hashed_linear_score_weights_sql,
 )
 from nlp_to_nosql_spark.operators.graph import pagerank_sql
-from nlp_to_nosql_spark.operators.evals import retrieval_metrics_sql
+from nlp_to_nosql_spark.operators.evals import (
+    classification_metrics_sql,
+    retrieval_metrics_sql,
+)
 from nlp_to_nosql_spark.operators.semdedup import semantic_dedup_sql
 from nlp_to_nosql_spark.operators.pq import (
     adc_rerank_sql,
@@ -2019,6 +2022,57 @@ def _q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_metrics(results, qrels, k=5)
 
 
+#: eval2 truth rule: a document is "good" iff its stored char count
+#: sits in the mid band — a deterministic stand-in for human quality
+#: labels, shared literally by the Spark truth frame and the DuckDB CTE.
+_EVAL2_CHAR_BAND = (150, 2000)
+
+
+def _q_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language precision/recall/F1/accuracy of the hashed-linear
+    quality classifier (quality3's config) against the char-band truth
+    rule — the eval step that closes the loop on a trained quality
+    filter before it gates a 100 TB ingest.  One id-equi-join plus a
+    conditional count aggregate; every metric is BIGINT floor division
+    of exact confusion counts (operators/evals.py), so the oracle is
+    value-exact with no float anywhere."""
+    from nlp_to_nosql_spark.operators.classify import hashed_linear_score
+    from nlp_to_nosql_spark.operators.evals import classification_metrics
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    lo, hi = _EVAL2_CHAR_BAND
+    pred = (
+        hashed_linear_score(docs, n_buckets=1024, scale=1000)
+        .select("doc_id", F.col("keep").alias("pred"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    truth = docs.select(
+        "doc_id",
+        ((F.col("n_chars") >= lo) & (F.col("n_chars") <= hi)).alias(
+            "label"
+        ),
+    )
+    return classification_metrics(
+        pred, truth, group_cols=["lang"]
+    ).orderBy("lang")
+
+
+def _q_hll_ndv_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-token NDV estimates from GROUPED HLL
+    register tables (sketch.hll_ndv_by) — the per-domain vocabulary
+    monitor of the sketch family.  ≤ m rows per language per map
+    partition cross the one shuffle regardless of corpus size, and the
+    estimate itself is exact-int-then-one-division (plus the shared-libm
+    ln in the linear-counting branch), replayed value-exactly by
+    DuckDB."""
+    from nlp_to_nosql_spark.operators.sketch import hll_ndv_by, tokens_by
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return hll_ndv_by(
+        tokens_by(docs, ["lang"]), ["lang"], "tok", m=64
+    ).orderBy("lang")
+
+
 def _q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_tables(spark, sf_dir)["documents"]
     return dd.duplicated_spans(docs, "doc_id", "text", k=5, stride=2)
@@ -2185,6 +2239,7 @@ from nlp_to_nosql_spark.operators.sketch import (  # noqa: E402
     CMS_CELLS_SQL as _CMS_CELLS_SQL_T,
     CMS_HEAVY_HITTERS_SQL as _CMS_SQL_T,
     HLL_REGISTERS_SQL as _HLL_SQL_T,
+    hll_ndv_by_sql as _hll_ndv_by_sql,
 )
 
 _SKETCH_HLL_SQL = _HLL_SQL_T.format(table="documents", c="text")
@@ -3322,6 +3377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality3_model_filter": _q_model_filter,
         "quality4_weighted_filter": _q_weighted_filter,
         "eval1_retrieval_metrics": _q_retrieval_metrics,
+        "eval2_classifier_metrics": _q_classifier_metrics,
+        "sketch3_hll_ndv_by_lang": _q_hll_ndv_by_lang,
     }
     missing = [k for k in _ROTATED_FRONT if k not in base]
     assert not missing, f"rotation names unknown queries: {missing}"
@@ -4304,6 +4361,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "eval1_retrieval_metrics": retrieval_metrics_sql(
             _bm25_oracle_sql(), _bm25_qrels_sql(), k=5
+        ),
+        # eval2: the classifier-score CTE is quality3's already-proven
+        # oracle; truth is the literal char-band rule; the metric layer
+        # is pure BIGINT floor division.
+        "eval2_classifier_metrics": classification_metrics_sql(
+            "SELECT s.doc_id, d.lang, s.keep AS pred FROM ("
+            + hashed_linear_score_sql(n_buckets=1024, scale=1000)
+            + ") s JOIN documents d USING (doc_id)",
+            "SELECT doc_id, n_chars >= "
+            f"{_EVAL2_CHAR_BAND[0]} AND n_chars <= {_EVAL2_CHAR_BAND[1]}"
+            " AS label FROM documents",
+            group_cols=["lang"],
+        )
+        + " ORDER BY lang",
+        # sketch3: grouped HLL registers + in-plan estimator, keyed by
+        # language (hll_ndv_by_sql replays the exact decimal denominator
+        # and the shared double literals).
+        "sketch3_hll_ndv_by_lang": (
+            "SELECT * FROM ("
+            + _hll_ndv_by_sql("documents", ["lang"], "text", m=64)
+            + ") ORDER BY lang"
         ),
         # Composed layout pipeline: each CTE block is the already-proven
         # oracle of its stage (boilerplate_removal_sql, cap_per_group_sql

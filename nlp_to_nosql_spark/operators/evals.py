@@ -83,6 +83,122 @@ def retrieval_metrics(
     )
 
 
+def classification_metrics(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str = "doc_id",
+    pred_col: str = "pred",
+    truth_col: str = "label",
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Confusion counts + precision/recall/F1/accuracy for a binary
+    classifier's predictions against a labeled truth table — the
+    measurement step after training/tuning a quality filter
+    (``classify.hashed_linear_score`` thresholds, Gopher rules, …).
+
+    ``pred`` holds ``(id_col, pred_col boolean[, group_cols...])``;
+    ``truth`` holds ``(id_col, truth_col boolean)``.  Returns one row
+    per group (or a single global row) with ``(tp, fp, fn, tn,
+    precision_micro, recall_micro, f1_micro, accuracy_micro)`` — every
+    metric a BIGINT floor division of exact counts (``f1 = 2·tp·10⁶ div
+    (2·tp + fp + fn)``), so no float ever forms and the DuckDB twin is
+    value-exact.  Undefined ratios (zero denominator) emit 0.
+
+    Scale: one equi-join on the id (both sides hash-partition; at
+    ingest scale the truth table is usually a small labeled sample, and
+    Spark's size estimate broadcasts it) followed by a conditional
+    count aggregate that partially aggregates to one row per group per
+    map partition.
+    """
+    keys = list(group_cols or [])
+    j = pred.select(id_col, pred_col, *keys).join(
+        truth.select(id_col, truth_col), id_col
+    )
+    p = F.col(pred_col)
+    t = F.col(truth_col)
+
+    def cnt(cond: "F.Column", name: str):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+
+    agg = j.groupBy(*keys).agg(
+        cnt(p & t, "tp"),
+        cnt(p & ~t, "fp"),
+        cnt(~p & t, "fn"),
+        cnt(~p & ~t, "tn"),
+    )
+
+    def ratio(num: str, den: str, name: str):
+        return (
+            F.when(
+                F.expr(den) > 0, F.expr(f"({num}) div ({den})")
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias(name)
+        )
+
+    return agg.select(
+        *keys,
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        ratio("tp * 1000000L", "tp + fp", "precision_micro"),
+        ratio("tp * 1000000L", "tp + fn", "recall_micro"),
+        ratio("2L * tp * 1000000L", "2L * tp + fp + fn", "f1_micro"),
+        ratio("(tp + tn) * 1000000L", "tp + fp + fn + tn", "accuracy_micro"),
+    )
+
+
+def classification_metrics_sql(
+    pred_sql: str,
+    truth_sql: str,
+    id_col: str = "doc_id",
+    pred_col: str = "pred",
+    truth_col: str = "label",
+    group_cols: "list[str] | None" = None,
+) -> str:
+    """DuckDB twin of :func:`classification_metrics`: wrap any
+    prediction SQL and truth SQL as CTE blocks and replay the exact
+    floor-division metrics."""
+    keys = list(group_cols or [])
+    ksel = ("".join(f"{k}, " for k in keys)).rstrip()
+    kgrp = f" GROUP BY {', '.join(keys)}" if keys else ""
+
+    def ratio(num: str, den: str, name: str) -> str:
+        return (
+            f"CAST(CASE WHEN {den} > 0 THEN ({num}) // ({den}) "
+            f"ELSE 0 END AS BIGINT) AS {name}"
+        )
+
+    return (
+        f"WITH p AS (SELECT {ksel} {id_col}, {pred_col} "
+        f"FROM ({pred_sql}) pp), "
+        f"t AS (SELECT {id_col}, {truth_col} FROM ({truth_sql}) tt), "
+        f"c AS (SELECT {ksel} "
+        f"CAST(SUM(CASE WHEN {pred_col} AND {truth_col} "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS tp, "
+        f"CAST(SUM(CASE WHEN {pred_col} AND NOT {truth_col} "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS fp, "
+        f"CAST(SUM(CASE WHEN NOT {pred_col} AND {truth_col} "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS fn, "
+        f"CAST(SUM(CASE WHEN NOT {pred_col} AND NOT {truth_col} "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS tn "
+        f"FROM p JOIN t USING ({id_col}){kgrp}) "
+        f"SELECT {ksel} tp, fp, fn, tn, "
+        + ratio("tp * 1000000", "tp + fp", "precision_micro")
+        + ", "
+        + ratio("tp * 1000000", "tp + fn", "recall_micro")
+        + ", "
+        + ratio("2 * tp * 1000000", "2 * tp + fp + fn", "f1_micro")
+        + ", "
+        + ratio(
+            "(tp + tn) * 1000000", "tp + fp + fn + tn", "accuracy_micro"
+        )
+        + " FROM c"
+    )
+
+
 def retrieval_metrics_sql(
     results_sql: str,
     qrels_sql: str,

@@ -43,10 +43,14 @@ from nlp_to_nosql_spark.operators.dedup import md5_hash60
 __all__ = [
     "hll_registers",
     "hll_registers_of",
+    "hll_registers_by",
+    "hll_ndv_by",
+    "hll_ndv_by_sql",
     "hll_estimate",
     "cms_cells",
     "cms_heavy_hitters",
     "tokens_of",
+    "tokens_by",
     "HLL_REGISTERS_SQL",
     "CMS_CELLS_SQL",
     "CMS_HEAVY_HITTERS_SQL",
@@ -62,6 +66,22 @@ def tokens_of(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias(
                 "tok"
             )
+        )
+        .where(F.col("tok") != "")
+    )
+
+
+def tokens_by(
+    df: DataFrame, key_cols: "list[str]", text_col: str = "text"
+) -> DataFrame:
+    """Keyed :func:`tokens_of`: ``(key..., tok)`` per token occurrence —
+    the front end of the grouped sketches."""
+    return (
+        df.select(
+            *key_cols,
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+                "tok"
+            ),
         )
         .where(F.col("tok") != "")
     )
@@ -155,6 +175,124 @@ def hll_estimate(registers: list[tuple[int, int]], m: int = 64) -> float:
 
         return m * math.log(m / zeros)
     return est
+
+
+def hll_registers_by(
+    values: DataFrame,
+    key_cols: "list[str]",
+    val_col: str,
+    m: int = 64,
+) -> DataFrame:
+    """Grouped HLL register tables: one ``m``-register sketch PER KEY —
+    ``(key..., reg, max_rho)``.  The per-domain / per-language NDV
+    monitor a sharded corpus runs continuously: the groupBy is partially
+    aggregated to ≤ ``m`` rows per key per map partition before the one
+    shuffle, and per-key register tables merge across shards or
+    streaming micro-batches by element-wise MAX exactly like the global
+    sketch (same hash family, so a key's grouped registers are
+    bit-identical to running :func:`hll_registers_of` on that key's
+    filtered rows — test-pinned)."""
+    if not key_cols:
+        raise ValueError("key_cols must name at least one grouping column")
+    if m & (m - 1) or m < 2:
+        raise ValueError(f"m must be a power of two >= 2, got {m}")
+    p = m.bit_length() - 1
+    max_rho = 60 - p + 1
+    h = md5_hash60(F.col(val_col).cast("string"))
+    return (
+        values.select(
+            *key_cols,
+            (h % m).cast("int").alias("reg"),
+            F.shiftright(h, p).alias("_v"),
+        )
+        .select(
+            *key_cols, "reg", _rho_col(F.col("_v"), max_rho).alias("_rho")
+        )
+        .groupBy(*key_cols, "reg")
+        .agg(F.max("_rho").alias("max_rho"))
+    )
+
+
+def hll_ndv_by(
+    values: DataFrame,
+    key_cols: "list[str]",
+    val_col: str,
+    m: int = 64,
+) -> DataFrame:
+    """Per-key NDV estimates from grouped HLL registers —
+    ``(key..., ndv_est)``.
+
+    The estimator is :func:`hll_estimate` pushed into the plan: the
+    harmonic-mean denominator ``sum(2^(62 − rho))`` accumulates as an
+    EXACT ``decimal(38,0)`` (absent registers contribute ``2^62`` via
+    the ``m − present`` count, so the sum never depends on float order
+    or register arrival), the bias numerator ``alpha·m²·2^62`` is ONE
+    Python-computed double literal shared with the DuckDB twin
+    (:func:`hll_ndv_by_sql`), and the small-range linear-counting branch
+    ``m·ln(m/zeros)`` mirrors the driver-side function exactly.  ``ln``
+    is the one op trusted to the two libms (the BM25 discipline);
+    everything else is exact-int-then-one-division.  Error bars are the
+    global sketch's ±1.04/√m per key."""
+    regs = hll_registers_by(values, key_cols, val_col, m=m)
+    alpha = 0.709 if m == 64 else 0.7213 / (1 + 1.079 / m)
+    num = alpha * m * m * (1 << 62)  # same association as hll_estimate
+    two62 = F.lit(1 << 62).cast("decimal(38,0)")
+    agg = regs.groupBy(*key_cols).agg(
+        F.sum(
+            F.expr("shiftleft(1L, 62 - max_rho)").cast("decimal(38,0)")
+        ).alias("_ps"),
+        F.count(F.lit(1)).cast("long").alias("_present"),
+    )
+    zeros = F.lit(m) - F.col("_present")
+    denom = (F.col("_ps") + zeros.cast("decimal(38,0)") * two62).cast(
+        "double"
+    )
+    est = F.lit(num) / denom
+    lin = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    ndv = F.when((est <= F.lit(2.5 * m)) & (zeros > 0), lin).otherwise(est)
+    return agg.select(
+        *key_cols, F.floor(ndv).cast("long").alias("ndv_est")
+    )
+
+
+def hll_ndv_by_sql(
+    table: str,
+    key_cols: "list[str]",
+    text_col: str = "text",
+    m: int = 64,
+) -> str:
+    """DuckDB twin of :func:`hll_ndv_by` over the normalized tokens of
+    ``table.text_col`` keyed by ``key_cols`` (the ``sketch3`` query
+    shape).  Every literal is ``repr()`` of the SAME Python double the
+    Column form uses."""
+    p = m.bit_length() - 1
+    max_rho = 60 - p + 1
+    alpha = 0.709 if m == 64 else 0.7213 / (1 + 1.079 / m)
+    num = alpha * m * m * (1 << 62)
+    keys = ", ".join(key_cols)
+    norm = NORMALIZE_SQL.format(c=text_col)
+    return (
+        f"WITH toks AS (SELECT {keys}, "
+        f"unnest(string_split({norm}, ' ')) AS tok FROM {table}), "
+        f"hs AS (SELECT {keys}, "
+        "CAST(CAST('0x' || substr(md5(tok), 1, 15) AS UBIGINT) AS BIGINT)"
+        " AS h FROM toks WHERE tok <> ''), "
+        f"rr AS (SELECT {keys}, CAST(h % {m} AS INT) AS reg, "
+        f"h >> {p} AS v FROM hs), "
+        f"regs AS (SELECT {keys}, reg, "
+        f"MAX(CASE WHEN v = 0 THEN {max_rho} "
+        "ELSE CAST(length(bin(v & -v)) AS INT) END) AS max_rho "
+        f"FROM rr GROUP BY {keys}, reg), "
+        f"agg AS (SELECT {keys}, "
+        "SUM(CAST(CAST(1 AS BIGINT) << (62 - max_rho) AS HUGEINT)) AS ps, "
+        f"CAST(COUNT(*) AS BIGINT) AS present FROM regs GROUP BY {keys}), "
+        f"est AS (SELECT {keys}, {m} - present AS zeros, "
+        f"{num!r} / CAST(ps + CAST({m} - present AS HUGEINT) * "
+        "CAST(4611686018427387904 AS HUGEINT) AS DOUBLE) AS e FROM agg) "
+        f"SELECT {keys}, CAST(FLOOR(CASE WHEN e <= {2.5 * m!r} "
+        f"AND zeros > 0 THEN {float(m)!r} * ln({float(m)!r} / zeros) "
+        f"ELSE e END) AS BIGINT) AS ndv_est FROM est"
+    )
 
 
 #: DuckDB twin of :func:`hll_registers` at ``m=64`` (p=6, max_rho=55).

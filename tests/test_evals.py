@@ -84,3 +84,84 @@ def test_k_bound_changes_metrics(frames):
     }
     # at k=2 only q1's rank-1 hit survives
     assert got == {"q1": 1, "q2": 0, "q3": 0, "q5": 0}
+
+
+# --- classification metrics ------------------------------------------
+
+# (id, pred, group) / (id, label): group a = 2 tp, 1 fp, 1 fn, 1 tn;
+# group b = all-negative predictions (precision denominator zero)
+PREDS = [
+    (1, True, "a"), (2, True, "a"), (3, True, "a"),
+    (4, False, "a"), (5, False, "a"),
+    (6, False, "b"), (7, False, "b"),
+]
+TRUTH = [
+    (1, True), (2, True), (3, False), (4, True), (5, False),
+    (6, True), (7, False),
+]
+
+
+@pytest.fixture(scope="module")
+def cls_frames(spark):
+    p = spark.createDataFrame(PREDS, "doc_id long, pred boolean, g string")
+    t = spark.createDataFrame(TRUTH, "doc_id long, label boolean")
+    return p, t
+
+
+def test_classification_hand_checked(cls_frames):
+    from nlp_to_nosql_spark.operators.evals import classification_metrics
+
+    p, t = cls_frames
+    got = {
+        r["g"]: (
+            r["tp"], r["fp"], r["fn"], r["tn"],
+            r["precision_micro"], r["recall_micro"],
+            r["f1_micro"], r["accuracy_micro"],
+        )
+        for r in classification_metrics(p, t, group_cols=["g"]).collect()
+    }
+    # a: P=2/3, R=2/3, F1=2*2/(2*2+1+1)=2/3, acc=3/5
+    assert got["a"] == (2, 1, 1, 1, 666666, 666666, 666666, 600000)
+    # b: no positive predictions -> precision/recall/f1 all 0, acc=1/2
+    assert got["b"] == (0, 0, 1, 1, 0, 0, 0, 500000)
+
+
+def test_classification_global_row(cls_frames):
+    from nlp_to_nosql_spark.operators.evals import classification_metrics
+
+    p, t = cls_frames
+    rows = classification_metrics(p, t).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (2, 1, 2, 2)
+    assert r["accuracy_micro"] == 571428  # floor(4/7 * 1e6)
+
+
+def test_classification_duckdb_twin_parity(cls_frames):
+    from nlp_to_nosql_spark.operators.evals import (
+        classification_metrics,
+        classification_metrics_sql,
+    )
+
+    p, t = cls_frames
+    con = duckdb.connect()
+    con.register("p_t", p.toPandas())
+    con.register("t_t", t.toPandas())
+    sql = classification_metrics_sql(
+        "SELECT doc_id, pred, g FROM p_t",
+        "SELECT doc_id, label FROM t_t",
+        group_cols=["g"],
+    )
+    want = {
+        row[0]: tuple(int(v) for v in row[1:])
+        for row in con.execute(sql).fetchall()
+    }
+    got = {
+        r["g"]: (
+            r["tp"], r["fp"], r["fn"], r["tn"],
+            r["precision_micro"], r["recall_micro"],
+            r["f1_micro"], r["accuracy_micro"],
+        )
+        for r in classification_metrics(p, t, group_cols=["g"]).collect()
+    }
+    assert got == want

@@ -163,6 +163,124 @@ class TestCMS:
         assert sorted(toks) == ["bar", "foo"]
 
 
+class TestGroupedHLL:
+    def _keyed_vocab(self, spark, sizes: dict):
+        """One single-token doc per (key, distinct token)."""
+        parts = None
+        for key, n in sizes.items():
+            df = spark.range(n).selectExpr(
+                f"'{key}' AS k",
+                f"concat('{key}:tok', CAST(id AS STRING)) AS tok",
+            )
+            parts = df if parts is None else parts.unionByName(df)
+        return parts
+
+    def test_grouped_registers_match_per_key_global(self, spark):
+        from nlp_to_nosql_spark.operators.sketch import (
+            hll_registers_by,
+            hll_registers_of,
+        )
+
+        vals = self._keyed_vocab(spark, {"a": 300, "b": 40})
+        grouped = hll_registers_by(vals, ["k"], "tok", m=64).collect()
+        for key in ("a", "b"):
+            got = {
+                (r["reg"], r["max_rho"]) for r in grouped if r["k"] == key
+            }
+            want = {
+                (r["reg"], r["max_rho"])
+                for r in hll_registers_of(
+                    vals.filter(F.col("k") == key), "tok", m=64
+                ).collect()
+            }
+            assert got == want, key
+
+    def test_ndv_by_equals_driver_side_estimator(self, spark):
+        # the in-plan estimator must reproduce hll_estimate exactly:
+        # floor(hll_estimate(collected per-key registers)) per key
+        import math
+
+        from nlp_to_nosql_spark.operators.sketch import (
+            hll_ndv_by,
+            hll_registers_by,
+        )
+
+        vals = self._keyed_vocab(spark, {"a": 2500, "b": 90, "c": 7})
+        got = {
+            r["k"]: r["ndv_est"]
+            for r in hll_ndv_by(vals, ["k"], "tok", m=64).collect()
+        }
+        regs = hll_registers_by(vals, ["k"], "tok", m=64).collect()
+        for key in ("a", "b", "c"):
+            est = hll_estimate(
+                [
+                    (r["reg"], r["max_rho"])
+                    for r in regs
+                    if r["k"] == key
+                ],
+                m=64,
+            )
+            assert got[key] == math.floor(est), key
+
+    def test_ndv_by_within_error_bound_per_key(self, spark):
+        from nlp_to_nosql_spark.operators.sketch import hll_ndv_by
+
+        sizes = {"big": 5000, "small": 400}
+        vals = self._keyed_vocab(spark, sizes)
+        got = {
+            r["k"]: r["ndv_est"]
+            for r in hll_ndv_by(vals, ["k"], "tok", m=64).collect()
+        }
+        for key, n in sizes.items():
+            assert abs(got[key] - n) / n < 0.4, (key, got[key])
+
+    def test_ndv_by_duckdb_twin_parity(self, spark, tmp_path):
+        import duckdb
+
+        from nlp_to_nosql_spark.operators.sketch import (
+            hll_ndv_by,
+            hll_ndv_by_sql,
+            tokens_by,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma", "en"),
+                (2, "delta epsilon", "en"),
+                (3, "un deux trois quatre", "fr"),
+                (4, "alpha beta", "en"),
+            ],
+            "doc_id long, text string, lang string",
+        )
+        pq = str(tmp_path / "docs.parquet")
+        docs.write.mode("overwrite").parquet(pq)
+        got = {
+            r["lang"]: r["ndv_est"]
+            for r in hll_ndv_by(
+                tokens_by(docs, ["lang"]), ["lang"], "tok", m=64
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM read_parquet('{pq}/*.parquet')"
+        )
+        want = {
+            r[0]: r[1]
+            for r in con.execute(
+                hll_ndv_by_sql("documents", ["lang"], "text", m=64)
+            ).fetchall()
+        }
+        assert got == want
+
+    def test_key_cols_required(self, spark):
+        from nlp_to_nosql_spark.operators.sketch import hll_registers_by
+
+        df = spark.createDataFrame([("x", "t")], "k string, tok string")
+        with pytest.raises(ValueError, match="key_cols"):
+            hll_registers_by(df, [], "tok")
+
+
 def test_unicode_tokens_hash_cross_engine(spark):
     # md5 of non-ASCII tokens must agree between Spark (UTF-8 bytes of
     # the Java string) and the DuckDB/python reference (UTF-8 bytes) —

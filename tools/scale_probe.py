@@ -158,9 +158,12 @@ def main() -> int:
     )
     from nlp_to_nosql_spark.operators.sketch import (
         cms_heavy_hitters,
+        hll_ndv_by,
         hll_registers,
+        tokens_by,
     )
     from nlp_to_nosql_spark.operators.classify import hashed_linear_score
+    from nlp_to_nosql_spark.operators.evals import classification_metrics
     from nlp_to_nosql_spark.operators.semdedup import semantic_dedup
 
     query_vec = [float(x) for x in tables["embeddings"].first()["embedding"]]
@@ -309,6 +312,20 @@ def main() -> int:
                 docs, n_buckets=1024, scale=1000
             ),
             "text4_bm25_topk": lambda: bm25_probe(docs),
+            "sketch3_hll_ndv_by_lang": lambda: hll_ndv_by(
+                tokens_by(docs, ["lang"]), ["lang"], "tok", m=64
+            ),
+            "eval2_classifier_metrics": lambda: classification_metrics(
+                hashed_linear_score(docs, n_buckets=1024, scale=1000)
+                .select("doc_id", F.col("keep").alias("pred"))
+                .join(docs.select("doc_id", "lang"), "doc_id"),
+                docs.select(
+                    "doc_id",
+                    ((F.col("n_chars") >= 150) & (F.col("n_chars") <= 2000))
+                    .alias("label"),
+                ),
+                group_cols=["lang"],
+            ),
         }
 
     # Discarded warm-up pass at 1x: JVM/codegen/Arrow warm-up otherwise

@@ -76,6 +76,7 @@ from nlp_to_nosql_spark.operators.classify import (
 )
 from nlp_to_nosql_spark.operators.graph import pagerank_sql
 from nlp_to_nosql_spark.operators.evals import (
+    calibration_table_sql,
     classification_metrics_sql,
     retrieval_metrics_sql,
 )
@@ -2057,6 +2058,27 @@ def _q_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+def _q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-band calibration table of the hashed-linear classifier
+    against the char-band truth rule — the empirical positive rate per
+    exact-integer score band that a keep/drop threshold is tuned from.
+    One id-equi-join + a groupBy on a domain-bounded band key (the
+    prof5 histogram discipline); every value BIGINT-exact."""
+    from nlp_to_nosql_spark.operators.classify import hashed_linear_score
+    from nlp_to_nosql_spark.operators.evals import calibration_table
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    lo, hi = _EVAL2_CHAR_BAND
+    scored = hashed_linear_score(docs, n_buckets=1024, scale=1000)
+    truth = docs.select(
+        "doc_id",
+        ((F.col("n_chars") >= lo) & (F.col("n_chars") <= hi)).alias(
+            "label"
+        ),
+    )
+    return calibration_table(scored, truth).orderBy("band")
+
+
 def _q_hll_ndv_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language distinct-token NDV estimates from GROUPED HLL
     register tables (sketch.hll_ndv_by) — the per-domain vocabulary
@@ -3378,6 +3400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality4_weighted_filter": _q_weighted_filter,
         "eval1_retrieval_metrics": _q_retrieval_metrics,
         "eval2_classifier_metrics": _q_classifier_metrics,
+        "eval3_classifier_calibration": _q_classifier_calibration,
         "sketch3_hll_ndv_by_lang": _q_hll_ndv_by_lang,
     }
     missing = [k for k in _ROTATED_FRONT if k not in base]
@@ -4375,6 +4398,16 @@ def oracle_sql() -> dict[str, str]:
             group_cols=["lang"],
         )
         + " ORDER BY lang",
+        # eval3: same proven score CTE + truth rule, banded by the
+        # shifted non-negative integer division (no floor/truncate
+        # ambiguity), rates BIGINT floor division.
+        "eval3_classifier_calibration": calibration_table_sql(
+            hashed_linear_score_sql(n_buckets=1024, scale=1000),
+            "SELECT doc_id, n_chars >= "
+            f"{_EVAL2_CHAR_BAND[0]} AND n_chars <= {_EVAL2_CHAR_BAND[1]}"
+            " AS label FROM documents",
+        )
+        + " ORDER BY band",
         # sketch3: grouped HLL registers + in-plan estimator, keyed by
         # language (hll_ndv_by_sql replays the exact decimal denominator
         # and the shared double literals).

@@ -199,6 +199,93 @@ def classification_metrics_sql(
     )
 
 
+def calibration_table(
+    scored: DataFrame,
+    truth: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score_sum",
+    truth_col: str = "label",
+    band_width: int = 2000,
+    lo: int = -10_000,
+    hi: int = 10_000,
+) -> DataFrame:
+    """Score-band calibration of a classifier: how often each score
+    band is actually positive — ``(band, band_lo, n, n_pos,
+    pos_rate_micro)`` — the table a threshold is tuned from before a
+    quality filter gates an ingest.
+
+    Scores are CLAMPED to ``[lo, hi]`` (both must be multiples of
+    ``band_width``; the extremes become open-ended edge bands) and
+    banded by exact integer division of the non-negative shifted score
+    — ``(clamp(score) − lo) div band_width`` — so Spark ``div`` and
+    DuckDB ``//`` agree without any floor-vs-truncate ambiguity on
+    negative operands.  ``pos_rate_micro`` is BIGINT floor division;
+    no float forms anywhere.
+
+    Scale: one id-equi-join plus a groupBy on a domain-bounded key
+    (≤ ``(hi−lo)/band_width + 1`` bands), partially aggregated to the
+    band count per map partition — the prof5 histogram discipline.
+    """
+    if band_width <= 0:
+        raise ValueError("band_width must be positive")
+    if lo % band_width or hi % band_width or lo >= hi:
+        raise ValueError(
+            "lo/hi must be multiples of band_width with lo < hi"
+        )
+    band = F.expr(
+        f"(greatest({lo}L, least({hi}L, CAST({score_col} AS BIGINT)))"
+        f" - {lo}L) div {band_width}L"
+    ).cast("long")
+    j = scored.select(id_col, band.alias("band")).join(
+        truth.select(id_col, truth_col), id_col
+    )
+    return (
+        j.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col(truth_col), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+        )
+        .select(
+            "band",
+            (F.col("band") * band_width + lo).cast("long").alias("band_lo"),
+            "n",
+            "n_pos",
+            F.expr("(n_pos * 1000000L) div n").cast("long").alias(
+                "pos_rate_micro"
+            ),
+        )
+    )
+
+
+def calibration_table_sql(
+    scored_sql: str,
+    truth_sql: str,
+    id_col: str = "doc_id",
+    score_col: str = "score_sum",
+    truth_col: str = "label",
+    band_width: int = 2000,
+    lo: int = -10_000,
+    hi: int = 10_000,
+) -> str:
+    """DuckDB twin of :func:`calibration_table` (same shifted
+    non-negative integer division, same BIGINT floor-division rate)."""
+    return (
+        f"WITH s AS (SELECT {id_col}, "
+        f"(GREATEST({lo}, LEAST({hi}, CAST({score_col} AS BIGINT))) "
+        f"- {lo}) // {band_width} AS band FROM ({scored_sql}) ss), "
+        f"t AS (SELECT {id_col}, {truth_col} FROM ({truth_sql}) tt), "
+        "g AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM(CASE WHEN {truth_col} THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_pos FROM s JOIN t USING ({id_col}) GROUP BY band) "
+        "SELECT CAST(band AS BIGINT) AS band, "
+        f"CAST(band * {band_width} + {lo} AS BIGINT) AS band_lo, "
+        "n, n_pos, "
+        "CAST((n_pos * 1000000) // n AS BIGINT) AS pos_rate_micro FROM g"
+    )
+
+
 def retrieval_metrics_sql(
     results_sql: str,
     qrels_sql: str,

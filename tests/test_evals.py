@@ -137,6 +137,90 @@ def test_classification_global_row(cls_frames):
     assert r["accuracy_micro"] == 571428  # floor(4/7 * 1e6)
 
 
+def test_calibration_hand_checked(spark):
+    from nlp_to_nosql_spark.operators.evals import calibration_table
+
+    # band_width=10, lo=-20, hi=20: bands 0..4; scores beyond clamp to
+    # the edge bands; -20 sits in band 0, 20 in band 4 (inclusive edge)
+    scored = spark.createDataFrame(
+        [
+            (1, -35),  # clamps to -20 -> band 0
+            (2, -20),  # band 0
+            (3, -1),   # band 1 ((-1+20)//10 = 1)
+            (4, 0),    # band 2
+            (5, 9),    # band 2
+            (6, 15),   # band 3
+            (7, 99),   # clamps to 20 -> band 4
+        ],
+        "doc_id long, score_sum long",
+    )
+    truth = spark.createDataFrame(
+        [(1, False), (2, False), (3, False), (4, True), (5, False),
+         (6, True), (7, True)],
+        "doc_id long, label boolean",
+    )
+    got = {
+        r["band"]: (r["band_lo"], r["n"], r["n_pos"], r["pos_rate_micro"])
+        for r in calibration_table(
+            scored, truth, band_width=10, lo=-20, hi=20
+        ).collect()
+    }
+    assert got == {
+        0: (-20, 2, 0, 0),
+        1: (-10, 1, 0, 0),
+        2: (0, 2, 1, 500000),
+        3: (10, 1, 1, 1000000),
+        4: (20, 1, 1, 1000000),
+    }
+
+
+def test_calibration_duckdb_twin_parity(spark):
+    import pandas as pd
+
+    from nlp_to_nosql_spark.operators.evals import (
+        calibration_table,
+        calibration_table_sql,
+    )
+
+    scored = spark.createDataFrame(
+        [(i, (i * 37) % 41 - 20) for i in range(200)],
+        "doc_id long, score_sum long",
+    )
+    truth = spark.createDataFrame(
+        [(i, i % 3 == 0) for i in range(200)],
+        "doc_id long, label boolean",
+    )
+    con = duckdb.connect()
+    con.register("s_t", scored.toPandas())
+    con.register("t_t", truth.toPandas())
+    sql = calibration_table_sql(
+        "SELECT doc_id, score_sum FROM s_t",
+        "SELECT doc_id, label FROM t_t",
+        band_width=10,
+        lo=-20,
+        hi=20,
+    )
+    want = {row[0]: tuple(row[1:]) for row in con.execute(sql).fetchall()}
+    got = {
+        r["band"]: (r["band_lo"], r["n"], r["n_pos"], r["pos_rate_micro"])
+        for r in calibration_table(
+            scored, truth, band_width=10, lo=-20, hi=20
+        ).collect()
+    }
+    assert got == want
+
+
+def test_calibration_validation(spark):
+    from nlp_to_nosql_spark.operators.evals import calibration_table
+
+    df = spark.createDataFrame([(1, 0)], "doc_id long, score_sum long")
+    t = spark.createDataFrame([(1, True)], "doc_id long, label boolean")
+    with pytest.raises(ValueError, match="band_width"):
+        calibration_table(df, t, band_width=0)
+    with pytest.raises(ValueError, match="multiples"):
+        calibration_table(df, t, band_width=7, lo=-10, hi=10)
+
+
 def test_classification_duckdb_twin_parity(cls_frames):
     from nlp_to_nosql_spark.operators.evals import (
         classification_metrics,

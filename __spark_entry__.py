@@ -2079,6 +2079,26 @@ def _q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_table(scored, truth).orderBy("band")
 
 
+def _q_hll_snapshot_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-fingerprint overlap between two corpus snapshots from
+    HLL sketches alone (sketch.hll_overlap) — the drift/contamination
+    monitor between crawl snapshots.  Each side reduces to ≤ m register
+    rows (mergeable by MAX across shards), the union sketch is the
+    element-wise register MAX, and intersection/Jaccard are exact
+    BIGINT inclusion–exclusion over the floored estimates — no corpus
+    rescan once the registers exist."""
+    from nlp_to_nosql_spark.operators.sketch import hll_overlap
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    a = docs.filter(F.col("doc_id") % 10 != 0).select(
+        tx.fingerprint(F.col("text")).alias("tok")
+    )
+    b = docs.filter(F.col("doc_id") % 10 != 1).select(
+        tx.fingerprint(F.col("text")).alias("tok")
+    )
+    return hll_overlap(a, b, "tok", m=64)
+
+
 def _q_hll_ndv_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language distinct-token NDV estimates from GROUPED HLL
     register tables (sketch.hll_ndv_by) — the per-domain vocabulary
@@ -2262,6 +2282,7 @@ from nlp_to_nosql_spark.operators.sketch import (  # noqa: E402
     CMS_HEAVY_HITTERS_SQL as _CMS_SQL_T,
     HLL_REGISTERS_SQL as _HLL_SQL_T,
     hll_ndv_by_sql as _hll_ndv_by_sql,
+    hll_overlap_sql as _hll_overlap_sql,
 )
 
 _SKETCH_HLL_SQL = _HLL_SQL_T.format(table="documents", c="text")
@@ -3402,6 +3423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval2_classifier_metrics": _q_classifier_metrics,
         "eval3_classifier_calibration": _q_classifier_calibration,
         "sketch3_hll_ndv_by_lang": _q_hll_ndv_by_lang,
+        "sketch4_hll_snapshot_overlap": _q_hll_snapshot_overlap,
     }
     missing = [k for k in _ROTATED_FRONT if k not in base]
     assert not missing, f"rotation names unknown queries: {missing}"
@@ -4408,6 +4430,15 @@ def oracle_sql() -> dict[str, str]:
             " AS label FROM documents",
         )
         + " ORDER BY band",
+        # sketch4: snapshot overlap from register MAX-merge +
+        # inclusion-exclusion over floored estimates (exact BIGINT).
+        "sketch4_hll_snapshot_overlap": _hll_overlap_sql(
+            "SELECT " + tx.FINGERPRINT_SQL.format(c="text")
+            + " AS tok FROM documents WHERE doc_id % 10 <> 0",
+            "SELECT " + tx.FINGERPRINT_SQL.format(c="text")
+            + " AS tok FROM documents WHERE doc_id % 10 <> 1",
+            m=64,
+        ),
         # sketch3: grouped HLL registers + in-plan estimator, keyed by
         # language (hll_ndv_by_sql replays the exact decimal denominator
         # and the shared double literals).

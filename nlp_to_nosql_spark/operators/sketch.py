@@ -46,6 +46,8 @@ __all__ = [
     "hll_registers_by",
     "hll_ndv_by",
     "hll_ndv_by_sql",
+    "hll_overlap",
+    "hll_overlap_sql",
     "hll_estimate",
     "cms_cells",
     "cms_heavy_hitters",
@@ -234,6 +236,16 @@ def hll_ndv_by(
     everything else is exact-int-then-one-division.  Error bars are the
     global sketch's ±1.04/√m per key."""
     regs = hll_registers_by(values, key_cols, val_col, m=m)
+    return _ndv_from_grouped_registers(regs, key_cols, m=m)
+
+
+def _ndv_from_grouped_registers(
+    regs: DataFrame, key_cols: "list[str]", m: int = 64
+) -> DataFrame:
+    """The in-plan estimator over a grouped ``(key..., reg, max_rho)``
+    register table — shared by :func:`hll_ndv_by` and
+    :func:`hll_overlap` (see :func:`hll_ndv_by` for the exactness
+    argument)."""
     alpha = 0.709 if m == 64 else 0.7213 / (1 + 1.079 / m)
     num = alpha * m * m * (1 << 62)  # same association as hll_estimate
     two62 = F.lit(1 << 62).cast("decimal(38,0)")
@@ -255,6 +267,114 @@ def hll_ndv_by(
     )
 
 
+def hll_overlap(
+    values_a: DataFrame,
+    values_b: DataFrame,
+    val_col: str,
+    m: int = 64,
+) -> DataFrame:
+    """Vocabulary overlap between two corpus snapshots from their HLL
+    sketches alone — ONE row ``(ndv_a, ndv_b, ndv_union,
+    ndv_intersect, jaccard_micro)``.
+
+    The union sketch is the element-wise MAX of the two register
+    tables (the same merge that makes HLL incremental), the
+    intersection is inclusion–exclusion ``max(0, a + b − union)`` over
+    the FLOORED estimates (exact BIGINT arithmetic), and
+    ``jaccard_micro = intersect·10⁶ div union`` (0 when the union is
+    empty).  This is the drift/contamination monitor between crawl
+    snapshots that never rescans either corpus once the ≤ ``m``-row
+    register tables exist — and at 100 TB you persist those per shard
+    and merge, never re-reading text.
+
+    Estimator caveat (standard for sketch intersections): a + b − union
+    compounds three ±1.04/√m errors, so small true overlaps can
+    estimate to 0 — size ``m`` to the overlap you need to resolve, not
+    to the corpus NDV.
+    """
+    tagged = values_a.select(
+        F.lit("a").alias("side"), F.col(val_col).alias("_v")
+    ).unionByName(
+        values_b.select(F.lit("b").alias("side"), F.col(val_col).alias("_v"))
+    )
+    regs = hll_registers_by(tagged, ["side"], "_v", m=m)
+    union_regs = (
+        regs.groupBy("reg")
+        .agg(F.max("max_rho").alias("max_rho"))
+        .select(F.lit("u").alias("side"), "reg", "max_rho")
+    )
+    ests = _ndv_from_grouped_registers(
+        regs.unionByName(union_regs), ["side"], m=m
+    )
+
+    def side(s: str) -> Column:
+        return F.max(F.when(F.col("side") == s, F.col("ndv_est")))
+
+    one = ests.groupBy().agg(
+        side("a").cast("long").alias("ndv_a"),
+        side("b").cast("long").alias("ndv_b"),
+        side("u").cast("long").alias("ndv_union"),
+    )
+    inter = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("ndv_a") + F.col("ndv_b") - F.col("ndv_union"),
+    )
+    return one.select(
+        "ndv_a",
+        "ndv_b",
+        "ndv_union",
+        inter.alias("ndv_intersect"),
+        F.when(
+            F.col("ndv_union") > 0,
+            F.expr(
+                "(greatest(0L, ndv_a + ndv_b - ndv_union) * 1000000L) "
+                "div ndv_union"
+            ),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("jaccard_micro"),
+    )
+
+
+def _hash_reg_sql(keys: str, src: str, m: int) -> str:
+    """``hs``/``rr``/``regs`` CTE chain: value column ``tok`` of CTE
+    ``src`` → grouped ``(keys, reg, max_rho)`` register CTE ``regs``."""
+    p = m.bit_length() - 1
+    max_rho = 60 - p + 1
+    return (
+        f"hs AS (SELECT {keys}, "
+        "CAST(CAST('0x' || substr(md5(tok), 1, 15) AS UBIGINT) AS BIGINT)"
+        f" AS h FROM {src} WHERE tok <> ''), "
+        f"rr AS (SELECT {keys}, CAST(h % {m} AS INT) AS reg, "
+        f"h >> {p} AS v FROM hs), "
+        f"regs AS (SELECT {keys}, reg, "
+        f"MAX(CASE WHEN v = 0 THEN {max_rho} "
+        "ELSE CAST(length(bin(v & -v)) AS INT) END) AS max_rho "
+        f"FROM rr GROUP BY {keys}, reg)"
+    )
+
+
+def _ndv_est_sql(keys: str, src: str, m: int) -> str:
+    """``agg``/``est`` CTE chain + final select list replaying
+    :func:`_ndv_from_grouped_registers` over register CTE ``src`` —
+    every literal ``repr()`` of the SAME Python double the Column form
+    uses."""
+    alpha = 0.709 if m == 64 else 0.7213 / (1 + 1.079 / m)
+    num = alpha * m * m * (1 << 62)
+    return (
+        f"agg AS (SELECT {keys}, "
+        "SUM(CAST(CAST(1 AS BIGINT) << (62 - max_rho) AS HUGEINT)) AS ps, "
+        f"CAST(COUNT(*) AS BIGINT) AS present FROM {src} GROUP BY {keys}), "
+        f"est AS (SELECT {keys}, {m} - present AS zeros, "
+        f"{num!r} / CAST(ps + CAST({m} - present AS HUGEINT) * "
+        "CAST(4611686018427387904 AS HUGEINT) AS DOUBLE) AS e FROM agg), "
+        f"ndv AS (SELECT {keys}, CAST(FLOOR(CASE WHEN e <= {2.5 * m!r} "
+        f"AND zeros > 0 THEN {float(m)!r} * ln({float(m)!r} / zeros) "
+        "ELSE e END) AS BIGINT) AS ndv_est FROM est)"
+    )
+
+
 def hll_ndv_by_sql(
     table: str,
     key_cols: "list[str]",
@@ -263,35 +383,49 @@ def hll_ndv_by_sql(
 ) -> str:
     """DuckDB twin of :func:`hll_ndv_by` over the normalized tokens of
     ``table.text_col`` keyed by ``key_cols`` (the ``sketch3`` query
-    shape).  Every literal is ``repr()`` of the SAME Python double the
-    Column form uses."""
-    p = m.bit_length() - 1
-    max_rho = 60 - p + 1
-    alpha = 0.709 if m == 64 else 0.7213 / (1 + 1.079 / m)
-    num = alpha * m * m * (1 << 62)
+    shape)."""
     keys = ", ".join(key_cols)
     norm = NORMALIZE_SQL.format(c=text_col)
     return (
         f"WITH toks AS (SELECT {keys}, "
         f"unnest(string_split({norm}, ' ')) AS tok FROM {table}), "
-        f"hs AS (SELECT {keys}, "
-        "CAST(CAST('0x' || substr(md5(tok), 1, 15) AS UBIGINT) AS BIGINT)"
-        " AS h FROM toks WHERE tok <> ''), "
-        f"rr AS (SELECT {keys}, CAST(h % {m} AS INT) AS reg, "
-        f"h >> {p} AS v FROM hs), "
-        f"regs AS (SELECT {keys}, reg, "
-        f"MAX(CASE WHEN v = 0 THEN {max_rho} "
-        "ELSE CAST(length(bin(v & -v)) AS INT) END) AS max_rho "
-        f"FROM rr GROUP BY {keys}, reg), "
-        f"agg AS (SELECT {keys}, "
-        "SUM(CAST(CAST(1 AS BIGINT) << (62 - max_rho) AS HUGEINT)) AS ps, "
-        f"CAST(COUNT(*) AS BIGINT) AS present FROM regs GROUP BY {keys}), "
-        f"est AS (SELECT {keys}, {m} - present AS zeros, "
-        f"{num!r} / CAST(ps + CAST({m} - present AS HUGEINT) * "
-        "CAST(4611686018427387904 AS HUGEINT) AS DOUBLE) AS e FROM agg) "
-        f"SELECT {keys}, CAST(FLOOR(CASE WHEN e <= {2.5 * m!r} "
-        f"AND zeros > 0 THEN {float(m)!r} * ln({float(m)!r} / zeros) "
-        f"ELSE e END) AS BIGINT) AS ndv_est FROM est"
+        + _hash_reg_sql(keys, "toks", m)
+        + ", "
+        + _ndv_est_sql(keys, "regs", m)
+        + f" SELECT {keys}, ndv_est FROM ndv"
+    )
+
+
+def hll_overlap_sql(
+    values_a_sql: str,
+    values_b_sql: str,
+    m: int = 64,
+) -> str:
+    """DuckDB twin of :func:`hll_overlap`.  ``values_a_sql`` /
+    ``values_b_sql`` are SELECTs producing one value column named
+    ``tok``."""
+    return (
+        f"WITH va AS (SELECT 'a' AS side, tok FROM ({values_a_sql}) qa), "
+        f"vb AS (SELECT 'b' AS side, tok FROM ({values_b_sql}) qb), "
+        "tagged AS (SELECT * FROM va UNION ALL SELECT * FROM vb), "
+        + _hash_reg_sql("side", "tagged", m)
+        + ", uregs AS (SELECT 'u' AS side, reg, MAX(max_rho) AS max_rho "
+        "FROM regs GROUP BY reg), "
+        "allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM uregs), "
+        + _ndv_est_sql("side", "allregs", m)
+        + ", one AS (SELECT "
+        "MAX(CASE WHEN side = 'a' THEN ndv_est END) AS ndv_a, "
+        "MAX(CASE WHEN side = 'b' THEN ndv_est END) AS ndv_b, "
+        "MAX(CASE WHEN side = 'u' THEN ndv_est END) AS ndv_union "
+        "FROM ndv) "
+        "SELECT CAST(ndv_a AS BIGINT) AS ndv_a, "
+        "CAST(ndv_b AS BIGINT) AS ndv_b, "
+        "CAST(ndv_union AS BIGINT) AS ndv_union, "
+        "CAST(GREATEST(0, ndv_a + ndv_b - ndv_union) AS BIGINT) "
+        "AS ndv_intersect, "
+        "CAST(CASE WHEN ndv_union > 0 THEN "
+        "(GREATEST(0, ndv_a + ndv_b - ndv_union) * 1000000) // ndv_union "
+        "ELSE 0 END AS BIGINT) AS jaccard_micro FROM one"
     )
 
 

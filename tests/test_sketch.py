@@ -273,6 +273,66 @@ class TestGroupedHLL:
         }
         assert got == want
 
+    def test_overlap_identical_and_disjoint(self, spark):
+        from nlp_to_nosql_spark.operators.sketch import hll_overlap
+
+        a = self._keyed_vocab(spark, {"x": 3000}).select("tok")
+        r = hll_overlap(a, a, "tok").collect()[0]
+        # identical inputs: union == both sides, Jaccard exactly 1
+        assert r["ndv_a"] == r["ndv_b"] == r["ndv_union"]
+        assert r["ndv_intersect"] == r["ndv_a"]
+        assert r["jaccard_micro"] == 1_000_000
+        b = self._keyed_vocab(spark, {"y": 3000}).select("tok")
+        r2 = hll_overlap(a, b, "tok").collect()[0]
+        # disjoint vocabularies: intersection small relative to union
+        # (sketch noise can make it nonzero, but far below either side)
+        assert r2["ndv_union"] > max(r2["ndv_a"], r2["ndv_b"]) * 1.5
+        assert r2["jaccard_micro"] < 200_000
+
+    def test_overlap_tracks_true_jaccard(self, spark):
+        from nlp_to_nosql_spark.operators.sketch import hll_overlap
+
+        # A = 0..5999, B = 3000..8999: true Jaccard = 3000/9000 = 1/3
+        a = self._keyed_vocab(spark, {"v": 6000}).select("tok")
+        b = (
+            spark.range(3000, 9000)
+            .selectExpr("concat('v:tok', CAST(id AS STRING)) AS tok")
+        )
+        r = hll_overlap(a, b, "tok").collect()[0]
+        assert abs(r["jaccard_micro"] / 1e6 - 1 / 3) < 0.25
+
+    def test_overlap_duckdb_twin_parity(self, spark, tmp_path):
+        import duckdb
+
+        from nlp_to_nosql_spark.operators.sketch import (
+            hll_overlap,
+            hll_overlap_sql,
+        )
+
+        vals = self._keyed_vocab(spark, {"p": 800, "q": 500})
+        pq = str(tmp_path / "vals.parquet")
+        vals.write.mode("overwrite").parquet(pq)
+        a = vals.filter(F.col("k") == "p").select("tok")
+        b = vals.filter(F.col("k") == "q").select("tok")
+        got = hll_overlap(a, b, "tok").collect()[0].asDict()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW v AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+        )
+        want = dict(
+            zip(
+                ("ndv_a", "ndv_b", "ndv_union", "ndv_intersect",
+                 "jaccard_micro"),
+                con.execute(
+                    hll_overlap_sql(
+                        "SELECT tok FROM v WHERE k = 'p'",
+                        "SELECT tok FROM v WHERE k = 'q'",
+                    )
+                ).fetchall()[0],
+            )
+        )
+        assert got == want
+
     def test_key_cols_required(self, spark):
         from nlp_to_nosql_spark.operators.sketch import hll_registers_by
 

@@ -2913,6 +2913,28 @@ def _q_hll_accumulate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hll_by_accumulate_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL streaming GROUPED-HLL accumulation: one persistent register
+    table per language, folded per micro-batch by the same idempotent
+    element-wise MAX (streaming/replay.py::replay_hll_by_accumulate) —
+    sketch3's streaming twin, state ≤ m rows per active key.  The final
+    per-key NDV projection must equal the batch grouped sketch over the
+    whole corpus, so the oracle is shared verbatim with
+    sketch3_hll_ndv_by_lang."""
+    from nlp_to_nosql_spark.operators.sketch import (
+        _ndv_from_grouped_registers,
+    )
+    from nlp_to_nosql_spark.streaming.replay import replay_hll_by_accumulate
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    regs = replay_hll_by_accumulate(
+        spark, docs, key_col="lang", tag=f"hllbyacc_sf{_sf_tag(sf_dir)}"
+    )
+    return _ndv_from_grouped_registers(regs, ["lang"], m=64).orderBy("lang")
+
+
 def _q_cms_accumulate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming count-min accumulation: each micro-batch writes
     its PARTIAL sketch to a batch_id-keyed directory (overwrite =
@@ -3414,6 +3436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch2_cms_heavy_hitters": _q_cms_heavy_hitters,
         "stream12_hll_accumulate": _q_hll_accumulate_stream,
         "stream13_cms_accumulate": _q_cms_accumulate_stream,
+        "stream14_hll_by_accumulate": _q_hll_by_accumulate_stream,
         "split2_stratified_split": _q_stratified_split,
         "prof5_length_quantiles": _q_length_quantiles,
         "dedup14_semdedup": _q_semantic_dedup,
@@ -4345,6 +4368,13 @@ def oracle_sql() -> dict[str, str]:
         "stream12_hll_accumulate": _SKETCH_HLL_SQL,
         # stream13: batch-id-keyed partials SUM-fold to the batch sketch.
         "stream13_cms_accumulate": _SKETCH_CMS_CELLS_SQL,
+        # stream14: the keyed streaming fold must equal the batch
+        # grouped sketch — oracle shared verbatim with sketch3.
+        "stream14_hll_by_accumulate": (
+            "SELECT * FROM ("
+            + _hll_ndv_by_sql("documents", ["lang"], "text", m=64)
+            + ") ORDER BY lang"
+        ),
         "pipe1_curation": (
             "WITH scored AS (SELECT doc_id, "
             + tx.QUALITY_SCORE_SQL.format(c="text") + " AS quality, "

@@ -676,6 +676,99 @@ def _fold_registers(
     shutil.rmtree(old, ignore_errors=True)
 
 
+def _fold_registers_by(
+    spark: SparkSession,
+    table: str,
+    batch: DataFrame,
+    key_col: str,
+    m: int = 64,
+) -> None:
+    """Keyed :func:`_fold_registers`: MAX-merge the batch's GROUPED
+    register table (one sketch per ``key_col`` value) into the
+    persistent one — same idempotent merge, same crash-safe swap."""
+    import shutil
+
+    from nlp_to_nosql_spark.operators.sketch import (
+        hll_registers_by,
+        tokens_by,
+    )
+
+    old = table + "_old"
+    if not os.path.isdir(table) and os.path.isdir(old):
+        os.replace(old, table)
+    regs = hll_registers_by(
+        tokens_by(batch, [key_col], "text"), [key_col], "tok", m=m
+    )
+    if os.path.isdir(table):
+        cur = spark.read.schema(
+            f"{key_col} string, reg int, max_rho int"
+        ).parquet(table)
+        regs = (
+            cur.unionByName(regs)
+            .groupBy(key_col, "reg")
+            .agg(F.max("max_rho").alias("max_rho"))
+        )
+    nxt = table + "_next"
+    regs.write.mode("overwrite").parquet(nxt)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(table):
+        os.replace(table, old)
+    os.replace(nxt, table)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def replay_hll_by_accumulate(
+    spark: SparkSession,
+    docs: DataFrame,
+    key_col: str = "lang",
+    tag: str = "hllbyacc",
+    m: int = 64,
+) -> DataFrame:
+    """Keyed :func:`replay_hll_accumulate`: one persistent HLL register
+    table PER ``key_col`` VALUE, folded by the same idempotent
+    element-wise MAX — the live per-domain vocabulary monitor
+    (``sketch3``'s streaming twin).  State is ≤ m rows per active key
+    regardless of corpus size; the accumulated table after any batch
+    split equals the batch grouped sketch over the whole corpus
+    (test-pinned), so the final NDV projection shares ``sketch3``'s
+    oracle verbatim."""
+    import shutil
+
+    src = docs.select("doc_id", key_col, "text")
+    in_path = _work_dir(f"{tag}_in")
+    src.repartition(2).write.mode("overwrite").parquet(in_path)
+
+    table = _work_dir(f"{tag}_table")
+    shutil.rmtree(table, ignore_errors=True)
+    ckpt = _work_dir(f"{tag}_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(f"doc_id long, {key_col} string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_path)
+    )
+
+    def fold(batch: DataFrame, _batch_id: int) -> None:
+        _fold_registers_by(spark, table, batch, key_col, m=m)
+
+    with _REPLAY_CONF_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(_REPLAY_PARTITIONS))
+        try:
+            q = (
+                stream.writeStream.foreachBatch(fold)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return spark.read.parquet(table).select(key_col, "reg", "max_rho")
+
+
 def replay_hll_accumulate(
     spark: SparkSession,
     docs: DataFrame,

@@ -376,6 +376,68 @@ def test_hll_accumulate_stream_equals_batch_sketch(spark):
     assert got == want
 
 
+def test_hll_by_accumulate_stream_equals_batch_grouped_sketch(spark):
+    from nlp_to_nosql_spark.operators.sketch import (
+        hll_registers_by,
+        tokens_by,
+    )
+    from nlp_to_nosql_spark.streaming.replay import replay_hll_by_accumulate
+
+    docs = spark.createDataFrame(
+        [
+            (i, "en" if i % 3 else "fr", f"alpha tok{i} tok{i % 7} beta")
+            for i in range(40)
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    got = {
+        (r["lang"], r["reg"], r["max_rho"])
+        for r in replay_hll_by_accumulate(
+            spark, docs, key_col="lang", tag="hllbytest"
+        ).collect()
+    }
+    want = {
+        (r["lang"], r["reg"], r["max_rho"])
+        for r in hll_registers_by(
+            tokens_by(docs, ["lang"]), ["lang"], "tok"
+        ).collect()
+    }
+    # the keyed 2-micro-batch streaming fold must equal the whole-corpus
+    # grouped sketch, key by key
+    assert got == want
+
+
+def test_hll_by_refold_is_idempotent(spark, tmp_path):
+    from nlp_to_nosql_spark.operators.sketch import (
+        hll_registers_by,
+        tokens_by,
+    )
+    from nlp_to_nosql_spark.streaming.replay import _fold_registers_by
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", f"gamma tok{i}") for i in range(20)],
+        ["doc_id", "lang", "text"],
+    )
+    table = str(tmp_path / "regs_by")
+    _fold_registers_by(spark, table, docs, "lang")
+    once = {
+        (r["lang"], r["reg"], r["max_rho"])
+        for r in spark.read.parquet(table).collect()
+    }
+    _fold_registers_by(spark, table, docs, "lang")  # redelivery
+    twice = {
+        (r["lang"], r["reg"], r["max_rho"])
+        for r in spark.read.parquet(table).collect()
+    }
+    assert once == twice
+    assert once == {
+        (r["lang"], r["reg"], r["max_rho"])
+        for r in hll_registers_by(
+            tokens_by(docs, ["lang"]), ["lang"], "tok"
+        ).collect()
+    }
+
+
 def test_hll_accumulate_refold_is_idempotent(spark, tmp_path):
     # re-delivering a batch (at-least-once foreachBatch) must not change
     # the register table: MAX merge is idempotent

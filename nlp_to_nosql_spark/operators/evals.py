@@ -118,7 +118,13 @@ def classification_metrics(
     t = F.col(truth_col)
 
     def cnt(cond: "F.Column", name: str):
-        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+        # coalesce: the ungrouped aggregate over an EMPTY join emits one
+        # row of NULL sums — a zero-count confusion row is the contract
+        return (
+            F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(name)
+        )
 
     agg = j.groupBy(*keys).agg(
         cnt(p & t, "tp"),
@@ -176,14 +182,14 @@ def classification_metrics_sql(
         f"FROM ({pred_sql}) pp), "
         f"t AS (SELECT {id_col}, {truth_col} FROM ({truth_sql}) tt), "
         f"c AS (SELECT {ksel} "
-        f"CAST(SUM(CASE WHEN {pred_col} AND {truth_col} "
-        "THEN 1 ELSE 0 END) AS BIGINT) AS tp, "
-        f"CAST(SUM(CASE WHEN {pred_col} AND NOT {truth_col} "
-        "THEN 1 ELSE 0 END) AS BIGINT) AS fp, "
-        f"CAST(SUM(CASE WHEN NOT {pred_col} AND {truth_col} "
-        "THEN 1 ELSE 0 END) AS BIGINT) AS fn, "
-        f"CAST(SUM(CASE WHEN NOT {pred_col} AND NOT {truth_col} "
-        "THEN 1 ELSE 0 END) AS BIGINT) AS tn "
+        f"CAST(COALESCE(SUM(CASE WHEN {pred_col} AND {truth_col} "
+        "THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp, "
+        f"CAST(COALESCE(SUM(CASE WHEN {pred_col} AND NOT {truth_col} "
+        "THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp, "
+        f"CAST(COALESCE(SUM(CASE WHEN NOT {pred_col} AND {truth_col} "
+        "THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn, "
+        f"CAST(COALESCE(SUM(CASE WHEN NOT {pred_col} AND NOT {truth_col} "
+        "THEN 1 ELSE 0 END), 0) AS BIGINT) AS tn "
         f"FROM p JOIN t USING ({id_col}){kgrp}) "
         f"SELECT {ksel} tp, fp, fn, tn, "
         + ratio("tp * 1000000", "tp + fp", "precision_micro")

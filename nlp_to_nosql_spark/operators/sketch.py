@@ -308,7 +308,12 @@ def hll_overlap(
     )
 
     def side(s: str) -> Column:
-        return F.max(F.when(F.col("side") == s, F.col("ndv_est")))
+        # an EMPTY side contributes no register rows at all -> no
+        # estimate row; its NDV is 0 by definition (mirrored in SQL)
+        return F.coalesce(
+            F.max(F.when(F.col("side") == s, F.col("ndv_est"))),
+            F.lit(0),
+        )
 
     one = ests.groupBy().agg(
         side("a").cast("long").alias("ndv_a"),
@@ -414,10 +419,10 @@ def hll_overlap_sql(
         "allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM uregs), "
         + _ndv_est_sql("side", "allregs", m)
         + ", one AS (SELECT "
-        "MAX(CASE WHEN side = 'a' THEN ndv_est END) AS ndv_a, "
-        "MAX(CASE WHEN side = 'b' THEN ndv_est END) AS ndv_b, "
-        "MAX(CASE WHEN side = 'u' THEN ndv_est END) AS ndv_union "
-        "FROM ndv) "
+        "COALESCE(MAX(CASE WHEN side = 'a' THEN ndv_est END), 0) AS ndv_a, "
+        "COALESCE(MAX(CASE WHEN side = 'b' THEN ndv_est END), 0) AS ndv_b, "
+        "COALESCE(MAX(CASE WHEN side = 'u' THEN ndv_est END), 0) "
+        "AS ndv_union FROM ndv) "
         "SELECT CAST(ndv_a AS BIGINT) AS ndv_a, "
         "CAST(ndv_b AS BIGINT) AS ndv_b, "
         "CAST(ndv_union AS BIGINT) AS ndv_union, "

@@ -551,6 +551,49 @@ def test_sketches_on_empty_corpus(spark):
     assert hll_estimate([], m=64) == 0
 
 
+def test_hll_overlap_empty_sides(spark):
+    from nlp_to_nosql_spark.operators.sketch import hll_overlap
+
+    vals = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(500)], "tok string"
+    )
+    empty = spark.createDataFrame([], "tok string")
+    # empty vs non-empty: a-side NDV 0, union == b, no overlap
+    r = hll_overlap(empty, vals, "tok").collect()[0]
+    assert r["ndv_a"] == 0
+    assert r["ndv_b"] == r["ndv_union"] > 0
+    assert r["ndv_intersect"] == 0 and r["jaccard_micro"] == 0
+    # both empty: one all-zero row, jaccard 0 (no divide-by-zero)
+    r2 = hll_overlap(empty, empty, "tok").collect()[0]
+    assert (
+        r2["ndv_a"], r2["ndv_b"], r2["ndv_union"],
+        r2["ndv_intersect"], r2["jaccard_micro"],
+    ) == (0, 0, 0, 0, 0)
+
+
+def test_grouped_hll_and_eval_empty_inputs(spark):
+    from nlp_to_nosql_spark.operators.evals import (
+        calibration_table,
+        classification_metrics,
+    )
+    from nlp_to_nosql_spark.operators.sketch import hll_ndv_by
+
+    empty_vals = spark.createDataFrame([], "k string, tok string")
+    assert hll_ndv_by(empty_vals, ["k"], "tok").count() == 0
+    pred = spark.createDataFrame([], "doc_id long, pred boolean")
+    truth = spark.createDataFrame([], "doc_id long, label boolean")
+    # ungrouped: one all-zero confusion row (global agg over empty);
+    # all ratios hit the zero-denominator guard
+    row = classification_metrics(pred, truth).collect()[0]
+    assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (0, 0, 0, 0)
+    assert row["precision_micro"] == row["f1_micro"] == 0
+    # grouped: no groups -> no rows
+    predg = spark.createDataFrame([], "doc_id long, pred boolean, g string")
+    assert classification_metrics(pred=predg, truth=truth, group_cols=["g"]).count() == 0
+    scored = spark.createDataFrame([], "doc_id long, score_sum long")
+    assert calibration_table(scored, truth).count() == 0
+
+
 def test_hll_accumulate_stream_empty_corpus(spark):
     from nlp_to_nosql_spark.streaming.replay import replay_hll_accumulate
 

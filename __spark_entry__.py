@@ -2099,6 +2099,20 @@ def _q_hll_snapshot_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_overlap(a, b, "tok", m=64)
 
 
+def _q_cms_heavy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language CMS heavy-hitter audit (sketch.cms_heavy_hitters_by)
+    — one depth×width sketch per key (≤ depth·width cells per key per
+    map partition, SUM-mergeable within a key) plus the exact top-N
+    audit ranked by a key-partitioned window (no global LIMIT funnel).
+    Estimates never undercount within a key."""
+    from nlp_to_nosql_spark.operators.sketch import cms_heavy_hitters_by
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return cms_heavy_hitters_by(docs, ["lang"], top_n=10).orderBy(
+        "lang", F.col("true_cnt").desc(), "tok"
+    )
+
+
 def _q_hll_ndv_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language distinct-token NDV estimates from GROUPED HLL
     register tables (sketch.hll_ndv_by) — the per-domain vocabulary
@@ -2283,6 +2297,7 @@ from nlp_to_nosql_spark.operators.sketch import (  # noqa: E402
     HLL_REGISTERS_SQL as _HLL_SQL_T,
     hll_ndv_by_sql as _hll_ndv_by_sql,
     hll_overlap_sql as _hll_overlap_sql,
+    cms_heavy_hitters_by_sql as _cms_heavy_by_sql,
 )
 
 _SKETCH_HLL_SQL = _HLL_SQL_T.format(table="documents", c="text")
@@ -3447,6 +3462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval3_classifier_calibration": _q_classifier_calibration,
         "sketch3_hll_ndv_by_lang": _q_hll_ndv_by_lang,
         "sketch4_hll_snapshot_overlap": _q_hll_snapshot_overlap,
+        "sketch5_cms_heavy_by_lang": _q_cms_heavy_by_lang,
     }
     missing = [k for k in _ROTATED_FRONT if k not in base]
     assert not missing, f"rotation names unknown queries: {missing}"
@@ -4468,6 +4484,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT " + tx.FINGERPRINT_SQL.format(c="text")
             + " AS tok FROM documents WHERE doc_id % 10 <> 1",
             m=64,
+        ),
+        # sketch5: per-key CMS + per-key exact audit (QUALIFY window).
+        "sketch5_cms_heavy_by_lang": (
+            "SELECT * FROM ("
+            + _cms_heavy_by_sql("documents", ["lang"], top_n=10)
+            + ") ORDER BY lang, true_cnt DESC, tok"
         ),
         # sketch3: grouped HLL registers + in-plan estimator, keyed by
         # language (hll_ndv_by_sql replays the exact decimal denominator

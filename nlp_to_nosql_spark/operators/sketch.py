@@ -51,6 +51,8 @@ __all__ = [
     "hll_estimate",
     "cms_cells",
     "cms_heavy_hitters",
+    "cms_heavy_hitters_by",
+    "cms_heavy_hitters_by_sql",
     "tokens_of",
     "tokens_by",
     "HLL_REGISTERS_SQL",
@@ -573,3 +575,109 @@ CMS_HEAVY_HITTERS_SQL = (
     "FROM probes p JOIN cms c ON p.row = c.row AND p.col = c.col "
     "GROUP BY p.tok, p.true_cnt"
 )
+
+
+def cms_heavy_hitters_by(
+    df: DataFrame,
+    key_cols: "list[str]",
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    top_n: int = 20,
+) -> DataFrame:
+    """Grouped :func:`cms_heavy_hitters`: one ``depth × width`` CMS and
+    one top-``top_n`` heavy-hitter audit PER KEY — ``(key..., tok,
+    true_cnt, est_cnt)`` — the per-domain frequent-token monitor.
+
+    The sketch side partially aggregates to ≤ ``depth × width`` cells
+    per key per map partition before its one shuffle and merges across
+    shards by cell-wise SUM within a key, exactly like the global
+    sketch.  The exact side ranks tokens per key with a window
+    partitioned on the key (no global LIMIT funnel — every key's top-N
+    resolves independently); as with the global operator, the exact
+    audit is the measurement path, not the 100 TB production path.
+    Est never undercounts within a key (per-key cells are disjoint by
+    construction since the key is part of the cell grouping)."""
+    from pyspark.sql import Window
+
+    if not key_cols:
+        raise ValueError("key_cols must name at least one grouping column")
+    toks = tokens_by(df, key_cols, text_col)
+    cells = toks.select(
+        *key_cols,
+        F.posexplode(
+            F.array(*[_cms_cell(j, width) for j in range(depth)])
+        ).alias("row", "col"),
+    )
+    cms = (
+        cells.groupBy(
+            *key_cols, F.col("row").cast("long").alias("row"), "col"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    exact = toks.groupBy(*key_cols, "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("true_cnt").desc(), F.col("tok").asc()
+    )
+    top = (
+        exact.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_n)
+        .drop("_rk")
+    )
+    probes = top.select(
+        *key_cols,
+        "tok",
+        "true_cnt",
+        F.posexplode(
+            F.array(*[_cms_cell(j, width) for j in range(depth)])
+        ).alias("row", "col"),
+    ).withColumn("row", F.col("row").cast("long"))
+    return (
+        probes.join(cms, [*key_cols, "row", "col"])
+        .groupBy(*key_cols, "tok", "true_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+
+
+def cms_heavy_hitters_by_sql(
+    table: str,
+    key_cols: "list[str]",
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    top_n: int = 20,
+) -> str:
+    """DuckDB twin of :func:`cms_heavy_hitters_by` (QUALIFY replays the
+    per-key rank window)."""
+    keys = ", ".join(key_cols)
+    pk = ", ".join(f"p.{k}" for k in key_cols)
+    on = " AND ".join(
+        [f"p.{k} = c.{k}" for k in key_cols]
+        + ["p.row = c.row", "p.col = c.col"]
+    )
+    norm = NORMALIZE_SQL.format(c=text_col)
+    cell = (
+        "CAST(CAST(CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || "
+        f"tok), 1, 15) AS UBIGINT) AS BIGINT) % {width} AS INT)"
+    )
+    return (
+        f"WITH toks AS (SELECT {keys}, "
+        f"unnest(string_split({norm}, ' ')) AS tok FROM {table}), "
+        f"tk AS (SELECT {keys}, tok FROM toks WHERE tok <> ''), "
+        f"cells AS (SELECT {keys}, j AS row, {cell} AS col "
+        f"FROM tk, UNNEST(range(0, {depth})) u(j)), "
+        f"cms AS (SELECT {keys}, row, col, COUNT(*) AS cnt "
+        f"FROM cells GROUP BY {keys}, row, col), "
+        f"exact AS (SELECT {keys}, tok, COUNT(*) AS true_cnt "
+        f"FROM tk GROUP BY {keys}, tok), "
+        f"top AS (SELECT {keys}, tok, true_cnt FROM exact "
+        f"QUALIFY ROW_NUMBER() OVER (PARTITION BY {keys} "
+        f"ORDER BY true_cnt DESC, tok ASC) <= {top_n}), "
+        f"probes AS (SELECT {keys}, tok, true_cnt, j AS row, {cell} AS col "
+        f"FROM top, UNNEST(range(0, {depth})) u(j)) "
+        f"SELECT {pk}, p.tok, p.true_cnt, MIN(c.cnt) AS est_cnt "
+        f"FROM probes p JOIN cms c ON {on} "
+        f"GROUP BY {pk}, p.tok, p.true_cnt"
+    )

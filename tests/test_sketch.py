@@ -333,6 +333,77 @@ class TestGroupedHLL:
         )
         assert got == want
 
+    def test_cms_by_matches_per_key_global(self, spark):
+        from nlp_to_nosql_spark.operators.sketch import (
+            cms_heavy_hitters,
+            cms_heavy_hitters_by,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (i, "en" if i % 3 else "fr",
+                 f"alpha tok{i % 5} beta tok{i % 3}")
+                for i in range(60)
+            ],
+            "doc_id long, lang string, text string",
+        )
+        grouped = {
+            (r["lang"], r["tok"]): (r["true_cnt"], r["est_cnt"])
+            for r in cms_heavy_hitters_by(
+                docs, ["lang"], top_n=5
+            ).collect()
+        }
+        for lang in ("en", "fr"):
+            solo = {
+                (lang, r["tok"]): (r["true_cnt"], r["est_cnt"])
+                for r in cms_heavy_hitters(
+                    docs.filter(F.col("lang") == lang), top_n=5
+                ).collect()
+            }
+            sub = {k: v for k, v in grouped.items() if k[0] == lang}
+            # a key's grouped sketch must equal the global sketch run on
+            # that key's rows alone (the key joins the cell grouping, so
+            # no cross-key collisions exist to widen the estimate)
+            assert {k: v[0] for k, v in sub.items()} == {
+                k: v[0] for k, v in solo.items()
+            }
+            assert all(sub[k][1] == solo[k][1] for k in sub), lang
+        assert all(est >= true for true, est in grouped.values())
+
+    def test_cms_by_duckdb_twin_parity(self, spark, tmp_path):
+        import duckdb
+
+        from nlp_to_nosql_spark.operators.sketch import (
+            cms_heavy_hitters_by,
+            cms_heavy_hitters_by_sql,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (i, "p" if i % 2 else "q", f"w{i % 4} W{i % 6} common")
+                for i in range(50)
+            ],
+            "doc_id long, lang string, text string",
+        )
+        pq = str(tmp_path / "docs.parquet")
+        docs.write.mode("overwrite").parquet(pq)
+        got = {
+            (r["lang"], r["tok"]): (r["true_cnt"], r["est_cnt"])
+            for r in cms_heavy_hitters_by(docs, ["lang"], top_n=4).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM read_parquet('{pq}/*.parquet')"
+        )
+        want = {
+            (r[0], r[1]): (r[2], r[3])
+            for r in con.execute(
+                cms_heavy_hitters_by_sql("documents", ["lang"], top_n=4)
+            ).fetchall()
+        }
+        assert got == want
+
     def test_key_cols_required(self, spark):
         from nlp_to_nosql_spark.operators.sketch import hll_registers_by
 

@@ -2099,6 +2099,96 @@ def _q_hll_snapshot_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_overlap(a, b, "tok", m=64)
 
 
+#: eval4 query set: the first 4 corpus vectors double as queries (the
+#: ann2/ann4 convention), ranked lists at k=10 against exact ground
+#: truth.
+_EVAL4_QUERY_IDS = (0, 1, 2, 3)
+
+
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k / MRR of the approximate SRP-LSH index against EXACT
+    brute-force ground truth — the standard ANN quality measurement as
+    a first-class oracled query (tests/test_recall.py pins floors; this
+    surfaces the same numbers through the eval harness).  Results are
+    the IntSRPLSH ranking per query (ann2's chain); qrels are the exact
+    batch top-k (ann4's one-scan chain).  At corpus scale the four
+    per-query probes would share one signature pass (add_signatures is
+    the batch form); the eval set stays driver-bounded."""
+    from nlp_to_nosql_spark.operators.evals import retrieval_metrics
+    from nlp_to_nosql_spark.operators.similarity import (
+        IntSRPLSH,
+        topk_batch,
+    )
+    from pyspark.sql import Window
+
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    qrows = (
+        emb.filter(F.col("vec_id").isin(list(_EVAL4_QUERY_IDS)))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows
+    )
+    dim = len(queries[0][1])
+    lsh = IntSRPLSH(dim=dim, nbits=16, seed=42)
+    parts = [
+        lsh.topk(emb, qv, k=10, max_hamming=6).select(
+            F.lit(qid).cast("long").alias("query_id"), "vec_id", "cos_sim"
+        )
+        for qid, qv in queries
+    ]
+    results = parts[0]
+    for p in parts[1:]:
+        results = results.unionByName(p)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    ranked = results.select(
+        "query_id", F.row_number().over(w).cast("int").alias("rk"), "vec_id"
+    )
+    qrels = topk_batch(emb, queries, k=10).select(
+        F.col("query_id").cast("long").alias("query_id"), "vec_id"
+    )
+    return retrieval_metrics(
+        ranked, qrels, k=10, id_col="vec_id"
+    ).orderBy("query_id")
+
+
+def _eval4_oracle_sql() -> str:
+    """DuckDB twin of :func:`_q_ann_recall` — ann2's SRP SQL per query
+    UNION ALL'd and ranked, ann4's exact QUALIFY as qrels, eval1's
+    metric layer on top."""
+    parts = " UNION ALL ".join(
+        f"SELECT CAST({q} AS BIGINT) AS query_id, vec_id, cos_sim FROM ("
+        + int_srp_topk_sql(
+            dim=64, nbits=16, seed=42, query_id=q, k=10, max_hamming=6
+        )
+        + f") s{q}"
+        for q in _EVAL4_QUERY_IDS
+    )
+    results = (
+        "SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY cos_sim DESC, vec_id) AS INT) AS rk, vec_id FROM ("
+        + parts
+        + ") u"
+    )
+    qmax = max(_EVAL4_QUERY_IDS) + 1
+    qrels = (
+        "SELECT CAST(q.vec_id AS BIGINT) AS query_id, e.vec_id "
+        "FROM embeddings e CROSS JOIN "
+        f"(SELECT vec_id, embedding FROM embeddings WHERE vec_id < {qmax}) q "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id "
+        "ORDER BY ROUND(list_cosine_similarity("
+        "CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])"
+        "), 6) DESC, e.vec_id) <= 10"
+    )
+    return (
+        retrieval_metrics_sql(results, qrels, k=10, id_col="vec_id")
+        + " ORDER BY query_id"
+    )
+
+
 def _q_cms_heavy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language CMS heavy-hitter audit (sketch.cms_heavy_hitters_by)
     — one depth×width sketch per key (≤ depth·width cells per key per
@@ -3463,6 +3553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch3_hll_ndv_by_lang": _q_hll_ndv_by_lang,
         "sketch4_hll_snapshot_overlap": _q_hll_snapshot_overlap,
         "sketch5_cms_heavy_by_lang": _q_cms_heavy_by_lang,
+        "eval4_ann_recall": _q_ann_recall,
     }
     missing = [k for k in _ROTATED_FRONT if k not in base]
     assert not missing, f"rotation names unknown queries: {missing}"
@@ -4485,6 +4576,10 @@ def oracle_sql() -> dict[str, str]:
             + " AS tok FROM documents WHERE doc_id % 10 <> 1",
             m=64,
         ),
+        # eval4: each CTE block is an already-proven oracle — ann2's
+        # SRP chain per query (UNION ALL), ann4's exact QUALIFY ground
+        # truth — composed through the eval1 metric layer.
+        "eval4_ann_recall": _eval4_oracle_sql(),
         # sketch5: per-key CMS + per-key exact audit (QUALIFY window).
         "sketch5_cms_heavy_by_lang": (
             "SELECT * FROM ("

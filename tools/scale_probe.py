@@ -158,6 +158,7 @@ def main() -> int:
     )
     from nlp_to_nosql_spark.operators.sketch import (
         cms_heavy_hitters,
+        cms_heavy_hitters_by,
         hll_ndv_by,
         hll_registers,
         tokens_by,
@@ -314,6 +315,9 @@ def main() -> int:
             "text4_bm25_topk": lambda: bm25_probe(docs),
             "sketch3_hll_ndv_by_lang": lambda: hll_ndv_by(
                 tokens_by(docs, ["lang"]), ["lang"], "tok", m=64
+            ),
+            "sketch5_cms_heavy_by_lang": lambda: cms_heavy_hitters_by(
+                docs, ["lang"], top_n=10
             ),
             "eval2_classifier_metrics": lambda: classification_metrics(
                 hashed_linear_score(docs, n_buckets=1024, scale=1000)

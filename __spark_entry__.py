@@ -2042,19 +2042,23 @@ def _q_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = register_tables(spark, sf_dir)["documents"]
     lo, hi = _EVAL2_CHAR_BAND
-    pred = (
-        hashed_linear_score(docs, n_buckets=1024, scale=1000)
-        .select("doc_id", F.col("keep").alias("pred"))
-        .join(docs.select("doc_id", "lang"), "doc_id")
-    )
-    truth = docs.select(
+    # lang + label ride ONE metadata scan joined once against the
+    # scored frame; classification_metrics(truth=None) then needs no
+    # second join (its pre-labeled path)
+    meta = docs.select(
         "doc_id",
+        "lang",
         ((F.col("n_chars") >= lo) & (F.col("n_chars") <= hi)).alias(
             "label"
         ),
     )
+    pred = (
+        hashed_linear_score(docs, n_buckets=1024, scale=1000)
+        .select("doc_id", F.col("keep").alias("pred"))
+        .join(meta, "doc_id")
+    )
     return classification_metrics(
-        pred, truth, group_cols=["lang"]
+        pred, None, group_cols=["lang"]
     ).orderBy("lang")
 
 

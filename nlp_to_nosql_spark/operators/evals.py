@@ -85,7 +85,7 @@ def retrieval_metrics(
 
 def classification_metrics(
     pred: DataFrame,
-    truth: DataFrame,
+    truth: DataFrame | None,
     id_col: str = "doc_id",
     pred_col: str = "pred",
     truth_col: str = "label",
@@ -97,7 +97,11 @@ def classification_metrics(
     (``classify.hashed_linear_score`` thresholds, Gopher rules, …).
 
     ``pred`` holds ``(id_col, pred_col boolean[, group_cols...])``;
-    ``truth`` holds ``(id_col, truth_col boolean)``.  Returns one row
+    ``truth`` holds ``(id_col, truth_col boolean)`` — or pass ``truth=
+    None`` when ``pred`` already carries ``truth_col`` (a pre-labeled
+    frame skips the equi-join entirely: one fewer scan AND one fewer
+    shuffle when predictions and labels come off the same table, as
+    eval2 does).  Returns one row
     per group (or a single global row) with ``(tp, fp, fn, tn,
     precision_micro, recall_micro, f1_micro, accuracy_micro)`` — every
     metric a BIGINT floor division of exact counts (``f1 = 2·tp·10⁶ div
@@ -111,9 +115,12 @@ def classification_metrics(
     map partition.
     """
     keys = list(group_cols or [])
-    j = pred.select(id_col, pred_col, *keys).join(
-        truth.select(id_col, truth_col), id_col
-    )
+    if truth is None:
+        j = pred.select(id_col, pred_col, truth_col, *keys)
+    else:
+        j = pred.select(id_col, pred_col, *keys).join(
+            truth.select(id_col, truth_col), id_col
+        )
     p = F.col(pred_col)
     t = F.col(truth_col)
 

@@ -221,6 +221,24 @@ def test_calibration_validation(spark):
         calibration_table(df, t, band_width=7, lo=-10, hi=10)
 
 
+def test_classification_prelabeled_equals_joined(cls_frames, spark):
+    from nlp_to_nosql_spark.operators.evals import classification_metrics
+
+    p, t = cls_frames
+    joined = {
+        tuple(r)
+        for r in classification_metrics(p, t, group_cols=["g"]).collect()
+    }
+    pre = p.join(t, "doc_id")  # (id, pred, g, label) in one frame
+    prelabeled = {
+        tuple(r)
+        for r in classification_metrics(
+            pre, None, group_cols=["g"]
+        ).collect()
+    }
+    assert joined == prelabeled
+
+
 def test_classification_duckdb_twin_parity(cls_frames):
     from nlp_to_nosql_spark.operators.evals import (
         classification_metrics,

@@ -32,7 +32,7 @@ from nlp_to_nosql_spark.operators.similarity import (
     RandomHyperplaneLSH,
     embedding_neardup_exact,
     int_srp_topk_sql,
-    quantize_sql,
+    quantize_long_sql,
     topk_bruteforce,
     topk_quantized_sql,
 )
@@ -1159,11 +1159,16 @@ def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization (codes + integer micro
     scale) — the 4× memory-reduction pass before indexing at corpus
     scale.  floor-based arithmetic (IEEE-exact in both engines), zero
-    shuffle."""
-    from nlp_to_nosql_spark.operators.similarity import quantize_embeddings
+    shuffle.  Long form ``(vec_id, scale_micro, dim, code)``: the
+    contract emits scalar columns only (a sort-based canonicalizer
+    cannot hash an ``array<long>``); ``ann7`` consumes the array-form
+    library API."""
+    from nlp_to_nosql_spark.operators.similarity import (
+        quantize_embeddings_long,
+    )
 
     emb = register_tables(spark, sf_dir)["embeddings"]
-    return quantize_embeddings(emb)
+    return quantize_embeddings_long(emb)
 
 
 def _q_dup_group_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3567,74 +3572,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-#: Round-8 driver-window rotation: 50 of the 59 queries no
-#: CORRECTNESS_r*.json has ever value-checked (VERDICT r7 task 1) move to
-#: the front of ``queries()``.  The nine deferred to round 9 are the eight
-#: the round-7 judge independently re-ran through the oracle harness
-#: (text4, pipe3, quality2, emb2, funnel1, s13, agg8, win7 — all OK) plus
-#: sess2, whose oracle SQL is byte-shared with driver-green stream9.
-#: Everything outside the window stays selfcheck-verified each round.
+#: Round-9 driver-window rotation (VERDICT r8 task 2): the 18 queries no
+#: CORRECTNESS_r*.json has ever value-checked (the round-8 deferrals plus
+#: the nine round-8 additions) move to the front, together with
+#: ``emb4_quantize`` — driver-checked in r8 but red on contract shape,
+#: now reshaped to scalar long form.  The remaining 31 slots re-check the
+#: stalest early-round greens (p*/nl*/j*/join1-5, untouched by a driver
+#: window since r6).  Green here ⇒ every one of the 189 contract queries
+#: has been driver-verified at least once.  Everything outside the window
+#: stays selfcheck-verified each round.
 _ROTATED_FRONT = (
-    # TPC-H-style joins (never driver-checked)
-    "join6_custdist",
-    "join7_big_orders",
-    "join8_local_supplier_volume",
-    "join9_supplier_counts",
-    "join10_binational_volume",
-    "join11_activity_reconciliation",
-    # aggregation / window / set tails
-    "agg3_ndv_by_type",
-    "agg4_value_histogram",
-    "win4_ntile_quartiles",
-    "win6_rank_distribution",
-    "set2_intersect_nations",
-    "set4_bag_semantics",
-    "sub2_above_own_avg",
-    "unpivot1_status_long",
-    "expl1_word_counts",
-    "json1_props_extract",
-    "dist1_segments",
-    "ts5_gapfill_hourly",
-    # sampling / splits
-    "sample1_hash_bucket",
-    "sample2_stratified",
-    "sample3_joinable_slice",
-    "split1_hash_split",
-    "split2_stratified_split",
-    # source/sink roundtrips
-    "s11_partitioned_roundtrip",
-    "s12_orc_roundtrip",
-    # curation family
-    "quality1_repetition",
-    "mix1_lang_sample",
-    "mix2_temperature_sample",
-    "chunk1_context_windows",
-    "lm1_bigram_likelihood",
-    "cap1_source_cap",
-    # tokens / text / terms
-    "tok1_token_histogram",
-    "tok2_vocab_coverage",
-    "text2_charngram_sketch",
-    "colloc1_bigram_lift",
-    # embeddings tail
-    "emb3_centroid_similarity",
+    # never driver-checked: round-8 deferrals
+    "text4_bm25_topk",
+    "agg8_rollup_region_nation",
+    "win7_first_last_orders",
+    "quality2_gopher_rules",
+    "pipe3_pretraining_e2e",
+    "sess2_native_session_window",
+    "emb2_label_centroids",
+    "funnel1_ordered_conversion",
+    "s13_jsonl_gz_roundtrip",
+    # never driver-checked: round-8 additions
+    "stream14_hll_by_accumulate",
+    "quality4_weighted_filter",
+    "eval1_retrieval_metrics",
+    "eval2_classifier_metrics",
+    "eval3_classifier_calibration",
+    "eval4_ann_recall",
+    "sketch3_hll_ndv_by_lang",
+    "sketch4_hll_snapshot_overlap",
+    "sketch5_cms_heavy_by_lang",
+    # red in r8 on canonicalizer shape, reshaped this round
     "emb4_quantize",
-    "emb5_dimension_stats",
-    # profiling / layout
-    "prof1_table_profile",
-    "prof2_dup_group_sizes",
-    "prof4_key_skew",
-    "prof5_length_quantiles",
-    "zorder1_layout_profile",
-    # event analytics
-    "cohort1_weekly_retention",
-    "asof3_click_view_tolerance",
-    "seq1_event_transitions",
-    "drift1_source_divergence",
-    # composed pipelines
-    "pipe2_multimodal_curation",
-    "pipe4_corpus_layout",
-    "pipe5_user_profile",
+    # stalest re-check sample: driver-green r2-r6, untouched since
+    "p1_gt",
+    "p2_lt",
+    "p3_p4_range",
+    "p5_eq",
+    "p6_implicit_eq",
+    "p7_ne",
+    "p8_in",
+    "p9_regex_i",
+    "p10_find_all",
+    "p11_conjunction",
+    "p12_unknown_field",
+    "j1_projection",
+    "j2_select_all",
+    "nl1_salary_gt",
+    "nl2_names_projection",
+    "nl3_department_regex",
+    "nl4_find_all",
+    "nl5_salary_lt",
+    "nl6_experience_gt",
+    "nl7_age_gt",
+    "nl8_age_lt",
+    "nl9_salary_eq",
+    "nl10_department_synonym",
+    "join1_revenue_by_nation",
+    "join2_salted_skew",
+    "join3_semi_customers",
+    "join4_anti_orders",
+    "join5_shipping_priority",
+    "agg1_pricing_summary",
+    "win1_top_order_per_customer",
+    "ts1_hourly_events",
 )
 
 
@@ -4715,7 +4716,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb2_label_centroids": CENTROID_SQL,
         "emb3_centroid_similarity": CENTROID_SIM_SQL,
-        "emb4_quantize": quantize_sql(),
+        "emb4_quantize": quantize_long_sql(),
         "ann7_quantized_topk": topk_quantized_sql(query_id=0, k=10),
         "prof2_dup_group_sizes": (
             "WITH planted AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 "

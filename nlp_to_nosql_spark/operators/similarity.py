@@ -855,6 +855,51 @@ def quantize_sql(
     )
 
 
+def quantize_embeddings_long(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 127,
+) -> DataFrame:
+    """Long-form (one row per component) view of
+    :func:`quantize_embeddings`: ``(id, scale_micro, dim, code)``.
+
+    Same quantization, reshaped via ``posexplode`` so every output
+    column is a scalar — the shape a hash-comparing harness (or any
+    sort-based canonicalizer) can consume; pandas cannot sort an
+    ``array<long>`` column.  The array-returning form stays the library
+    API (``topk_quantized`` consumes it wholesale); this is the
+    contract/export shape.  ``dim`` is ``posexplode``'s int32 position.
+
+    Scale: the explode inflates rows ×dim but each row is four scalars
+    (≤ 28 bytes) — narrower than the array form it replaces, still zero
+    shuffle.
+    """
+    q = quantize_embeddings(df, id_col=id_col, vec_col=vec_col, levels=levels)
+    return q.select(
+        F.col(id_col),
+        F.col("scale_micro"),
+        F.posexplode("codes").alias("dim", "code"),
+    )
+
+
+def quantize_long_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 127,
+) -> str:
+    """DuckDB twin of :func:`quantize_embeddings_long` — chains the
+    array-form twin and unnests with an explicit position, ``dim`` cast
+    to INT to match Spark's ``posexplode`` position type."""
+    return (
+        f"WITH q AS ({quantize_sql(table, id_col, vec_col, levels)}) "
+        f"SELECT {id_col}, scale_micro, CAST(i AS INT) AS dim, "
+        "codes[i + 1] AS code "
+        "FROM q, UNNEST(range(0, len(codes))) u(i)"
+    )
+
+
 def dimension_stats(
     df: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:

@@ -65,6 +65,34 @@ def duck():
     return con
 
 
+def test_no_nested_types_in_contract_schemas(duck):
+    """Every contract query must emit SCALAR columns only.
+
+    The driver's canonicalizer sorts the result frame with pandas before
+    hashing; a top-level LIST/MAP/STRUCT column raises ``unhashable
+    type`` there — before any value comparison — so the row can never go
+    green (that is exactly how ``emb4_quantize`` failed in round 8).
+    ``DESCRIBE`` on the oracle twin exposes the output types without
+    executing, and the driver's ``schema_match`` forces Spark's types to
+    mirror the oracle's, so guarding the oracle side guards both.
+    """
+    bad = {}
+    for name, sql in entry.oracle_sql().items():
+        try:
+            cols = duck.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as e:  # noqa: BLE001 — surfaced by the parse test
+            bad[name] = f"DESCRIBE failed: {str(e).splitlines()[0]}"
+            continue
+        nested = [
+            (c[0], c[1])
+            for c in cols
+            if "[]" in c[1] or c[1].startswith(("MAP", "STRUCT", "LIST"))
+        ]
+        if nested:
+            bad[name] = nested
+    assert not bad, f"contract queries with nested output columns: {bad}"
+
+
 def test_every_oracle_sql_parses_and_binds(duck):
     """EXPLAIN (not execution) — catches syntax errors, missing columns,
     and type errors against the real parquet schemas in milliseconds."""

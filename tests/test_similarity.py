@@ -283,6 +283,56 @@ def test_quantize_embeddings_matches_duckdb_twin(spark):
     assert got == want
 
 
+def test_quantize_long_form_equals_array_form(spark):
+    """The contract's long form is a pure reshape of the array form: one
+    (id, scale_micro, dim, code) row per component, no value drift — and
+    its DuckDB twin agrees."""
+    import duckdb
+
+    from pyspark.sql import types as T
+
+    from nlp_to_nosql_spark.operators.similarity import (
+        quantize_embeddings,
+        quantize_embeddings_long,
+        quantize_long_sql,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    rows = [
+        (i, [((i * 11 + j * 5) % 17 - 8) / 4.0 for j in range(6)])
+        for i in range(30)
+    ] + [(99, [0.0] * 6)]
+    df = spark.createDataFrame(rows, schema)
+    arr = {
+        r["vec_id"]: (r["scale_micro"], list(r["codes"]))
+        for r in quantize_embeddings(df).collect()
+    }
+    long_rows = quantize_embeddings_long(df).collect()
+    assert len(long_rows) == len(rows) * 6
+    rebuilt: dict = {}
+    for r in long_rows:
+        sm, codes = rebuilt.setdefault(r["vec_id"], (r["scale_micro"], {}))
+        assert sm == r["scale_micro"]
+        codes[r["dim"]] = r["code"]
+    assert {
+        k: (sm, [codes[d] for d in sorted(codes)])
+        for k, (sm, codes) in rebuilt.items()
+    } == arr
+    con = duckdb.connect()
+    con.register("embeddings", df.toPandas())
+    want = sorted(con.execute(quantize_long_sql()).fetchall())
+    got = sorted(
+        (r["vec_id"], r["scale_micro"], r["dim"], r["code"])
+        for r in long_rows
+    )
+    assert got == want
+
+
 def test_matryoshka_truncation_recall(spark):
     """Recall@10 of 16-dim-prefix cosine vs the full 64-dim ranking —
     the measured accuracy number for the truncated retrieval tier."""

@@ -100,6 +100,7 @@ def hashed_linear_score(
     if weights is not None:
         rows = weights.select("bucket", "weight").collect()
         wtable = [0] * n_buckets
+        seen: set[int] = set()
         for r in rows:
             b = int(r["bucket"])
             if not 0 <= b < n_buckets:
@@ -107,6 +108,16 @@ def hashed_linear_score(
                     f"hashed_linear_score: bucket {b} outside "
                     f"[0, {n_buckets})"
                 )
+            if b in seen:
+                # collect order is nondeterministic — last-write-wins on
+                # a duplicated bucket would make scores depend on task
+                # scheduling, a silent corruption; refuse instead.
+                raise ValueError(
+                    f"hashed_linear_score: duplicate weight rows for "
+                    f"bucket {b}; the trained table must be unique per "
+                    "bucket"
+                )
+            seen.add(b)
             wtable[b] = int(r["weight"])
 
     if impl == "arrow":

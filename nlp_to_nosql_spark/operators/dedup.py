@@ -923,6 +923,17 @@ def auto_bloom_bits(corpus_fps: DataFrame, fp_col: str = "fp") -> int:
             _BLOOM_MAX_BITS_CONF, str(_BLOOM_MAX_BITS_DEFAULT)
         )
     )
+    # The word array allocates m_bits // 64 longs, so every size this
+    # function returns must be 64-divisible or a position could index
+    # one word past the buffer.  Powers of two ≥ 2¹⁰ always are; a
+    # user-set cap need not be — round it DOWN to a multiple of 64 (and
+    # refuse caps too small to hold even one word-aligned filter).
+    cap -= cap % 64
+    if cap < 64:
+        raise ValueError(
+            f"{_BLOOM_MAX_BITS_CONF} must be at least 64 bits; got the "
+            "equivalent of an empty word array"
+        )
     target = max(_BLOOM_MIN_BITS, int(_BLOOM_BITS_PER_KEY * max(ndv, 1.0)))
     m_bits = 1 << (target - 1).bit_length()  # next power of two ≥ target
     return min(m_bits, cap)

@@ -51,16 +51,23 @@ def retrieval_metrics(
 
     Queries with no relevance judgments are excluded (recall undefined
     without a denominator); queries judged but missed entirely appear
-    with ``hits = 0``.
+    with ``hits = 0``.  Duplicate ``(query, doc)`` judgment rows are
+    deduplicated before counting — a document is relevant once, so
+    ``n_rel``/``hits`` never inflate and ``hits ≤ k`` always holds.
     """
     topk = results.filter(F.col("rk") <= int(k)).select(
         query_col, "rk", id_col
     )
-    nrel = qrels.select(query_col, id_col).groupBy(query_col).agg(
+    # Dedup judgments first: a duplicate (query, doc) row must count as
+    # ONE relevant document, not inflate n_rel and hits (hits could
+    # otherwise exceed k).  qrels is judgment-sized, so the distinct's
+    # shuffle is #judgments-proportional, never corpus-proportional.
+    qr = qrels.select(query_col, id_col).distinct()
+    nrel = qr.groupBy(query_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_rel")
     )
     hit = (
-        topk.join(qrels.select(query_col, id_col), [query_col, id_col])
+        topk.join(qr, [query_col, id_col])
         .groupBy(query_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("hits"),
@@ -313,7 +320,8 @@ def retrieval_metrics_sql(
     return (
         f"WITH res AS (SELECT {query_col}, rk, {id_col} "
         f"FROM ({results_sql}) r WHERE rk <= {int(k)}), "
-        f"qr AS (SELECT {query_col}, {id_col} FROM ({qrels_sql}) s), "
+        f"qr AS (SELECT DISTINCT {query_col}, {id_col} "
+        f"FROM ({qrels_sql}) s), "
         f"nrel AS (SELECT {query_col}, CAST(COUNT(*) AS BIGINT) AS n_rel "
         f"FROM qr GROUP BY {query_col}), "
         f"hit AS (SELECT {query_col}, CAST(COUNT(*) AS BIGINT) AS hits, "

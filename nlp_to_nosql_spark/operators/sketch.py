@@ -143,14 +143,21 @@ def hll_registers_of(
     counter by construction), so callers can feed a non-distinct frame
     and skip the dedup shuffle entirely.  Used for NDV-driven sizing
     decisions, e.g. the Bloom auto-sizing in
-    ``operators/dedup.py::incremental_new_docs``."""
+    ``operators/dedup.py::incremental_new_docs``.
+
+    Contract (whole sketch family, both engines): NULL and the empty
+    string are NOT values — they are filtered before hashing, exactly
+    as the DuckDB twins' ``WHERE tok <> ''`` does.  Harness inputs
+    (tokens, fingerprints) are never empty, so this only pins the
+    behavior for external callers."""
     if m & (m - 1) or m < 2:
         raise ValueError(f"m must be a power of two >= 2, got {m}")
     p = m.bit_length() - 1
     max_rho = 60 - p + 1
-    h = md5_hash60(F.col(val_col).cast("string"))
+    v = F.col(val_col).cast("string")
+    h = md5_hash60(v)
     return (
-        values.select(
+        values.where(v.isNotNull() & (v != "")).select(
             (h % m).cast("int").alias("reg"),
             F.shiftright(h, p).alias("_v"),
         )
@@ -195,16 +202,18 @@ def hll_registers_by(
     streaming micro-batches by element-wise MAX exactly like the global
     sketch (same hash family, so a key's grouped registers are
     bit-identical to running :func:`hll_registers_of` on that key's
-    filtered rows — test-pinned)."""
+    filtered rows — test-pinned).  NULL/empty values are filtered, the
+    :func:`hll_registers_of` contract."""
     if not key_cols:
         raise ValueError("key_cols must name at least one grouping column")
     if m & (m - 1) or m < 2:
         raise ValueError(f"m must be a power of two >= 2, got {m}")
     p = m.bit_length() - 1
     max_rho = 60 - p + 1
-    h = md5_hash60(F.col(val_col).cast("string"))
+    v = F.col(val_col).cast("string")
+    h = md5_hash60(v)
     return (
-        values.select(
+        values.where(v.isNotNull() & (v != "")).select(
             *key_cols,
             (h % m).cast("int").alias("reg"),
             F.shiftright(h, p).alias("_v"),

@@ -138,6 +138,17 @@ def test_real_weights_bucket_out_of_range_raises(docs, spark):
         hashed_linear_score(df, n_buckets=N_BUCKETS, weights=bad)
 
 
+def test_real_weights_duplicate_bucket_raises(docs, spark):
+    """Duplicate bucket rows would be last-write-wins in collect order —
+    nondeterministic scores — so the bounded collect refuses them."""
+    _, df = docs
+    dup = spark.createDataFrame(
+        [(3, 5), (3, -5), (7, 1)], "bucket int, weight long"
+    )
+    with pytest.raises(ValueError, match="duplicate weight rows"):
+        hashed_linear_score(df, n_buckets=N_BUCKETS, weights=dup)
+
+
 def test_arrow_and_column_impls_are_value_identical(docs, spark):
     """The Arrow fast path vs the Column oracle twin, pseudo AND real
     weights — the similarity.py dual-impl discipline."""

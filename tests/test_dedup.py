@@ -483,6 +483,17 @@ def test_bloom_auto_sizing_end_to_end_and_cap(spark):
     spark.conf.set(_BLOOM_MAX_BITS_CONF, "64")
     try:
         assert auto_bloom_bits(cfp) == 64
+        # a cap that is not 64-divisible rounds DOWN (word-aligned
+        # allocation: positions must never index past m_bits // 64 words)
+        spark.conf.set(_BLOOM_MAX_BITS_CONF, "100")
+        assert auto_bloom_bits(cfp) == 64
+        spark.conf.set(_BLOOM_MAX_BITS_CONF, "1000")
+        assert auto_bloom_bits(cfp) % 64 == 0
+        assert auto_bloom_bits(cfp) <= 960
+        # caps below one word are refused, not silently zeroed
+        spark.conf.set(_BLOOM_MAX_BITS_CONF, "63")
+        with pytest.raises(ValueError, match="at least 64"):
+            auto_bloom_bits(cfp)
     finally:
         if prev is None:
             spark.conf.unset(_BLOOM_MAX_BITS_CONF)

@@ -53,6 +53,32 @@ def test_metrics_hand_checked(frames):
     assert "q4" not in got  # no judgments -> no denominator -> excluded
 
 
+def test_duplicate_judgments_count_once(frames, spark):
+    """A duplicated (query, doc) qrel row must not inflate n_rel or hits
+    (hits could otherwise exceed k) — both engines dedup judgments."""
+    res, _ = frames
+    qr_dup = spark.createDataFrame(
+        QRELS + [("q1", 10), ("q1", 10), ("q2", 50)],
+        "query_id string, doc_id long",
+    )
+    got = {
+        r["query_id"]: (r["n_rel"], r["hits"], r["recall_micro"])
+        for r in retrieval_metrics(res, qr_dup, k=5).collect()
+    }
+    assert got["q1"] == (3, 2, 666666)
+    assert got["q2"] == (1, 1, 1000000)
+    con = duckdb.connect()
+    con.register("res_t", res.toPandas())
+    con.register("qr_t", qr_dup.toPandas())
+    sql = retrieval_metrics_sql(
+        "SELECT * FROM res_t", "SELECT * FROM qr_t", k=5
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3]) for r in con.execute(sql).fetchall()
+    }
+    assert {q: got[q] for q in want} == want
+
+
 def test_duckdb_twin_parity(frames):
     res, qr = frames
     con = duckdb.connect()

@@ -333,6 +333,56 @@ class TestGroupedHLL:
         )
         assert got == want
 
+    def test_empty_and_null_values_are_not_counted(self, spark):
+        """The family contract: NULL and '' are filtered before hashing
+        (matching the SQL twins' WHERE tok <> ''), so a frame polluted
+        with them sketches identically to the clean frame — including
+        through the overlap path, where the twin previously diverged."""
+        import duckdb
+
+        from nlp_to_nosql_spark.operators.sketch import (
+            hll_overlap,
+            hll_overlap_sql,
+            hll_registers_by,
+            hll_registers_of,
+        )
+
+        clean = self._keyed_vocab(spark, {"p": 300})
+        noisy = clean.unionByName(
+            spark.createDataFrame(
+                [("p", ""), ("p", None), ("p", "")], "k string, tok string"
+            )
+        )
+        reg = lambda df: sorted(  # noqa: E731
+            (r["reg"], r["max_rho"])
+            for r in hll_registers_of(df.select("tok"), "tok").collect()
+        )
+        assert reg(noisy) == reg(clean)
+        regby = lambda df: sorted(  # noqa: E731
+            (r["k"], r["reg"], r["max_rho"])
+            for r in hll_registers_by(df, ["k"], "tok").collect()
+        )
+        assert regby(noisy) == regby(clean)
+        got = hll_overlap(
+            noisy.select("tok"), clean.select("tok"), "tok"
+        ).collect()[0].asDict()
+        con = duckdb.connect()
+        con.register("noisy", noisy.toPandas())
+        con.register("clean", clean.toPandas())
+        want = dict(
+            zip(
+                ("ndv_a", "ndv_b", "ndv_union", "ndv_intersect",
+                 "jaccard_micro"),
+                con.execute(
+                    hll_overlap_sql(
+                        "SELECT tok FROM noisy", "SELECT tok FROM clean"
+                    )
+                ).fetchall()[0],
+            )
+        )
+        assert got == want
+        assert got["jaccard_micro"] == 1_000_000
+
     def test_cms_by_matches_per_key_global(self, spark):
         from nlp_to_nosql_spark.operators.sketch import (
             cms_heavy_hitters,

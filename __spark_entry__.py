@@ -1997,33 +1997,52 @@ def _q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     judgment build reuses the same tokenization and joins doc-term
     pairs against the broadcast query terms; the metrics themselves are
     pure BIGINT floor division (operators/evals.py), so the oracle is
-    value-exact with no float anywhere."""
+    value-exact with no float anywhere.
+
+    Plan shape (round-9 rework of the round-8 29-exchange plan): the
+    judgment build prunes the exploded tokens to the broadcast query
+    terms BEFORE its dedup, so the only wide ops it adds beyond the
+    BM25 chain are candidate-sized; and because ``retrieval_metrics``
+    reads qrels TWICE (n_rel and the hit join), the judgment-sized
+    qrels frame is persisted (plans/caching) so its chain runs once —
+    the plan a materialized-judgments eval would have.  In production
+    both the ranked results and the judgments are materialized tables
+    and this query is only the small-join metric layer."""
     from nlp_to_nosql_spark.operators.dedup import tokenized
     from nlp_to_nosql_spark.operators.evals import retrieval_metrics
     from nlp_to_nosql_spark.operators.terms import bm25_topk
+    from nlp_to_nosql_spark.plans.caching import persisted
 
     docs = register_tables(spark, sf_dir)["documents"]
     qterms = spark.createDataFrame(
         list(_BM25_QUERY_ROWS), schema="query_id string, token string"
     )
     results = bm25_topk(docs, qterms, "doc_id", "text", k=5)
-    dt = (
-        tokenized(docs, "doc_id", "text")
-        .select("doc_id", F.explode("_words").alias("token"))
-        .filter(F.col("token") != "")
-        .distinct()
-    )
     q = qterms.distinct()
     qn = q.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("long").alias("_qn")
     )
-    qrels = (
-        dt.join(F.broadcast(q), "token")
-        .groupBy("query_id", "doc_id")
+    # Prune to query tokens BEFORE deduplicating: distinct-then-filter
+    # and filter-then-distinct are the same relation, but the former
+    # shuffles every (doc, token) pair in the corpus while the latter
+    # shuffles only candidate rows (docs containing a query token) —
+    # the difference between a corpus-sized and a judgment-sized
+    # exchange.  The oracle dedups before filtering (same values).
+    cand = (
+        tokenized(docs, "doc_id", "text")
+        .select("doc_id", F.explode("_words").alias("token"))
+        .filter(F.col("token") != "")
+        .join(F.broadcast(q), "token")
+        .select("query_id", "doc_id", "token")
+        .distinct()
+    )
+    qrels = persisted(
+        cand.groupBy("query_id", "doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
         .join(F.broadcast(qn), "query_id")
         .filter(F.col("_c") == F.col("_qn"))
-        .select("query_id", "doc_id")
+        .select("query_id", "doc_id"),
+        "results",
     )
     return retrieval_metrics(results, qrels, k=5)
 

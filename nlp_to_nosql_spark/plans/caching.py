@@ -47,6 +47,10 @@ DEFAULT_LEVELS = {
     # pair-graph edge/degree tables reused by every iteration of the
     # relational graph loops (PageRank, CC) — narrow int rows.
     "edges": "MEMORY_AND_DISK",
+    # judgment / ranked-result frames an eval consumes more than once
+    # (retrieval_metrics reads qrels for both n_rel and the hit join);
+    # #judgments-sized, never corpus-sized.
+    "results": "MEMORY_AND_DISK",
 }
 
 CONF_PREFIX = "spark.nlp2nosql.cache."

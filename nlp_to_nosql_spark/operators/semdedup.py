@@ -141,6 +141,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
     cell_block_size: int = 4096,
+    fit: str | None = None,
 ) -> DataFrame:
     """SemDeDup keep/drop decisions: ``(id, cluster_id, kept)`` per vector.
 
@@ -153,10 +154,38 @@ def semantic_dedup(
     id of the winning centroid row, matching :func:`semantic_dedup_sql`
     for any id domain.  Pass a fitted k×dim float matrix for production
     use — ``cluster_id`` is the 0-based centroid index in that case.
+
+    ``fit="sampled_kmeans"`` is the PRODUCTION centroid source Abbas et
+    al. cluster with: a deterministic sampled Lloyd's fit
+    (:class:`~nlp_to_nosql_spark.operators.ivf.IVFIndex` — hash-spread
+    seeded init, training capped at ``spark.nlp2nosql.ivf.trainCap``
+    rows, so the fit cost is sample-proportional at any corpus size).
+    Cell quality decides dedup recall: near-duplicates only compare if
+    they land in the SAME cell, and fitted cells track the data's
+    actual density instead of whatever region the lowest ids came from
+    — measured within-cell pair recall vs the exact ``dedup5`` pair set
+    is in PERFORMANCE.md ("SemDeDup centroid quality").  The plan is
+    identical either way; only the k×dim matrix changes.
+
     ``cell_block_size`` bounds per-task memory under cluster skew (see
     :func:`_sub_blocked`); it never changes the result, only the
     partitioning of the within-cell comparisons.
     """
+    if fit is not None:
+        if fit != "sampled_kmeans":
+            raise ValueError(
+                f"semantic_dedup: unknown fit {fit!r} "
+                "(expected 'sampled_kmeans')"
+            )
+        if centroids is not None:
+            raise ValueError(
+                "semantic_dedup: pass either centroids= or fit=, not both"
+            )
+        from nlp_to_nosql_spark.operators.ivf import IVFIndex
+
+        index = IVFIndex(n_lists=n_clusters)
+        index.fit(df, id_col=id_col, vec_col=vec_col)
+        centroids = index.centroids
     narrow = df.select(id_col, vec_col)
     if centroids is None:
         # top-k by id, not filter(id < n): TakeOrderedAndProject, no full

@@ -109,6 +109,45 @@ def test_explicit_centroids_param(spark):
     }
 
 
+def test_fitted_kmeans_tier(spark):
+    """fit="sampled_kmeans" sources centroids from the deterministic
+    IVF Lloyd's fit: output equals passing index.centroids explicitly
+    (same plan, only the matrix differs), cluster ids are 0-based fit
+    indices, and the planted near-identical pair still resolves
+    lower-id-wins when co-located."""
+    from nlp_to_nosql_spark.operators.ivf import IVFIndex
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(30, DIM).astype(np.float32)
+    vecs[21] = vecs[4] * 1.5  # cosine exactly 1, same cell guaranteed
+    df = _df(spark, vecs)
+
+    index = IVFIndex(n_lists=3)
+    index.fit(df, id_col="vec_id", vec_col="embedding")
+    want = {
+        (r["vec_id"], r["cluster_id"], r["kept"])
+        for r in semantic_dedup(
+            df, n_clusters=3, threshold=0.9, centroids=index.centroids
+        ).collect()
+    }
+    got_rows = semantic_dedup(
+        df, n_clusters=3, threshold=0.9, fit="sampled_kmeans"
+    ).collect()
+    got = {(r["vec_id"], r["cluster_id"], r["kept"]) for r in got_rows}
+    assert got == want
+    by_id = {r["vec_id"]: r for r in got_rows}
+    assert 0 <= by_id[4]["cluster_id"] < 3
+    assert by_id[4]["cluster_id"] == by_id[21]["cluster_id"]
+    assert by_id[4]["kept"] is True and by_id[21]["kept"] is False
+
+    with pytest.raises(ValueError, match="not both"):
+        semantic_dedup(
+            df, n_clusters=3, fit="sampled_kmeans", centroids=index.centroids
+        )
+    with pytest.raises(ValueError, match="unknown fit"):
+        semantic_dedup(df, n_clusters=3, fit="full_kmeans")
+
+
 def test_offset_gapped_ids_label_by_centroid_id(spark):
     # ids 100, 103, 106, …: the contract centroids are the n LOWEST-id
     # vectors (not "id < n", which matches nothing here) and cluster_id

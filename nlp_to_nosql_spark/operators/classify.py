@@ -45,6 +45,95 @@ def _h15(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+#: Above this bucket-space size a trained weights table is no longer
+#: collected to the driver and baked into the scoring kernel; it
+#: broadcast-joins onto the exploded token-bucket frame instead (a
+#: fastText-scale 2^20-bucket vocabulary would be a multi-MB driver
+#: collect + per-task closure otherwise).
+_WEIGHTS_COLLECT_MAX_CONF = "spark.nlp2nosql.classify.weightsCollectMax"
+_WEIGHTS_COLLECT_MAX_DEFAULT = 1 << 16
+
+
+def _broadcast_join_score(
+    df: DataFrame,
+    weights: DataFrame,
+    toks: Column,
+    id_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """Large-vocabulary scoring tier: weights stay a distributed frame.
+
+    Shape: ``n_tokens`` is derived scan-side BELOW the explode (the BM25
+    ``dl`` discipline — ExtractGenerator would otherwise re-evaluate it
+    per token), each token row gets its md5 bucket in a plain codegen'd
+    projection, the ``(bucket, weight)`` table joins as a BROADCAST hash
+    join (no exchange on the corpus side; absent buckets weigh 0), and
+    the per-document sum rides ONE partial-aggregated groupBy — the only
+    exchange in the plan, moving one narrow row per document.  Pinned by
+    ``tests/test_classify.py`` (BroadcastHashJoin + exactly 1 Exchange +
+    value-equal to the baked kernel).
+
+    The weights frame is validated in one small job (it is ≤ n_buckets
+    rows by contract): duplicate buckets would silently double-count
+    after a join, out-of-range buckets would silently weigh 0 — both
+    raise instead, matching the baked path's checks.
+    """
+    wt = weights.select(
+        F.col("bucket").cast("long").alias("_b"),
+        F.col("weight").cast("long").alias("_w"),
+    )
+    stats = wt.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count_distinct(F.col("_b")).alias("_nd"),
+        F.min("_b").alias("_lo"),
+        F.max("_b").alias("_hi"),
+    ).collect()[0]
+    if stats["_n"] and not (
+        0 <= stats["_lo"] and stats["_hi"] < n_buckets
+    ):
+        raise ValueError(
+            f"hashed_linear_score: bucket outside [0, {n_buckets}) "
+            f"(weights span [{stats['_lo']}, {stats['_hi']}])"
+        )
+    if stats["_n"] != stats["_nd"]:
+        raise ValueError(
+            "hashed_linear_score: duplicate weight rows "
+            f"({stats['_n']} rows, {stats['_nd']} distinct buckets); "
+            "the trained table must be unique per bucket"
+        )
+    with_n = df.select(F.col(id_col), toks.alias("_toks")).select(
+        F.col(id_col),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.col("_toks"),
+    )
+    tb = with_n.select(
+        F.col(id_col), F.col("n_tokens"), F.explode("_toks").alias("_t")
+    ).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.pmod(_h15(F.col("_t")), F.lit(n_buckets)).alias("_b"),
+    )
+    scored = (
+        tb.join(F.broadcast(wt), "_b", "left")
+        # n_tokens is functionally dependent on the id (the BM25 dl
+        # trick): grouping on it changes nothing but keeps it available
+        # without a second pass or a join back.
+        .groupBy(id_col, "n_tokens")
+        .agg(
+            F.sum(F.coalesce(F.col("_w"), F.lit(0)))
+            .cast("long")
+            .alias("score_sum")
+        )
+    )
+    return scored.filter(F.col("n_tokens") > 0).select(
+        id_col,
+        "n_tokens",
+        "score_sum",
+        F.round(F.col("score_sum") / F.col("n_tokens"), 6).alias("score"),
+        (F.col("score_sum") > 0).alias("keep"),
+    )
+
+
 def hashed_linear_score(
     df: DataFrame,
     text_col: str = "text",
@@ -78,15 +167,20 @@ def hashed_linear_score(
       oracle-shaped twin of :func:`hashed_linear_score_sql`.
 
     ``weights`` is the REAL-model path: a ``(bucket, weight)`` frame of
-    trained int64 coefficients (≤ ``n_buckets`` rows — a bounded driver
-    collect, the IVF-centroid discipline) baked into the projection as a
-    literal array lookup, so the plan stays the SAME zero-shuffle JVM
-    scan (pinned exchange-free by ``tests/test_classify.py``).  Buckets
-    absent from the table weigh 0.  Float coefficients should be
-    pre-scaled to integer micros by the trainer — integer weights are
-    what keeps the document sum exact and partition-order-free.  When
-    ``weights`` is None the md5-keyed pseudo-weights below apply (the
-    oracle-replayable contract config).
+    trained int64 coefficients.  Up to ``spark.nlp2nosql.classify.
+    weightsCollectMax`` buckets (default 2¹⁶) it is a bounded driver
+    collect (the IVF-centroid discipline) baked into the scoring kernel,
+    so the plan stays the SAME zero-shuffle JVM scan (pinned
+    exchange-free by ``tests/test_classify.py``).  Above the threshold —
+    a fastText-scale vocabulary — the table instead BROADCAST-JOINS onto
+    the exploded token-bucket frame (:func:`_broadcast_join_score`: no
+    driver-side Python collect, no multi-MB task closure; one partial-
+    aggregated groupBy is the only exchange), value-equal by test.
+    Buckets absent from the table weigh 0 on both tiers.  Float
+    coefficients should be pre-scaled to integer micros by the trainer —
+    integer weights are what keeps the document sum exact and
+    partition-order-free.  When ``weights`` is None the md5-keyed
+    pseudo-weights below apply (the oracle-replayable contract config).
     """
     if impl not in ("arrow", "column"):
         raise ValueError(f"impl must be 'arrow' or 'column', got {impl!r}")
@@ -95,6 +189,15 @@ def hashed_linear_score(
         F.split(tx.normalize_text(F.col(text_col)), " "),
         lambda t: t != F.lit(""),
     )
+
+    if weights is not None and n_buckets > int(
+        df.sparkSession.conf.get(
+            _WEIGHTS_COLLECT_MAX_CONF, str(_WEIGHTS_COLLECT_MAX_DEFAULT)
+        )
+    ):
+        return _broadcast_join_score(
+            df, weights, toks, id_col, n_buckets
+        )
 
     wtable: list[int] | None = None
     if weights is not None:

@@ -138,6 +138,51 @@ def test_real_weights_bucket_out_of_range_raises(docs, spark):
         hashed_linear_score(df, n_buckets=N_BUCKETS, weights=bad)
 
 
+def test_broadcast_join_weights_tier(docs, spark):
+    """Past weightsCollectMax buckets the weights table broadcast-joins
+    instead of collecting: values equal the baked kernel exactly, the
+    join is a BroadcastHashJoin with no exchange on the corpus side
+    (exactly one Exchange total — the per-document partial-agg groupBy),
+    and the validation errors match the baked path's."""
+    rows, df = docs
+    big = 1 << 17  # past the 2^16 default threshold
+    wrows = [(b, (b % 11 - 5) * 3) for b in range(0, big, 97)]
+    wdf = spark.createDataFrame(wrows, "bucket long, weight long")
+
+    joined = hashed_linear_score(df, n_buckets=big, weights=wdf)
+    # plan shape, read BEFORE execution (the post-collect AQE final plan
+    # prints materialized stages and double-counts the exchange)
+    plan = joined._sc._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "simple"
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    # exactly one shuffle (the per-doc groupBy); the weights move as a
+    # BroadcastExchange, which is not a shuffle of the corpus side
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+    # baked twin: raise the threshold so the same call collects
+    spark.conf.set("spark.nlp2nosql.classify.weightsCollectMax", str(big))
+    try:
+        baked = hashed_linear_score(df, n_buckets=big, weights=wdf)
+        key = lambda r: (  # noqa: E731
+            r["doc_id"], r["n_tokens"], r["score_sum"], r["score"], r["keep"]
+        )
+        assert sorted(map(key, joined.collect())) == sorted(
+            map(key, baked.collect())
+        )
+    finally:
+        spark.conf.unset("spark.nlp2nosql.classify.weightsCollectMax")
+
+    dup = spark.createDataFrame(
+        [(5, 1), (5, 2)], "bucket long, weight long"
+    )
+    with pytest.raises(ValueError, match="duplicate weight rows"):
+        hashed_linear_score(df, n_buckets=big, weights=dup)
+    oob = spark.createDataFrame([(big, 1)], "bucket long, weight long")
+    with pytest.raises(ValueError, match="outside"):
+        hashed_linear_score(df, n_buckets=big, weights=oob)
+
+
 def test_real_weights_duplicate_bucket_raises(docs, spark):
     """Duplicate bucket rows would be last-write-wins in collect order —
     nondeterministic scores — so the bounded collect refuses them."""

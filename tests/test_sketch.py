@@ -333,6 +333,40 @@ class TestGroupedHLL:
         )
         assert got == want
 
+    def test_cms_overestimate_bound_two_configs(self, spark):
+        """The CMS guarantee, pinned like HLL's ±1.04/√m rows: estimates
+        never undercount, and the per-token overestimate exceeds 2N/width
+        for at most a 2^-depth fraction of tokens (per md5 row, Markov
+        gives P[overcount ≥ 2N/width] ≤ 1/2; the min over depth rows
+        multiplies).  Deterministic inputs + md5 make the measured
+        fractions constants: 0 violations at both configs (documented in
+        PERFORMANCE.md "CMS width/depth sizing")."""
+        from nlp_to_nosql_spark.operators.sketch import cms_heavy_hitters
+
+        V = 2000
+        df = (
+            spark.range(V)
+            .select(
+                F.expr("concat('tok', CAST(id AS STRING))").alias("t"),
+                (F.col("id") % 10 + 1).cast("int").alias("c"),
+            )
+            .select(
+                F.expr("array_join(array_repeat(t, c), ' ')").alias("text")
+            )
+        )
+        n_total = sum((i % 10) + 1 for i in range(V))
+        for depth, width in ((4, 1024), (2, 256)):
+            rows = cms_heavy_hitters(
+                df, depth=depth, width=width, top_n=V
+            ).collect()
+            assert len(rows) == V
+            assert all(r["est_cnt"] >= r["true_cnt"] for r in rows)
+            bound = 2 * n_total / width
+            viol = sum(
+                1 for r in rows if r["est_cnt"] - r["true_cnt"] > bound
+            )
+            assert viol / V <= 2**-depth, (depth, width, viol)
+
     def test_empty_and_null_values_are_not_counted(self, spark):
         """The family contract: NULL and '' are filtered before hashing
         (matching the SQL twins' WHERE tok <> ''), so a frame polluted

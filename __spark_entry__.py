@@ -2047,6 +2047,120 @@ def _q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_metrics(results, qrels, k=5)
 
 
+#: Dense-query anchors for the hybrid-fusion query: the embedding of
+#: vec_id 10·i stands in for BM25 query ``q{i}``'s dense form (documents
+#: and embeddings share the same id domain in the testdata).
+_FUSE_DENSE_ANCHORS = (10, 20, 30)
+
+
+def _q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval via reciprocal-rank fusion: the
+    BM25 top-10 (text4 chain) and the exact dense cosine top-10 (ann4
+    batch chain, one corpus scan for all anchors) merge per query with
+    ``Σ 10⁶ div (60 + rank)`` — the standard score-free RAG candidate
+    combiner (Cormack et al. 2009).  Rank-only fusion means no float
+    ever forms downstream of the two (already oracle-exact) retrievers;
+    the fused pool is #queries×20 rows, so everything past the
+    retrievers is broadcast-sized."""
+    from nlp_to_nosql_spark.operators.evals import rrf_fuse
+    from nlp_to_nosql_spark.operators.similarity import topk_batch
+    from nlp_to_nosql_spark.operators.terms import bm25_topk
+
+    t = register_tables(spark, sf_dir)
+    docs, emb = t["documents"], t["embeddings"]
+    qterms = spark.createDataFrame(
+        list(_BM25_QUERY_ROWS), schema="query_id string, token string"
+    )
+    sparse = bm25_topk(docs, qterms, "doc_id", "text", k=10).select(
+        "query_id", "rk", "doc_id"
+    )
+    anchors = (
+        emb.filter(F.col("vec_id").isin(list(_FUSE_DENSE_ANCHORS)))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [
+        (r["vec_id"], [float(x) for x in r["embedding"]]) for r in anchors
+    ]
+    dw = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    dense = (
+        topk_batch(emb, queries, k=10)
+        .withColumn("rk", F.row_number().over(dw).cast("int"))
+        .select(
+            F.expr("concat('q', CAST(query_id div 10 AS STRING))").alias(
+                "query_id"
+            ),
+            "rk",
+            F.col("vec_id").alias("doc_id"),
+        )
+    )
+    return rrf_fuse([sparse, dense], k=60, top_n=10)
+
+
+def _rrf_hybrid_oracle_sql() -> str:
+    from nlp_to_nosql_spark.operators.evals import rrf_fuse_sql
+    from nlp_to_nosql_spark.operators.terms import bm25_topk_sql
+
+    anchors = ", ".join(str(a) for a in _FUSE_DENSE_ANCHORS)
+    dense = (
+        "SELECT 'q' || CAST(q.vec_id // 10 AS VARCHAR) AS query_id, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+        "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+        "CAST(q.embedding AS DOUBLE[])), 6) DESC, e.vec_id) AS INT) "
+        "AS rk, e.vec_id AS doc_id "
+        "FROM embeddings e CROSS JOIN (SELECT vec_id, embedding "
+        f"FROM embeddings WHERE vec_id IN ({anchors})) q "
+        "QUALIFY rk <= 10"
+    )
+    return rrf_fuse_sql(
+        [bm25_topk_sql(list(_BM25_QUERY_ROWS), k=10), dense],
+        k=60,
+        top_n=10,
+    )
+
+
+def _q_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-tier quality eval: precision/recall of the MinHash-LSH
+    candidate pair set (the dedup3 md5-family config — k=4 shingles,
+    32 perms, 8 bands, est-Jaccard ≥ 0.5) against the EXACT 4-gram
+    Jaccard ≥ 0.5 pair set over the same shingle universe — the
+    measurement that tunes bands/perms/threshold before a corpus-scale
+    dedup run.  Both pair generators are banded/indexed (never
+    all-pairs); the comparison itself is one pair-set-sized full outer
+    join + a global partial agg, with every ratio a BIGINT floor
+    division (operators/evals.py pair_set_quality)."""
+    from nlp_to_nosql_spark.operators.evals import pair_set_quality
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    pred = dd.minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        k=4,
+        num_perm=32,
+        bands=8,
+        threshold=0.5,
+        sig_fn=dd.minhash_signatures_md5,
+    )
+    truth = dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=4, threshold=0.5
+    )
+    return pair_set_quality(pred, truth)
+
+
+def _dedup_quality_oracle_sql() -> str:
+    from nlp_to_nosql_spark.operators.evals import pair_set_quality_sql
+
+    return pair_set_quality_sql(
+        _DEDUP3_MINHASH_SQL,
+        "WITH "
+        + _JACCARD_K4_CTES
+        + " SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5",
+    )
+
+
 #: eval2 truth rule: a document is "good" iff its stored char count
 #: sits in the mid band — a deterministic stand-in for human quality
 #: labels, shared literally by the Spark truth frame and the DuckDB CTE.
@@ -3582,6 +3696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch4_hll_snapshot_overlap": _q_hll_snapshot_overlap,
         "sketch5_cms_heavy_by_lang": _q_cms_heavy_by_lang,
         "eval4_ann_recall": _q_ann_recall,
+        "fuse1_rrf_hybrid": _q_rrf_hybrid,
+        "eval5_dedup_quality": _q_dedup_quality,
     }
     missing = [k for k in _ROTATED_FRONT if k not in base]
     assert not missing, f"rotation names unknown queries: {missing}"
@@ -3681,6 +3797,62 @@ NATIVE_SESSION_SQL = (
 #: Shared CTE block defining the 3-gram Jaccard pair relation on DuckDB —
 #: used by both the dedup2 pair oracle and the dedup6 clustering oracle so
 #: the two checks see byte-identical pair semantics.
+#: Relational replay of the dedup3 MinHash-LSH pipeline (md5 family,
+#: k=4 shingles, 32 perms, 8 bands of 4, threshold 0.5) — shared by the
+#: dedup3 oracle and the eval5 dedup-quality oracle's predicted side.
+_DEDUP3_MINHASH_SQL = (
+    "WITH words AS (SELECT doc_id, string_split("
+    + tx.NORMALIZE_SQL.format(c="text") + ", ' ') AS w "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, unnest(list_distinct("
+    "CASE WHEN len(w) >= 4 "
+    "THEN [array_to_string(w[i:i+3], ' ') "
+    "for i in range(1, len(w) - 2)] "
+    "ELSE [array_to_string(w, ' ')] END)) AS s FROM words), "
+    "hs AS (SELECT doc_id, CAST(CAST('0x' || substr(md5(s), 1, 7) "
+    "AS UBIGINT) AS BIGINT) AS base FROM sh), "
+    "mh AS (SELECT doc_id, i, "
+    "MIN(((2 * i + 1) * base + i * 2654435761) % 2147483647) AS h "
+    "FROM hs, UNNEST(range(0, 32)) u(i) GROUP BY doc_id, i), "
+    "sig AS (SELECT doc_id, list(h ORDER BY i) AS sig "
+    "FROM mh GROUP BY doc_id), "
+    "banded AS (SELECT doc_id, b, sig[b*4+1 : b*4+4] AS chunk "
+    "FROM sig, UNNEST(range(0, 8)) v(b)), "
+    "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM banded a JOIN banded b "
+    "ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id) "
+    "SELECT id_a, id_b, est_jaccard FROM ("
+    "SELECT id_a, id_b, ROUND(CAST(len(list_filter(range(1, 33), "
+    "j -> sa.sig[j] = sb.sig[j])) AS DOUBLE) / 32, 6) AS est_jaccard "
+    "FROM cand JOIN sig sa ON sa.doc_id = id_a "
+    "JOIN sig sb ON sb.doc_id = id_b) t WHERE est_jaccard >= 0.5"
+)
+
+
+#: The k=4 twin of :data:`_JACCARD_CTES` — the exact shingle-set Jaccard
+#: pair relation over the SAME 4-gram universe dedup3's MinHash
+#: estimates, for the eval5 ground truth.
+_JACCARD_K4_CTES = (
+    "words AS (SELECT doc_id, string_split("
+    + tx.NORMALIZE_SQL.format(c="text") + ", ' ') AS w FROM documents), "
+    "sh0 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 4 "
+    "THEN [array_to_string(w[i:i+3], ' ') for i in range(1, len(w) - 2)] "
+    "ELSE [array_to_string(w, ' ')] END)) AS shingle FROM words), "
+    "rare AS (SELECT shingle FROM sh0 GROUP BY shingle "
+    "HAVING COUNT(*) <= 1000), "
+    "shr AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 "
+    "JOIN rare USING (shingle)), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shr GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "COUNT(*) AS n_inter FROM shr a JOIN shr b "
+    "ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "scored AS (SELECT id_a, id_b, "
+    "ROUND(n_inter / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard "
+    "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+    "JOIN sizes sb ON sb.doc_id = id_b)"
+)
+
+
 _JACCARD_CTES = (
     "words AS (SELECT doc_id, string_split("
     + tx.NORMALIZE_SQL.format(c="text") + ", ' ') AS w FROM documents), "
@@ -4300,33 +4472,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # dedup3: same relational replay as dedup10 at the independent
         # (k=4, 32 perms, 8 bands of 4, threshold 0.5) configuration.
-        "dedup3_minhash_lsh": (
-            "WITH words AS (SELECT doc_id, string_split("
-            + tx.NORMALIZE_SQL.format(c="text") + ", ' ') AS w "
-            "FROM documents), "
-            "sh AS (SELECT doc_id, unnest(list_distinct("
-            "CASE WHEN len(w) >= 4 "
-            "THEN [array_to_string(w[i:i+3], ' ') "
-            "for i in range(1, len(w) - 2)] "
-            "ELSE [array_to_string(w, ' ')] END)) AS s FROM words), "
-            "hs AS (SELECT doc_id, CAST(CAST('0x' || substr(md5(s), 1, 7) "
-            "AS UBIGINT) AS BIGINT) AS base FROM sh), "
-            "mh AS (SELECT doc_id, i, "
-            "MIN(((2 * i + 1) * base + i * 2654435761) % 2147483647) AS h "
-            "FROM hs, UNNEST(range(0, 32)) u(i) GROUP BY doc_id, i), "
-            "sig AS (SELECT doc_id, list(h ORDER BY i) AS sig "
-            "FROM mh GROUP BY doc_id), "
-            "banded AS (SELECT doc_id, b, sig[b*4+1 : b*4+4] AS chunk "
-            "FROM sig, UNNEST(range(0, 8)) v(b)), "
-            "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
-            "FROM banded a JOIN banded b "
-            "ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id) "
-            "SELECT id_a, id_b, est_jaccard FROM ("
-            "SELECT id_a, id_b, ROUND(CAST(len(list_filter(range(1, 33), "
-            "j -> sa.sig[j] = sb.sig[j])) AS DOUBLE) / 32, 6) AS est_jaccard "
-            "FROM cand JOIN sig sa ON sa.doc_id = id_a "
-            "JOIN sig sb ON sb.doc_id = id_b) t WHERE est_jaccard >= 0.5"
-        ),
+        "dedup3_minhash_lsh": _DEDUP3_MINHASH_SQL,
         # dedup4: production radius (≤ 10) on the md5 60-bit family —
         # bands widen to 11 > max_hamming, so the banded join equals
         # this full O(n²) Hamming filter (pigeonhole).
@@ -4604,6 +4750,8 @@ def oracle_sql() -> dict[str, str]:
         # SRP chain per query (UNION ALL), ann4's exact QUALIFY ground
         # truth — composed through the eval1 metric layer.
         "eval4_ann_recall": _eval4_oracle_sql(),
+        "fuse1_rrf_hybrid": _rrf_hybrid_oracle_sql(),
+        "eval5_dedup_quality": _dedup_quality_oracle_sql(),
         # sketch5: per-key CMS + per-key exact audit (QUALIFY window).
         "sketch5_cms_heavy_by_lang": (
             "SELECT * FROM ("

@@ -25,8 +25,191 @@ happens in this module at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    k: int = 60,
+    top_n: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked retrieval lists (Cormack,
+    Clarke & Büttcher 2009) — the standard score-free combiner for
+    hybrid sparse+dense retrieval (BM25 ∪ embedding top-k feeding one
+    RAG candidate pool).
+
+    Each input frame holds ``(query_col, rk, id_col, ...)`` with ``rk``
+    1-based (the shape ``bm25_topk`` and the ANN top-k family emit).
+    A document's fused score is ``Σ_systems 10⁶ div (k + rk)`` — the
+    classic ``1/(k+rank)`` folded to BIGINT floor division so the sum
+    is exact and partition-order-free (no float ever forms; the DuckDB
+    twin :func:`rrf_fuse_sql` replays it with ``//``).  Documents
+    absent from a system's list contribute 0 from that system.
+    Returns the fused top ``top_n`` per query:
+    ``(query_col, rk, id_col, rrf_micro)``, ties broken by id asc.
+
+    Scale: inputs are already top-k-bounded per query by their
+    retrievers, so every frame here is ``#queries × k × #systems``
+    rows — the union, groupBy and final window are all tiny regardless
+    of corpus size (no salting needed: a query's candidate pool is ≤
+    systems·k rows by construction).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    contribs = [
+        r.select(
+            query_col,
+            id_col,
+            F.expr(f"1000000L div ({int(k)} + rk)").alias("_c"),
+        )
+        for r in rankings
+    ]
+    fused = (
+        reduce(DataFrame.unionByName, contribs)
+        .groupBy(query_col, id_col)
+        .agg(F.sum("_c").cast("long").alias("rrf_micro"))
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf_micro"), F.asc(id_col)
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= int(top_n))
+        .select(query_col, "rk", id_col, "rrf_micro")
+    )
+
+
+def rrf_fuse_sql(
+    ranking_sqls: "list[str]",
+    k: int = 60,
+    top_n: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`rrf_fuse`: each input SQL produces
+    ``(query_col, rk, id_col)``; ``//`` replays Spark's ``div`` exactly
+    (both operands non-negative)."""
+    union = " UNION ALL ".join(
+        f"SELECT {query_col}, {id_col}, "
+        f"1000000 // ({int(k)} + rk) AS c FROM ({s}) r{i}"
+        for i, s in enumerate(ranking_sqls)
+    )
+    return (
+        f"WITH allc AS ({union}), "
+        f"fused AS (SELECT {query_col}, {id_col}, "
+        f"CAST(SUM(c) AS BIGINT) AS rrf_micro FROM allc "
+        f"GROUP BY {query_col}, {id_col}) "
+        f"SELECT {query_col}, CAST(ROW_NUMBER() OVER "
+        f"(PARTITION BY {query_col} "
+        f"ORDER BY rrf_micro DESC, {id_col}) AS INT) AS rk, "
+        f"{id_col}, rrf_micro FROM fused "
+        f"QUALIFY rk <= {int(top_n)}"
+    )
+
+
+def pair_set_quality(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Candidate-pair quality of an approximate dedup tier against an
+    exact ground-truth pair set — the measurement that tunes LSH
+    bands/permutations/thresholds before a corpus-scale run.
+
+    ``pred`` and ``truth`` hold unordered pair relations
+    ``(id_a < id_b)`` (the shape every dedup pair operator emits);
+    both are deduplicated defensively.  Returns ONE row:
+    ``(n_pred, n_true, tp, fp, fn, precision_micro, recall_micro)``
+    with the ratios as BIGINT floor divisions of exact counts (the
+    ``classification_metrics`` discipline — no float forms, undefined
+    ratios emit 0).
+
+    Scale: one full outer join on the pair key plus a global partial
+    aggregate — both sides are pair-set-sized (already banded/bounded
+    by their generators), never corpus-sized.
+    """
+    p = pred.select(id_a, id_b).distinct().withColumn("_p", F.lit(1))
+    t = truth.select(id_a, id_b).distinct().withColumn("_t", F.lit(1))
+    j = p.join(t, [id_a, id_b], "full")
+    # SUM over zero rows is NULL in both engines — coalesce so an empty
+    # comparison reads as all-zero counts, not a NULL row
+    counted = j.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_p").isNotNull() & F.col("_t").isNotNull(), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long").alias("tp"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_p").isNotNull() & F.col("_t").isNull(), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long").alias("fp"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_p").isNull() & F.col("_t").isNotNull(), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long").alias("fn"),
+    )
+    return counted.select(
+        (F.col("tp") + F.col("fp")).alias("n_pred"),
+        (F.col("tp") + F.col("fn")).alias("n_true"),
+        "tp",
+        "fp",
+        "fn",
+        F.expr(
+            "CASE WHEN tp + fp > 0 THEN (tp * 1000000L) div (tp + fp) "
+            "ELSE 0L END"
+        ).alias("precision_micro"),
+        F.expr(
+            "CASE WHEN tp + fn > 0 THEN (tp * 1000000L) div (tp + fn) "
+            "ELSE 0L END"
+        ).alias("recall_micro"),
+    )
+
+
+def pair_set_quality_sql(
+    pred_sql: str,
+    truth_sql: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> str:
+    """DuckDB twin of :func:`pair_set_quality` — same full outer join
+    and BIGINT floor divisions over any two pair-producing SQLs."""
+    return (
+        f"WITH p AS (SELECT DISTINCT {id_a}, {id_b}, 1 AS _p "
+        f"FROM ({pred_sql}) sp), "
+        f"t AS (SELECT DISTINCT {id_a}, {id_b}, 1 AS _t "
+        f"FROM ({truth_sql}) st), "
+        f"j AS (SELECT p._p, t._t FROM p FULL OUTER JOIN t "
+        f"USING ({id_a}, {id_b})), "
+        "c AS (SELECT "
+        "CAST(COALESCE(SUM(CASE WHEN _p IS NOT NULL AND _t IS NOT NULL "
+        "THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp, "
+        "CAST(COALESCE(SUM(CASE WHEN _p IS NOT NULL AND _t IS NULL "
+        "THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp, "
+        "CAST(COALESCE(SUM(CASE WHEN _p IS NULL AND _t IS NOT NULL "
+        "THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn FROM j) "
+        "SELECT tp + fp AS n_pred, tp + fn AS n_true, tp, fp, fn, "
+        "CAST(CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) "
+        "ELSE 0 END AS BIGINT) AS precision_micro, "
+        "CAST(CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn) "
+        "ELSE 0 END AS BIGINT) AS recall_micro FROM c"
+    )
 
 
 def retrieval_metrics(

@@ -3,6 +3,7 @@ and DuckDB-twin parity on identical inputs."""
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from nlp_to_nosql_spark.operators.evals import (
     retrieval_metrics,
@@ -100,6 +101,104 @@ def test_duckdb_twin_parity(frames):
         for r in retrieval_metrics(res, qr, k=5).collect()
     }
     assert got == want
+
+
+def test_rrf_fuse_hand_checked(spark):
+    """Two-system fusion: a doc ranked by both systems outranks docs
+    ranked once, contributions are exact 10^6 div (k + rk), and the
+    DuckDB twin agrees bit-for-bit."""
+    from nlp_to_nosql_spark.operators.evals import rrf_fuse, rrf_fuse_sql
+
+    a = spark.createDataFrame(
+        [("q1", 1, 10), ("q1", 2, 20), ("q1", 3, 30), ("q2", 1, 40)],
+        "query_id string, rk int, doc_id long",
+    )
+    b = spark.createDataFrame(
+        [("q1", 1, 20), ("q1", 2, 99), ("q2", 1, 41)],
+        "query_id string, rk int, doc_id long",
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): (r["rk"], r["rrf_micro"])
+        for r in rrf_fuse([a, b], k=60, top_n=10).collect()
+    }
+    m = lambda rk: 1000000 // (60 + rk)  # noqa: E731
+    # doc 20: rank 2 in a + rank 1 in b -> top of q1
+    assert got[("q1", 20)] == (1, m(2) + m(1))
+    assert got[("q1", 10)] == (2, m(1))  # solo rank-1 below dual-listed
+    assert got[("q1", 99)] == (3, m(2))
+    assert got[("q1", 30)] == (4, m(3))
+    assert got[("q2", 40)][1] == m(1) and got[("q2", 41)][1] == m(1)
+    # tie on rrf_micro -> id asc
+    assert got[("q2", 40)][0] == 1 and got[("q2", 41)][0] == 2
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("ra", a.toPandas())
+    con.register("rb", b.toPandas())
+    want = {
+        (r[0], r[2]): (r[1], r[3])
+        for r in con.execute(
+            rrf_fuse_sql(["SELECT * FROM ra", "SELECT * FROM rb"], k=60)
+        ).fetchall()
+    }
+    assert got == want
+
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+
+
+def test_rrf_top_n_truncates(spark):
+    from nlp_to_nosql_spark.operators.evals import rrf_fuse
+
+    a = spark.createDataFrame(
+        [("q", i, 100 + i) for i in range(1, 9)],
+        "query_id string, rk int, doc_id long",
+    )
+    out = rrf_fuse([a], top_n=3).collect()
+    assert sorted((r["rk"], r["doc_id"]) for r in out) == [
+        (1, 101), (2, 102), (3, 103)
+    ]
+
+
+def test_pair_set_quality_hand_checked(spark):
+    """tp/fp/fn and the floor-division ratios against a hand-built pair
+    universe, duplicate rows deduplicated, empty prediction safe — and
+    the DuckDB twin agrees."""
+    import duckdb
+
+    from nlp_to_nosql_spark.operators.evals import (
+        pair_set_quality,
+        pair_set_quality_sql,
+    )
+
+    pred = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5), (4, 5)], "id_a long, id_b long"
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (4, 5), (7, 8), (8, 9)], "id_a long, id_b long"
+    )
+    row = pair_set_quality(pred, truth).collect()[0]
+    assert (row["n_pred"], row["n_true"]) == (3, 4)
+    assert (row["tp"], row["fp"], row["fn"]) == (2, 1, 2)
+    assert row["precision_micro"] == 2 * 1000000 // 3
+    assert row["recall_micro"] == 500000
+
+    con = duckdb.connect()
+    con.register("pp", pred.toPandas())
+    con.register("tt", truth.toPandas())
+    want = con.execute(
+        pair_set_quality_sql("SELECT * FROM pp", "SELECT * FROM tt")
+    ).fetchall()[0]
+    assert tuple(row) == want
+
+    empty = pred.filter(F.lit(False))
+    zrow = pair_set_quality(empty, truth).collect()[0]
+    assert (zrow["tp"], zrow["precision_micro"], zrow["recall_micro"]) == (
+        0, 0, 0,
+    )
+    bothz = pair_set_quality(empty, empty).collect()[0]
+    assert tuple(bothz) == (0, 0, 0, 0, 0, 0, 0)
 
 
 def test_k_bound_changes_metrics(frames):

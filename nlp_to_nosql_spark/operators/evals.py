@@ -1,10 +1,13 @@
-"""Retrieval-quality evaluation: recall@k / MRR over ranked result lists.
+"""Retrieval evaluation and fusion: recall@k / MRR, RRF, pair-set P/R.
 
-The measurement step a training-data pipeline runs after building a
-retrieval index (BM25 ``terms.bm25_topk``, dense ``similarity.*`` top-k,
-or any ``(query_id, rk, id)`` ranking): join the ranked lists against a
-relevance-judgment table and emit per-query hit counts, recall@k and
-MRR — the numbers a RAG eval set or hard-negative miner is tuned on.
+The measurement-and-combination layer a training-data pipeline runs on
+ranked lists and candidate pair sets: reciprocal-rank fusion of
+sparse+dense retrievers (``rrf_fuse``), recall@k / MRR against
+relevance judgments (``retrieval_metrics``), classifier
+precision/recall/F1 and calibration (``classification_metrics``), and
+dedup-tier pair-set quality against exact ground truth
+(``pair_set_quality``) — the numbers a RAG eval set, a hard-negative
+miner, or an LSH configuration is tuned on.
 
 Reference scope note: the reference engine (No_Sql.py) has no retrieval
 or evaluation support; this belongs to the driver-mandated

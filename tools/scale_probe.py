@@ -252,6 +252,59 @@ def main() -> int:
         )
         return bm25_topk(docs, qterms, "doc_id", "text", k=5)
 
+    def rrf_probe(docs, emb):
+        # the fuse1 chain: bm25_probe's sparse ranking fused with a
+        # dense batch top-k over three anchor vectors via integer RRF —
+        # the fusion layer itself is #queries×k rows, so the probe
+        # measures the two retrievers plus a constant
+        from pyspark.sql import Window
+
+        from nlp_to_nosql_spark.operators.evals import rrf_fuse
+        from nlp_to_nosql_spark.operators.similarity import topk_batch
+
+        sparse = bm25_probe(docs).select("query_id", "rk", "doc_id")
+        anchors = emb.orderBy("vec_id").limit(3).collect()
+        queries = [
+            (10 * (i + 1), [float(x) for x in r["embedding"]])
+            for i, r in enumerate(anchors)
+        ]
+        dw = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("vec_id")
+        )
+        dense = (
+            topk_batch(emb, queries, k=10)
+            .withColumn("rk", F.row_number().over(dw).cast("int"))
+            .select(
+                F.expr(
+                    "concat('q', CAST(query_id div 10 AS STRING))"
+                ).alias("query_id"),
+                "rk",
+                F.col("vec_id").alias("doc_id"),
+            )
+        )
+        return rrf_fuse([sparse, dense], k=60, top_n=10)
+
+    def pair_quality_probe(docs):
+        # the eval5 chain: banded MinHash candidates vs the exact
+        # inverted-index Jaccard truth, compared by one pair-set-sized
+        # full outer join
+        from nlp_to_nosql_spark.operators.evals import pair_set_quality
+
+        pred = dd.minhash_lsh_pairs(
+            docs,
+            "doc_id",
+            "text",
+            k=4,
+            num_perm=32,
+            bands=8,
+            threshold=0.5,
+            sig_fn=dd.minhash_signatures_md5,
+        )
+        truth = dd.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=4, threshold=0.5
+        )
+        return pair_set_quality(pred, truth)
+
     def probes(docs, events, emb):
         all_probes = _all_probes(docs, events, emb)
         if only:
@@ -313,6 +366,8 @@ def main() -> int:
                 docs, n_buckets=1024, scale=1000
             ),
             "text4_bm25_topk": lambda: bm25_probe(docs),
+            "fuse1_rrf_hybrid": lambda: rrf_probe(docs, emb),
+            "eval5_pair_quality": lambda: pair_quality_probe(docs),
             "sketch3_hll_ndv_by_lang": lambda: hll_ndv_by(
                 tokens_by(docs, ["lang"]), ["lang"], "tok", m=64
             ),

@@ -3711,10 +3711,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: CORRECTNESS_r*.json has ever value-checked (the round-8 deferrals plus
 #: the nine round-8 additions) move to the front, together with
 #: ``emb4_quantize`` — driver-checked in r8 but red on contract shape,
-#: now reshaped to scalar long form.  The remaining 31 slots re-check the
-#: stalest early-round greens (p*/nl*/j*/join1-5, untouched by a driver
-#: window since r6).  Green here ⇒ every one of the 189 contract queries
-#: has been driver-verified at least once.  Everything outside the window
+#: now reshaped to scalar long form — and the two round-9 additions
+#: (fuse1, eval5).  The remaining 29 slots re-check the stalest
+#: early-round greens (p*/nl*/j*/join1-5, untouched by a driver window
+#: since r6).  Green here ⇒ every one of the 191 contract queries has
+#: been driver-verified at least once.  Everything outside the window
 #: stays selfcheck-verified each round.
 _ROTATED_FRONT = (
     # never driver-checked: round-8 deferrals
@@ -3739,6 +3740,9 @@ _ROTATED_FRONT = (
     "sketch5_cms_heavy_by_lang",
     # red in r8 on canonicalizer shape, reshaped this round
     "emb4_quantize",
+    # new in round 9 (driver-checked immediately, not left for a tail)
+    "fuse1_rrf_hybrid",
+    "eval5_dedup_quality",
     # stalest re-check sample: driver-green r2-r6, untouched since
     "p1_gt",
     "p2_lt",
@@ -3769,8 +3773,6 @@ _ROTATED_FRONT = (
     "join4_anti_orders",
     "join5_shipping_priority",
     "agg1_pricing_summary",
-    "win1_top_order_per_customer",
-    "ts1_hourly_events",
 )
 
 

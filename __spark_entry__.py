@@ -2002,16 +2002,18 @@ def _q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape (round-9 rework of the round-8 29-exchange plan): the
     judgment build prunes the exploded tokens to the broadcast query
     terms BEFORE its dedup, so the only wide ops it adds beyond the
-    BM25 chain are candidate-sized; and because ``retrieval_metrics``
-    reads qrels TWICE (n_rel and the hit join), the judgment-sized
-    qrels frame is persisted (plans/caching) so its chain runs once —
-    the plan a materialized-judgments eval would have.  In production
-    both the ranked results and the judgments are materialized tables
-    and this query is only the small-join metric layer."""
+    BM25 chain are candidate-sized (a corpus-token-sized distinct in
+    round 8).  ``retrieval_metrics`` reads qrels twice (n_rel and the
+    hit join); the chain is left UNPERSISTED because AQE ReusedExchange
+    already dedupes its shuffles at runtime and the persist barrier
+    measured consistently slower (quiet A/B ×3: 3.4 s vs 4.1 s — the
+    same persist-vs-reuse result as round 8's BM25 tf experiment,
+    PERFORMANCE.md).  In production both the ranked results and the
+    judgments are materialized tables and this query is only the
+    small-join metric layer."""
     from nlp_to_nosql_spark.operators.dedup import tokenized
     from nlp_to_nosql_spark.operators.evals import retrieval_metrics
     from nlp_to_nosql_spark.operators.terms import bm25_topk
-    from nlp_to_nosql_spark.plans.caching import persisted
 
     docs = register_tables(spark, sf_dir)["documents"]
     qterms = spark.createDataFrame(
@@ -2036,13 +2038,12 @@ def _q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", "token")
         .distinct()
     )
-    qrels = persisted(
+    qrels = (
         cand.groupBy("query_id", "doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
         .join(F.broadcast(qn), "query_id")
         .filter(F.col("_c") == F.col("_qn"))
-        .select("query_id", "doc_id"),
-        "results",
+        .select("query_id", "doc_id")
     )
     return retrieval_metrics(results, qrels, k=5)
 

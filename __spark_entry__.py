@@ -74,6 +74,10 @@ from nlp_to_nosql_spark.operators.classify import (
     hashed_linear_score_sql,
     hashed_linear_score_weights_sql,
 )
+from nlp_to_nosql_spark.operators.selection import (
+    bpe_merge_pairs_sql,
+    dsir_select_sql,
+)
 from nlp_to_nosql_spark.operators.graph import pagerank_sql
 from nlp_to_nosql_spark.operators.evals import (
     calibration_table_sql,
@@ -2162,6 +2166,38 @@ def _dedup_quality_oracle_sql() -> str:
     )
 
 
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., arXiv:2302.03169): fit hashed
+    unigram+bigram bag-of-words distributions for the TARGET domain
+    (lang='en' documents) and the raw pool (the rest), score every pool
+    document by its exact BIGINT sum of micro-floored importance
+    log-ratios, and keep the 100 most target-like — the distribution-
+    matching selection tier above the heuristic (quality1/2) and
+    discriminative (quality3/4) filters.  Two passes over the exploded
+    feature stream (bucket counts → ≤4096 rows; per-doc sums → one row
+    per pool doc); the log-ratio table broadcast-joins back, and top-k
+    is TakeOrdered (operators/selection.py dsir_select)."""
+    from nlp_to_nosql_spark.operators.selection import dsir_select
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return dsir_select(
+        docs, F.col("lang") == "en", n_buckets=4096, k=100
+    )
+
+
+def _q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE tokenizer-training iteration (Sennrich et al.,
+    arXiv:1508.07909), distributed: adjacent character-pair counts
+    WITHIN words, weighted by corpus word frequency, top-50 merge
+    candidates under (count DESC, pair ASC).  One corpus-token shuffle
+    for word counts; all pair work runs on the Heaps'-law-sized
+    DISTINCT-word table (operators/selection.py bpe_merge_pairs)."""
+    from nlp_to_nosql_spark.operators.selection import bpe_merge_pairs
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return bpe_merge_pairs(docs, top_n=50)
+
+
 #: eval2 truth rule: a document is "good" iff its stored char count
 #: sits in the mid band — a deterministic stand-in for human quality
 #: labels, shared literally by the Spark truth frame and the DuckDB CTE.
@@ -3699,6 +3735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval4_ann_recall": _q_ann_recall,
         "fuse1_rrf_hybrid": _q_rrf_hybrid,
         "eval5_dedup_quality": _q_dedup_quality,
+        "sel1_dsir_select": _q_dsir_select,
+        "tok3_bpe_merge_pairs": _q_bpe_merge_pairs,
     }
     missing = [k for k in _ROTATED_FRONT if k not in base]
     assert not missing, f"rotation names unknown queries: {missing}"
@@ -3712,12 +3750,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: CORRECTNESS_r*.json has ever value-checked (the round-8 deferrals plus
 #: the nine round-8 additions) move to the front, together with
 #: ``emb4_quantize`` — driver-checked in r8 but red on contract shape,
-#: now reshaped to scalar long form — and the two round-9 additions
-#: (fuse1, eval5).  The remaining 29 slots re-check the stalest
-#: early-round greens (p*/nl*/j*/join1-5, untouched by a driver window
-#: since r6).  Green here ⇒ every one of the 191 contract queries has
-#: been driver-verified at least once.  Everything outside the window
-#: stays selfcheck-verified each round.
+#: now reshaped to scalar long form — and the four round-9 additions
+#: (fuse1, eval5, sel1, tok3).  The remaining 27 slots re-check the
+#: stalest early-round greens (p*/nl*/j*/join1-4, untouched by a driver
+#: window since r6).  Green here ⇒ every one of the 193 contract
+#: queries has been driver-verified at least once.  Everything outside
+#: the window stays selfcheck-verified each round.
 _ROTATED_FRONT = (
     # never driver-checked: round-8 deferrals
     "text4_bm25_topk",
@@ -3744,6 +3782,8 @@ _ROTATED_FRONT = (
     # new in round 9 (driver-checked immediately, not left for a tail)
     "fuse1_rrf_hybrid",
     "eval5_dedup_quality",
+    "sel1_dsir_select",
+    "tok3_bpe_merge_pairs",
     # stalest re-check sample: driver-green r2-r6, untouched since
     "p1_gt",
     "p2_lt",
@@ -3772,8 +3812,6 @@ _ROTATED_FRONT = (
     "join2_salted_skew",
     "join3_semi_customers",
     "join4_anti_orders",
-    "join5_shipping_priority",
-    "agg1_pricing_summary",
 )
 
 
@@ -4755,6 +4793,12 @@ def oracle_sql() -> dict[str, str]:
         "eval4_ann_recall": _eval4_oracle_sql(),
         "fuse1_rrf_hybrid": _rrf_hybrid_oracle_sql(),
         "eval5_dedup_quality": _dedup_quality_oracle_sql(),
+        # sel1/tok3 (round 9): DSIR importance selection and the BPE
+        # merge-pair count — both twins share the house tokenization,
+        # md5 buckets, ln association, and micro-floor-BEFORE-sum
+        # discipline (operators/selection.py).
+        "sel1_dsir_select": dsir_select_sql(),
+        "tok3_bpe_merge_pairs": bpe_merge_pairs_sql(),
         # sketch5: per-key CMS + per-key exact audit (QUALIFY window).
         "sketch5_cms_heavy_by_lang": (
             "SELECT * FROM ("

@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 
 from nlp_to_nosql_spark.functions import text as tx
 from nlp_to_nosql_spark.operators.classify import _h15
+from nlp_to_nosql_spark.plans.partitioning import fan_out
 
 #: DuckDB rendering of the 60-bit md5 hash family (``_h15``).
 _H15_SQL = "CAST(CAST('0x' || substr(md5({x}), 1, 15) AS UBIGINT) AS BIGINT)"
@@ -99,9 +100,12 @@ def _feature_buckets(
     expressions in the same select are hoisted above the Generate and
     re-evaluated per OUTPUT row otherwise).
     """
-    staged = df.select(
+    narrow = fan_out(
+        df.select(F.col(id_col), target.alias("_is_t"), F.col(text_col))
+    )
+    staged = narrow.select(
         F.col(id_col),
-        target.alias("_is_t"),
+        F.col("_is_t"),
         _tokens(text_col).alias("_ts"),
     )
     feats = staged.select(
@@ -118,26 +122,20 @@ def _feature_buckets(
     )
 
 
-def dsir_bucket_ratios(
-    df: DataFrame,
-    target: Column,
-    n_buckets: int = 4096,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Per-bucket importance log-ratios of target vs pool distributions.
+def _bucket_ratios_from(feats: DataFrame, n_buckets: int) -> DataFrame:
+    """Log-ratio table derived from a :func:`_feature_buckets` stream.
 
-    Returns ``(bucket, tc, pc, lr_micro)``: the BIGINT target and pool
-    feature counts and ``floor(1e6 * (ln p̂_target(b) − ln p̂_pool(b)))``
-    under add-one smoothing, i.e. the micro-floored value of::
-
-        ln(tc+1) − ln(Tt+B) − ln(pc+1) + ln(Tp+B)
-
-    evaluated left-to-right (both engines share the association; every
-    ``ln`` argument is an exactly-representable BIGINT).  At most
-    ``n_buckets`` rows — the fitted "model", cheap to broadcast.
+    The bucket-count groupBy partial-aggregates map-side to at most
+    ``n_buckets`` rows per task BEFORE its exchange, so the shuffle
+    moves O(n_buckets × partitions) narrow rows regardless of corpus
+    size.  (A shared per-document ``(id, bucket, cnt)`` pre-aggregation
+    was A/B'd against this two-pass shape and LOST — 10× probe factor
+    1.2× → 1.7× — because its ReusedExchange moves O(distinct doc-bucket
+    pairs) rows where this plan's two exchanges are both corpus-size-
+    independent; tokenizing twice is scan-side compute that AQE's scan
+    parallelism absorbs.  The repo rule holds: narrow derivation >
+    ReusedExchange > persist.)
     """
-    feats = _feature_buckets(df, target, n_buckets, text_col, id_col)
     bc = feats.groupBy("bucket").agg(
         F.sum(F.when(F.col("_is_t"), 1).otherwise(0))
         .cast("long")
@@ -169,6 +167,31 @@ def dsir_bucket_ratios(
     )
 
 
+def dsir_bucket_ratios(
+    df: DataFrame,
+    target: Column,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-bucket importance log-ratios of target vs pool distributions.
+
+    Returns ``(bucket, tc, pc, lr_micro)``: the BIGINT target and pool
+    feature counts and ``floor(1e6 * (ln p̂_target(b) − ln p̂_pool(b)))``
+    under add-one smoothing, i.e. the micro-floored value of::
+
+        ln(tc+1) − ln(Tt+B) − ln(pc+1) + ln(Tp+B)
+
+    evaluated left-to-right (both engines share the association; every
+    ``ln`` argument is an exactly-representable BIGINT).  At most
+    ``n_buckets`` rows — the fitted "model", cheap to broadcast.
+    """
+    return _bucket_ratios_from(
+        _feature_buckets(df, target, n_buckets, text_col, id_col),
+        n_buckets,
+    )
+
+
 def dsir_select(
     df: DataFrame,
     target: Column,
@@ -189,15 +212,17 @@ def dsir_select(
     This is the deterministic argmax-k variant of the paper's Gumbel
     top-k resampling (the noise draw is a sampling temperature, not a
     correctness property — and a seeded noise column would be the one
-    thing DuckDB could not replay).  Plan shape: the explode feeds two
-    groupBys (bucket counts, per-doc sums); the log-ratio table joins
-    back by BROADCAST, so no corpus-side exchange beyond the one
-    per-doc aggregation; AQE's ReusedExchange dedupes the shared
-    feature stream at runtime (measured repo-wide to beat an explicit
-    persist barrier — PERFORMANCE.md, eval1/BM25 experiments).
+    thing DuckDB could not replay).  Plan shape: the feature stream
+    feeds two groupBys — the bucket-count fit (map-side combined to
+    ≤ n_buckets rows per task) and the per-document sum (one narrow row
+    per pool doc) — so BOTH exchanges are corpus-size-independent; the
+    log-ratio table joins back by BROADCAST and top-k is TakeOrdered.
+    The corpus is tokenized twice (once per pass), deliberately: see
+    :func:`_bucket_ratios_from` for the measured A/B against a shared
+    per-document pre-aggregation.
     """
     feats = _feature_buckets(df, target, n_buckets, text_col, id_col)
-    lr = dsir_bucket_ratios(df, target, n_buckets, text_col, id_col)
+    lr = _bucket_ratios_from(feats, n_buckets)
     scored = (
         feats.filter(~F.col("_is_t"))
         .join(F.broadcast(lr.select("bucket", "lr_micro")), "bucket")

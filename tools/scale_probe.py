@@ -165,6 +165,10 @@ def main() -> int:
     )
     from nlp_to_nosql_spark.operators.classify import hashed_linear_score
     from nlp_to_nosql_spark.operators.evals import classification_metrics
+    from nlp_to_nosql_spark.operators.selection import (
+        bpe_merge_pairs,
+        dsir_select,
+    )
     from nlp_to_nosql_spark.operators.semdedup import semantic_dedup
 
     query_vec = [float(x) for x in tables["embeddings"].first()["embedding"]]
@@ -368,6 +372,10 @@ def main() -> int:
             "text4_bm25_topk": lambda: bm25_probe(docs),
             "fuse1_rrf_hybrid": lambda: rrf_probe(docs, emb),
             "eval5_pair_quality": lambda: pair_quality_probe(docs),
+            "sel1_dsir_select": lambda: dsir_select(
+                docs, F.col("lang") == "en", n_buckets=4096, k=100
+            ),
+            "tok3_bpe_pairs": lambda: bpe_merge_pairs(docs, top_n=50),
             "sketch3_hll_ndv_by_lang": lambda: hll_ndv_by(
                 tokens_by(docs, ["lang"]), ["lang"], "tok", m=64
             ),

@@ -1,0 +1,140 @@
+"""Property tests: DSIR selection + BPE pair counts vs pure-Python
+models over randomized corpora.
+
+Random token streams (shared alphabet so hashed buckets collide at
+n_buckets=16), random whitespace, random target flags — covering the
+lattice the example tests don't enumerate: all-target / all-pool
+splits, empty and whitespace-only documents, duplicated documents,
+single-character vocabularies (no BPE pairs), and weight ties resolved
+by the (weight DESC, id ASC) order.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nlp_to_nosql_spark.operators.selection import (
+    bpe_merge_pairs,
+    dsir_select,
+)
+
+N_BUCKETS = 16
+MICRO = 1_000_000
+
+_VOCAB = ["aa", "ab", "b", "xyz", "Ünï", "q1!"]
+_SEPS = [" ", "  ", "\t", " \n "]
+
+doc_st = st.tuples(
+    st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=6),
+    st.sampled_from(_SEPS),
+    st.booleans(),  # is_target
+)
+corpus_st = st.lists(doc_st, min_size=0, max_size=8)
+
+
+def _h15(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _toks(text: str):
+    norm = re.sub(r"\s+", " ", text.strip().lower())
+    return [t for t in norm.split(" ") if t != ""]
+
+
+def _feats(text: str):
+    ts = _toks(text)
+    return ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+
+
+def _rows(corpus):
+    return [
+        (i, sep.join(toks), is_t)
+        for i, (toks, sep, is_t) in enumerate(corpus)
+    ]
+
+
+def _py_dsir(rows, k):
+    tc, pc = Counter(), Counter()
+    for _, text, is_t in rows:
+        cnt = tc if is_t else pc
+        for f in _feats(text):
+            cnt[_h15(f) % N_BUCKETS] += 1
+    tt, tp = sum(tc.values()), sum(pc.values())
+    lr = {
+        b: math.floor(
+            (
+                math.log(tc[b] + 1)
+                - math.log(tt + N_BUCKETS)
+                - math.log(pc[b] + 1)
+                + math.log(tp + N_BUCKETS)
+            )
+            * MICRO
+        )
+        for b in set(tc) | set(pc)
+    }
+    scored = [
+        (i, len(fs), sum(lr[_h15(f) % N_BUCKETS] for f in fs))
+        for i, text, is_t in rows
+        if not is_t
+        for fs in [_feats(text)]
+        if fs
+    ]
+    scored.sort(key=lambda r: (-r[2], r[0]))
+    return scored[:k]
+
+
+def _py_bpe(rows, top_n):
+    words = Counter(t for _, text, _ in rows for t in _toks(text))
+    pairs = Counter()
+    for w, c in words.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] += c
+    return sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+
+
+@pytest.mark.usefixtures("spark")
+@given(corpus_st, st.integers(min_value=1, max_value=4))
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dsir_matches_python_model(spark, corpus, k):
+    rows = _rows(corpus)
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, is_t boolean"
+    )
+    got = [
+        (r["doc_id"], r["n_feats"], r["weight_micro"])
+        for r in dsir_select(
+            df, F.col("is_t"), n_buckets=N_BUCKETS, k=k
+        ).collect()
+    ]
+    assert got == _py_dsir(rows, k)
+
+
+@pytest.mark.usefixtures("spark")
+@given(corpus_st, st.integers(min_value=1, max_value=5))
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bpe_matches_python_model(spark, corpus, top_n):
+    rows = _rows(corpus)
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, is_t boolean"
+    )
+    got = [
+        (r["pair"], r["pair_count"])
+        for r in bpe_merge_pairs(df, top_n=top_n).collect()
+    ]
+    assert got == _py_bpe(rows, top_n)

@@ -76,6 +76,7 @@ from nlp_to_nosql_spark.operators.classify import (
 )
 from nlp_to_nosql_spark.operators.selection import (
     bpe_merge_pairs_sql,
+    dsir_select_by_sql,
     dsir_select_sql,
 )
 from nlp_to_nosql_spark.operators.graph import pagerank_sql
@@ -2185,6 +2186,23 @@ def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dsir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-balanced DSIR selection: the top-10 most target-like
+    (lang='en'-distributed) pool documents PER SOURCE — the per-domain
+    quota variant a curation pipeline uses so one over-represented
+    domain cannot claim the whole selection budget.  Scoring is sel1's
+    corpus-size-independent plan; the per-group rank filter runs on the
+    reduced one-row-per-doc frame and rewrites to WindowGroupLimit
+    (operators/selection.py dsir_select_by)."""
+    from nlp_to_nosql_spark.operators.selection import dsir_select_by
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return dsir_select_by(
+        docs, F.col("lang") == "en", "source", n_buckets=4096,
+        k_per_group=10,
+    )
+
+
 def _q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One BPE tokenizer-training iteration (Sennrich et al.,
     arXiv:1508.07909), distributed: adjacent character-pair counts
@@ -3736,6 +3754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuse1_rrf_hybrid": _q_rrf_hybrid,
         "eval5_dedup_quality": _q_dedup_quality,
         "sel1_dsir_select": _q_dsir_select,
+        "sel2_dsir_per_source": _q_dsir_per_source,
         "tok3_bpe_merge_pairs": _q_bpe_merge_pairs,
     }
     missing = [k for k in _ROTATED_FRONT if k not in base]
@@ -3750,10 +3769,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: CORRECTNESS_r*.json has ever value-checked (the round-8 deferrals plus
 #: the nine round-8 additions) move to the front, together with
 #: ``emb4_quantize`` — driver-checked in r8 but red on contract shape,
-#: now reshaped to scalar long form — and the four round-9 additions
-#: (fuse1, eval5, sel1, tok3).  The remaining 27 slots re-check the
-#: stalest early-round greens (p*/nl*/j*/join1-4, untouched by a driver
-#: window since r6).  Green here ⇒ every one of the 193 contract
+#: now reshaped to scalar long form — and the five round-9 additions
+#: (fuse1, eval5, sel1, sel2, tok3).  The remaining 26 slots re-check
+#: the stalest early-round greens (p*/nl*/j*/join1-3, untouched by a
+#: driver window since r6).  Green here ⇒ every one of the 194 contract
 #: queries has been driver-verified at least once.  Everything outside
 #: the window stays selfcheck-verified each round.
 _ROTATED_FRONT = (
@@ -3783,6 +3802,7 @@ _ROTATED_FRONT = (
     "fuse1_rrf_hybrid",
     "eval5_dedup_quality",
     "sel1_dsir_select",
+    "sel2_dsir_per_source",
     "tok3_bpe_merge_pairs",
     # stalest re-check sample: driver-green r2-r6, untouched since
     "p1_gt",
@@ -3811,7 +3831,6 @@ _ROTATED_FRONT = (
     "join1_revenue_by_nation",
     "join2_salted_skew",
     "join3_semi_customers",
-    "join4_anti_orders",
 )
 
 
@@ -4798,6 +4817,7 @@ def oracle_sql() -> dict[str, str]:
         # md5 buckets, ln association, and micro-floor-BEFORE-sum
         # discipline (operators/selection.py).
         "sel1_dsir_select": dsir_select_sql(),
+        "sel2_dsir_per_source": dsir_select_by_sql(),
         "tok3_bpe_merge_pairs": bpe_merge_pairs_sql(),
         # sketch5: per-key CMS + per-key exact audit (QUALIFY window).
         "sketch5_cms_heavy_by_lang": (

@@ -43,7 +43,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from nlp_to_nosql_spark.functions import text as tx
@@ -239,18 +239,56 @@ def dsir_select(
     ).limit(k)
 
 
-def dsir_select_sql(
-    target_sql: str = "lang = 'en'",
+def dsir_select_by(
+    df: DataFrame,
+    target: Column,
+    group_col: str,
     n_buckets: int = 4096,
-    k: int = 100,
-    table: str = "documents",
+    k_per_group: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-balanced DSIR: top-k pool documents PER GROUP.
+
+    The production variant of :func:`dsir_select` — a global top-k lets
+    one over-represented domain claim the whole selection budget, so
+    curation pipelines quota per source/domain instead (the mixture
+    discipline of ``curation.temperature_mixture``, applied at the
+    selection stage).  Returns ``(id, group, n_feats, weight_micro,
+    rnk)`` for the ``k_per_group`` highest-weight pool documents of
+    each group under the deterministic per-group order
+    ``(weight_micro DESC, id ASC)``.
+
+    Plan shape: scoring is the unordered :func:`dsir_select` plan (its
+    exchanges stay corpus-size-independent); the ``(id, group)``
+    projection then joins onto the already-reduced one-row-per-doc
+    scored frame, and the rank filter over that reduced frame is
+    rewritten by Spark to WindowGroupLimit — per-partition top-k BEFORE
+    the window exchange — so few groups do not funnel the corpus
+    through single reducers (pinned by ``tests/test_selection.py``).
+    """
+    scored = dsir_select(
+        df, target, n_buckets, k=None, text_col=text_col, id_col=id_col
+    )
+    joined = scored.join(df.select(id_col, group_col), id_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("weight_micro"), F.asc(id_col)
+    )
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k_per_group)
+        .select(id_col, group_col, "n_feats", "weight_micro", "rnk")
+    )
+
+
+def _dsir_scored_ctes(
+    target_sql: str,
+    n_buckets: int,
+    table: str,
+    text_col: str,
+    id_col: str,
 ) -> str:
-    """DuckDB twin of :func:`dsir_select` — same tokenization, bigram
-    construction (1-based ``ts[i] || ' ' || ts[i+1]`` ≡ the Spark
-    ``zip_with`` of shifted slices), md5 buckets, smoothing, ``ln``
-    association, micro floor, and (weight DESC, id ASC) top-k."""
+    """The shared CTE chain of the DSIR twins, ending in ``scored``."""
     norm = tx.NORMALIZE_SQL.format(c=text_col)
     bkt = _H15_SQL.format(x="f") + f" % {n_buckets}"
     return (
@@ -275,7 +313,50 @@ def dsir_select_sql(
         "CAST(count(*) AS BIGINT) AS n_feats, "
         "CAST(SUM(lr.lr_micro) AS BIGINT) AS weight_micro "
         "FROM feats f JOIN lr USING (bucket) WHERE NOT f.is_t "
-        f"GROUP BY f.{id_col}) "
+        f"GROUP BY f.{id_col})"
+    )
+
+
+def dsir_select_by_sql(
+    target_sql: str = "lang = 'en'",
+    group_col: str = "source",
+    n_buckets: int = 4096,
+    k_per_group: int = 10,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`dsir_select_by` — the shared scored CTEs
+    plus a group join and a ``row_number`` rank filter with the same
+    per-group (weight DESC, id ASC) total order."""
+    ctes = _dsir_scored_ctes(target_sql, n_buckets, table, text_col, id_col)
+    return (
+        f"{ctes} "
+        f"SELECT {id_col}, {group_col}, n_feats, weight_micro, "
+        "CAST(rnk AS INT) AS rnk FROM ("
+        f"SELECT s.{id_col}, d.{group_col}, s.n_feats, s.weight_micro, "
+        f"row_number() OVER (PARTITION BY d.{group_col} "
+        f"ORDER BY s.weight_micro DESC, s.{id_col}) AS rnk "
+        f"FROM scored s JOIN {table} d USING ({id_col})) "
+        f"WHERE rnk <= {k_per_group}"
+    )
+
+
+def dsir_select_sql(
+    target_sql: str = "lang = 'en'",
+    n_buckets: int = 4096,
+    k: int = 100,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`dsir_select` — same tokenization, bigram
+    construction (1-based ``ts[i] || ' ' || ts[i+1]`` ≡ the Spark
+    ``zip_with`` of shifted slices), md5 buckets, smoothing, ``ln``
+    association, micro floor, and (weight DESC, id ASC) top-k."""
+    ctes = _dsir_scored_ctes(target_sql, n_buckets, table, text_col, id_col)
+    return (
+        f"{ctes} "
         f"SELECT {id_col}, n_feats, weight_micro FROM scored "
         f"ORDER BY weight_micro DESC, {id_col} LIMIT {k}"
     )

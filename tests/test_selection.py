@@ -16,6 +16,8 @@ from nlp_to_nosql_spark.operators.selection import (
     bpe_merge_pairs,
     bpe_merge_pairs_sql,
     dsir_select,
+    dsir_select_by,
+    dsir_select_by_sql,
     dsir_select_sql,
 )
 
@@ -154,6 +156,51 @@ def test_dsir_plan_broadcasts_ratios(docs):
     # back to a corpus-side shuffle join, a cartesian pairing, or Python
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_dsir_per_group_matches_duckdb_twin(docs):
+    # lang doubles as the group column: per-group quotas + rank order
+    # must match the twin exactly, including the rnk column type
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(ROWS, columns=["doc_id", "text", "lang"])
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            dsir_select_by_sql(
+                group_col="lang", n_buckets=N_BUCKETS, k_per_group=2
+            )
+        ).fetchall()
+    )
+    got = sorted(
+        tuple(r)
+        for r in dsir_select_by(
+            docs,
+            F.col("lang") == "en",
+            "lang",
+            n_buckets=N_BUCKETS,
+            k_per_group=2,
+        ).collect()
+    )
+    assert got == want
+    # quota respected per group, and only pool groups appear
+    langs = [r[1] for r in got]
+    assert all(langs.count(g) <= 2 for g in set(langs))
+    assert "en" not in langs
+
+
+def test_dsir_per_group_plan_uses_window_group_limit(docs):
+    q = dsir_select_by(
+        docs, F.col("lang") == "en", "lang",
+        n_buckets=N_BUCKETS, k_per_group=2,
+    )
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "simple"
+    )
+    # the rank filter must push per-partition (no full-group sort funnel)
+    assert "WindowGroupLimit" in plan, plan
     assert "BatchEvalPython" not in plan, plan
 
 

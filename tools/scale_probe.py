@@ -168,6 +168,7 @@ def main() -> int:
     from nlp_to_nosql_spark.operators.selection import (
         bpe_merge_pairs,
         dsir_select,
+        dsir_select_by,
     )
     from nlp_to_nosql_spark.operators.semdedup import semantic_dedup
 
@@ -374,6 +375,10 @@ def main() -> int:
             "eval5_pair_quality": lambda: pair_quality_probe(docs),
             "sel1_dsir_select": lambda: dsir_select(
                 docs, F.col("lang") == "en", n_buckets=4096, k=100
+            ),
+            "sel2_dsir_per_source": lambda: dsir_select_by(
+                docs, F.col("lang") == "en", "source",
+                n_buckets=4096, k_per_group=10,
             ),
             "tok3_bpe_pairs": lambda: bpe_merge_pairs(docs, top_n=50),
             "sketch3_hll_ndv_by_lang": lambda: hll_ndv_by(

@@ -16,6 +16,13 @@ Two pipeline stages that sit between quality filtering and packing:
   distributed inner step of byte-pair-encoding tokenizer training —
   adjacent-symbol pair frequencies weighted by word counts, computed on
   the DISTINCT-word table, never on the raw token stream.
+* **BPE training loop + encoder** (:func:`bpe_train`,
+  :func:`bpe_encode_len`): the full tokenizer-fitting iteration —
+  driver-iterate N merges (every per-iteration pass runs on the
+  Heaps'-law vocabulary table, the corpus is tokenized exactly once),
+  then apply the fitted merge list to produce per-document BPE token
+  counts, the statistic that feeds token-budget packing
+  (``packing.pack_documents``).
 
 No reference analogue (the reference's 1.2 kLoC Mongo/Streamlit surface
 has no corpus operators); both are driver-brief pipeline extensions.
@@ -48,6 +55,7 @@ from pyspark.sql import functions as F
 
 from nlp_to_nosql_spark.functions import text as tx
 from nlp_to_nosql_spark.operators.classify import _h15
+from nlp_to_nosql_spark.operators.dedup import md5_hash28
 from nlp_to_nosql_spark.plans.partitioning import fan_out
 
 #: DuckDB rendering of the 60-bit md5 hash family (``_h15``).
@@ -99,9 +107,19 @@ def _feature_buckets(
     explode (the repo-wide ExtractGenerator discipline: non-generator
     expressions in the same select are hoisted above the Generate and
     re-evaluated per OUTPUT row otherwise).
+
+    ``target`` is coalesced to FALSE up front (null-safe ``<=> TRUE``):
+    a NULL predicate (e.g. NULL lang) classifies the document as POOL —
+    it shapes the pool distribution AND stays selectable — instead of
+    the surprising three-valued-logic middle ground where it counted
+    toward the pool counts but silently never scored (round-9 advice).
     """
     narrow = fan_out(
-        df.select(F.col(id_col), target.alias("_is_t"), F.col(text_col))
+        df.select(
+            F.col(id_col),
+            target.eqNullSafe(F.lit(True)).alias("_is_t"),
+            F.col(text_col),
+        )
     )
     staged = narrow.select(
         F.col(id_col),
@@ -281,6 +299,101 @@ def dsir_select_by(
     )
 
 
+#: Gumbel-noise bucket count: the seeded md5 hash is reduced onto this
+#: many buckets before the uniform transform, the ``curation`` mixture
+#: convention (integer thresholds both engines compare identically).
+_GUMBEL_BUCKETS = 1_000_000
+
+
+def _gumbel_micro(id_col: str, seed: int) -> Column:
+    """Hash-derived Gumbel(0, 1) noise, micro-floored — RNG-free.
+
+    ``u = (h + 1) / (B + 1)`` over the seeded 28-bit md5 bucket hash
+    (``dedup.md5_hash28``, the ``mix1``/``cap1`` convention) lands
+    strictly inside (0, 1), then ``g = −ln(−ln(u))`` is the standard
+    inverse-CDF Gumbel draw.  Both engines evaluate the identical
+    expression tree — division of exactly-representable integers, two
+    libm ``ln`` calls (the repo's one trusted float op), one multiply,
+    one floor — so the BIGINT micro value replays in DuckDB
+    (:func:`dsir_select_gumbel_sql`).
+    """
+    h = md5_hash28(
+        F.concat(F.lit(f"gum{seed}:"), F.col(id_col).cast("string"))
+    ) % _GUMBEL_BUCKETS
+    u = (h + 1).cast("double") / F.lit(float(_GUMBEL_BUCKETS + 1))
+    return F.floor(-F.log(-F.log(u)) * F.lit(float(_MICRO))).cast("long")
+
+
+#: DuckDB twin of :func:`_gumbel_micro` (format with c=id expr, seed).
+_GUMBEL_SQL = (
+    "CAST(FLOOR(-ln(-ln(CAST((CAST(CAST('0x' || "
+    "substr(md5('gum{seed}:' || CAST({c} AS VARCHAR)), 1, 7) AS UBIGINT) "
+    "AS BIGINT) % 1000000) + 1 AS DOUBLE) / 1000001.0)) * 1000000.0) "
+    "AS BIGINT)"
+)
+
+
+def dsir_select_gumbel(
+    df: DataFrame,
+    target: Column,
+    n_buckets: int = 4096,
+    k: int = 100,
+    seed: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR with the paper's ACTUAL sampling semantics: Gumbel top-k
+    importance resampling (Xie et al., arXiv:2302.03169 §3 sample
+    ``k`` docs without replacement ∝ importance weights — equivalently,
+    add Gumbel(0,1) noise to each log-weight and take the arg-top-k).
+
+    :func:`dsir_select` is the deterministic argmax-k variant; this
+    tier restores the resampling draw while staying oracle-replayable:
+    the noise is hash-derived (seeded md5 → uniform → inverse-CDF
+    Gumbel, :func:`_gumbel_micro`), micro-floored like every other
+    float in the family, and added to the BIGINT ``weight_micro``
+    (both already on the 1e-6 log grid — the per-doc weight IS the
+    log importance ratio).  Returns ``(id, n_feats, weight_micro,
+    key_micro)`` for the ``k`` largest ``key_micro = weight_micro +
+    gumbel_micro`` under the total order ``(key_micro DESC, id ASC)``.
+
+    Plan shape is :func:`dsir_select` exactly — the noise column is one
+    scan-side md5 on the already-reduced one-row-per-doc scored frame,
+    so both exchanges stay corpus-size-independent and top-k stays
+    TakeOrdered.
+    """
+    scored = dsir_select(
+        df, target, n_buckets, k=None, text_col=text_col, id_col=id_col
+    )
+    keyed = scored.withColumn(
+        "key_micro",
+        (F.col("weight_micro") + _gumbel_micro(id_col, seed)).cast("long"),
+    )
+    return keyed.orderBy(F.desc("key_micro"), F.asc(id_col)).limit(k)
+
+
+def dsir_select_gumbel_sql(
+    target_sql: str = "lang = 'en'",
+    n_buckets: int = 4096,
+    k: int = 100,
+    seed: int = 7,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`dsir_select_gumbel` — the shared scored
+    CTEs plus the identical hash→uniform→Gumbel micro expression and
+    (key DESC, id ASC) top-k."""
+    ctes = _dsir_scored_ctes(target_sql, n_buckets, table, text_col, id_col)
+    g = _GUMBEL_SQL.format(c=id_col, seed=seed)
+    return (
+        f"{ctes} "
+        f"SELECT {id_col}, n_feats, weight_micro, "
+        f"CAST(weight_micro + {g} AS BIGINT) AS key_micro FROM scored "
+        f"ORDER BY key_micro DESC, {id_col} LIMIT {k}"
+    )
+
+
 def _dsir_scored_ctes(
     target_sql: str,
     n_buckets: int,
@@ -292,7 +405,8 @@ def _dsir_scored_ctes(
     norm = tx.NORMALIZE_SQL.format(c=text_col)
     bkt = _H15_SQL.format(x="f") + f" % {n_buckets}"
     return (
-        f"WITH toks AS (SELECT {id_col}, ({target_sql}) AS is_t, "
+        f"WITH toks AS (SELECT {id_col}, "
+        f"COALESCE(({target_sql}), FALSE) AS is_t, "
         f"list_filter(string_split({norm}, ' '), t -> t <> '') AS ts "
         f"FROM {table}), "
         "feats AS (SELECT "
@@ -431,4 +545,291 @@ def bpe_merge_pairs_sql(
         "GROUP BY p) "
         "SELECT pair, pair_count FROM pairs "
         f"ORDER BY pair_count DESC, pair LIMIT {top_n}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE training loop + encoder
+# ---------------------------------------------------------------------------
+
+def _merge_apply(ss: Column, left: str, right: str) -> Column:
+    """Apply ONE BPE merge to a symbol array, leftmost-non-overlapping.
+
+    The canonical greedy semantics every BPE implementation shares
+    (Sennrich et al.'s ``re.sub`` scan): walk left to right, merge each
+    ``(left, right)`` adjacency, and resume AFTER the merged token —
+    so ``aaaa`` under ``(a, a)`` becomes ``[aa, aa]``, not three
+    overlapping merges.  Expressed as a single ``aggregate`` stack
+    fold (JVM-side, no Python): append each symbol, except when the
+    stack top is ``left`` and the symbol is ``right`` — then replace
+    the top with the merged token.  A merged token equals
+    ``left || right``, which can itself be the ``left`` of a LATER
+    merge but never re-triggers the current one mid-scan, exactly
+    matching the reference semantics (pinned against a pure-Python
+    model in ``tests/test_selection.py``).
+    """
+    return F.aggregate(
+        ss,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(left + right)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _adjacent_pairs(words: DataFrame) -> DataFrame:
+    """``(lhs, rhs, cnt)`` adjacent-symbol pair counts of a symbol-array
+    vocabulary frame ``(w, wc, ss)``, weighted by word count."""
+    staged = words.select(
+        "_wc",
+        F.when(
+            F.size("ss") > 1,
+            F.zip_with(
+                F.slice("ss", 1, F.size("ss") - 1),
+                F.slice("ss", 2, F.size("ss") - 1),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+            ),
+        )
+        .otherwise(F.expr(
+            "CAST(array() AS array<struct<l: string, r: string>>)"
+        ))
+        .alias("_ps"),
+    )
+    return (
+        staged.select("_wc", F.explode("_ps").alias("_p"))
+        .groupBy(
+            F.col("_p.l").alias("lhs"), F.col("_p.r").alias("rhs")
+        )
+        .agg(F.sum("_wc").cast("long").alias("cnt"))
+    )
+
+
+def bpe_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The ``(w, _wc, ss)`` vocabulary frame BPE training iterates on:
+    distinct corpus words with BIGINT counts and the character-split
+    symbol array.  ONE corpus-token shuffle; everything downstream is
+    Heaps'-law vocabulary-sized."""
+    return (
+        df.select(F.explode(_tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("_wc"))
+        .select("w", "_wc", F.split("w", "").alias("ss"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 4,
+    text_col: str = "text",
+    return_vocab: bool = False,
+):
+    """Fit ``n_merges`` BPE merges (Sennrich et al., arXiv:1508.07909).
+
+    The production trainer loop: tokenize the corpus ONCE into the
+    distinct-word vocabulary (Heaps' law: orders of magnitude smaller
+    than the corpus), then driver-iterate — each iteration counts
+    adjacent-symbol pairs weighted by word counts (a vocabulary-sized
+    groupBy), picks the argmax pair under the total order ``(count
+    DESC, lhs ASC, rhs ASC)`` (a 1-row TakeOrdered collect, the
+    ``pr1``/IVF bounded-driver-state contract), and applies the merge
+    to the persisted vocabulary with a JVM-side stack fold
+    (:func:`_merge_apply`).  The corpus is never re-tokenized; the
+    driver holds exactly ``n_merges`` rows.
+
+    Returns the ranked merge list ``[(rank, lhs, rhs, count), ...]``
+    (stops early if the vocabulary runs out of pairs); with
+    ``return_vocab=True`` returns ``(merges, vocab)`` where ``vocab``
+    is the final persisted ``(w, _wc, ss)`` frame — the encoded form of
+    every corpus word, which :func:`bpe_encode_len` reuses so encoding
+    costs one join, not a re-derivation.
+    """
+    from nlp_to_nosql_spark.plans.caching import persisted
+
+    words = persisted(bpe_vocab(df, text_col), "tokens")
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, int(n_merges) + 1):
+        top = (
+            _adjacent_pairs(words)
+            .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["cnt"])
+        merges.append((rank, lhs, rhs, cnt))
+        nxt = persisted(
+            words.select(
+                "w", "_wc", _merge_apply(F.col("ss"), lhs, rhs).alias("ss")
+            ),
+            "tokens",
+        )
+        nxt.count()  # materialize before dropping the parent cache
+        words.unpersist()
+        words = nxt
+    if return_vocab:
+        return merges, words
+    words.unpersist()
+    return merges
+
+
+def bpe_encode_len(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document BPE token counts under a fitted merge list.
+
+    Applies ``merges`` (``(rank, lhs, rhs, ...)`` tuples or bare
+    ``(lhs, rhs)`` pairs, in rank order) to the corpus vocabulary —
+    encoding a word is EXACTLY the training-time merge application, so
+    the encoder is the same :func:`_merge_apply` chain — then counts
+    ``(doc, token)`` memberships: one corpus-token explode joined
+    against the ``(word → encoded length)`` table (Heaps'-law-sized,
+    AQE picks broadcast when it fits), summed per document.  Documents
+    with zero tokens keep a 0 row (left join), so the output feeds
+    ``packing.pack_documents``'s token budget directly.
+
+    ``vocab``: pass :func:`bpe_train`'s ``return_vocab`` frame to skip
+    re-encoding (the common train-then-encode pipeline).
+    """
+    if vocab is None:
+        enc = bpe_vocab(df, text_col)
+        for m in merges:
+            lhs, rhs = (m[1], m[2]) if len(m) >= 3 else (m[0], m[1])
+            enc = enc.select(
+                "w", "_wc", _merge_apply(F.col("ss"), lhs, rhs).alias("ss")
+            )
+    else:
+        enc = vocab
+    lens = enc.select("w", F.size("ss").cast("long").alias("_ntok"))
+    staged = df.select(F.col(id_col), _tokens(text_col).alias("_ts"))
+    doc_tokens = staged.select(
+        F.col(id_col), F.explode("_ts").alias("w")
+    )
+    agg = (
+        doc_tokens.join(lens, "w")
+        .groupBy(id_col)
+        .agg(F.sum("_ntok").cast("long").alias("_sum"))
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_sum"), F.lit(0).cast("long")).alias(
+                "n_tokens"
+            ),
+        )
+    )
+
+
+def _bpe_iter_ctes(n_merges: int, first: str = "w0") -> str:
+    """Unrolled per-iteration CTE chain ``c1,b1,w1,…,cN,bN,wN`` from a
+    ``(w, wc, ss)`` vocabulary CTE named ``first``.
+
+    Each iteration: pair counts over 1-based adjacent indices
+    (``range(1, len(ss))`` — empty for single-symbol words in both
+    engines), a 1-row argmax pick, and the leftmost-non-overlapping
+    merge application — match positions ``m``, then the greedy keep
+    set via the consecutive-run parity closed form (positions of one
+    maximal run share ``m[j] − j``; keep even offsets), then rebuild
+    the symbol list dropping each kept position's right neighbour.
+    The parity form and Spark's stack fold (:func:`_merge_apply`)
+    compute the same greedy scan — pinned by the cross-engine tests.
+    """
+    out = []
+    prev = first
+    for k in range(1, int(n_merges) + 1):
+        out.append(
+            f"c{k} AS (SELECT ss[i] AS l, ss[i+1] AS r, "
+            "CAST(SUM(wc) AS BIGINT) AS cnt "
+            f"FROM {prev}, UNNEST(range(1, len(ss))) u(i) "
+            "GROUP BY 1, 2), "
+            f"b{k} AS (SELECT l, r, cnt FROM c{k} "
+            "ORDER BY cnt DESC, l, r LIMIT 1), "
+            f"w{k} AS (SELECT w, wc, "
+            "list_filter(list_transform(range(1, len(ss)+1), "
+            "i -> CASE WHEN list_contains(kept, i) THEN l || r "
+            "WHEN list_contains(kept, i - 1) THEN NULL "
+            "ELSE ss[i] END), x -> x IS NOT NULL) AS ss "
+            "FROM (SELECT w, wc, ss, l, r, "
+            "[m[j] for j in range(1, len(m)+1) "
+            "if len([jj for jj in range(1, j) "
+            "if m[jj] - jj = m[j] - j]) % 2 = 0] AS kept "
+            "FROM (SELECT v.w, v.wc, v.ss, b.l, b.r, "
+            "[i for i in range(1, len(v.ss)) "
+            "if v.ss[i] = b.l AND v.ss[i+1] = b.r] AS m "
+            f"FROM {prev} v, b{k} b)))"
+        )
+        prev = f"w{k}"
+    return ", ".join(out)
+
+
+def _bpe_vocab_cte(table: str, text_col: str) -> str:
+    """``toks`` + ``w0`` CTEs: the DuckDB twin of :func:`bpe_vocab`."""
+    norm = tx.NORMALIZE_SQL.format(c=text_col)
+    return (
+        "toks AS (SELECT "
+        f"list_filter(string_split({norm}, ' '), t -> t <> '') AS ts "
+        f"FROM {table}), "
+        "w0 AS (SELECT f AS w, CAST(count(*) AS BIGINT) AS wc, "
+        "string_split(f, '') AS ss "
+        "FROM toks, LATERAL UNNEST(ts) AS u(f) GROUP BY f)"
+    )
+
+
+def bpe_train_sql(
+    n_merges: int = 4,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`bpe_train` — the same vocabulary, the N
+    unrolled iteration CTEs, and a UNION of the per-iteration argmax
+    picks as ``(merge_rank, lhs, rhs, pair_count)``.  Assumes the
+    vocabulary does not run out of pairs within ``n_merges`` (the Spark
+    trainer stops early; real corpora at the contract configs never
+    exhaust)."""
+    ctes = _bpe_vocab_cte(table, text_col)
+    arms = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS merge_rank, l AS lhs, r AS rhs, "
+        f"cnt AS pair_count FROM b{k}"
+        for k in range(1, int(n_merges) + 1)
+    )
+    return (
+        f"WITH {ctes}, {_bpe_iter_ctes(n_merges)} "
+        f"SELECT * FROM ({arms}) ORDER BY merge_rank"
+    )
+
+
+def bpe_encode_len_sql(
+    n_merges: int = 4,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`bpe_train` → :func:`bpe_encode_len` — the
+    same unrolled training chain, then per-document token counts from
+    the final encoded vocabulary (zero-token documents keep a 0 row)."""
+    ctes = _bpe_vocab_cte(table, text_col)
+    n = int(n_merges)
+    norm = tx.NORMALIZE_SQL.format(c=text_col)
+    return (
+        f"WITH {ctes}, {_bpe_iter_ctes(n)}, "
+        f"enc AS (SELECT w, CAST(len(ss) AS BIGINT) AS ntok FROM w{n}), "
+        f"dt AS (SELECT {id_col}, f AS w FROM (SELECT {id_col}, "
+        f"list_filter(string_split({norm}, ' '), t -> t <> '') AS ts "
+        f"FROM {table}), LATERAL UNNEST(ts) AS u(f)), "
+        f"agg AS (SELECT dt.{id_col}, CAST(SUM(e.ntok) AS BIGINT) AS s "
+        f"FROM dt JOIN enc e USING (w) GROUP BY dt.{id_col}) "
+        f"SELECT d.{id_col}, COALESCE(a.s, 0) AS n_tokens "
+        f"FROM {table} d LEFT JOIN agg a USING ({id_col})"
     )

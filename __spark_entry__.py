@@ -75,8 +75,11 @@ from nlp_to_nosql_spark.operators.classify import (
     hashed_linear_score_weights_sql,
 )
 from nlp_to_nosql_spark.operators.selection import (
+    bpe_encode_len_sql,
     bpe_merge_pairs_sql,
+    bpe_train_sql,
     dsir_select_by_sql,
+    dsir_select_gumbel_sql,
     dsir_select_sql,
 )
 from nlp_to_nosql_spark.operators.graph import pagerank_sql
@@ -85,7 +88,10 @@ from nlp_to_nosql_spark.operators.evals import (
     classification_metrics_sql,
     retrieval_metrics_sql,
 )
-from nlp_to_nosql_spark.operators.semdedup import semantic_dedup_sql
+from nlp_to_nosql_spark.operators.semdedup import (
+    semantic_dedup_fitted_sql,
+    semantic_dedup_sql,
+)
 from nlp_to_nosql_spark.operators.pq import (
     adc_rerank_sql,
     adc_topk_sql,
@@ -2216,6 +2222,60 @@ def _q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_pairs(docs, top_n=50)
 
 
+def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BPE trainer LOOP (tok3 is its inner statistic): 4
+    driver-iterated merges over the persisted Heaps'-law vocabulary —
+    per iteration one vocabulary-sized pair-count groupBy, a 1-row
+    argmax collect under (count DESC, lhs, rhs), and a JVM-side
+    leftmost-non-overlapping merge fold; the corpus is tokenized
+    exactly once.  Returns the ranked merge table (4 rows — the
+    IVF-centroid bounded-driver-state contract), which the DuckDB twin
+    re-derives via unrolled iteration CTEs
+    (operators/selection.py bpe_train / bpe_train_sql)."""
+    from nlp_to_nosql_spark.operators.selection import bpe_train
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    merges = bpe_train(docs, n_merges=4)
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count long"
+    )
+
+
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-tokenizer → count-tokens: fit 4 BPE merges (tok4's loop),
+    then ENCODE every document under the fitted merge list — per-doc
+    BPE token counts, the statistic that drives pack1's token-budget
+    packing.  Encoding reuses the trainer's final vocabulary (a word's
+    encoded form IS the training-time merge application), so the
+    encode pass costs one corpus-token explode + one Heaps'-law-sized
+    join; zero-token documents keep a 0 row
+    (operators/selection.py bpe_encode_len)."""
+    from nlp_to_nosql_spark.operators.selection import (
+        bpe_encode_len,
+        bpe_train,
+    )
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    merges, vocab = bpe_train(docs, n_merges=4, return_vocab=True)
+    return bpe_encode_len(docs, merges, vocab=vocab)
+
+
+def _q_dsir_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR with the paper's ACTUAL sampling semantics: Gumbel top-k
+    importance resampling — hash-derived Gumbel(0,1) noise (seeded md5
+    → uniform → inverse CDF, micro-floored) added to each document's
+    BIGINT log-importance weight, arg-top-100 by the noised key.  Same
+    corpus-size-independent two-pass plan as sel1; the noise is one
+    scan-side md5 on the reduced per-doc frame, so the draw replays
+    exactly in DuckDB (operators/selection.py dsir_select_gumbel)."""
+    from nlp_to_nosql_spark.operators.selection import dsir_select_gumbel
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return dsir_select_gumbel(
+        docs, F.col("lang") == "en", n_buckets=4096, k=100, seed=7
+    )
+
+
 #: eval2 truth rule: a document is "good" iff its stored char count
 #: sits in the mid band — a deterministic stand-in for human quality
 #: labels, shared literally by the Spark truth frame and the DuckDB CTE.
@@ -2789,6 +2849,28 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = register_tables(spark, sf_dir)["embeddings"]
     return semantic_dedup(emb, n_clusters=8, threshold=0.4)
+
+
+def _q_semantic_dedup_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with FITTED centroids — the production tier (Abbas et
+    al. cluster with sampled k-means, not frozen seed rows) made
+    oracle-checkable: a sampled Lloyd's fit computed entirely in the
+    exact integer-micro domain (seeded md5 half-sample, hash-spread
+    init, 2 iterations of int64 L2 argmin + BIGINT floor-division
+    means), then the same within-cell pair search as dedup14.  Fitted
+    cells track the data's density, so within-cell near-dup recall
+    beats the lowest-id contract centroids at identical plan shape
+    (PERFORMANCE.md "SemDeDup centroid quality"); the DuckDB twin
+    replays the ENTIRE fit as unrolled CTEs
+    (operators/semdedup.py micro_kmeans_fit /
+    semantic_dedup_fitted_sql)."""
+    from nlp_to_nosql_spark.operators.semdedup import semantic_dedup
+
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    return semantic_dedup(
+        emb, n_clusters=8, threshold=0.4, fit="micro_kmeans",
+        fit_iters=2, fit_seed=7,
+    )
 
 
 def _q_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3755,7 +3837,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval5_dedup_quality": _q_dedup_quality,
         "sel1_dsir_select": _q_dsir_select,
         "sel2_dsir_per_source": _q_dsir_per_source,
+        "sel3_dsir_gumbel": _q_dsir_gumbel,
         "tok3_bpe_merge_pairs": _q_bpe_merge_pairs,
+        "tok4_bpe_train": _q_bpe_train,
+        "tok5_bpe_encode": _q_bpe_encode,
+        "dedup15_semdedup_fitted": _q_semantic_dedup_fitted,
     }
     missing = [k for k in _ROTATED_FRONT if k not in base]
     assert not missing, f"rotation names unknown queries: {missing}"
@@ -3765,72 +3851,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-#: Round-9 driver-window rotation (VERDICT r8 task 2): the 18 queries no
-#: CORRECTNESS_r*.json has ever value-checked (the round-8 deferrals plus
-#: the nine round-8 additions) move to the front, together with
-#: ``emb4_quantize`` — driver-checked in r8 but red on contract shape,
-#: now reshaped to scalar long form — and the five round-9 additions
-#: (fuse1, eval5, sel1, sel2, tok3).  The remaining 26 slots re-check
-#: the stalest early-round greens (p*/nl*/j*/join1-3, untouched by a
-#: driver window since r6).  Green here ⇒ every one of the 194 contract
-#: queries has been driver-verified at least once.  Everything outside
-#: the window stays selfcheck-verified each round.
+#: Round-10 driver-window rotation (VERDICT r9 task 6): every contract
+#: query is now driver-green at least once, so FRESHNESS is the metric —
+#: the four round-10 additions (sel3/tok4/tok5/dedup15, checked
+#: immediately, never left for a tail) front the window, followed by the
+#: 18 queries whose last green row is CORRECTNESS_r02 and the 27 whose
+#: last green row is r06 (nothing is staler), plus ``dedup14_semdedup``
+#: from the r07 cohort (the unfitted twin of the new dedup15 — checking
+#: both configs in one window).  Everything outside the window stays
+#: selfcheck-verified each round.
 _ROTATED_FRONT = (
-    # never driver-checked: round-8 deferrals
-    "text4_bm25_topk",
-    "agg8_rollup_region_nation",
-    "win7_first_last_orders",
-    "quality2_gopher_rules",
-    "pipe3_pretraining_e2e",
-    "sess2_native_session_window",
-    "emb2_label_centroids",
-    "funnel1_ordered_conversion",
-    "s13_jsonl_gz_roundtrip",
-    # never driver-checked: round-8 additions
-    "stream14_hll_by_accumulate",
-    "quality4_weighted_filter",
-    "eval1_retrieval_metrics",
-    "eval2_classifier_metrics",
-    "eval3_classifier_calibration",
-    "eval4_ann_recall",
-    "sketch3_hll_ndv_by_lang",
-    "sketch4_hll_snapshot_overlap",
-    "sketch5_cms_heavy_by_lang",
-    # red in r8 on canonicalizer shape, reshaped this round
-    "emb4_quantize",
-    # new in round 9 (driver-checked immediately, not left for a tail)
-    "fuse1_rrf_hybrid",
-    "eval5_dedup_quality",
-    "sel1_dsir_select",
-    "sel2_dsir_per_source",
-    "tok3_bpe_merge_pairs",
-    # stalest re-check sample: driver-green r2-r6, untouched since
-    "p1_gt",
-    "p2_lt",
-    "p3_p4_range",
-    "p5_eq",
-    "p6_implicit_eq",
-    "p7_ne",
-    "p8_in",
-    "p9_regex_i",
-    "p10_find_all",
-    "p11_conjunction",
-    "p12_unknown_field",
-    "j1_projection",
-    "j2_select_all",
-    "nl1_salary_gt",
-    "nl2_names_projection",
-    "nl3_department_regex",
-    "nl4_find_all",
-    "nl5_salary_lt",
-    "nl6_experience_gt",
-    "nl7_age_gt",
-    "nl8_age_lt",
-    "nl9_salary_eq",
-    "nl10_department_synonym",
-    "join1_revenue_by_nation",
-    "join2_salted_skew",
-    "join3_semi_customers",
+    # new in round 10 (driver-checked immediately)
+    "sel3_dsir_gumbel",
+    "tok4_bpe_train",
+    "tok5_bpe_encode",
+    "dedup15_semdedup_fitted",
+    # stalest greens: last driver row r02
+    "agg1_pricing_summary",
+    "agg2_order_percentiles",
+    "asof1_event_last_order",
+    "asof2_bucketed_skewsafe",
+    "dedup7_name_editdist",
+    "join4_anti_orders",
+    "join5_shipping_priority",
+    "s10_schema_merge_read",
+    "s8_text_lines_roundtrip",
+    "s9_compaction_roundtrip",
+    "ts1_hourly_events",
+    "ts2_multires_rollup",
+    "ts3_sliding_window",
+    "ts4_ship_delay_histogram",
+    "win1_top_order_per_customer",
+    "win2_order_gaps",
+    "win3_rolling_avg",
+    "win5_range_frame",
+    # next-stalest: last driver row r06
+    "a1_count_filtered",
+    "a2_count_all",
+    "a5_a6_a7_event_metrics",
+    "agg5_cube_status",
+    "agg6_corr_bal_orders",
+    "agg7_order_key_lists",
+    "ann1_topk_bruteforce",
+    "ann3_topk_ivf",
+    "ann4_batch_topk",
+    "dedup10_minhash_md5_pairs",
+    "dedup1_exact",
+    "dedup2_ngram_jaccard",
+    "dedup5_embcos_exact",
+    "dedup6_cluster_labels",
+    "dedup9_simhash_md5_pairs",
+    "pipe1_curation",
+    "pivot1_status_by_segment",
+    "rj1_events_in_session",
+    "s4_json_roundtrip",
+    "s6_csv_roundtrip",
+    "sess1_user_sessions",
+    "set1_union_names",
+    "set3_except_orders",
+    "sub1_above_global_avg",
+    "sub3_quiet_high_balance",
+    "text1_analysis",
+    "text3_tfidf_terms",
+    # r07 cohort representative: dedup15's unfitted twin
+    "dedup14_semdedup",
 )
 
 
@@ -4819,6 +4903,19 @@ def oracle_sql() -> dict[str, str]:
         "sel1_dsir_select": dsir_select_sql(),
         "sel2_dsir_per_source": dsir_select_by_sql(),
         "tok3_bpe_merge_pairs": bpe_merge_pairs_sql(),
+        # round 10: the trainer LOOP + encoder (unrolled iteration CTEs
+        # with the parity-closed-form greedy merge), the Gumbel
+        # resampling tier (hash-derived noise, same scored CTEs), and
+        # the fitted SemDeDup (the ENTIRE sampled integer-micro Lloyd's
+        # fit replayed relationally).
+        "sel3_dsir_gumbel": dsir_select_gumbel_sql(
+            n_buckets=4096, k=100, seed=7
+        ),
+        "tok4_bpe_train": bpe_train_sql(n_merges=4),
+        "tok5_bpe_encode": bpe_encode_len_sql(n_merges=4),
+        "dedup15_semdedup_fitted": semantic_dedup_fitted_sql(
+            n_clusters=8, iters=2, threshold=0.4, seed=7
+        ),
         # sketch5: per-key CMS + per-key exact audit (QUALIFY window).
         "sketch5_cms_heavy_by_lang": (
             "SELECT * FROM ("

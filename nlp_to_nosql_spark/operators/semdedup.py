@@ -47,8 +47,10 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from nlp_to_nosql_spark.operators.dedup import md5_hash28
 
 #: floor-scale factor for integer-micro dot products (the repo-wide
 #: determinism discipline: float32 → float64 is exact, ×1e6 and floor are
@@ -77,6 +79,154 @@ def _micro_matrix(vecs: pd.Series, dim: int) -> np.ndarray:
             f"semantic_dedup: ragged or mis-sized embedding (expected dim={dim})"
         )
     return np.floor(x * _MICRO).astype(np.int64)
+
+
+def _micro_vec(vec_col: str) -> Column:
+    """JVM-side exact integer-micro vector: ``floor(x * 1e6)`` per
+    component on the double-cast embedding — the same single-IEEE-op
+    recipe as :func:`_micro_matrix`, and bit-equal to the DuckDB twin's
+    ``CAST(FLOOR(x * 1000000) AS BIGINT)``."""
+    return F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(_MICRO))).cast("long"),
+    )
+
+
+def micro_kmeans_fit(
+    df: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 2,
+    seed: int = 7,
+    sample_mod: int = 4,
+    sample_keep: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Oracle-replayable sampled Lloyd's k-means in the integer-micro
+    domain; returns the fitted ``k×dim`` int64 micro centroid matrix.
+
+    The production SemDeDup centroid source (sampled k-means, the shape
+    :class:`~nlp_to_nosql_spark.operators.ivf.IVFIndex` uses) made
+    RELATIONALLY EXACT so the whole fitted pipeline carries a value-level
+    DuckDB oracle (:func:`semantic_dedup_fitted_sql`) — the float-mean
+    Lloyd's of ``IVFIndex.fit`` cannot (a float ``avg`` is partition-
+    order-dependent), so every step here is integer:
+
+    * **training sample** — rows whose seeded 28-bit md5 bucket
+      (``dedup.md5_hash28``, the mix1/cap1 convention) satisfies
+      ``h % sample_mod < sample_keep`` — a deterministic,
+      partition-layout-independent ~``sample_keep/sample_mod`` sample,
+      so the fit cost is sample-proportional at any corpus size;
+    * **init** — the ``n_clusters`` training vectors with the smallest
+      ``(seeded md5 hash, id)`` — IVF's hash-spread init (uncorrelated
+      with insertion order), as a TakeOrdered top-k;
+    * **assignment** — exact int64 squared-L2 argmin over micro vectors
+      (ties → lowest centroid index), one Arrow-batched matmul per
+      batch;
+    * **update** — per-(cell, dim) BIGINT sums and counts (one
+      map-side-combined groupBy emitting ≤ ``k×dim`` rows per
+      iteration), new component = ``floor(sum / count)`` — Python
+      integer floor division here, ``FLOOR(CAST(sum AS DOUBLE)/n)`` in
+      the twin; equal whenever ``|sum| < 2^53`` (micro components are
+      ~2^23, so cells up to ~2^30 training rows stay exact — far above
+      any training-sample cap).  Empty cells keep their previous
+      centroid.
+
+    Driver state is ``k×dim`` ints + one ≤ ``k×dim``-row collect per
+    iteration — the IVF centroid contract; the corpus never leaves
+    executors.
+    """
+    if iters < 1 or n_clusters < 1:
+        raise ValueError("micro_kmeans_fit: iters and n_clusters must be >= 1")
+    from nlp_to_nosql_spark.plans.caching import persisted
+
+    sid = F.col(id_col).cast("string")
+    train_pred = (
+        md5_hash28(F.concat(F.lit(f"kmfit{seed}:"), sid)) % sample_mod
+        < sample_keep
+    )
+    narrow = persisted(
+        df.filter(train_pred).select(
+            F.col(id_col), _micro_vec(vec_col).alias("_mv")
+        ),
+        "vectors",
+    )
+    init_rows = (
+        narrow.orderBy(
+            md5_hash28(F.concat(F.lit(f"kminit{seed}:"), sid)),
+            F.col(id_col),
+        )
+        .limit(n_clusters)
+        .collect()
+    )
+    if len(init_rows) < n_clusters:
+        raise ValueError(
+            f"micro_kmeans_fit: training sample has {len(init_rows)} rows "
+            f"but n_clusters={n_clusters}; widen sample_keep/sample_mod"
+        )
+    cents = np.asarray([r["_mv"] for r in init_rows], dtype=np.int64)
+    dim = cents.shape[1]
+
+    from pyspark.sql.functions import pandas_udf
+
+    for _ in range(int(iters)):
+        cur = cents.copy()  # snapshot so the UDF closure is per-iteration
+        # |micro| ≤ ~2^23 ⇒ per-dot magnitude ≤ dim·2^46 ≪ int64 range
+        cn2 = (cur * cur).sum(axis=1)
+
+        def _assign_fn(vecs):
+            # closure over THIS iteration's cur/cn2 snapshot; the job
+            # runs (collect below) before the loop rebinds them
+            m = _micro_matrix_int(vecs, dim)
+            # exact int64: ||m||² − 2·m·c + ||c||²; argmin ties → first
+            # (lowest) index, mirroring the twin's ORDER BY d, c
+            rn2 = (m * m).sum(axis=1, keepdims=True)
+            d = rn2 - 2 * (m @ cur.T) + cn2[None, :]
+            return pd.Series(d.argmin(axis=1).astype(np.int64))
+
+        # real type objects, not the __future__ strings — pyspark's
+        # eval-type inference rejects stringified hints (verify-skill
+        # gotcha)
+        _assign_fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+        assign = pandas_udf(_assign_fn, "long")
+
+        means = (
+            narrow.withColumn("_c", assign(F.col("_mv")))
+            .select("_c", F.posexplode("_mv"))
+            .groupBy("_c", "pos")
+            .agg(
+                F.sum("col").cast("long").alias("s"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+            .collect()
+        )
+        nxt = cents.copy()
+        by_cell: dict[int, np.ndarray] = {}
+        for row in means:
+            by_cell.setdefault(int(row["_c"]), np.zeros(dim, dtype=np.int64))[
+                row["pos"]
+            ] = int(row["s"]) // int(row["n"])
+        for c, vec in by_cell.items():
+            nxt[c] = vec
+        if np.array_equal(nxt, cents):
+            break
+        cents = nxt
+    narrow.unpersist()
+    return cents
+
+
+def _micro_matrix_int(vecs: pd.Series, dim: int) -> np.ndarray:
+    """int64 micro matrix from an ALREADY-micro long-array column (the
+    :func:`_micro_vec` projection) — rectangular-cast guard only."""
+    rows = vecs.tolist()
+    if not rows:
+        return np.empty((0, dim), dtype=np.int64)
+    x = np.asarray(rows, dtype=np.int64)
+    if x.ndim != 2 or x.shape[1] != dim:
+        raise ValueError(
+            f"micro_kmeans: ragged or mis-sized micro vector (dim={dim})"
+        )
+    return x
 
 
 def _sub_blocked(
@@ -142,6 +292,8 @@ def semantic_dedup(
     centroids: np.ndarray | None = None,
     cell_block_size: int = 4096,
     fit: str | None = None,
+    fit_iters: int = 2,
+    fit_seed: int = 7,
 ) -> DataFrame:
     """SemDeDup keep/drop decisions: ``(id, cluster_id, kept)`` per vector.
 
@@ -154,6 +306,17 @@ def semantic_dedup(
     id of the winning centroid row, matching :func:`semantic_dedup_sql`
     for any id domain.  Pass a fitted k×dim float matrix for production
     use — ``cluster_id`` is the 0-based centroid index in that case.
+
+    ``fit="micro_kmeans"`` is the ORACLE-CHECKED fitted tier: the same
+    sampled-Lloyd's shape as ``sampled_kmeans`` but computed entirely in
+    the exact integer-micro domain (:func:`micro_kmeans_fit` —
+    ``fit_iters`` capped iterations over a seeded md5 hash sample,
+    seeded hash-spread init), so the fitted pipeline end-to-end replays
+    relationally in DuckDB (:func:`semantic_dedup_fitted_sql`).
+    Assignment under this tier is the fit's own metric — exact int64
+    squared-L2 argmin (ties → lowest centroid index) — rather than the
+    contract config's dot argmax; ``cluster_id`` is the 0-based centroid
+    index.
 
     ``fit="sampled_kmeans"`` is the PRODUCTION centroid source Abbas et
     al. cluster with: a deterministic sampled Lloyd's fit
@@ -171,51 +334,77 @@ def semantic_dedup(
     :func:`_sub_blocked`); it never changes the result, only the
     partitioning of the within-cell comparisons.
     """
+    cents_micro: np.ndarray | None = None
+    metric = "dot"
     if fit is not None:
-        if fit != "sampled_kmeans":
-            raise ValueError(
-                f"semantic_dedup: unknown fit {fit!r} "
-                "(expected 'sampled_kmeans')"
-            )
         if centroids is not None:
             raise ValueError(
                 "semantic_dedup: pass either centroids= or fit=, not both"
             )
-        from nlp_to_nosql_spark.operators.ivf import IVFIndex
+        if fit == "sampled_kmeans":
+            from nlp_to_nosql_spark.operators.ivf import IVFIndex
 
-        index = IVFIndex(n_lists=n_clusters)
-        index.fit(df, id_col=id_col, vec_col=vec_col)
-        centroids = index.centroids
-    narrow = df.select(id_col, vec_col)
-    if centroids is None:
-        # top-k by id, not filter(id < n): TakeOrderedAndProject, no full
-        # sort, and correct when ids are offset or gapped (round-7 advice).
-        rows = narrow.orderBy(id_col).limit(n_clusters).collect()
-        if len(rows) < n_clusters:
-            raise ValueError(
-                f"semantic_dedup: no centroid rows — found {len(rows)} of "
-                f"the n_clusters={n_clusters} lowest-id vectors "
-                "(empty or undersized input?)"
+            index = IVFIndex(n_lists=n_clusters)
+            index.fit(df, id_col=id_col, vec_col=vec_col)
+            centroids = index.centroids
+        elif fit == "micro_kmeans":
+            cents_micro = micro_kmeans_fit(
+                df,
+                n_clusters,
+                iters=fit_iters,
+                seed=fit_seed,
+                id_col=id_col,
+                vec_col=vec_col,
             )
-        centroid_ids = np.asarray([r[id_col] for r in rows], dtype=np.int64)
-        centroids = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
-    else:
-        centroids = np.asarray(centroids, dtype=np.float64)
-        centroid_ids = np.arange(centroids.shape[0], dtype=np.int64)
-    cents_micro = np.floor(centroids * _MICRO).astype(np.int64)
+            centroid_ids = np.arange(n_clusters, dtype=np.int64)
+            metric = "l2"  # the fit's own objective; oracle-replayable
+        else:
+            raise ValueError(
+                f"semantic_dedup: unknown fit {fit!r} "
+                "(expected 'sampled_kmeans' or 'micro_kmeans')"
+            )
+    narrow = df.select(id_col, vec_col)
+    if cents_micro is None:
+        if centroids is None:
+            # top-k by id, not filter(id < n): TakeOrderedAndProject, no
+            # full sort, and correct when ids are offset or gapped
+            # (round-7 advice).
+            rows = narrow.orderBy(id_col).limit(n_clusters).collect()
+            if len(rows) < n_clusters:
+                raise ValueError(
+                    f"semantic_dedup: no centroid rows — found {len(rows)} "
+                    f"of the n_clusters={n_clusters} lowest-id vectors "
+                    "(empty or undersized input?)"
+                )
+            centroid_ids = np.asarray(
+                [r[id_col] for r in rows], dtype=np.int64
+            )
+            centroids = np.asarray(
+                [r[vec_col] for r in rows], dtype=np.float64
+            )
+        else:
+            centroids = np.asarray(centroids, dtype=np.float64)
+            centroid_ids = np.arange(centroids.shape[0], dtype=np.int64)
+        cents_micro = np.floor(centroids * _MICRO).astype(np.int64)
     dim = cents_micro.shape[1]
+    cn2 = (cents_micro * cents_micro).sum(axis=1)
 
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
     def assign(vecs: pd.Series) -> pd.Series:
         m = _micro_matrix(vecs, dim)
-        # exact int64 dots: |micro| ≤ ~2²⁰ per component, dim ≤ 2¹² keeps
-        # every dot far inside int64; argmax ties → first maximum, i.e.
-        # the lowest centroid id (rows are id-ordered), mirroring the
-        # oracle's ORDER BY dot DESC, c_id.
+        # exact int64 arithmetic: |micro| ≤ ~2²³ per component, dim ≤ 2¹²
+        # keeps every dot/distance far inside int64.  dot: argmax ties →
+        # first maximum, i.e. the lowest centroid id (rows are
+        # id-ordered), mirroring the oracle's ORDER BY dot DESC, c_id.
+        # l2 (fitted tier): squared-L2 argmin, ties → lowest index,
+        # mirroring ORDER BY d, c.
         dots = m @ cents_micro.T
-        return pd.Series(centroid_ids[dots.argmax(axis=1)])
+        if metric == "dot":
+            return pd.Series(centroid_ids[dots.argmax(axis=1)])
+        d = (m * m).sum(axis=1, keepdims=True) - 2 * dots + cn2[None, :]
+        return pd.Series(centroid_ids[d.argmin(axis=1)])
 
     from nlp_to_nosql_spark.plans.caching import persisted
 
@@ -333,5 +522,98 @@ def semantic_dedup_sql(
         f"SELECT s.{id_col}, CAST(s.cluster_id AS BIGINT) AS cluster_id, "
         "(d.id_b IS NULL) AS kept "
         "FROM assign s LEFT JOIN (SELECT DISTINCT id_b FROM pairs) d "
+        f"ON d.id_b = s.{id_col}"
+    )
+
+
+_H28_SQL = (
+    "CAST(CAST('0x' || substr(md5('{tag}' || CAST({c} AS VARCHAR)), 1, 7) "
+    "AS UBIGINT) AS BIGINT)"
+)
+
+
+def semantic_dedup_fitted_sql(
+    n_clusters: int = 8,
+    iters: int = 2,
+    threshold: float = 0.4,
+    seed: int = 7,
+    sample_mod: int = 4,
+    sample_keep: int = 2,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of ``semantic_dedup(fit="micro_kmeans")`` — the
+    ENTIRE sampled-Lloyd's fit replayed relationally: the seeded md5
+    hash sample, the hash-spread init (smallest ``(hash, id)`` top-k),
+    ``iters`` unrolled iterations of exact int64 squared-L2 assignment
+    (ties → lowest centroid index) and BIGINT floor-division means
+    (``FLOOR(CAST(s AS DOUBLE)/n)`` ≡ Python ``s // n`` for
+    ``|s| < 2^53`` — micro components are ~2^23, so exactness holds to
+    ~2^30 rows per cell), then the full-corpus assignment, the
+    within-cell round-6 cosine pairs, and the lower-id-wins drop list.
+    ``cluster_id`` is the 0-based centroid index on both engines.
+
+    Spark converging early is invisible here: once ``new == old`` the
+    update is a fixpoint, so extra unrolled iterations reproduce the
+    same centroids.
+    """
+    hs = _H28_SQL.format(tag=f"kmfit{seed}:", c=id_col)
+    hi = _H28_SQL.format(tag=f"kminit{seed}:", c=id_col)
+    sq = (
+        "list_sum([({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) "
+        f"for i in range(1, {dim + 1})])"
+    )
+    parts = [
+        f"WITH m AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v, "
+        f"list_transform(CAST({vec_col} AS DOUBLE[]), "
+        "x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS mv "
+        f"FROM {table}), "
+        f"tr AS (SELECT {id_col}, mv FROM m "
+        f"WHERE {hs} % {sample_mod} < {sample_keep}), "
+        "c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, "
+        f"{id_col}) - 1 AS BIGINT) AS c, mv AS cm "
+        f"FROM (SELECT {id_col}, mv, {hi} AS h FROM tr) "
+        f"ORDER BY h, {id_col} LIMIT {n_clusters})"
+    ]
+    for k in range(1, int(iters) + 1):
+        d = sq.format(a="t.mv", b="c.cm")
+        parts.append(
+            f"d{k} AS (SELECT t.{id_col}, c.c, {d} AS d "
+            f"FROM tr t, c{k - 1} c), "
+            f"a{k} AS (SELECT {id_col}, c FROM d{k} "
+            f"QUALIFY row_number() OVER (PARTITION BY {id_col} "
+            "ORDER BY d, c) = 1), "
+            f"s{k} AS (SELECT a.c, i AS pos, "
+            "CAST(SUM(t.mv[i]) AS BIGINT) AS s, COUNT(*) AS n "
+            f"FROM a{k} a JOIN tr t USING ({id_col}), "
+            f"UNNEST(range(1, {dim + 1})) u(i) GROUP BY a.c, i), "
+            f"n{k} AS (SELECT c, list(CAST(FLOOR(CAST(s AS DOUBLE) / n) "
+            "AS BIGINT) ORDER BY pos) AS cm "
+            f"FROM s{k} GROUP BY c), "
+            f"c{k} AS (SELECT p.c, COALESCE(x.cm, p.cm) AS cm "
+            f"FROM c{k - 1} p LEFT JOIN n{k} x USING (c))"
+        )
+    dfin = sq.format(a="m.mv", b="c.cm")
+    parts.append(
+        f"fd AS (SELECT m.{id_col}, c.c, {dfin} AS d "
+        f"FROM m, c{int(iters)} c), "
+        f"fa AS (SELECT {id_col}, c AS cluster_id FROM fd "
+        f"QUALIFY row_number() OVER (PARTITION BY {id_col} "
+        "ORDER BY d, c) = 1), "
+        f"pairs AS (SELECT sb.{id_col} AS id_b "
+        "FROM fa sa JOIN fa sb ON sa.cluster_id = sb.cluster_id "
+        f"AND sa.{id_col} < sb.{id_col} "
+        f"JOIN m a ON a.{id_col} = sa.{id_col} "
+        f"JOIN m b ON b.{id_col} = sb.{id_col} "
+        f"WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) "
+        f">= {threshold})"
+    )
+    return (
+        ", ".join(parts)
+        + f" SELECT s.{id_col}, CAST(s.cluster_id AS BIGINT) AS cluster_id, "
+        "(d.id_b IS NULL) AS kept "
+        "FROM fa s LEFT JOIN (SELECT DISTINCT id_b FROM pairs) d "
         f"ON d.id_b = s.{id_col}"
     )

@@ -149,7 +149,15 @@ def hll_registers_of(
     string are NOT values — they are filtered before hashing, exactly
     as the DuckDB twins' ``WHERE tok <> ''`` does.  Harness inputs
     (tokens, fingerprints) are never empty, so this only pins the
-    behavior for external callers."""
+    behavior for external callers.
+
+    Snapshot compatibility (round-9 advice): this filter is part of the
+    register-table CONTRACT — register snapshots persisted before the
+    filter existed counted ``''`` as a real distinct value, so merging
+    such a legacy snapshot with freshly computed registers (the
+    ``sketch4``/``stream14`` accumulate-by-MAX pattern) can disagree by
+    one distinct on data containing empty strings.  Recompute legacy
+    snapshots once under the current contract before mixing."""
     if m & (m - 1) or m < 2:
         raise ValueError(f"m must be a power of two >= 2, got {m}")
     p = m.bit_length() - 1

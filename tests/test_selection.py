@@ -239,3 +239,188 @@ def test_bpe_plan_two_shuffles_takeordered(docs):
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer loop + encoder (round 10)
+# ---------------------------------------------------------------------------
+
+def _py_bpe_train(rows, n):
+    """Reference BPE model: greedy leftmost-non-overlapping merges."""
+    words = Counter(t for _, text, _ in rows for t in _toks(text))
+    vocab = {w: list(w) for w in words}
+    merges = []
+    for rank in range(1, n + 1):
+        pairs = Counter()
+        for w, c in words.items():
+            ss = vocab[w]
+            for i in range(len(ss) - 1):
+                pairs[(ss[i], ss[i + 1])] += c
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, cnt))
+        for w in vocab:
+            ss, out, i = vocab[w], [], 0
+            while i < len(ss):
+                if i + 1 < len(ss) and ss[i] == l and ss[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(ss[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+@pytest.mark.parametrize("n", [1, 3, 5])
+def test_bpe_train_matches_pure_python_at_several_n(docs, n):
+    from nlp_to_nosql_spark.operators.selection import bpe_train
+
+    got = bpe_train(docs, n_merges=n)
+    want, _ = _py_bpe_train(ROWS, n)
+    assert got == want
+
+
+def test_bpe_train_matches_duckdb_twin(docs):
+    from nlp_to_nosql_spark.operators.selection import (
+        bpe_train,
+        bpe_train_sql,
+    )
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(ROWS, columns=["doc_id", "text", "lang"])
+    )
+    want = con.execute(bpe_train_sql(n_merges=4)).fetchall()
+    assert [tuple(m) for m in bpe_train(docs, n_merges=4)] == [
+        tuple(r) for r in want
+    ]
+
+
+def test_bpe_train_overlap_semantics(spark):
+    """'aaaa' under merge (a,a) must yield 2 tokens (leftmost greedy),
+    and the trainer must count the 3 overlapping candidates as 3."""
+    from nlp_to_nosql_spark.operators.selection import (
+        bpe_encode_len,
+        bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "aaaa", "en")], "doc_id long, text string, lang string"
+    )
+    merges = bpe_train(df, n_merges=1)
+    assert merges == [(1, "a", "a", 3)]
+    enc = bpe_encode_len(df, merges).collect()
+    assert [(r["doc_id"], r["n_tokens"]) for r in enc] == [(0, 2)]
+
+
+def test_bpe_train_stops_when_pairs_exhausted(spark):
+    from nlp_to_nosql_spark.operators.selection import bpe_train
+
+    df = spark.createDataFrame(
+        [(0, "a b c", "en")], "doc_id long, text string, lang string"
+    )
+    assert bpe_train(df, n_merges=5) == []
+
+
+def test_bpe_encode_len_matches_python_and_twin(docs):
+    from nlp_to_nosql_spark.operators.selection import (
+        bpe_encode_len,
+        bpe_encode_len_sql,
+        bpe_train,
+    )
+
+    merges, vocab = bpe_train(docs, n_merges=4, return_vocab=True)
+    got = sorted(
+        (r["doc_id"], r["n_tokens"])
+        for r in bpe_encode_len(docs, merges, vocab=vocab).collect()
+    )
+    _, py_vocab = _py_bpe_train(ROWS, 4)
+    want = sorted(
+        (i, sum(len(py_vocab[w]) for w in _toks(text)))
+        for i, text, _ in ROWS
+    )
+    assert got == want
+    # zero-token docs (ids 2, 3) keep explicit 0 rows
+    as_map = dict(got)
+    assert as_map[2] == 0 and as_map[3] == 0
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(ROWS, columns=["doc_id", "text", "lang"])
+    )
+    dwant = con.execute(bpe_encode_len_sql(n_merges=4)).fetchall()
+    assert got == sorted(tuple(r) for r in dwant)
+
+
+def test_bpe_encode_without_vocab_rederives(docs):
+    """merges-only encoding (no vocab frame) equals the reuse path."""
+    from nlp_to_nosql_spark.operators.selection import (
+        bpe_encode_len,
+        bpe_train,
+    )
+
+    merges, vocab = bpe_train(docs, n_merges=3, return_vocab=True)
+    a = sorted(map(tuple, bpe_encode_len(docs, merges, vocab=vocab).collect()))
+    b = sorted(map(tuple, bpe_encode_len(docs, merges).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Gumbel resampling tier (round 10)
+# ---------------------------------------------------------------------------
+
+def test_dsir_gumbel_matches_duckdb_twin(docs):
+    from nlp_to_nosql_spark.operators.selection import (
+        dsir_select_gumbel,
+        dsir_select_gumbel_sql,
+    )
+
+    got = [
+        tuple(r)
+        for r in dsir_select_gumbel(
+            docs, F.col("lang") == "en", n_buckets=N_BUCKETS, k=5, seed=7
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(ROWS, columns=["doc_id", "text", "lang"])
+    )
+    want = con.execute(
+        dsir_select_gumbel_sql(n_buckets=N_BUCKETS, k=5, seed=7)
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
+def test_dsir_gumbel_key_is_weight_plus_hash_noise(docs):
+    """key_micro − weight_micro equals the closed-form hash-Gumbel draw."""
+    import hashlib
+
+    from nlp_to_nosql_spark.operators.selection import dsir_select_gumbel
+
+    rows = dsir_select_gumbel(
+        docs, F.col("lang") == "en", n_buckets=N_BUCKETS, k=5, seed=7
+    ).collect()
+    for r in rows:
+        h = int(hashlib.md5(f"gum7:{r['doc_id']}".encode()).hexdigest()[:7], 16)
+        u = (h % 1_000_000 + 1) / 1_000_001.0
+        g = math.floor(-math.log(-math.log(u)) * 1_000_000.0)
+        assert r["key_micro"] - r["weight_micro"] == g
+
+
+def test_dsir_null_target_scored_as_pool(spark):
+    """A NULL target predicate now coalesces to pool: the doc shapes the
+    pool distribution AND stays selectable (round-9 advice)."""
+    from nlp_to_nosql_spark.operators.selection import dsir_select
+
+    rows = ROWS + [(10, "the quick brown fox of the pool", None)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    got = {
+        r["doc_id"]
+        for r in dsir_select(
+            df, F.col("lang") == "en", n_buckets=N_BUCKETS, k=20
+        ).collect()
+    }
+    assert 10 in got

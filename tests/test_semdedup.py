@@ -253,3 +253,126 @@ def test_empty_input_raises(spark):
     )
     with pytest.raises(ValueError, match="no centroid rows"):
         semantic_dedup(spark.createDataFrame([], schema), n_clusters=4)
+
+
+# ---------------------------------------------------------------------------
+# micro-kmeans fitted tier (round 10)
+# ---------------------------------------------------------------------------
+
+def _md5_h28(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+
+def _numpy_micro_kmeans(vecs, n_clusters, iters, seed, mod, keep):
+    """Pure-python/numpy replica of micro_kmeans_fit + final L2 assign."""
+    m = np.floor(vecs.astype(np.float64) * _MICRO).astype(np.int64)
+    train_ids = [
+        i
+        for i in range(len(vecs))
+        if _md5_h28(f"kmfit{seed}:{i}") % mod < keep
+    ]
+    order = sorted(train_ids, key=lambda i: (_md5_h28(f"kminit{seed}:{i}"), i))
+    cents = m[order[:n_clusters]].copy()
+    tr = m[train_ids]
+    for _ in range(iters):
+        d = (
+            (tr * tr).sum(axis=1, keepdims=True)
+            - 2 * (tr @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
+        )
+        a = d.argmin(axis=1)
+        nxt = cents.copy()
+        for c in range(n_clusters):
+            rows = tr[a == c]
+            if len(rows):
+                nxt[c] = np.floor_divide(rows.sum(axis=0), len(rows))
+        if np.array_equal(nxt, cents):
+            break
+        cents = nxt
+    d = (
+        (m * m).sum(axis=1, keepdims=True)
+        - 2 * (m @ cents.T)
+        + (cents * cents).sum(axis=1)[None, :]
+    )
+    return cents, d.argmin(axis=1)
+
+
+def test_micro_kmeans_fit_matches_numpy_model(planted):
+    from nlp_to_nosql_spark.operators.semdedup import micro_kmeans_fit
+
+    vecs, df = planted
+    got = micro_kmeans_fit(
+        df, n_clusters=3, iters=2, seed=7, sample_mod=4, sample_keep=2
+    )
+    want, _ = _numpy_micro_kmeans(vecs, 3, 2, 7, 4, 2)
+    assert np.array_equal(got, want)
+
+
+def test_fitted_tier_assignment_and_keepdrop(planted):
+    """fit='micro_kmeans' labels by 0-based centroid index under exact
+    int64 L2 argmin, and keep/drop stays lower-id-wins within cells."""
+    vecs, df = planted
+    rows = semantic_dedup(
+        df, n_clusters=3, threshold=0.99, fit="micro_kmeans",
+        fit_iters=2, fit_seed=7,
+    ).collect()
+    _, want_assign = _numpy_micro_kmeans(vecs, 3, 2, 7, 4, 2)
+    got = {r["vec_id"]: r["cluster_id"] for r in rows}
+    assert got == {i: int(want_assign[i]) for i in range(len(vecs))}
+    kept = {r["vec_id"]: r["kept"] for r in rows}
+    assert kept[0] is True
+    # vec 17 = 2.5 * vec 0 (cosine exactly 1): dropped iff same cell
+    if want_assign[17] == want_assign[0]:
+        assert kept[17] is False
+
+
+def test_fitted_semdedup_matches_duckdb_twin(planted):
+    import duckdb
+    import pandas as pd
+
+    from nlp_to_nosql_spark.operators.semdedup import (
+        semantic_dedup_fitted_sql,
+    )
+
+    vecs, df = planted
+    got = sorted(
+        tuple(r)
+        for r in semantic_dedup(
+            df, n_clusters=3, threshold=0.99, fit="micro_kmeans",
+            fit_iters=2, fit_seed=7,
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(
+            {
+                "vec_id": range(len(vecs)),
+                "embedding": [list(map(float, v)) for v in vecs],
+            }
+        ),
+    )
+    want = con.execute(
+        semantic_dedup_fitted_sql(
+            n_clusters=3, iters=2, threshold=0.99, seed=7, dim=DIM
+        )
+    ).fetchall()
+    assert got == sorted(tuple(r) for r in want)
+
+
+def test_micro_kmeans_undersized_sample_raises(spark):
+    from nlp_to_nosql_spark.operators.semdedup import micro_kmeans_fit
+
+    df = _df(spark, np.eye(3, DIM, dtype=np.float32))
+    with pytest.raises(ValueError, match="training sample"):
+        micro_kmeans_fit(df, n_clusters=8)
+
+
+def test_micro_kmeans_iters_validated(spark):
+    from nlp_to_nosql_spark.operators.semdedup import micro_kmeans_fit
+
+    df = _df(spark, np.eye(3, DIM, dtype=np.float32))
+    with pytest.raises(ValueError, match="iters"):
+        micro_kmeans_fit(df, n_clusters=2, iters=0)

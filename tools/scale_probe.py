@@ -169,6 +169,7 @@ def main() -> int:
         bpe_merge_pairs,
         dsir_select,
         dsir_select_by,
+        dsir_select_gumbel,
     )
     from nlp_to_nosql_spark.operators.semdedup import semantic_dedup
 
@@ -310,6 +311,35 @@ def main() -> int:
         )
         return pair_set_quality(pred, truth)
 
+    def bpe_train_probe(docs):
+        # the tok4 trainer LOOP: the per-iteration collects (pair argmax)
+        # happen inside this call, so wall time covers the whole fit;
+        # the returned final vocabulary frame is the noop-write target
+        from nlp_to_nosql_spark.operators.selection import bpe_train
+
+        merges, vocab = bpe_train(docs, n_merges=4, return_vocab=True)
+        return vocab
+
+    def bpe_encode_probe(docs):
+        # tok5 end-to-end: train 4 merges then encode every document
+        from nlp_to_nosql_spark.operators.selection import (
+            bpe_encode_len,
+            bpe_train,
+        )
+
+        merges, vocab = bpe_train(docs, n_merges=4, return_vocab=True)
+        return bpe_encode_len(docs, merges, vocab=vocab)
+
+    def semdedup_fitted_probe(emb):
+        # dedup15: the sampled integer-micro Lloyd's fit (iteration
+        # collects inside) plus the within-cell pair search
+        from nlp_to_nosql_spark.operators.semdedup import semantic_dedup
+
+        return semantic_dedup(
+            emb, n_clusters=8, threshold=0.4, fit="micro_kmeans",
+            fit_iters=2, fit_seed=7,
+        )
+
     def probes(docs, events, emb):
         all_probes = _all_probes(docs, events, emb)
         if only:
@@ -381,6 +411,12 @@ def main() -> int:
                 n_buckets=4096, k_per_group=10,
             ),
             "tok3_bpe_pairs": lambda: bpe_merge_pairs(docs, top_n=50),
+            "sel3_dsir_gumbel": lambda: dsir_select_gumbel(
+                docs, F.col("lang") == "en", n_buckets=4096, k=100, seed=7
+            ),
+            "tok4_bpe_train": lambda: bpe_train_probe(docs),
+            "tok5_bpe_encode": lambda: bpe_encode_probe(docs),
+            "dedup15_semdedup_fitted": lambda: semdedup_fitted_probe(emb),
             "sketch3_hll_ndv_by_lang": lambda: hll_ndv_by(
                 tokens_by(docs, ["lang"]), ["lang"], "tok", m=64
             ),

@@ -10,7 +10,9 @@ for both centroid sources:
 * ``lowest-id`` — the oracle-replayable contract config (the
   ``n_clusters`` lowest-id vectors);
 * ``sampled_kmeans`` — the production tier (``semantic_dedup(fit=
-  "sampled_kmeans")``: IVFIndex hash-spread init + capped Lloyd's).
+  "sampled_kmeans")``: IVFIndex hash-spread init + capped Lloyd's);
+* ``micro_kmeans`` — the oracle-replayable fitted tier (``dedup15``:
+  integer-micro Lloyd's over a seeded md5 half-sample).
 
 Also reports how many pairs each configuration's within-cell search
 actually DROPS (kept=False decisions) as a sanity cross-check: within a
@@ -66,6 +68,7 @@ def main() -> int:
     for label, kwargs in (
         ("lowest_id", {}),
         ("sampled_kmeans", {"fit": "sampled_kmeans"}),
+        ("micro_kmeans", {"fit": "micro_kmeans"}),
     ):
         t0 = time.time()
         res = semantic_dedup(

@@ -75,6 +75,7 @@ from nlp_to_nosql_spark.operators.classify import (
     hashed_linear_score_weights_sql,
 )
 from nlp_to_nosql_spark.operators.selection import (
+    bpe_encode_len_ctes,
     bpe_encode_len_sql,
     bpe_merge_pairs_sql,
     bpe_train_sql,
@@ -2260,6 +2261,28 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_len(docs, merges, vocab=vocab)
 
 
+def _q_bpe_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed tokenizer→packing pipeline a pretraining corpus
+    build actually runs: fit 4 BPE merges (tok4), encode every document
+    to its BPE token count (tok5), then pack documents into contiguous
+    5k-token training batches via the distributed prefix sum (pack1's
+    plan — per-partition totals collected once, never a global
+    single-partition window).  One corpus-token shuffle for the
+    vocabulary, one for the doc-token join, one narrow (id, n_tokens)
+    prefix-sum pass; the oracle chains tok5's proven CTE block with
+    pack1's window arithmetic."""
+    from nlp_to_nosql_spark.operators.packing import pack_by_token_budget
+    from nlp_to_nosql_spark.operators.selection import (
+        bpe_encode_len,
+        bpe_train,
+    )
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    merges, vocab = bpe_train(docs, n_merges=4, return_vocab=True)
+    enc = bpe_encode_len(docs, merges, vocab=vocab)
+    return pack_by_token_budget(enc, "doc_id", "n_tokens", budget=5_000)
+
+
 def _q_dsir_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR with the paper's ACTUAL sampling semantics: Gumbel top-k
     importance resampling — hash-derived Gumbel(0,1) noise (seeded md5
@@ -2858,10 +2881,11 @@ def _q_semantic_dedup_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer-micro domain (seeded md5 half-sample, hash-spread
     init, 2 iterations of int64 L2 argmin + BIGINT floor-division
     means), then the same within-cell pair search as dedup14.  Fitted
-    cells track the data's density, so within-cell near-dup recall
-    beats the lowest-id contract centroids at identical plan shape
-    (PERFORMANCE.md "SemDeDup centroid quality"); the DuckDB twin
-    replays the ENTIRE fit as unrolled CTEs
+    cells track the data's density: measured within-cell pair recall
+    at sf0.1 is 0.345 vs lowest-id's 0.285 — essentially the float
+    production tier's 0.352 — with the sf0.01 sample-noise-floor
+    caveat quantified in PERFORMANCE.md "SemDeDup centroid quality".
+    The DuckDB twin replays the ENTIRE fit as unrolled CTEs
     (operators/semdedup.py micro_kmeans_fit /
     semantic_dedup_fitted_sql)."""
     from nlp_to_nosql_spark.operators.semdedup import semantic_dedup
@@ -3841,6 +3865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok3_bpe_merge_pairs": _q_bpe_merge_pairs,
         "tok4_bpe_train": _q_bpe_train,
         "tok5_bpe_encode": _q_bpe_encode,
+        "pipe6_bpe_pack": _q_bpe_pack_pipeline,
         "dedup15_semdedup_fitted": _q_semantic_dedup_fitted,
     }
     missing = [k for k in _ROTATED_FRONT if k not in base]
@@ -3853,7 +3878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 #: Round-10 driver-window rotation (VERDICT r9 task 6): every contract
 #: query is now driver-green at least once, so FRESHNESS is the metric —
-#: the four round-10 additions (sel3/tok4/tok5/dedup15, checked
+#: the five round-10 additions (sel3/tok4/tok5/pipe6/dedup15, checked
 #: immediately, never left for a tail) front the window, followed by the
 #: 18 queries whose last green row is CORRECTNESS_r02 and the 27 whose
 #: last green row is r06 (nothing is staler), plus ``dedup14_semdedup``
@@ -3865,6 +3890,7 @@ _ROTATED_FRONT = (
     "sel3_dsir_gumbel",
     "tok4_bpe_train",
     "tok5_bpe_encode",
+    "pipe6_bpe_pack",
     "dedup15_semdedup_fitted",
     # stalest greens: last driver row r02
     "agg1_pricing_summary",
@@ -3913,8 +3939,6 @@ _ROTATED_FRONT = (
     "sub3_quiet_high_balance",
     "text1_analysis",
     "text3_tfidf_terms",
-    # r07 cohort representative: dedup15's unfitted twin
-    "dedup14_semdedup",
 )
 
 
@@ -4913,6 +4937,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tok4_bpe_train": bpe_train_sql(n_merges=4),
         "tok5_bpe_encode": bpe_encode_len_sql(n_merges=4),
+        # pipe6: tok5's proven train+encode CTE chain feeding pack1's
+        # prefix-sum window arithmetic — the composed tokenizer→packing
+        # pipeline.
+        "pipe6_bpe_pack": (
+            "WITH "
+            + bpe_encode_len_ctes(n_merges=4)
+            + ", packed AS (SELECT doc_id, n_tokens, "
+            "SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED "
+            "PRECEDING) AS cum_tokens FROM encoded) "
+            "SELECT doc_id, n_tokens, "
+            "CAST(cum_tokens AS BIGINT) AS cum_tokens, "
+            "CAST(FLOOR((cum_tokens - n_tokens) / 5000.0) AS BIGINT) "
+            "AS batch_id FROM packed"
+        ),
         "dedup15_semdedup_fitted": semantic_dedup_fitted_sql(
             n_clusters=8, iters=2, threshold=0.4, seed=7
         ),

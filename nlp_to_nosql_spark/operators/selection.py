@@ -810,6 +810,32 @@ def bpe_train_sql(
     )
 
 
+def bpe_encode_len_ctes(
+    n_merges: int = 4,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """The train+encode CTE chain, ending in ``encoded`` =
+    ``(id, n_tokens)`` — exposed separately so composed oracles (e.g.
+    the BPE-budget packing pipeline) can chain further stages onto it
+    the way ``pipe3``/``pipe4`` chain their stages' proven blocks."""
+    ctes = _bpe_vocab_cte(table, text_col)
+    n = int(n_merges)
+    norm = tx.NORMALIZE_SQL.format(c=text_col)
+    return (
+        f"{ctes}, {_bpe_iter_ctes(n)}, "
+        f"enc AS (SELECT w, CAST(len(ss) AS BIGINT) AS ntok FROM w{n}), "
+        f"dt AS (SELECT {id_col}, f AS w FROM (SELECT {id_col}, "
+        f"list_filter(string_split({norm}, ' '), t -> t <> '') AS ts "
+        f"FROM {table}), LATERAL UNNEST(ts) AS u(f)), "
+        f"agg AS (SELECT dt.{id_col}, CAST(SUM(e.ntok) AS BIGINT) AS s "
+        f"FROM dt JOIN enc e USING (w) GROUP BY dt.{id_col}), "
+        f"encoded AS (SELECT d.{id_col}, COALESCE(a.s, 0) AS n_tokens "
+        f"FROM {table} d LEFT JOIN agg a USING ({id_col}))"
+    )
+
+
 def bpe_encode_len_sql(
     n_merges: int = 4,
     table: str = "documents",
@@ -819,17 +845,5 @@ def bpe_encode_len_sql(
     """DuckDB twin of :func:`bpe_train` → :func:`bpe_encode_len` — the
     same unrolled training chain, then per-document token counts from
     the final encoded vocabulary (zero-token documents keep a 0 row)."""
-    ctes = _bpe_vocab_cte(table, text_col)
-    n = int(n_merges)
-    norm = tx.NORMALIZE_SQL.format(c=text_col)
-    return (
-        f"WITH {ctes}, {_bpe_iter_ctes(n)}, "
-        f"enc AS (SELECT w, CAST(len(ss) AS BIGINT) AS ntok FROM w{n}), "
-        f"dt AS (SELECT {id_col}, f AS w FROM (SELECT {id_col}, "
-        f"list_filter(string_split({norm}, ' '), t -> t <> '') AS ts "
-        f"FROM {table}), LATERAL UNNEST(ts) AS u(f)), "
-        f"agg AS (SELECT dt.{id_col}, CAST(SUM(e.ntok) AS BIGINT) AS s "
-        f"FROM dt JOIN enc e USING (w) GROUP BY dt.{id_col}) "
-        f"SELECT d.{id_col}, COALESCE(a.s, 0) AS n_tokens "
-        f"FROM {table} d LEFT JOIN agg a USING ({id_col})"
-    )
+    ctes = bpe_encode_len_ctes(n_merges, table, text_col, id_col)
+    return f"WITH {ctes} SELECT {id_col}, n_tokens FROM encoded"

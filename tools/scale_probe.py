@@ -332,11 +332,16 @@ def main() -> int:
 
     def semdedup_fitted_probe(emb):
         # dedup15: the sampled integer-micro Lloyd's fit (iteration
-        # collects inside) plus the within-cell pair search
+        # collects inside) plus the within-cell pair search.  Same
+        # k ∝ n scale contract as semdedup_probe — a FIXED k under a
+        # 100× corpus measures the O(n²/k) within-cell term growing
+        # quadratically (measured: 41× at 100×), which is exactly the
+        # misconfiguration SemDeDup's cell sizing exists to prevent.
         from nlp_to_nosql_spark.operators.semdedup import semantic_dedup
 
+        n = max(8, emb.count() // 250)
         return semantic_dedup(
-            emb, n_clusters=8, threshold=0.4, fit="micro_kmeans",
+            emb, n_clusters=n, threshold=0.4, fit="micro_kmeans",
             fit_iters=2, fit_seed=7,
         )
 

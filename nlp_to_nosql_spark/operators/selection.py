@@ -732,6 +732,64 @@ def bpe_encode_len(
     )
 
 
+def bpe_encode(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: DataFrame | None = None,
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Per-document BPE token ARRAYS under a fitted merge list.
+
+    The materializing sibling of :func:`bpe_encode_len` — returns
+    ``(id, tokens array<string>)`` where ``tokens`` is the
+    concatenation of each word's encoded symbol sequence in document
+    order (whitespace tokenization, then the merge chain per word).
+    Same plan: corpus-token explode + Heaps'-law vocabulary join; the
+    per-doc array is rebuilt with one ``posexplode``-ordered
+    ``array_agg`` + ``flatten``, so token order is the document's word
+    order (deterministic, no shuffle-order trust).  Zero-token
+    documents keep an empty array.
+
+    Not a contract query: the driver canonicalizer rejects top-level
+    array columns (the round-8 ``emb4`` lesson), so this surface is
+    pinned by ``tests/test_selection.py`` against the pure-Python BPE
+    model instead; :func:`bpe_encode_len` carries the oracle.
+    """
+    if vocab is None:
+        enc = bpe_vocab(df, text_col)
+        for m in merges:
+            lhs, rhs = (m[1], m[2]) if len(m) >= 3 else (m[0], m[1])
+            enc = enc.select(
+                "w", "_wc", _merge_apply(F.col("ss"), lhs, rhs).alias("ss")
+            )
+    else:
+        enc = vocab
+    staged = df.select(F.col(id_col), _tokens(text_col).alias("_ts"))
+    doc_tokens = staged.select(
+        F.col(id_col), F.posexplode("_ts").alias("_pos", "w")
+    )
+    joined = doc_tokens.join(enc.select("w", "ss"), "w")
+    per_doc = joined.groupBy(id_col).agg(
+        F.flatten(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pos"), F.col("ss")))
+            ).getField("ss")
+        ).alias(out_col)
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                F.col(out_col), F.expr("CAST(array() AS array<string>)")
+            ).alias(out_col),
+        )
+    )
+
+
 def _bpe_iter_ctes(n_merges: int, first: str = "w0") -> str:
     """Unrolled per-iteration CTE chain ``c1,b1,w1,…,cN,bN,wN`` from a
     ``(w, wc, ss)`` vocabulary CTE named ``first``.

@@ -424,3 +424,117 @@ def test_dsir_null_target_scored_as_pool(spark):
         ).collect()
     }
     assert 10 in got
+
+
+def test_bpe_encode_token_arrays_match_python(docs):
+    from nlp_to_nosql_spark.operators.selection import bpe_encode, bpe_train
+
+    merges, vocab = bpe_train(docs, n_merges=4, return_vocab=True)
+    got = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_encode(docs, merges, vocab=vocab).collect()
+    }
+    _, py_vocab = _py_bpe_train(ROWS, 4)
+    for i, text, _ in ROWS:
+        want = [s for w in _toks(text) for s in py_vocab[w]]
+        assert got[i] == want, (i, got[i], want)
+    # zero-token docs keep explicit empty arrays
+    assert got[2] == [] and got[3] == []
+
+
+def test_bpe_encode_tokens_consistent_with_len(docs):
+    from nlp_to_nosql_spark.operators.selection import (
+        bpe_encode,
+        bpe_encode_len,
+        bpe_train,
+    )
+
+    merges = bpe_train(docs, n_merges=3)
+    toks = {
+        r["doc_id"]: len(r["tokens"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    lens = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_encode_len(docs, merges).collect()
+    }
+    assert toks == lens
+
+
+def test_lr_micro_ln_agreement_spark_duckdb_python(spark):
+    """Pin the family's ONE float trust point (round-9 advice): Java
+    Math.log (Spark), DuckDB ln, and CPython math.log must agree on
+    lr_micro = floor(1e6 * (ln(tc+1) − ln(tt+B) − ln(pc+1) + ln(tp+B)))
+    over realistic count tuples, including boundary-shaped ones.  A
+    1-ulp divergence landing exactly on the micro grid would flip a
+    value here before it could flake an oracle row."""
+    import itertools
+
+    B = 4096
+    tcs = [0, 1, 2, 3, 7, 63, 999, 12345, 10**6]
+    tts = [10**3, 10**5 + 17, 10**7 + 1, 10**9]
+    tuples = [
+        (tc, pc, tt, tp)
+        for tc, pc in itertools.product(tcs, repeat=2)
+        for tt, tp in zip(tts, reversed(tts))
+        if tc <= tt and pc <= tp
+    ]
+    py = [
+        math.floor(
+            (
+                math.log(tc + 1)
+                - math.log(tt + B)
+                - math.log(pc + 1)
+                + math.log(tp + B)
+            )
+            * 1_000_000
+        )
+        for tc, pc, tt, tp in tuples
+    ]
+    df = spark.createDataFrame(
+        tuples, "tc long, pc long, tt long, tp long"
+    )
+    got_spark = [
+        r[0]
+        for r in df.select(
+            F.floor(
+                (
+                    F.log(F.col("tc") + 1)
+                    - F.log(F.col("tt") + F.lit(B).cast("long"))
+                    - F.log(F.col("pc") + 1)
+                    + F.log(F.col("tp") + F.lit(B).cast("long"))
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("v")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.register(
+        "t", pd.DataFrame(tuples, columns=["tc", "pc", "tt", "tp"])
+    )
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            "SELECT CAST(floor((ln(tc + 1) - ln(tt + 4096) - ln(pc + 1) "
+            "+ ln(tp + 4096)) * 1000000) AS BIGINT) FROM t"
+        ).fetchall()
+    ]
+    assert got_spark == py, "Spark ln diverges from CPython"
+    assert got_duck == py, "DuckDB ln diverges from CPython"
+
+
+def test_bpe_encode_len_plan_jvm_only(docs):
+    """The encoder must stay JVM-side: the merge chain is an aggregate
+    HOF fold, never a Python UDF."""
+    from nlp_to_nosql_spark.operators.selection import bpe_encode_len
+
+    q = bpe_encode_len(docs, [(1, "t", "h", 0), (2, "th", "e", 0)])
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "simple"
+    )
+    # (the AQE isFinalPlan=false string omits WholeStageCodegen spans,
+    # so the pin is the absence of any Python evaluation node)
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan

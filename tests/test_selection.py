@@ -538,3 +538,95 @@ def test_bpe_encode_len_plan_jvm_only(docs):
     # so the pin is the absence of any Python evaluation node)
     assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Property tests: the SQL twins' parity-closed-form greedy merge vs the
+# reference scan (DuckDB only — no Spark session per example, so
+# hypothesis can afford real case counts)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+def _py_greedy_merge(ss, l, r):
+    out, i = [], 0
+    while i < len(ss):
+        if i + 1 < len(ss) and ss[i] == l and ss[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(ss[i])
+            i += 1
+    return out
+
+
+@pytest.mark.skipif(not HAVE_HYPOTHESIS, reason="hypothesis not installed")
+@settings(max_examples=200, deadline=None)
+@given(
+    ss=st.lists(st.sampled_from(["a", "b", "ab", "ba", "aa"]), min_size=1, max_size=12),
+    pair=st.sampled_from([("a", "a"), ("a", "b"), ("ab", "a"), ("b", "ba")]),
+)
+def test_sql_parity_merge_equals_greedy_scan(ss, pair):
+    """The unrolled SQL's match-position parity closed form (runs of
+    consecutive matches keep even offsets) must equal the canonical
+    leftmost-non-overlapping greedy scan for ANY symbol sequence —
+    including the overlap-run cases the closed form exists for."""
+    import duckdb
+
+    l, r = pair
+    con = duckdb.connect()
+    got = con.execute(
+        """
+        SELECT list_filter(list_transform(range(1, len(ss)+1),
+                 i -> CASE WHEN list_contains(kept, i) THEN l || r
+                           WHEN list_contains(kept, i - 1) THEN NULL
+                           ELSE ss[i] END), x -> x IS NOT NULL)
+        FROM (
+          SELECT ss, l, r,
+            [m[j] for j in range(1, len(m)+1)
+              if len([jj for jj in range(1, j) if m[jj] - jj = m[j] - j]) % 2 = 0] AS kept
+          FROM (
+            SELECT $ss AS ss, $l AS l, $r AS r,
+              [i for i in range(1, len($ss)) if $ss[i] = $l AND $ss[i+1] = $r] AS m
+          ))
+        """,
+        {"ss": ss, "l": l, "r": r},
+    ).fetchone()[0]
+    assert got == _py_greedy_merge(ss, l, r), (ss, pair, got)
+
+
+@pytest.mark.skipif(not HAVE_HYPOTHESIS, reason="hypothesis not installed")
+@settings(max_examples=30, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd ", min_size=0, max_size=24),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(min_value=1, max_value=4),
+)
+def test_bpe_train_sql_matches_python_on_random_corpora(texts, n):
+    """The full unrolled bpe_train_sql twin equals the pure-Python
+    trainer on arbitrary small corpora (merge choice ties included —
+    both sides share the (count DESC, lhs, rhs) total order)."""
+    import duckdb
+
+    from nlp_to_nosql_spark.operators.selection import bpe_train_sql
+
+    rows = [(i, t, "en") for i, t in enumerate(texts)]
+    want, _ = _py_bpe_train(rows, n)
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    )
+    got = [tuple(r) for r in con.execute(bpe_train_sql(n_merges=n)).fetchall()]
+    # the SQL twin assumes pairs never exhaust; skip exhausted draws
+    if len(want) == n:
+        assert got == want, (texts, n, got, want)

@@ -333,6 +333,42 @@ _GUMBEL_SQL = (
 )
 
 
+def dsir_select_from(
+    pool: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    k: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR with a SEPARATE target corpus — the paper's actual setup
+    (target = the trusted domain sample, e.g. Wikipedia; pool = the raw
+    crawl), vs :func:`dsir_select`'s single-frame predicate form.
+
+    Implemented as the union-with-flag reduction to the predicate form,
+    so the fitted distributions, scoring, plan shape, and determinism
+    contract are literally :func:`dsir_select`'s — target rows shape
+    the target distribution and are never scored; ``id_col`` need only
+    be unique WITHIN the pool (a target id colliding with a pool id is
+    fine: the flag separates them before anything keys on id).
+    """
+    tagged = pool.select(
+        F.col(id_col), F.col(text_col), F.lit(False).alias("_tgt")
+    ).unionByName(
+        target.select(
+            F.col(id_col), F.col(text_col), F.lit(True).alias("_tgt")
+        )
+    )
+    return dsir_select(
+        tagged,
+        F.col("_tgt"),
+        n_buckets=n_buckets,
+        k=k,
+        text_col=text_col,
+        id_col=id_col,
+    )
+
+
 def dsir_select_gumbel(
     df: DataFrame,
     target: Column,

@@ -630,3 +630,69 @@ def test_bpe_train_sql_matches_python_on_random_corpora(texts, n):
     # the SQL twin assumes pairs never exhaust; skip exhausted draws
     if len(want) == n:
         assert got == want, (texts, n, got, want)
+
+
+def test_dsir_select_from_equals_predicate_form(docs):
+    """The two-frame API (separate target corpus, the paper's setup)
+    must reduce exactly to the single-frame predicate form."""
+    from nlp_to_nosql_spark.operators.selection import dsir_select_from
+
+    pool = docs.filter(F.col("lang") != "en")
+    target = docs.filter(F.col("lang") == "en")
+    got = sorted(
+        tuple(r)
+        for r in dsir_select_from(
+            pool, target, n_buckets=N_BUCKETS, k=5
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in dsir_select(
+            docs, F.col("lang") == "en", n_buckets=N_BUCKETS, k=5
+        ).collect()
+    )
+    assert got == want
+
+
+def test_dsir_select_from_tolerates_id_collision(spark):
+    """Target ids may collide with pool ids — the flag separates them
+    before anything keys on id, so pool scoring is unaffected."""
+    from nlp_to_nosql_spark.operators.selection import dsir_select_from
+
+    pool = spark.createDataFrame(
+        [(0, "aa bb cc"), (1, "dd ee ff")], "doc_id long, text string"
+    )
+    target = spark.createDataFrame(
+        [(0, "aa bb aa bb")], "doc_id long, text string"  # id 0 collides
+    )
+    got = dsir_select_from(pool, target, n_buckets=N_BUCKETS, k=2).collect()
+    assert {r["doc_id"] for r in got} == {0, 1}
+    # the target-like pool doc (shares aa/bb) must outrank the other
+    assert got[0]["doc_id"] == 0 and got[0]["weight_micro"] > got[1]["weight_micro"]
+
+
+def test_bpe_encode_applies_fitted_merges_to_unseen_corpus(spark, docs):
+    """The real encoder use case: merges fitted on one corpus applied
+    to DIFFERENT text — unseen words simply receive fewer merges; the
+    result equals the pure-Python model given the same merge list."""
+    from nlp_to_nosql_spark.operators.selection import (
+        bpe_encode_len,
+        bpe_train,
+    )
+
+    merges = bpe_train(docs, n_merges=4)
+    new_rows = [(0, "the theatre was quiet"), (1, "zzzz unseen wordxyz")]
+    new_df = spark.createDataFrame(new_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_encode_len(new_df, merges).collect()
+    }
+    def py_encode(w):
+        ss = list(w)
+        for _, l, r, _c in merges:
+            ss = _py_greedy_merge(ss, l, r)
+        return len(ss)
+    want = {
+        i: sum(py_encode(w) for w in _toks(t)) for i, t in new_rows
+    }
+    assert got == want

@@ -35,6 +35,9 @@ ROWS = [
     (7, "a b c d e", "fr"),  # single-char words → no BPE pairs
     (8, "the quick brown fox again and again", "es"),
     (9, "zzz yyy xxx the of and", "es"),
+    # astral-plane codepoints: Spark split('') and DuckDB string_split
+    # must both cut per CODEPOINT, never between surrogate halves
+    (10, "\U0001d11e\U0001d11ea \U0001f600\U0001f600 \U0001d11ea", "it"),
 ]
 
 
@@ -140,11 +143,11 @@ def test_dsir_all_target_pool_empty(docs):
 
 
 def test_dsir_k_exceeds_pool(docs):
-    # 8 non-en rows, 2 of them zero-feature → 6 scored pool docs
+    # 9 non-en rows, 2 of them zero-feature → 7 scored pool docs
     got = dsir_select(
         docs, F.col("lang") == "en", n_buckets=N_BUCKETS, k=100
     ).collect()
-    assert len(got) == 6
+    assert len(got) == 7
 
 
 def test_dsir_plan_broadcasts_ratios(docs):
@@ -413,7 +416,7 @@ def test_dsir_null_target_scored_as_pool(spark):
     pool distribution AND stays selectable (round-9 advice)."""
     from nlp_to_nosql_spark.operators.selection import dsir_select
 
-    rows = ROWS + [(10, "the quick brown fox of the pool", None)]
+    rows = ROWS + [(99, "the quick brown fox of the pool", None)]
     df = spark.createDataFrame(
         rows, "doc_id long, text string, lang string"
     )
@@ -423,7 +426,7 @@ def test_dsir_null_target_scored_as_pool(spark):
             df, F.col("lang") == "en", n_buckets=N_BUCKETS, k=20
         ).collect()
     }
-    assert 10 in got
+    assert 99 in got
 
 
 def test_bpe_encode_token_arrays_match_python(docs):

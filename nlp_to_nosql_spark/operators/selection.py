@@ -325,10 +325,14 @@ def _gumbel_micro(id_col: str, seed: int) -> Column:
 
 
 #: DuckDB twin of :func:`_gumbel_micro` (format with c=id expr, seed).
+#: Bucket count and uniform denominator are derived from
+#: ``_GUMBEL_BUCKETS``/``_MICRO`` — never frozen literals — so the two
+#: sides cannot drift if the constants change (round-10 review).
 _GUMBEL_SQL = (
     "CAST(FLOOR(-ln(-ln(CAST((CAST(CAST('0x' || "
     "substr(md5('gum{seed}:' || CAST({c} AS VARCHAR)), 1, 7) AS UBIGINT) "
-    "AS BIGINT) % 1000000) + 1 AS DOUBLE) / 1000001.0)) * 1000000.0) "
+    f"AS BIGINT) % {_GUMBEL_BUCKETS}) + 1 AS DOUBLE) / "
+    f"{float(_GUMBEL_BUCKETS + 1)!r})) * {float(_MICRO)!r}) "
     "AS BIGINT)"
 )
 
@@ -683,7 +687,12 @@ def bpe_train(
     ``return_vocab=True`` returns ``(merges, vocab)`` where ``vocab``
     is the final persisted ``(w, _wc, ss)`` frame — the encoded form of
     every corpus word, which :func:`bpe_encode_len` reuses so encoding
-    costs one join, not a re-derivation.
+    costs one join, not a re-derivation.  The returned frame stays
+    persisted (it backs the caller's downstream lazy plans — the
+    library-wide lifecycle contract of ``plans/caching.py``): callers
+    own the ``vocab.unpersist()`` once their last action over it ran,
+    or rely on the session-level ``spark.catalog.clearCache()`` the
+    bench/driver harnesses issue per query.
     """
     from nlp_to_nosql_spark.plans.caching import persisted
 
@@ -715,6 +724,40 @@ def bpe_train(
     return merges
 
 
+def _merge_chain(frame: DataFrame, merges: list) -> DataFrame:
+    """Apply a fitted merge list (``(rank, lhs, rhs, …)`` tuples or
+    bare ``(lhs, rhs)`` pairs, in rank order) to a ``(w, _wc, ss)``
+    vocabulary frame."""
+    for m in merges:
+        lhs, rhs = (m[1], m[2]) if len(m) >= 3 else (m[0], m[1])
+        frame = frame.select(
+            "w", "_wc", _merge_apply(F.col("ss"), lhs, rhs).alias("ss")
+        )
+    return frame
+
+
+def _encoded_vocab(
+    df: DataFrame, merges: list, vocab: DataFrame | None, text_col: str
+) -> DataFrame:
+    """``(w, ss)`` encode table covering EVERY word of ``df``.
+
+    ``vocab`` (the trainer's ``return_vocab`` frame) is a REUSE
+    OPTIMIZATION, not a contract on coverage: words of ``df`` absent
+    from it (encoding a different corpus than the one trained on) are
+    char-split and run through the merge chain via one left-anti join,
+    so the result is correct for any ``df``; when ``df`` IS the
+    training corpus the anti side is empty at runtime and the reused
+    frame is served as-is (round-10 review finding — the previous
+    inner-join shape silently dropped uncovered words)."""
+    if vocab is None:
+        return _merge_chain(bpe_vocab(df, text_col), merges).select("w", "ss")
+    missing = _merge_chain(
+        bpe_vocab(df, text_col).join(vocab.select("w"), "w", "left_anti"),
+        merges,
+    ).select("w", "ss")
+    return vocab.select("w", "ss").unionByName(missing)
+
+
 def bpe_encode_len(
     df: DataFrame,
     merges: list,
@@ -735,17 +778,10 @@ def bpe_encode_len(
     ``packing.pack_documents``'s token budget directly.
 
     ``vocab``: pass :func:`bpe_train`'s ``return_vocab`` frame to skip
-    re-encoding (the common train-then-encode pipeline).
+    re-encoding (the common train-then-encode pipeline); words not in
+    it are still encoded correctly (see :func:`_encoded_vocab`).
     """
-    if vocab is None:
-        enc = bpe_vocab(df, text_col)
-        for m in merges:
-            lhs, rhs = (m[1], m[2]) if len(m) >= 3 else (m[0], m[1])
-            enc = enc.select(
-                "w", "_wc", _merge_apply(F.col("ss"), lhs, rhs).alias("ss")
-            )
-    else:
-        enc = vocab
+    enc = _encoded_vocab(df, merges, vocab, text_col)
     lens = enc.select("w", F.size("ss").cast("long").alias("_ntok"))
     staged = df.select(F.col(id_col), _tokens(text_col).alias("_ts"))
     doc_tokens = staged.select(
@@ -793,15 +829,7 @@ def bpe_encode(
     pinned by ``tests/test_selection.py`` against the pure-Python BPE
     model instead; :func:`bpe_encode_len` carries the oracle.
     """
-    if vocab is None:
-        enc = bpe_vocab(df, text_col)
-        for m in merges:
-            lhs, rhs = (m[1], m[2]) if len(m) >= 3 else (m[0], m[1])
-            enc = enc.select(
-                "w", "_wc", _merge_apply(F.col("ss"), lhs, rhs).alias("ss")
-            )
-    else:
-        enc = vocab
+    enc = _encoded_vocab(df, merges, vocab, text_col)
     staged = df.select(F.col(id_col), _tokens(text_col).alias("_ts"))
     doc_tokens = staged.select(
         F.col(id_col), F.posexplode("_ts").alias("_pos", "w")
@@ -848,8 +876,17 @@ def _bpe_iter_ctes(n_merges: int, first: str = "w0") -> str:
             "CAST(SUM(wc) AS BIGINT) AS cnt "
             f"FROM {prev}, UNNEST(range(1, len(ss))) u(i) "
             "GROUP BY 1, 2), "
-            f"b{k} AS (SELECT l, r, cnt FROM c{k} "
-            "ORDER BY cnt DESC, l, r LIMIT 1), "
+            # exhaustion-safe argmax: when cK is empty (the vocabulary
+            # ran out of pairs), fall back to a sentinel pair whose left
+            # symbol is the empty string — impossible as a real symbol
+            # (tokens are non-empty, chars are non-empty), so the merge
+            # application below matches nothing and wK passes through
+            # unchanged, mirroring the Spark trainer's early stop
+            # instead of cross-joining every later stage empty.
+            f"b{k} AS (SELECT * FROM (SELECT l, r, cnt FROM c{k} "
+            "ORDER BY cnt DESC, l, r LIMIT 1) "
+            "UNION ALL SELECT '', '', CAST(0 AS BIGINT) "
+            f"WHERE NOT EXISTS (SELECT 1 FROM c{k})), "
             f"w{k} AS (SELECT w, wc, "
             "list_filter(list_transform(range(1, len(ss)+1), "
             "i -> CASE WHEN list_contains(kept, i) THEN l || r "
@@ -889,13 +926,14 @@ def bpe_train_sql(
     """DuckDB twin of :func:`bpe_train` — the same vocabulary, the N
     unrolled iteration CTEs, and a UNION of the per-iteration argmax
     picks as ``(merge_rank, lhs, rhs, pair_count)``.  Assumes the
-    vocabulary does not run out of pairs within ``n_merges`` (the Spark
-    trainer stops early; real corpora at the contract configs never
-    exhaust)."""
+    vocabulary exhausting its pairs before ``n_merges`` is handled the
+    way the Spark trainer's early stop is: exhausted iterations emit a
+    sentinel no-match pair internally and are filtered from the output,
+    so both sides return the same shortened merge list."""
     ctes = _bpe_vocab_cte(table, text_col)
     arms = " UNION ALL ".join(
         f"SELECT CAST({k} AS INT) AS merge_rank, l AS lhs, r AS rhs, "
-        f"cnt AS pair_count FROM b{k}"
+        f"cnt AS pair_count FROM b{k} WHERE l <> ''"
         for k in range(1, int(n_merges) + 1)
     )
     return (

@@ -699,3 +699,62 @@ def test_bpe_encode_applies_fitted_merges_to_unseen_corpus(spark, docs):
         i: sum(py_encode(w) for w in _toks(t)) for i, t in new_rows
     }
     assert got == want
+
+
+def test_bpe_sql_twins_survive_pair_exhaustion(spark):
+    """When the vocabulary exhausts its pairs before n_merges, the SQL
+    twins must mirror the Spark trainer's early stop — a shortened
+    merge list and TRUE token counts — not empty/zero everything
+    (round-10 review finding)."""
+    from nlp_to_nosql_spark.operators.selection import (
+        bpe_encode_len,
+        bpe_encode_len_sql,
+        bpe_train,
+        bpe_train_sql,
+    )
+
+    rows = [(0, "ab ab ab", "en"), (1, "ab cd", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    merges = bpe_train(df, n_merges=4)
+    # after (a,b) and (c,d) every word is a single symbol → early stop
+    assert [(m[1], m[2]) for m in merges] == [("a", "b"), ("c", "d")]
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    )
+    got_sql = [tuple(r) for r in con.execute(bpe_train_sql(n_merges=4)).fetchall()]
+    assert got_sql == [tuple(m) for m in merges]
+    want_counts = sorted(
+        (r["doc_id"], r["n_tokens"])
+        for r in bpe_encode_len(df, merges).collect()
+    )
+    assert want_counts == [(0, 3), (1, 2)]
+    got_counts = sorted(
+        tuple(r) for r in con.execute(bpe_encode_len_sql(n_merges=4)).fetchall()
+    )
+    assert got_counts == want_counts
+
+
+def test_bpe_encode_vocab_reuse_covers_unseen_words(spark, docs):
+    """vocab= is a reuse optimization, not a coverage contract: words
+    absent from the training vocabulary are chain-encoded via the
+    left-anti fallback, equal to the vocab=None path (round-10 review
+    finding — the old inner join silently dropped them)."""
+    from nlp_to_nosql_spark.operators.selection import (
+        bpe_encode_len,
+        bpe_train,
+    )
+
+    merges, vocab = bpe_train(docs, n_merges=3, return_vocab=True)
+    new_df = spark.createDataFrame(
+        [(0, "the theatre"), (1, "wordxyz unseen")],
+        "doc_id long, text string",
+    )
+    with_vocab = sorted(
+        map(tuple, bpe_encode_len(new_df, merges, vocab=vocab).collect())
+    )
+    without = sorted(
+        map(tuple, bpe_encode_len(new_df, merges).collect())
+    )
+    assert with_vocab == without
+    assert all(n > 0 for _, n in with_vocab)

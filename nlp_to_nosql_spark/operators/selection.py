@@ -680,7 +680,10 @@ def bpe_train(
     ``pr1``/IVF bounded-driver-state contract), and applies the merge
     to the persisted vocabulary with a JVM-side stack fold
     (:func:`_merge_apply`).  The corpus is never re-tokenized; the
-    driver holds exactly ``n_merges`` rows.
+    driver holds exactly ``n_merges`` rows.  For production merge
+    counts (10⁴–10⁵) prefer :func:`bpe_train_local` — the same result
+    through the production job shape (one distributed word count, the
+    loop vocab-local).
 
     Returns the ranked merge list ``[(rank, lhs, rhs, count), ...]``
     (stops early if the vocabulary runs out of pairs); with
@@ -756,6 +759,87 @@ def _encoded_vocab(
         merges,
     ).select("w", "ss")
     return vocab.select("w", "ss").unionByName(missing)
+
+
+#: Driver-side vocabulary ceiling for :func:`bpe_train_local` — Heaps'
+#: law keeps real-corpus vocabularies far under this, but a pathological
+#: input (e.g. random hex blobs) must fail loudly before a collect, not
+#: OOM the driver.
+_LOCAL_VOCAB_CAP_CONF = "spark.nlp2nosql.bpe.localVocabCap"
+_LOCAL_VOCAB_CAP_DEFAULT = 5_000_000
+
+
+def bpe_train_local(
+    df: DataFrame,
+    n_merges: int = 4,
+    text_col: str = "text",
+) -> list:
+    """BPE training with the PRODUCTION job shape: one distributed
+    word-count pass, then the whole merge loop on the driver-resident
+    vocabulary.
+
+    :func:`bpe_train` runs each iteration as Spark jobs over the
+    distributed vocabulary — transparent and fine at small ``n_merges``
+    (the contract configs), but a real tokenizer fits 10⁴–10⁵ merges,
+    and one job round-trip per merge is pure scheduler overhead when
+    the per-iteration data is the Heaps'-law vocabulary.  Every
+    production trainer (subword-nmt, HuggingFace tokenizers,
+    sentencepiece) therefore distributes ONLY the word count and runs
+    the merge loop over the collected ``(word, count)`` table — the
+    corpus is touched exactly once, and the loop costs no cluster time
+    at all.  This mirrors that architecture; the collect is bounded by
+    ``spark.nlp2nosql.bpe.localVocabCap`` (fail-fast, default 5 M
+    distinct words — far above Heaps'-law vocabularies, far below
+    driver OOM).
+
+    Same greedy semantics and ``(count DESC, lhs, rhs)`` tie order as
+    :func:`bpe_train` — equality at every N is test-pinned — so the
+    returned merge list feeds :func:`bpe_encode_len` /
+    :func:`bpe_encode` unchanged.
+    """
+    spark = df.sparkSession
+    cap = int(
+        spark.conf.get(_LOCAL_VOCAB_CAP_CONF, str(_LOCAL_VOCAB_CAP_DEFAULT))
+    )
+    counted = (
+        df.select(F.explode(_tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    rows = counted.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"bpe_train_local: vocabulary exceeds {cap} distinct words "
+            f"(conf {_LOCAL_VOCAB_CAP_CONF}); use bpe_train for a "
+            "distributed merge loop"
+        )
+    words = {r["w"]: int(r["wc"]) for r in rows}
+    vocab = {w: list(w) for w in words}
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, int(n_merges) + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, c in words.items():
+            ss = vocab[w]
+            for i in range(len(ss) - 1):
+                k = (ss[i], ss[i + 1])
+                pairs[k] = pairs.get(k, 0) + c
+        if not pairs:
+            break
+        (lhs, rhs), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((rank, lhs, rhs, cnt))
+        for w, ss in vocab.items():
+            out, i = [], 0
+            while i < len(ss):
+                if i + 1 < len(ss) and ss[i] == lhs and ss[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(ss[i])
+                    i += 1
+            vocab[w] = out
+    return merges
 
 
 def bpe_encode_len(

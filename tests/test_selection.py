@@ -758,3 +758,27 @@ def test_bpe_encode_vocab_reuse_covers_unseen_words(spark, docs):
     )
     assert with_vocab == without
     assert all(n > 0 for _, n in with_vocab)
+
+
+@pytest.mark.parametrize("n", [1, 4, 8])
+def test_bpe_train_local_equals_distributed(docs, n):
+    """The production-shaped local-loop trainer (one word-count job,
+    driver-side merge loop) must equal the distributed trainer at
+    every N — same greedy semantics, same tie order."""
+    from nlp_to_nosql_spark.operators.selection import (
+        bpe_train,
+        bpe_train_local,
+    )
+
+    assert bpe_train_local(docs, n_merges=n) == bpe_train(docs, n_merges=n)
+
+
+def test_bpe_train_local_vocab_cap(docs):
+    from nlp_to_nosql_spark.operators.selection import bpe_train_local
+
+    docs.sparkSession.conf.set("spark.nlp2nosql.bpe.localVocabCap", "3")
+    try:
+        with pytest.raises(ValueError, match="localVocabCap"):
+            bpe_train_local(docs, n_merges=1)
+    finally:
+        docs.sparkSession.conf.unset("spark.nlp2nosql.bpe.localVocabCap")

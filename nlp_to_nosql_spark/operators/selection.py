@@ -16,13 +16,22 @@ Two pipeline stages that sit between quality filtering and packing:
   distributed inner step of byte-pair-encoding tokenizer training —
   adjacent-symbol pair frequencies weighted by word counts, computed on
   the DISTINCT-word table, never on the raw token stream.
-* **BPE training loop + encoder** (:func:`bpe_train`,
-  :func:`bpe_encode_len`): the full tokenizer-fitting iteration —
+* **BPE training loop + encoder** (:func:`bpe_train` /
+  :func:`bpe_train_local`, :func:`bpe_encode_len` /
+  :func:`bpe_encode`): the full tokenizer-fitting iteration —
   driver-iterate N merges (every per-iteration pass runs on the
-  Heaps'-law vocabulary table, the corpus is tokenized exactly once),
-  then apply the fitted merge list to produce per-document BPE token
-  counts, the statistic that feeds token-budget packing
-  (``packing.pack_documents``).
+  Heaps'-law vocabulary table, the corpus is tokenized exactly once;
+  the ``_local`` tier collects the word counts and runs the loop
+  vocab-local, the production job shape at real merge counts), then
+  apply the fitted merge list to produce per-document BPE token
+  counts (the statistic that feeds token-budget packing,
+  ``packing.pack_documents``) or full token arrays.
+
+DSIR ships three selection tiers: deterministic argmax-k
+(:func:`dsir_select`), per-domain quotas (:func:`dsir_select_by`), and
+the paper's Gumbel top-k importance resampling with hash-derived,
+oracle-replayable noise (:func:`dsir_select_gumbel`); a separate
+target corpus plugs in via :func:`dsir_select_from`.
 
 No reference analogue (the reference's 1.2 kLoC Mongo/Streamlit surface
 has no corpus operators); both are driver-brief pipeline extensions.

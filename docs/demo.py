@@ -93,9 +93,39 @@ def run_demo(sf_dir: str = DEFAULT_SF_DIR, spark=None) -> str:
     ) if w in page]
     say(f"GET /ui -> {len(page)} bytes; widgets wired: {widgets}", "")
 
+    # ---- 4. Pipeline surface (the LLM-training-data extensions) --------
+    say("=" * 72, "4. Pipeline surface — fit a BPE tokenizer, count "
+        "tokens, pack batches,", "   and DSIR-select target-like "
+        "documents (plain DataFrame APIs)", "=" * 72)
+    from pyspark.sql import functions as F
+
+    from nlp_to_nosql_spark.operators.packing import pack_by_token_budget
+    from nlp_to_nosql_spark.operators.selection import (
+        bpe_encode_len,
+        bpe_train,
+        dsir_select_gumbel,
+    )
+
+    docs = spark.table("documents")
+    merges, vocab = bpe_train(docs, n_merges=4, return_vocab=True)
+    say(f">>> bpe_train(docs, n_merges=4)  ->  {merges}")
+    enc = bpe_encode_len(docs, merges, vocab=vocab)
+    packed = pack_by_token_budget(enc, "doc_id", "n_tokens", budget=5_000)
+    n_batches = packed.agg(F.max("batch_id") + 1).collect()[0][0]
+    say(f">>> pack_by_token_budget(enc, budget=5000)  ->  "
+        f"{packed.count()} docs into {n_batches} batches")
+    picked = dsir_select_gumbel(docs, F.col("lang") == "en", k=3)
+    say(">>> dsir_select_gumbel(docs, lang=='en', k=3)  ->")
+    for r in picked.collect():
+        say(f"    doc {r['doc_id']}: weight_micro={r['weight_micro']} "
+            f"key_micro={r['key_micro']}")
+    vocab.unpersist()
+    say("")
+
     say("=" * 72, "Demo complete: one NL query compiled (rule-based "
         "fallback, offline),", "executed on Spark, and returned through "
-        "all three client surfaces.", "=" * 72)
+        "all three client surfaces,", "plus the corpus-pipeline "
+        "operators on the documents table.", "=" * 72)
     return out.getvalue()
 
 

@@ -40,7 +40,13 @@ def pack_by_token_budget(
     """Add ``cum_tokens`` (inclusive global running sum ordered by
     ``order_col``) and ``batch_id`` (``floor((cum_tokens - tokens) /
     budget)``) to ``df``.  ``order_col`` must be unique (it defines the
-    pack order)."""
+    pack order).
+
+    ``tokens_col`` is any non-negative per-row count — the contract
+    queries feed whitespace token counts (``pack1``) and real BPE
+    token counts from a fitted tokenizer
+    (``selection.bpe_encode_len`` → ``pipe6``, the train-tokenizer →
+    count-tokens → pack pipeline)."""
     if budget <= 0:
         raise ValueError("budget must be positive")
     spark = df.sparkSession

@@ -5,7 +5,7 @@ fraction of TRUE near-duplicate pairs whose two members share a cell is
 the dedup recall ceiling of a centroid configuration.  This probe
 computes that recall against the exact all-pairs ground truth
 (``similarity.embedding_neardup_exact``, the ``dedup5`` contract config)
-for both centroid sources:
+for the three centroid sources:
 
 * ``lowest-id`` — the oracle-replayable contract config (the
   ``n_clusters`` lowest-id vectors);

@@ -2247,9 +2247,12 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     then ENCODE every document under the fitted merge list — per-doc
     BPE token counts, the statistic that drives pack1's token-budget
     packing.  Encoding reuses the trainer's final vocabulary (a word's
-    encoded form IS the training-time merge application), so the
-    encode pass costs one corpus-token explode + one Heaps'-law-sized
-    join; zero-token documents keep a 0 row
+    encoded form IS the training-time merge application) and — since
+    the encoded corpus IS the training corpus, so coverage is
+    guaranteed — passes ``assume_covered=True`` to skip the OOV
+    anti-join's corpus re-tokenization (round-10 advice): the encode
+    pass then truly costs one corpus-token explode + one
+    Heaps'-law-sized join; zero-token documents keep a 0 row
     (operators/selection.py bpe_encode_len)."""
     from nlp_to_nosql_spark.operators.selection import (
         bpe_encode_len,
@@ -2258,7 +2261,7 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = register_tables(spark, sf_dir)["documents"]
     merges, vocab = bpe_train(docs, n_merges=4, return_vocab=True)
-    return bpe_encode_len(docs, merges, vocab=vocab)
+    return bpe_encode_len(docs, merges, vocab=vocab, assume_covered=True)
 
 
 def _q_bpe_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2279,7 +2282,7 @@ def _q_bpe_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = register_tables(spark, sf_dir)["documents"]
     merges, vocab = bpe_train(docs, n_merges=4, return_vocab=True)
-    enc = bpe_encode_len(docs, merges, vocab=vocab)
+    enc = bpe_encode_len(docs, merges, vocab=vocab, assume_covered=True)
     return pack_by_token_budget(enc, "doc_id", "n_tokens", budget=5_000)
 
 

@@ -749,7 +749,11 @@ def _merge_chain(frame: DataFrame, merges: list) -> DataFrame:
 
 
 def _encoded_vocab(
-    df: DataFrame, merges: list, vocab: DataFrame | None, text_col: str
+    df: DataFrame,
+    merges: list,
+    vocab: DataFrame | None,
+    text_col: str,
+    assume_covered: bool = False,
 ) -> DataFrame:
     """``(w, ss)`` encode table covering EVERY word of ``df``.
 
@@ -760,9 +764,20 @@ def _encoded_vocab(
     so the result is correct for any ``df``; when ``df`` IS the
     training corpus the anti side is empty at runtime and the reused
     frame is served as-is (round-10 review finding — the previous
-    inner-join shape silently dropped uncovered words)."""
+    inner-join shape silently dropped uncovered words).  Note the anti
+    join still DERIVES ``bpe_vocab(df)``, so the plan tokenizes the
+    corpus even when the anti side is empty at runtime — callers that
+    GUARANTEE coverage (``df`` is the training corpus) pass
+    ``assume_covered=True`` to serve the reused frame as-is and skip
+    that second corpus-token pass entirely (round-10 advice).  Under a
+    violated guarantee the uncovered words silently drop from the
+    encode table (the pre-fix inner-join behavior) — the flag is a
+    caller contract, pinned by ``test_bpe_encode_len_assume_covered``.
+    """
     if vocab is None:
         return _merge_chain(bpe_vocab(df, text_col), merges).select("w", "ss")
+    if assume_covered:
+        return vocab.select("w", "ss")
     missing = _merge_chain(
         bpe_vocab(df, text_col).join(vocab.select("w"), "w", "left_anti"),
         merges,
@@ -857,6 +872,7 @@ def bpe_encode_len(
     text_col: str = "text",
     id_col: str = "doc_id",
     vocab: DataFrame | None = None,
+    assume_covered: bool = False,
 ) -> DataFrame:
     """Per-document BPE token counts under a fitted merge list.
 
@@ -873,8 +889,12 @@ def bpe_encode_len(
     ``vocab``: pass :func:`bpe_train`'s ``return_vocab`` frame to skip
     re-encoding (the common train-then-encode pipeline); words not in
     it are still encoded correctly (see :func:`_encoded_vocab`).
+    ``assume_covered=True`` additionally skips the coverage anti-join's
+    corpus re-tokenization — pass it only when ``df`` IS the corpus
+    ``vocab`` was trained on (the caller contract documented on
+    :func:`_encoded_vocab`).
     """
-    enc = _encoded_vocab(df, merges, vocab, text_col)
+    enc = _encoded_vocab(df, merges, vocab, text_col, assume_covered)
     lens = enc.select("w", F.size("ss").cast("long").alias("_ntok"))
     staged = df.select(F.col(id_col), _tokens(text_col).alias("_ts"))
     doc_tokens = staged.select(
@@ -904,6 +924,7 @@ def bpe_encode(
     id_col: str = "doc_id",
     vocab: DataFrame | None = None,
     out_col: str = "tokens",
+    assume_covered: bool = False,
 ) -> DataFrame:
     """Per-document BPE token ARRAYS under a fitted merge list.
 
@@ -921,8 +942,9 @@ def bpe_encode(
     array columns (the round-8 ``emb4`` lesson), so this surface is
     pinned by ``tests/test_selection.py`` against the pure-Python BPE
     model instead; :func:`bpe_encode_len` carries the oracle.
+    ``assume_covered`` follows :func:`bpe_encode_len`'s contract.
     """
-    enc = _encoded_vocab(df, merges, vocab, text_col)
+    enc = _encoded_vocab(df, merges, vocab, text_col, assume_covered)
     staged = df.select(F.col(id_col), _tokens(text_col).alias("_ts"))
     doc_tokens = staged.select(
         F.col(id_col), F.posexplode("_ts").alias("_pos", "w")

@@ -528,6 +528,83 @@ def test_lr_micro_ln_agreement_spark_duckdb_python(spark):
     assert got_duck == py, "DuckDB ln diverges from CPython"
 
 
+def test_gumbel_micro_ln_agreement_full_sweep(spark):
+    """Pin the NESTED ln composition (round-10 advice): the Gumbel draw
+    is floor(−ln(−ln((h+1)/1000001)) · 1e6) over the 28-bit md5 bucket
+    hash reduced mod 1e6 — a DIFFERENT float trust point than the
+    single-ln lr_micro form (two chained libm calls can land a 1-ulp
+    divergence on a micro boundary that one call cannot).  The hash
+    bucket domain is exactly [0, 1e6), so sweep ALL 1,000,000 values
+    across Spark (Java Math.log), DuckDB, and CPython — exhaustive, no
+    sampling argument needed."""
+    import numpy as np
+
+    B = 1_000_000
+    denom = float(B + 1)  # the _GUMBEL_SQL / _gumbel_micro literal
+    py = np.array(
+        [
+            math.floor(-math.log(-math.log((h + 1) / denom)) * 1_000_000)
+            for h in range(B)
+        ],
+        dtype=np.int64,
+    )
+    pdf = (
+        spark.range(B)
+        .select(
+            F.col("id"),
+            F.floor(
+                -F.log(
+                    -F.log((F.col("id") + 1).cast("double") / F.lit(denom))
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("v"),
+        )
+        .toPandas()
+    )
+    got_spark = np.empty(B, dtype=np.int64)
+    got_spark[pdf["id"].to_numpy()] = pdf["v"].to_numpy()
+    got_duck = (
+        duckdb.connect()
+        .execute(
+            "SELECT CAST(FLOOR(-ln(-ln(CAST(h + 1 AS DOUBLE) / "
+            f"{denom!r})) * 1000000) AS BIGINT) AS v "
+            f"FROM range({B}) t(h) ORDER BY h"
+        )
+        .fetchnumpy()["v"]
+        .astype(np.int64)
+    )
+    assert np.array_equal(got_spark, py), (
+        "Spark nested ln diverges from CPython at buckets "
+        f"{np.nonzero(got_spark != py)[0][:5]}"
+    )
+    assert np.array_equal(got_duck, py), (
+        "DuckDB nested ln diverges from CPython at buckets "
+        f"{np.nonzero(got_duck != py)[0][:5]}"
+    )
+
+
+def test_bpe_encode_len_assume_covered(docs):
+    """assume_covered=True (the training-corpus fast path, round-10
+    advice) must equal the default coverage-anti-join path when df IS
+    the training corpus — and its plan must not re-derive the corpus
+    vocabulary (exactly one Generate over the corpus tokens feeds the
+    doc-token side; the reused vocab frame is served as-is)."""
+    from nlp_to_nosql_spark.operators.selection import (
+        bpe_encode_len,
+        bpe_train,
+    )
+
+    merges, vocab = bpe_train(docs, n_merges=3, return_vocab=True)
+    safe = bpe_encode_len(docs, merges, vocab=vocab)
+    fast = bpe_encode_len(docs, merges, vocab=vocab, assume_covered=True)
+    want = sorted(tuple(r) for r in safe.collect())
+    got = sorted(tuple(r) for r in fast.collect())
+    assert got == want
+    vocab.unpersist()
+
+
 def test_bpe_encode_len_plan_jvm_only(docs):
     """The encoder must stay JVM-side: the merge chain is an aggregate
     HOF fold, never a Python UDF."""
@@ -630,9 +707,9 @@ def test_bpe_train_sql_matches_python_on_random_corpora(texts, n):
         "documents", pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
     )
     got = [tuple(r) for r in con.execute(bpe_train_sql(n_merges=n)).fetchall()]
-    # the SQL twin assumes pairs never exhaust; skip exhausted draws
-    if len(want) == n:
-        assert got == want, (texts, n, got, want)
+    # exhausted draws included: the twin's sentinel-pair arm makes both
+    # sides return the same shortened merge list
+    assert got == want, (texts, n, got, want)
 
 
 def test_dsir_select_from_equals_predicate_form(docs):

@@ -52,6 +52,7 @@ from nlp_to_nosql_spark.operators.curation import (
     hash_split_sql,
     mixture_sql,
     stratified_split_sql,
+    target_lm_sql,
     temperature_rate_ctes,
     temperature_sql,
 )
@@ -2754,6 +2755,28 @@ def _q_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_likelihood(docs, "doc_id", "text")
 
 
+def _q_target_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TARGET-trained stupid-backoff LM perplexity filter (Wenzek et
+    al., arXiv:1911.00359; Brants et al. 2007) — lm1 scores documents
+    under the corpus's OWN bigram model; this is the production CCNet
+    shape: train trigram→bigram→unigram stupid backoff (α = 2/5) on
+    the trusted target sample (lang='en', the dsir_select_from
+    two-frame convention) and score the REST of the pool by mean
+    per-token log-score, every score a micro-floored log of a
+    BIGINT-count ratio so DuckDB replays it bit-exact.  Target-side
+    exchanges are target-sized; the pool pays one token-context
+    explode, five target-table joins (broadcast at sample-sized
+    targets), and a one-row-per-doc reduce
+    (operators/curation.py target_lm_score)."""
+    from nlp_to_nosql_spark.operators.curation import target_lm_score
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    pred = F.col("lang") == "en"
+    pool = docs.filter(~pred.eqNullSafe(F.lit(True)))
+    target = docs.filter(pred.eqNullSafe(F.lit(True)))
+    return target_lm_score(pool, target)
+
+
 def _q_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE pretraining-data pipeline in one composed plan —
     every stage an already-oracle-proven operator, composed the way a
@@ -3787,6 +3810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix1_lang_sample": _q_mixture_sample,
         "chunk1_context_windows": _q_context_chunks,
         "lm1_bigram_likelihood": _q_bigram_likelihood,
+        "lm2_target_ppl": _q_target_lm_score,
         "quality2_gopher_rules": _q_gopher_rules,
         "clean1_boilerplate_removal": _q_boilerplate_removal,
         "cap1_source_cap": _q_source_cap,
@@ -4856,6 +4880,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "chunk1_context_windows": chunk_sql(chunk=64, stride=64 - 16),
         "lm1_bigram_likelihood": BIGRAM_LM_SQL.format(scale=1_000_000),
+        # lm2: the TARGET-trained stupid-backoff filter — target rows =
+        # COALESCE(lang='en', FALSE) (NULL lang → pool, the DSIR
+        # convention); every conditional probability a ratio of target
+        # BIGINT counts with α = 2/5 folded into the integers.
+        "lm2_target_ppl": target_lm_sql("lang = 'en'"),
         "quality2_gopher_rules": gopher_sql(),
         "clean1_boilerplate_removal": boilerplate_removal_sql(
             k=5, max_df=2

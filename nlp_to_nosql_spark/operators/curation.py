@@ -732,6 +732,319 @@ BIGRAM_LM_SQL = (
 
 
 # ---------------------------------------------------------------------------
+# target-trained stupid-backoff LM scoring (the CCNet perplexity filter)
+# ---------------------------------------------------------------------------
+
+
+def target_lm_score(
+    pool: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every POOL document under a stupid-backoff n-gram LM
+    trained on a SEPARATE target corpus — the production shape of the
+    CCNet/DSIR-adjacent perplexity filter (Wenzek et al.,
+    arXiv:1911.00359 train KenLM on Wikipedia and score the crawl;
+    :func:`bigram_likelihood` is the corpus-SELF variant).  Two-frame
+    API, the ``dsir_select_from`` convention (target = the trusted
+    domain sample, pool = the raw crawl).
+
+    The model is stupid backoff (Brants et al., EMNLP 2007 §3 — the
+    backoff score web-scale LMs actually use, no discounting state):
+    per pool token ``w`` with context ``(u, v)``::
+
+        S(w | u v) = c(u v w) / c(u v)          if c(u v w) > 0
+                   = α · S(w | v)               otherwise
+        S(w | v)   = c(v w) / c(v)              if c(v w) > 0
+                   = α · S(w)                   otherwise
+        S(w)       = (c(w) + 1) / (N + V)       add-one at the floor
+
+    with α = 0.4 = 2/5 and every count a target-corpus BIGINT (N =
+    target token total, V = target vocabulary size; add-one keeps the
+    unigram floor nonzero for OOV words).  Position 1 scores at the
+    unigram level with NO backoff penalty (it has no context to back
+    off FROM), position 2 starts at the bigram level — so k, the
+    number of backoffs taken, is determined by (position, which count
+    matched).  Because α is the rational 2/5, every score is a ratio
+    of exact integers: ``S = (num·2^k) / (den·5^k)``, and the
+    per-token log-score ``lp_micro = floor((ln(num·2^k) −
+    ln(den·5^k)) · 1e6)`` is the repo-standard integer-micro form —
+    ``ln`` of exactly-representable BIGINTs is the one libm-trusted
+    op, the association is shared with the DuckDB twin
+    (:func:`target_lm_sql`), and the per-doc BIGINT sum is
+    partition-order-free.
+
+    Returns ``(id, n_tokens, mean_lp_micro)`` per pool document, where
+    ``mean_lp_micro = floor(sum(lp_micro) / n_tokens)`` — the negated
+    log-perplexity proxy a filter thresholds on (higher = more
+    target-like).  The tokenizer is the curation-family convention
+    (normalize, split on ' ', empty text → one '' token), so no pool
+    document has zero tokens; the id join back keeps the mapping total
+    anyway (NULL score = unscorable, matching :func:`bigram_likelihood`).
+    An EMPTY target yields NULL scores (no model to score under), not
+    an error — both engines agree via the same NULL arithmetic.
+
+    Plan shape (100 TB): the three count tables and (N, V) totals are
+    TARGET-sized groupBys — corpus-independent exchanges, exactly
+    DSIR's fit-side story.  The pool pays ONE token-context explode
+    (scan-side; the struct array is staged below the Generate per the
+    ExtractGenerator discipline) and five equi-joins against the
+    target tables — broadcast when the target is a sample (the common
+    case; AQE decides from actual sizes), shuffle-hash on gram keys
+    only if the target itself is huge — then one per-doc groupBy
+    emitting a single narrow row per pool document.  No corpus-sized
+    state ever reaches the driver.
+    """
+    tt = _tokens(target, id_col, text_col)
+    uni = (
+        tt.select(F.explode("_w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    tot = uni.agg(
+        F.sum("c1").cast("long").alias("_n_tok"),
+        F.count(F.lit(1)).cast("long").alias("_n_vocab"),
+    )
+    bi = (
+        tt.select(
+            F.explode(
+                F.when(
+                    F.size("_w") >= 2,
+                    F.zip_with(
+                        F.slice("_w", 1, F.size("_w") - 1),
+                        F.slice("_w", 2, F.size("_w") - 1),
+                        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                ).otherwise(
+                    F.expr("CAST(array() AS array<struct<a: string, b: string>>)")
+                )
+            ).alias("g")
+        )
+        .groupBy(F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    )
+    tri = (
+        tt.select(
+            F.explode(
+                F.when(
+                    F.size("_w") >= 3,
+                    F.transform(
+                        F.sequence(F.lit(3), F.size("_w")),
+                        lambda i: F.struct(
+                            F.element_at("_w", i - 2).alias("a"),
+                            F.element_at("_w", i - 1).alias("b"),
+                            F.element_at("_w", i).alias("c"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.expr(
+                        "CAST(array() AS "
+                        "array<struct<a: string, b: string, c: string>>)"
+                    )
+                )
+            ).alias("g")
+        )
+        .groupBy(
+            F.col("g.a").alias("a"),
+            F.col("g.b").alias("b"),
+            F.col("g.c").alias("c"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c3"))
+    )
+
+    pt = _tokens(pool, id_col, text_col)
+    # stage the context-struct array in its own projection so the
+    # Generate's input is a cheap attribute (ExtractGenerator hoists
+    # non-generator expressions ABOVE the explode otherwise)
+    staged = pt.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w")),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.element_at("_w", i).alias("w3"),
+                F.when(i >= 2, F.element_at("_w", i - 1)).alias("w2"),
+                F.when(i >= 3, F.element_at("_w", i - 2)).alias("w1"),
+            ),
+        ).alias("_ctx"),
+    )
+    # explode_outer, not explode: _ctx is NEVER empty (the tokenizer
+    # yields >= 1 token even for NULL/empty text), and the non-outer
+    # form makes InferFiltersFromGenerate push a `size(_ctx) > 0`
+    # filter below the fan-out exchange that REBUILDS the whole
+    # context-struct array once per row just to test its size —
+    # doubling the scan-side tokenize+struct CPU for a filter that
+    # never rejects anything.  The outer form generates no such filter
+    # and is result-identical here.
+    ctx = staged.select(id_col, F.explode_outer("_ctx").alias("g")).select(
+        F.col(id_col),
+        F.col("g.pos").alias("pos"),
+        F.col("g.w1").alias("w1"),
+        F.col("g.w2").alias("w2"),
+        F.col("g.w3").alias("w3"),
+    )
+
+    joined = (
+        ctx.join(
+            tri.select(
+                F.col("a").alias("w1"),
+                F.col("b").alias("w2"),
+                F.col("c").alias("w3"),
+                "c3",
+            ),
+            ["w1", "w2", "w3"],
+            "left",
+        )
+        .join(
+            bi.select(
+                F.col("a").alias("w1"), F.col("b").alias("w2"),
+                F.col("c2").alias("c2p"),
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            bi.select(
+                F.col("a").alias("w2"), F.col("b").alias("w3"), "c2"
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1p")),
+            ["w2"],
+            "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("w3"), "c1"), ["w3"], "left"
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+
+    pos = F.col("pos")
+    tri_hit = (pos >= 3) & F.col("c3").isNotNull()
+    bi_hit = (pos >= 2) & F.col("c2").isNotNull()
+    num = (
+        F.when(tri_hit, F.col("c3"))
+        .when(bi_hit, F.col("c2"))
+        .otherwise(F.coalesce(F.col("c1"), F.lit(0).cast("long")) + 1)
+    )
+    den = (
+        F.when(tri_hit, F.col("c2p"))
+        .when(bi_hit, F.col("c1p"))
+        .otherwise(F.col("_n_tok") + F.col("_n_vocab"))
+    )
+    k = (
+        F.when(tri_hit, F.lit(0))
+        .when(bi_hit, F.when(pos >= 3, F.lit(1)).otherwise(F.lit(0)))
+        .otherwise(
+            F.when(pos == 1, F.lit(0))
+            .when(pos == 2, F.lit(1))
+            .otherwise(F.lit(2))
+        )
+    )
+    two_k = F.when(k == 0, F.lit(1)).when(k == 1, F.lit(2)).otherwise(F.lit(4))
+    five_k = (
+        F.when(k == 0, F.lit(1)).when(k == 1, F.lit(5)).otherwise(F.lit(25))
+    )
+    scored = joined.select(
+        F.col(id_col),
+        F.floor(
+            (
+                F.log((num * two_k).cast("double"))
+                - F.log((den * five_k).cast("double"))
+            )
+            * F.lit(float(1_000_000))
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.floor(F.sum("lp_micro") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mean_lp_micro"),
+    )
+    return (
+        pool.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            "mean_lp_micro",
+        )
+    )
+
+
+def target_lm_sql(
+    target_sql: str = "lang = 'en'",
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`target_lm_score` over a single table split
+    by ``target_sql`` — target rows = ``COALESCE(pred, FALSE)`` (NULL
+    predicate → pool, the DSIR convention), pool = the rest.  Same
+    tokenization, count tables, backoff CASE dispatch, ``ln``
+    association, micro floor, and floor-divided per-doc mean."""
+    norm = NORMALIZE_SQL.format(c=f"COALESCE({text_col}, '')")
+    return (
+        f"WITH tt AS (SELECT string_split({norm}, ' ') AS ws "
+        f"FROM {table} WHERE COALESCE(({target_sql}), FALSE)), "
+        "uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 "
+        "FROM tt, LATERAL UNNEST(ws) AS u(w) GROUP BY w), "
+        "tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_tok, "
+        "CAST(COUNT(*) AS BIGINT) AS n_vocab FROM uni), "
+        "bi AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c2 FROM ("
+        "SELECT ws[i] AS a, ws[i+1] AS b FROM tt, "
+        "UNNEST(range(1, len(ws))) u(i)) GROUP BY a, b), "
+        "tri AS (SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS c3 FROM ("
+        "SELECT ws[i] AS a, ws[i+1] AS b, ws[i+2] AS c FROM tt, "
+        "UNNEST(range(1, len(ws) - 1)) u(i)) GROUP BY a, b, c), "
+        f"pt AS (SELECT {id_col}, string_split({norm}, ' ') AS ws "
+        f"FROM {table} WHERE NOT COALESCE(({target_sql}), FALSE)), "
+        f"ctx AS (SELECT {id_col}, CAST(i AS INT) AS pos, ws[i] AS w3, "
+        "CASE WHEN i >= 2 THEN ws[i-1] END AS w2, "
+        "CASE WHEN i >= 3 THEN ws[i-2] END AS w1 "
+        "FROM pt, UNNEST(range(1, len(ws) + 1)) u(i)), "
+        f"scored AS (SELECT ctx.{id_col}, "
+        "CAST(FLOOR((ln(num * CASE WHEN k = 0 THEN 1 WHEN k = 1 THEN 2 "
+        "ELSE 4 END) - ln(den * CASE WHEN k = 0 THEN 1 WHEN k = 1 THEN 5 "
+        "ELSE 25 END)) * 1000000) AS BIGINT) AS lp_micro FROM ("
+        f"SELECT ctx.{id_col}, "
+        "CASE WHEN pos >= 3 AND t.c3 IS NOT NULL THEN t.c3 "
+        "WHEN pos >= 2 AND g.c2 IS NOT NULL THEN g.c2 "
+        "ELSE COALESCE(uw.c1, 0) + 1 END AS num, "
+        "CASE WHEN pos >= 3 AND t.c3 IS NOT NULL THEN p.c2 "
+        "WHEN pos >= 2 AND g.c2 IS NOT NULL THEN up.c1 "
+        "ELSE tot.n_tok + tot.n_vocab END AS den, "
+        "CASE WHEN pos >= 3 AND t.c3 IS NOT NULL THEN 0 "
+        "WHEN pos >= 2 AND g.c2 IS NOT NULL THEN "
+        "(CASE WHEN pos >= 3 THEN 1 ELSE 0 END) "
+        "ELSE (CASE WHEN pos = 1 THEN 0 WHEN pos = 2 THEN 1 ELSE 2 END) "
+        "END AS k "
+        "FROM ctx "
+        "LEFT JOIN tri t ON t.a = ctx.w1 AND t.b = ctx.w2 "
+        "AND t.c = ctx.w3 "
+        "LEFT JOIN bi p ON p.a = ctx.w1 AND p.b = ctx.w2 "
+        "LEFT JOIN bi g ON g.a = ctx.w2 AND g.b = ctx.w3 "
+        "LEFT JOIN uni up ON up.w = ctx.w2 "
+        "LEFT JOIN uni uw ON uw.w = ctx.w3 "
+        "CROSS JOIN tot) ctx), "
+        f"per_doc AS (SELECT {id_col}, "
+        "CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+        "CAST(FLOOR(SUM(lp_micro) / COUNT(*)) AS BIGINT) AS mean_lp_micro "
+        f"FROM scored GROUP BY {id_col}) "
+        f"SELECT d.{id_col}, COALESCE(n_tokens, 0) AS n_tokens, "
+        "mean_lp_micro FROM "
+        f"(SELECT {id_col} FROM {table} "
+        f"WHERE NOT COALESCE(({target_sql}), FALSE)) d "
+        f"LEFT JOIN per_doc USING ({id_col})"
+    )
+
+
+# ---------------------------------------------------------------------------
 # corpus-level boilerplate span removal (RefinedWeb/CCNet-style cleaning)
 # ---------------------------------------------------------------------------
 

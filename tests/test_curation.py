@@ -540,3 +540,178 @@ def test_stratified_split_plan_single_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # both windows share the stratum-key partitioning: exactly one shuffle
     assert plan.count("Exchange") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# target-trained stupid-backoff LM (lm2)
+# ---------------------------------------------------------------------------
+
+
+def _py_stupid_backoff(pool_rows, target_rows):
+    """Reference model of operators/curation.py::target_lm_score — the
+    same tokenization, backoff dispatch, α=2/5 integer folding, micro
+    floor, and floor-divided mean, in plain Python."""
+    import math
+    import re
+
+    def toks(t):
+        return re.sub(r"\s+", " ", (t or "").strip().lower()).split(" ")
+
+    uni, bi, tri = {}, {}, {}
+    n_tok = 0
+    for _, t in target_rows:
+        ws = toks(t)
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+            n_tok += 1
+        for i in range(len(ws) - 1):
+            bi[(ws[i], ws[i + 1])] = bi.get((ws[i], ws[i + 1]), 0) + 1
+        for i in range(len(ws) - 2):
+            k3 = (ws[i], ws[i + 1], ws[i + 2])
+            tri[k3] = tri.get(k3, 0) + 1
+    n_vocab = len(uni)
+    two, five = (1, 2, 4), (1, 5, 25)
+    out = {}
+    for did, t in pool_rows:
+        ws = toks(t)
+        lps = []
+        for i, w in enumerate(ws):
+            pos = i + 1
+            w2 = ws[i - 1] if pos >= 2 else None
+            w1 = ws[i - 2] if pos >= 3 else None
+            c3 = tri.get((w1, w2, w)) if pos >= 3 else None
+            c2 = bi.get((w2, w)) if pos >= 2 else None
+            if pos >= 3 and c3:
+                num, den, k = c3, bi[(w1, w2)], 0
+            elif pos >= 2 and c2:
+                num, den, k = c2, uni[w2], 1 if pos >= 3 else 0
+            else:
+                num, den = uni.get(w, 0) + 1, n_tok + n_vocab
+                k = 0 if pos == 1 else (1 if pos == 2 else 2)
+            lps.append(
+                math.floor(
+                    (math.log(num * two[k]) - math.log(den * five[k]))
+                    * 1_000_000
+                )
+            )
+        out[did] = (len(ws), math.floor(sum(lps) / len(lps)))
+    return out
+
+
+_LM2_TARGET = [
+    (100, "the cat sat on the mat"),
+    (101, "the cat ran to the mat"),
+    (102, "a dog sat"),
+]
+#: pool docs exercising every backoff path: trigram hit, bigram-only,
+#: unigram-only (in-vocab), OOV (add-one), and the pos-1/pos-2 levels.
+_LM2_POOL = [
+    (1, "the cat sat"),          # pos3 trigram hit
+    (2, "the cat slept"),        # pos3 backs off twice (slept is OOV)
+    (3, "dog ran"),              # pos2 bigram miss -> unigram k=1
+    (4, "zzz"),                  # single OOV token, pos1 unigram k=0
+    (5, "mat the cat sat on the mat and more"),
+]
+
+
+def test_target_lm_score_matches_python_model(spark):
+    from nlp_to_nosql_spark.operators.curation import target_lm_score
+
+    pool = spark.createDataFrame(_LM2_POOL, "doc_id long, text string")
+    target = spark.createDataFrame(_LM2_TARGET, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["mean_lp_micro"])
+        for r in target_lm_score(pool, target).collect()
+    }
+    assert got == _py_stupid_backoff(_LM2_POOL, _LM2_TARGET)
+
+
+def test_target_lm_score_level_dispatch(spark):
+    """Spot-check the backoff arithmetic itself (not just model parity):
+    doc 1's third token 'sat' has trigram (the,cat,sat) count 1 over
+    bigram prefix (the,cat) count 2 -> ln(1/2) with no α; doc 4 is one
+    OOV token at pos 1 -> add-one unigram (0+1)/(N+V) with no α."""
+    import math
+
+    from nlp_to_nosql_spark.operators.curation import target_lm_score
+
+    pool = spark.createDataFrame(_LM2_POOL, "doc_id long, text string")
+    target = spark.createDataFrame(_LM2_TARGET, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r for r in target_lm_score(pool, target).collect()
+    }
+    n_tok = sum(len(t.split()) for _, t in _LM2_TARGET)
+    n_vocab = len({w for _, t in _LM2_TARGET for w in t.split()})
+    assert (n_tok, n_vocab) == (15, 9)
+    assert got[4]["n_tokens"] == 1
+    assert got[4]["mean_lp_micro"] == math.floor(
+        (math.log(1) - math.log(n_tok + n_vocab)) * 1_000_000
+    )
+    # doc 1: pos1 unigram('the'): (4+1)/(N+V) k=0; pos2 bigram hit
+    # ('the','cat') 2 / uni('the') 4 k=0; pos3 trigram hit 1/2 k=0
+    lp1 = math.floor((math.log(5) - math.log(n_tok + n_vocab)) * 1e6)
+    lp2 = math.floor((math.log(2) - math.log(4)) * 1e6)
+    lp3 = math.floor((math.log(1) - math.log(2)) * 1e6)
+    assert got[1]["mean_lp_micro"] == math.floor((lp1 + lp2 + lp3) / 3)
+
+
+def test_target_lm_score_empty_target_yields_null(spark):
+    from nlp_to_nosql_spark.operators.curation import target_lm_score
+
+    pool = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    target = spark.createDataFrame([], "doc_id long, text string")
+    rows = target_lm_score(pool, target).collect()
+    assert len(rows) == 1
+    assert rows[0]["mean_lp_micro"] is None
+
+
+def test_target_lm_score_matches_duckdb_twin(spark):
+    """Cross-engine value equality on a mixed fixture with a NULL-lang
+    row (NULL predicate -> pool, the DSIR convention the oracle splits
+    on) and NULL text (coalesced to '' by the shared tokenizer)."""
+    import duckdb
+    import pandas as pd
+
+    from nlp_to_nosql_spark.operators.curation import (
+        target_lm_score,
+        target_lm_sql,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "the cat ran to the mat and sat", "en"),
+        (3, "el gato corre", "es"),
+        (4, "the cat sat quietly", "es"),
+        (5, None, "es"),
+        (6, "cat cat cat", None),  # NULL lang -> pool
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    pred = F.col("lang") == "en"
+    got = sorted(
+        tuple(r)
+        for r in target_lm_score(
+            df.filter(~pred.eqNullSafe(F.lit(True))),
+            df.filter(pred.eqNullSafe(F.lit(True))),
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(target_lm_sql("lang = 'en'")).fetchall()
+    )
+    assert got == want
+
+
+def test_target_lm_score_plan_jvm_only(spark):
+    from nlp_to_nosql_spark.operators.curation import target_lm_score
+
+    pool = spark.createDataFrame(_LM2_POOL, "doc_id long, text string")
+    target = spark.createDataFrame(_LM2_TARGET, "doc_id long, text string")
+    q = target_lm_score(pool, target)
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "simple"
+    )
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan

@@ -92,6 +92,7 @@ from nlp_to_nosql_spark.operators.evals import (
 )
 from nlp_to_nosql_spark.operators.semdedup import (
     semantic_dedup_fitted_sql,
+    semantic_dedup_incremental_sql,
     semantic_dedup_sql,
 )
 from nlp_to_nosql_spark.operators.pq import (
@@ -2923,6 +2924,37 @@ def _q_semantic_dedup_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup ingest (the daily-batch production tier):
+    freeze dedup15's integer-micro k-means on the accepted corpus
+    (vec_id % 4 != 0 — a scale-independent split standing in for
+    yesterday's corpus), replay its keep/drop state, then admit the
+    remaining 25 % as a NEW batch — assignment is one zero-shuffle
+    Arrow matmul against the frozen centroids, the corpus side is
+    pruned to the batch's touched cells and (compare_to='kept') to its
+    KEPT representatives only, and the lone shuffle keys (cell,
+    sub-block pair).  The O(|corpus|²/k) pair work of a full rerun is
+    never re-paid; with compare_to='all' the result provably equals
+    the full chain rerun (test-pinned).  The oracle replays the whole
+    scenario — fit, prior state, batch admission — relationally
+    (operators/semdedup.py semantic_dedup_incremental)."""
+    from nlp_to_nosql_spark.operators.semdedup import (
+        micro_kmeans_fit,
+        semantic_dedup,
+        semantic_dedup_incremental,
+    )
+
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    cents = micro_kmeans_fit(corpus, 8, iters=2, seed=7)
+    prior = semantic_dedup(corpus, threshold=0.4, centroids_micro=cents)
+    state = prior.join(corpus.select("vec_id", "embedding"), "vec_id")
+    return semantic_dedup_incremental(
+        batch, state, cents, threshold=0.4, compare_to="kept"
+    )
+
+
 def _q_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filter (CCNet/RefinedWeb shape): hashed-
     bag-of-words linear classifier — token → md5 bucket → int64 weight,
@@ -3894,6 +3926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok5_bpe_encode": _q_bpe_encode,
         "pipe6_bpe_pack": _q_bpe_pack_pipeline,
         "dedup15_semdedup_fitted": _q_semantic_dedup_fitted,
+        "dedup16_semdedup_incremental": _q_semantic_dedup_incremental,
     }
     missing = [k for k in _ROTATED_FRONT if k not in base]
     assert not missing, f"rotation names unknown queries: {missing}"
@@ -4985,6 +5018,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup15_semdedup_fitted": semantic_dedup_fitted_sql(
             n_clusters=8, iters=2, threshold=0.4, seed=7
+        ),
+        # dedup16: the incremental ingest scenario end-to-end — fit on
+        # the corpus split, replay its keep/drop state, admit the batch
+        # against kept reps + lower-id batch mates.
+        "dedup16_semdedup_incremental": semantic_dedup_incremental_sql(
+            "vec_id % 4 <> 0", n_clusters=8, iters=2, threshold=0.4,
+            seed=7, compare_to="kept",
         ),
         # sketch5: per-key CMS + per-key exact audit (QUALIFY window).
         "sketch5_cms_heavy_by_lang": (

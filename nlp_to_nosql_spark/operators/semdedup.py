@@ -234,6 +234,7 @@ def _sub_blocked(
     id_col: str,
     vec_col: str,
     cell_block_size: int,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Replicate each row to every unordered sub-block pair of its cell.
 
@@ -267,6 +268,7 @@ def _sub_blocked(
             "cluster_id",
             id_col,
             vec_col,
+            *extra_cols,
             "_sb",
             F.explode(
                 F.sequence(F.lit(0), F.col("_nsub") - F.lit(1))
@@ -276,6 +278,7 @@ def _sub_blocked(
             "cluster_id",
             id_col,
             vec_col,
+            *extra_cols,
             "_sb",
             F.least("_sb", "_other").alias("_pa"),
             F.greatest("_sb", "_other").alias("_pb"),
@@ -294,6 +297,7 @@ def semantic_dedup(
     fit: str | None = None,
     fit_iters: int = 2,
     fit_seed: int = 7,
+    centroids_micro: np.ndarray | None = None,
 ) -> DataFrame:
     """SemDeDup keep/drop decisions: ``(id, cluster_id, kept)`` per vector.
 
@@ -330,12 +334,29 @@ def semantic_dedup(
     is in PERFORMANCE.md ("SemDeDup centroid quality").  The plan is
     identical either way; only the k×dim matrix changes.
 
+    ``centroids_micro`` takes an ALREADY-fitted integer-micro k×dim
+    matrix (the :func:`micro_kmeans_fit` output) and assigns under the
+    fit's own exact int64 squared-L2 metric — the hand-off used when
+    one fit serves several passes (e.g. a prior run plus
+    :func:`semantic_dedup_incremental` batches) without re-fitting;
+    ``cluster_id`` is the 0-based centroid index, identical to
+    ``fit="micro_kmeans"`` given the same matrix.
+
     ``cell_block_size`` bounds per-task memory under cluster skew (see
     :func:`_sub_blocked`); it never changes the result, only the
     partitioning of the within-cell comparisons.
     """
     cents_micro: np.ndarray | None = None
     metric = "dot"
+    if centroids_micro is not None:
+        if centroids is not None or fit is not None:
+            raise ValueError(
+                "semantic_dedup: centroids_micro= is exclusive with "
+                "centroids= and fit="
+            )
+        cents_micro = np.asarray(centroids_micro, dtype=np.int64)
+        centroid_ids = np.arange(cents_micro.shape[0], dtype=np.int64)
+        metric = "l2"
     if fit is not None:
         if centroids is not None:
             raise ValueError(
@@ -476,6 +497,158 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_incremental(
+    batch: DataFrame,
+    corpus_state: DataFrame,
+    centroids_micro: np.ndarray,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compare_to: str = "kept",
+    cell_block_size: int = 4096,
+) -> DataFrame:
+    """Incremental SemDeDup ingest: admit a NEW batch against an
+    already-deduplicated corpus WITHOUT re-running any corpus-vs-corpus
+    comparison — the tier a production pipeline actually runs daily
+    (dedup13's admission discipline applied to dedup15's fitted cells).
+
+    ``corpus_state`` is the persisted prior state ``(id, cluster_id,
+    kept, vec)`` — a prior :func:`semantic_dedup` output joined with
+    its vectors — and ``centroids_micro`` the frozen
+    :func:`micro_kmeans_fit` matrix that produced it.  A batch row is
+    DROPPED iff some same-cell corpus row (see ``compare_to``) or some
+    LOWER-ID same-cell batch row has ``round(cosine, 6) ≥ threshold``
+    against it; batch ids are assumed globally unique and (in the
+    ingestion steady state) greater than every corpus id.
+
+    ``compare_to``:
+
+    * ``"all"`` — compare against every corpus row, kept or dropped.
+      With corpus ids below batch ids this reproduces the full-rerun
+      chain semantics EXACTLY: ``semantic_dedup(corpus ∪ batch,
+      centroids_micro=...)`` restricted to the batch (pinned by
+      ``test_semdedup_incremental_equals_full_rerun``) — the oracle
+      configuration.
+    * ``"kept"`` — compare against KEPT representatives only: the
+      production default, because dropped rows' vectors are typically
+      deleted and cannot be compared against.  Keeps a SUPERSET of the
+      ``"all"`` batch keep-set (a batch row whose only near-dups were
+      themselves dropped survives — its surviving representative is by
+      construction not within threshold, or it would have dropped too
+      ... unless similarity chained, which is exactly the chain the
+      full rerun also re-drops only via the dropped row).  The
+      superset property is test-pinned; the keep decisions never
+      disagree on any row with a kept near-dup.
+
+    Plan shape (100 TB): batch assignment is one zero-shuffle Arrow
+    matmul scan (k×dim ints broadcast in the UDF closure); the corpus
+    side is pruned to the batch's TOUCHED CELLS by a broadcast semi
+    join on ``cluster_id`` (partition pruning when the state table is
+    written partitioned by cell — the accepted corpus is never
+    re-scanned beyond those cells, and under ``"kept"`` never beyond
+    its kept rows); the only shuffle keys (cell, sub-block pair) over
+    batch ∪ touched-cell rows with the same skew sub-blocking as
+    :func:`semantic_dedup`; the drop list joins back broadcast-sized.
+    The O(|corpus|²/k) pair term of a full rerun is never paid.
+    """
+    if compare_to not in ("all", "kept"):
+        raise ValueError(
+            f"semantic_dedup_incremental: compare_to={compare_to!r} "
+            "(expected 'all' or 'kept')"
+        )
+    for col in ("cluster_id", "kept", id_col, vec_col):
+        if col not in corpus_state.columns:
+            raise ValueError(
+                f"semantic_dedup_incremental: corpus_state lacks {col!r} "
+                "(expected a prior semantic_dedup output joined with its "
+                "vectors)"
+            )
+    cents = np.asarray(centroids_micro, dtype=np.int64)
+    dim = cents.shape[1]
+    cn2 = (cents * cents).sum(axis=1)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = _micro_matrix(vecs, dim)
+        d = (m * m).sum(axis=1, keepdims=True) - 2 * (m @ cents.T) + cn2[
+            None, :
+        ]
+        return pd.Series(d.argmin(axis=1).astype(np.int64))
+
+    from nlp_to_nosql_spark.plans.caching import persisted
+
+    assigned = persisted(
+        batch.select(id_col, vec_col).withColumn(
+            "cluster_id", assign(F.col(vec_col))
+        ),
+        "vectors",
+    )
+    cells = assigned.select("cluster_id").distinct()
+    corp = corpus_state
+    if compare_to == "kept":
+        corp = corp.filter(F.col("kept"))
+    corp = corp.join(F.broadcast(cells), "cluster_id", "semi").select(
+        "cluster_id", id_col, vec_col, F.lit(False).alias("_new")
+    )
+    uni = assigned.select(
+        "cluster_id", id_col, vec_col, F.lit(True).alias("_new")
+    ).unionByName(corp)
+
+    thr = float(threshold)
+
+    def in_cell_drops(key, pdf):
+        _, pa, pb = key
+        ids = pdf[id_col].to_numpy()
+        new = pdf["_new"].to_numpy()
+        x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0] = np.inf
+        x = x / norms[:, None]
+
+        def hits(sims, ids_r, new_r, ids_c, new_c):
+            # rows = candidate victims (must be NEW); cols = the other
+            # side: a corpus mate always drops, a batch mate only if
+            # lower-id (the chain order)
+            drops_col = (~new_c)[None, :] | (
+                ids_c[None, :] < ids_r[:, None]
+            )
+            mask = sims & drops_col & new_r[:, None]
+            return ids_r[mask.any(axis=1)]
+
+        if pa == pb:
+            sims = np.round(x @ x.T, 6) >= thr
+            np.fill_diagonal(sims, False)
+            out = hits(sims, ids, new, ids, new)
+        else:
+            in_a = (pdf["_sb"] == pa).to_numpy()
+            sims = np.round(x[in_a] @ x[~in_a].T, 6) >= thr
+            out = np.concatenate(
+                [
+                    hits(sims, ids[in_a], new[in_a], ids[~in_a], new[~in_a]),
+                    hits(sims.T, ids[~in_a], new[~in_a], ids[in_a], new[in_a]),
+                ]
+            )
+        return pd.DataFrame({id_col: out})
+
+    drops = (
+        _sub_blocked(uni, id_col, vec_col, cell_block_size, ("_new",))
+        .groupBy("cluster_id", "_pa", "_pb")
+        .applyInPandas(in_cell_drops, f"{id_col} long")
+        .distinct()
+    )
+    return (
+        assigned.select(id_col, "cluster_id")
+        .join(drops.withColumn("_dropped", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def semantic_dedup_sql(
     n_clusters: int = 8,
     threshold: float = 0.4,
@@ -559,12 +732,55 @@ def semantic_dedup_fitted_sql(
     update is a fixpoint, so extra unrolled iterations reproduce the
     same centroids.
     """
-    hs = _H28_SQL.format(tag=f"kmfit{seed}:", c=id_col)
-    hi = _H28_SQL.format(tag=f"kminit{seed}:", c=id_col)
-    sq = (
+    parts = _fitted_fa_parts(
+        n_clusters, iters, seed, sample_mod, sample_keep, dim,
+        table, id_col, vec_col,
+    )
+    parts.append(
+        f"pairs AS (SELECT sb.{id_col} AS id_b "
+        "FROM fa sa JOIN fa sb ON sa.cluster_id = sb.cluster_id "
+        f"AND sa.{id_col} < sb.{id_col} "
+        f"JOIN m a ON a.{id_col} = sa.{id_col} "
+        f"JOIN m b ON b.{id_col} = sb.{id_col} "
+        f"WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) "
+        f">= {threshold})"
+    )
+    return (
+        ", ".join(parts)
+        + f" SELECT s.{id_col}, CAST(s.cluster_id AS BIGINT) AS cluster_id, "
+        "(d.id_b IS NULL) AS kept "
+        "FROM fa s LEFT JOIN (SELECT DISTINCT id_b FROM pairs) d "
+        f"ON d.id_b = s.{id_col}"
+    )
+
+
+def _sq_dist_sql(dim: int) -> str:
+    """Exact int64 squared-L2 list comprehension (format with a=, b=)."""
+    return (
         "list_sum([({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) "
         f"for i in range(1, {dim + 1})])"
     )
+
+
+def _fitted_fa_parts(
+    n_clusters: int,
+    iters: int,
+    seed: int,
+    sample_mod: int,
+    sample_keep: int,
+    dim: int,
+    table: str,
+    id_col: str,
+    vec_col: str,
+) -> list[str]:
+    """The fit+assign CTE chain shared by the fitted and incremental
+    twins: ``m`` (micro vectors of ``table``), ``tr`` (seeded training
+    sample), ``c0..cN`` (unrolled Lloyd's), ``fd``/``fa`` (full
+    assignment of ``table``).  ``table`` may be a parenthesized
+    aliased subquery (the incremental twin's corpus split)."""
+    hs = _H28_SQL.format(tag=f"kmfit{seed}:", c=id_col)
+    hi = _H28_SQL.format(tag=f"kminit{seed}:", c=id_col)
+    sq = _sq_dist_sql(dim)
     parts = [
         f"WITH m AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v, "
         f"list_transform(CAST({vec_col} AS DOUBLE[]), "
@@ -601,19 +817,88 @@ def semantic_dedup_fitted_sql(
         f"FROM m, c{int(iters)} c), "
         f"fa AS (SELECT {id_col}, c AS cluster_id FROM fd "
         f"QUALIFY row_number() OVER (PARTITION BY {id_col} "
-        "ORDER BY d, c) = 1), "
-        f"pairs AS (SELECT sb.{id_col} AS id_b "
+        "ORDER BY d, c) = 1)"
+    )
+    return parts
+
+
+def semantic_dedup_incremental_sql(
+    corpus_pred: str,
+    n_clusters: int = 8,
+    iters: int = 2,
+    threshold: float = 0.4,
+    seed: int = 7,
+    sample_mod: int = 4,
+    sample_keep: int = 2,
+    dim: int = 64,
+    compare_to: str = "kept",
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of the FULL incremental scenario: fit micro-k-means
+    on the corpus split (rows of ``table`` satisfying ``corpus_pred``),
+    replay the prior run's corpus keep/drop state, then admit the
+    remaining rows as the batch via
+    :func:`semantic_dedup_incremental`'s drop rule — a batch row drops
+    on a same-cell corpus mate (kept-only under ``compare_to='kept'``,
+    any under ``'all'``) or a lower-id same-cell batch mate.  Returns
+    the BATCH rows ``(id, cluster_id, kept)``."""
+    if compare_to not in ("all", "kept"):
+        raise ValueError(f"compare_to={compare_to!r}")
+    corpus_src = f"(SELECT * FROM {table} WHERE {corpus_pred}) corp"
+    parts = _fitted_fa_parts(
+        n_clusters, iters, seed, sample_mod, sample_keep, dim,
+        corpus_src, id_col, vec_col,
+    )
+    sq = _sq_dist_sql(dim)
+    kept_filter = "AND ck.kept " if compare_to == "kept" else ""
+    bdist = sq.format(a="bm.mv", b="c.cm")
+    parts.append(
+        # prior corpus state: within-cell pairs -> kept flags
+        f"cpairs AS (SELECT sb.{id_col} AS id_b "
         "FROM fa sa JOIN fa sb ON sa.cluster_id = sb.cluster_id "
         f"AND sa.{id_col} < sb.{id_col} "
         f"JOIN m a ON a.{id_col} = sa.{id_col} "
         f"JOIN m b ON b.{id_col} = sb.{id_col} "
         f"WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) "
+        f">= {threshold}), "
+        f"ck AS (SELECT s.{id_col}, s.cluster_id, "
+        "(d.id_b IS NULL) AS kept "
+        "FROM fa s LEFT JOIN (SELECT DISTINCT id_b FROM cpairs) d "
+        f"ON d.id_b = s.{id_col}), "
+        # the new batch: micro vectors + assignment against the FITTED
+        # centroids (cN), exact int64 L2 argmin, ties -> lowest index
+        f"bm AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v, "
+        f"list_transform(CAST({vec_col} AS DOUBLE[]), "
+        "x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS mv "
+        f"FROM {table} WHERE NOT ({corpus_pred})), "
+        f"bd AS (SELECT bm.{id_col}, c.c, {bdist} AS d "
+        f"FROM bm, c{int(iters)} c), "
+        f"ba AS (SELECT {id_col}, c AS cluster_id FROM bd "
+        f"QUALIFY row_number() OVER (PARTITION BY {id_col} "
+        "ORDER BY d, c) = 1), "
+        # drop rule: corpus mate (kept-only or any) OR lower-id batch
+        f"bdrops AS (SELECT b.{id_col} FROM ba b "
+        "JOIN ck ON ck.cluster_id = b.cluster_id "
+        f"{kept_filter}"
+        f"JOIN m cm ON cm.{id_col} = ck.{id_col} "
+        f"JOIN bm bv ON bv.{id_col} = b.{id_col} "
+        f"WHERE ROUND(list_cosine_similarity(cm.v, bv.v), 6) "
+        f">= {threshold} "
+        "UNION "
+        f"SELECT b2.{id_col} FROM ba b1 "
+        "JOIN ba b2 ON b1.cluster_id = b2.cluster_id "
+        f"AND b1.{id_col} < b2.{id_col} "
+        f"JOIN bm v1 ON v1.{id_col} = b1.{id_col} "
+        f"JOIN bm v2 ON v2.{id_col} = b2.{id_col} "
+        f"WHERE ROUND(list_cosine_similarity(v1.v, v2.v), 6) "
         f">= {threshold})"
     )
     return (
         ", ".join(parts)
-        + f" SELECT s.{id_col}, CAST(s.cluster_id AS BIGINT) AS cluster_id, "
-        "(d.id_b IS NULL) AS kept "
-        "FROM fa s LEFT JOIN (SELECT DISTINCT id_b FROM pairs) d "
-        f"ON d.id_b = s.{id_col}"
+        + f" SELECT b.{id_col}, CAST(b.cluster_id AS BIGINT) AS cluster_id, "
+        f"(d.{id_col} IS NULL) AS kept "
+        f"FROM ba b LEFT JOIN (SELECT DISTINCT {id_col} FROM bdrops) d "
+        f"USING ({id_col})"
     )

@@ -376,3 +376,150 @@ def test_micro_kmeans_iters_validated(spark):
     df = _df(spark, np.eye(3, DIM, dtype=np.float32))
     with pytest.raises(ValueError, match="iters"):
         micro_kmeans_fit(df, n_clusters=2, iters=0)
+
+
+# ---------------------------------------------------------------------------
+# incremental ingest tier (dedup16)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ingest_fixture(spark):
+    """Corpus ids 0..59, batch ids 60..99 (ingestion order), with
+    near-dup structure planted both corpus->batch and batch->batch —
+    including a batch row whose ONLY near-dup is a DROPPED corpus row
+    (the case where compare_to='kept' and 'all' legitimately differ)."""
+    rng = np.random.RandomState(23)
+    vecs = rng.randn(100, DIM).astype(np.float32)
+    # a geometric CHAIN at threshold 0.9: u ─0.94─ 30 ─0.94─ 71 with
+    # cos(u, 71) = 0.94² ≈ 0.88 < 0.9.  Corpus: 7 = u keeps, 30 drops
+    # (cos 0.94 vs 7).  Batch row 71 then near-dups ONLY the dropped
+    # corpus row — compare_to='all' drops it, 'kept' keeps it.
+    u = vecs[7] / np.linalg.norm(vecs[7])
+    # two unit directions orthogonal to u and to each other (Gram-Schmidt)
+    r1, r2 = rng.randn(DIM), rng.randn(DIM)
+    w1 = r1 - (r1 @ u) * u
+    w1 /= np.linalg.norm(w1)
+    w2 = r2 - (r2 @ u) * u - (r2 @ w1) * w1
+    w2 /= np.linalg.norm(w2)
+    c, s = 0.94, np.sqrt(1 - 0.94**2)
+    v30 = c * u + s * w1
+    vecs[7] = u.astype(np.float32)
+    vecs[30] = v30.astype(np.float32)                    # corpus dup of 7
+    vecs[71] = (c * v30 + s * w2).astype(np.float32)     # cos=.94 to 30, .88 to 7
+    vecs[70] = vecs[7] * 1.8                             # batch ~ kept corpus rep
+    vecs[80] = vecs[65] + rng.randn(DIM).astype(np.float32) * 0.004  # batch-batch pair
+    df = _df(spark, vecs)
+    corpus = df.filter(F.col("vec_id") < 60)
+    batch = df.filter(F.col("vec_id") >= 60)
+    return corpus, batch
+
+
+def test_semdedup_incremental_equals_full_rerun(ingest_fixture):
+    """The theorem the tier is built on: with compare_to='all' and
+    corpus ids below batch ids, incremental admission under the SAME
+    frozen centroids equals the full chain rerun restricted to the
+    batch — and the corpus state is never recomputed."""
+    from nlp_to_nosql_spark.operators.semdedup import (
+        micro_kmeans_fit,
+        semantic_dedup,
+        semantic_dedup_incremental,
+    )
+
+    corpus, batch = ingest_fixture
+    cents = micro_kmeans_fit(corpus, 4, iters=2, seed=7)
+    prior = semantic_dedup(corpus, threshold=0.9, centroids_micro=cents)
+    state = prior.join(corpus.select("vec_id", "embedding"), "vec_id")
+    inc = {
+        r["vec_id"]: (r["cluster_id"], r["kept"])
+        for r in semantic_dedup_incremental(
+            batch, state, cents, threshold=0.9, compare_to="all"
+        ).collect()
+    }
+    full = {
+        r["vec_id"]: (r["cluster_id"], r["kept"])
+        for r in semantic_dedup(
+            corpus.unionByName(batch),
+            threshold=0.9,
+            centroids_micro=cents,
+        ).collect()
+        if r["vec_id"] >= 60
+    }
+    assert inc == full
+    assert not all(v[1] for v in inc.values())  # something was dropped
+
+
+def test_semdedup_incremental_kept_mode_is_superset(ingest_fixture):
+    """compare_to='kept' (production: dropped vectors are gone) keeps a
+    superset of the 'all' keep-set, and the fixture exercises a real
+    divergence: a batch row whose only near-dup is a dropped corpus
+    row survives under 'kept'."""
+    from nlp_to_nosql_spark.operators.semdedup import (
+        micro_kmeans_fit,
+        semantic_dedup,
+        semantic_dedup_incremental,
+    )
+
+    corpus, batch = ingest_fixture
+    cents = micro_kmeans_fit(corpus, 4, iters=2, seed=7)
+    prior = semantic_dedup(corpus, threshold=0.9, centroids_micro=cents)
+    state = prior.join(corpus.select("vec_id", "embedding"), "vec_id")
+
+    def keeps(mode):
+        return {
+            r["vec_id"]
+            for r in semantic_dedup_incremental(
+                batch, state, cents, threshold=0.9, compare_to=mode
+            ).collect()
+            if r["kept"]
+        }
+
+    k_all, k_kept = keeps("all"), keeps("kept")
+    assert k_all <= k_kept
+    # the planted chain fires: 71's only near-dup is the dropped 30
+    assert 71 in k_kept and 71 not in k_all
+
+
+def test_semdedup_incremental_validates_inputs(ingest_fixture):
+    from nlp_to_nosql_spark.operators.semdedup import (
+        micro_kmeans_fit,
+        semantic_dedup_incremental,
+    )
+
+    corpus, batch = ingest_fixture
+    cents = micro_kmeans_fit(corpus, 4, iters=2, seed=7)
+    with pytest.raises(ValueError, match="compare_to"):
+        semantic_dedup_incremental(
+            batch, corpus, cents, compare_to="bogus"
+        )
+    with pytest.raises(ValueError, match="corpus_state lacks"):
+        semantic_dedup_incremental(batch, corpus, cents)  # no kept col
+
+
+def test_semantic_dedup_centroids_micro_matches_fit_path(planted):
+    """Passing micro_kmeans_fit's matrix via centroids_micro= must equal
+    fit='micro_kmeans' with the same config (the hand-off contract the
+    incremental tier relies on)."""
+    from nlp_to_nosql_spark.operators.semdedup import (
+        micro_kmeans_fit,
+        semantic_dedup,
+    )
+
+    _, df = planted
+    cents = micro_kmeans_fit(df, 4, iters=2, seed=7)
+    via_param = sorted(
+        tuple(r)
+        for r in semantic_dedup(
+            df, threshold=0.4, centroids_micro=cents
+        ).collect()
+    )
+    via_fit = sorted(
+        tuple(r)
+        for r in semantic_dedup(
+            df, n_clusters=4, threshold=0.4, fit="micro_kmeans",
+            fit_iters=2, fit_seed=7,
+        ).collect()
+    )
+    assert via_param == via_fit
+    with pytest.raises(ValueError, match="exclusive"):
+        semantic_dedup(df, centroids_micro=cents, fit="micro_kmeans")

@@ -2288,6 +2288,34 @@ def _q_bpe_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_by_token_budget(enc, "doc_id", "n_tokens", budget=5_000)
 
 
+def _q_bpe_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer ARTIFACT contract under the oracle gate: fit 4
+    merges with the PRODUCTION trainer shape (bpe_train_local — one
+    distributed word count, vocab-local loop), persist the merge table
+    as a parquet artifact (bpe_save), reload it (bpe_load, rank-gap and
+    symbol validation), and encode every document under the RELOADED
+    list — proving the persisted artifact alone determines the
+    encoding (OOV words char-split + replay the chain, needing nothing
+    beyond the table).  The oracle is tok5's proven unrolled train+
+    encode SQL: it re-derives the same merges, so a lossy or reordered
+    artifact would hash-mismatch (operators/selection.py bpe_save /
+    bpe_load / bpe_train_local)."""
+    import tempfile
+
+    from nlp_to_nosql_spark.operators.selection import (
+        bpe_encode_len,
+        bpe_load,
+        bpe_save,
+        bpe_train_local,
+    )
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    merges = bpe_train_local(docs, n_merges=4)
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_bpe_merges")
+    bpe_save(merges, path, spark)
+    return bpe_encode_len(docs, bpe_load(path, spark))
+
+
 def _q_dsir_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR with the paper's ACTUAL sampling semantics: Gumbel top-k
     importance resampling — hash-derived Gumbel(0,1) noise (seeded md5
@@ -3924,6 +3952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok3_bpe_merge_pairs": _q_bpe_merge_pairs,
         "tok4_bpe_train": _q_bpe_train,
         "tok5_bpe_encode": _q_bpe_encode,
+        "tok6_bpe_artifact": _q_bpe_artifact_roundtrip,
         "pipe6_bpe_pack": _q_bpe_pack_pipeline,
         "dedup15_semdedup_fitted": _q_semantic_dedup_fitted,
         "dedup16_semdedup_incremental": _q_semantic_dedup_incremental,
@@ -5002,6 +5031,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tok4_bpe_train": bpe_train_sql(n_merges=4),
         "tok5_bpe_encode": bpe_encode_len_sql(n_merges=4),
+        # tok6: the save/load artifact round trip encodes under the
+        # RELOADED merge table; the twin re-derives the same merges via
+        # the unrolled train+encode chain, so artifact lossiness would
+        # hash-mismatch.
+        "tok6_bpe_artifact": bpe_encode_len_sql(n_merges=4),
         # pipe6: tok5's proven train+encode CTE chain feeding pack1's
         # prefix-sum window arithmetic — the composed tokenizer→packing
         # pipeline.

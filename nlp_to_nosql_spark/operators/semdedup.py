@@ -497,6 +497,37 @@ def semantic_dedup(
     )
 
 
+def assign_cells(
+    df: DataFrame,
+    centroids_micro: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(id, cluster_id)`` exact int64 squared-L2 assignment against a
+    fitted :func:`micro_kmeans_fit` matrix — ONE zero-shuffle
+    Arrow-batched matmul scan (ties → lowest centroid index, the
+    fitted-tier contract).  The assignment-only surface a production
+    pipeline persists alongside the corpus (partitioned by cell), and
+    the shared kernel of :func:`semantic_dedup_incremental`."""
+    cents = np.asarray(centroids_micro, dtype=np.int64)
+    dim = cents.shape[1]
+    cn2 = (cents * cents).sum(axis=1)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = _micro_matrix(vecs, dim)
+        d = (m * m).sum(axis=1, keepdims=True) - 2 * (m @ cents.T) + cn2[
+            None, :
+        ]
+        return pd.Series(d.argmin(axis=1).astype(np.int64))
+
+    return df.select(id_col, vec_col).withColumn(
+        "cluster_id", assign(F.col(vec_col))
+    )
+
+
 def semantic_dedup_incremental(
     batch: DataFrame,
     corpus_state: DataFrame,
@@ -563,26 +594,10 @@ def semantic_dedup_incremental(
                 "(expected a prior semantic_dedup output joined with its "
                 "vectors)"
             )
-    cents = np.asarray(centroids_micro, dtype=np.int64)
-    dim = cents.shape[1]
-    cn2 = (cents * cents).sum(axis=1)
-
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("long")
-    def assign(vecs: pd.Series) -> pd.Series:
-        m = _micro_matrix(vecs, dim)
-        d = (m * m).sum(axis=1, keepdims=True) - 2 * (m @ cents.T) + cn2[
-            None, :
-        ]
-        return pd.Series(d.argmin(axis=1).astype(np.int64))
-
     from nlp_to_nosql_spark.plans.caching import persisted
 
     assigned = persisted(
-        batch.select(id_col, vec_col).withColumn(
-            "cluster_id", assign(F.col(vec_col))
-        ),
+        assign_cells(batch, centroids_micro, id_col, vec_col),
         "vectors",
     )
     cells = assigned.select("cluster_id").distinct()

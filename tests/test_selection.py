@@ -859,3 +859,108 @@ def test_bpe_train_local_vocab_cap(docs):
             bpe_train_local(docs, n_merges=1)
     finally:
         docs.sparkSession.conf.unset("spark.nlp2nosql.bpe.localVocabCap")
+
+
+# ---------------------------------------------------------------------------
+# tokenizer artifact contract (save/load round trip)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_save_load_roundtrip(spark, docs, tmp_path):
+    """The artifact contract: a saved+reloaded merge table is
+    list-identical, and encoding under it equals encoding under the
+    in-memory list — including on OOV text the training corpus never
+    saw (the char-split fallback needs nothing from the artifact)."""
+    from nlp_to_nosql_spark.operators.selection import (
+        bpe_encode_len,
+        bpe_load,
+        bpe_save,
+        bpe_train_local,
+    )
+
+    merges = bpe_train_local(docs, n_merges=4)
+    path = str(tmp_path / "merges.parquet")
+    bpe_save(merges, path, spark)
+    loaded = bpe_load(path, spark)
+    assert loaded == merges
+    unseen = spark.createDataFrame(
+        [(900, "completely unseen wording zzz qqq")],
+        "doc_id long, text string",
+    )
+    for frame in (docs, unseen):
+        want = sorted(
+            tuple(r) for r in bpe_encode_len(frame, merges).collect()
+        )
+        got = sorted(
+            tuple(r) for r in bpe_encode_len(frame, loaded).collect()
+        )
+        assert got == want
+
+
+def test_bpe_load_rejects_corrupt_artifacts(spark, tmp_path):
+    from nlp_to_nosql_spark.operators.selection import (
+        BPE_MERGES_SCHEMA,
+        bpe_load,
+    )
+
+    gap = str(tmp_path / "gap.parquet")
+    spark.createDataFrame(
+        [(1, "t", "h", 5), (3, "th", "e", 4)], BPE_MERGES_SCHEMA
+    ).write.parquet(gap)
+    with pytest.raises(ValueError, match="rank sequence"):
+        bpe_load(gap, spark)
+    empty_sym = str(tmp_path / "sym.parquet")
+    spark.createDataFrame(
+        [(1, "t", "", 5)], BPE_MERGES_SCHEMA
+    ).write.parquet(empty_sym)
+    with pytest.raises(ValueError, match="empty or NULL symbol"):
+        bpe_load(empty_sym, spark)
+
+
+def _naive_merge_loop(words, n_merges):
+    """The pre-round-11 full-recount loop — the reference semantics the
+    incremental loop must reproduce exactly."""
+    vocab = {w: list(w) for w in words}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = {}
+        for w, c in words.items():
+            ss = vocab[w]
+            for i in range(len(ss) - 1):
+                k = (ss[i], ss[i + 1])
+                pairs[k] = pairs.get(k, 0) + c
+        if not pairs:
+            break
+        (lhs, rhs), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, lhs, rhs, cnt))
+        for w, ss in vocab.items():
+            out, i = [], 0
+            while i < len(ss):
+                if i + 1 < len(ss) and ss[i] == lhs and ss[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(ss[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+@pytest.mark.skipif(not HAVE_HYPOTHESIS, reason="hypothesis not installed")
+@settings(max_examples=120, deadline=None)
+@given(
+    words=st.dictionaries(
+        st.text(alphabet="abcde", min_size=1, max_size=10),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=20,
+    ),
+    n=st.integers(min_value=1, max_value=30),
+)
+def test_bpe_train_local_incremental_equals_naive(words, n):
+    """The incremental pair-stat loop (lazy-deletion heap + delta
+    updates over affected words) must equal the naive full-recount loop
+    at every N — overlap runs, exhaustion, and count ties included."""
+    from nlp_to_nosql_spark.operators.selection import _bpe_merge_loop
+
+    assert _bpe_merge_loop(dict(words), n) == _naive_merge_loop(words, n)

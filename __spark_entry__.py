@@ -3965,69 +3965,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-#: Round-10 driver-window rotation (VERDICT r9 task 6): every contract
-#: query is now driver-green at least once, so FRESHNESS is the metric —
-#: the five round-10 additions (sel3/tok4/tok5/pipe6/dedup15, checked
-#: immediately, never left for a tail) front the window, followed by the
-#: 18 queries whose last green row is CORRECTNESS_r02 and the 27 whose
-#: last green row is r06 (nothing is staler), plus ``dedup14_semdedup``
-#: from the r07 cohort (the unfitted twin of the new dedup15 — checking
-#: both configs in one window).  Everything outside the window stays
-#: selfcheck-verified each round.
+#: Round-11 driver-window rotation (VERDICT r10 task 4): freshness is
+#: the metric — the three round-11 additions (lm2/dedup16/tok6, checked
+#: immediately, never left for a tail) front the window, followed by 47
+#: of the 50 queries whose last green driver row is CORRECTNESS_r07
+#: (nothing is staler).  The three r07 members left for the round-12
+#: front are sibling-covered paths whose in-window twins exercise the
+#: same operators (mm4_audio_decode ~ mm3, ann9_pq_rerank ~ ann8,
+#: stream3_windowed_counts_stream ~ stream1); they stay
+#: selfcheck-verified each round like everything outside the window.
 _ROTATED_FRONT = (
-    # new in round 10 (driver-checked immediately)
-    "sel3_dsir_gumbel",
-    "tok4_bpe_train",
-    "tok5_bpe_encode",
-    "pipe6_bpe_pack",
-    "dedup15_semdedup_fitted",
-    # stalest greens: last driver row r02
-    "agg1_pricing_summary",
-    "agg2_order_percentiles",
-    "asof1_event_last_order",
-    "asof2_bucketed_skewsafe",
-    "dedup7_name_editdist",
-    "join4_anti_orders",
-    "join5_shipping_priority",
-    "s10_schema_merge_read",
-    "s8_text_lines_roundtrip",
-    "s9_compaction_roundtrip",
-    "ts1_hourly_events",
-    "ts2_multires_rollup",
-    "ts3_sliding_window",
-    "ts4_ship_delay_histogram",
-    "win1_top_order_per_customer",
-    "win2_order_gaps",
-    "win3_rolling_avg",
-    "win5_range_frame",
-    # next-stalest: last driver row r06
-    "a1_count_filtered",
-    "a2_count_all",
-    "a5_a6_a7_event_metrics",
-    "agg5_cube_status",
-    "agg6_corr_bal_orders",
-    "agg7_order_key_lists",
-    "ann1_topk_bruteforce",
-    "ann3_topk_ivf",
-    "ann4_batch_topk",
-    "dedup10_minhash_md5_pairs",
-    "dedup1_exact",
-    "dedup2_ngram_jaccard",
-    "dedup5_embcos_exact",
-    "dedup6_cluster_labels",
-    "dedup9_simhash_md5_pairs",
-    "pipe1_curation",
-    "pivot1_status_by_segment",
-    "rj1_events_in_session",
-    "s4_json_roundtrip",
-    "s6_csv_roundtrip",
-    "sess1_user_sessions",
-    "set1_union_names",
-    "set3_except_orders",
-    "sub1_above_global_avg",
-    "sub3_quiet_high_balance",
-    "text1_analysis",
-    "text3_tfidf_terms",
+    # new in round 11 (driver-checked immediately)
+    "lm2_target_ppl",
+    "dedup16_semdedup_incremental",
+    "tok6_bpe_artifact",
+    # stalest greens: last driver row r07
+    "ann10_ivfpq",
+    "ann11_matryoshka",
+    "ann12_hard_negatives",
+    "ann2_topk_lsh",
+    "ann5_ivf_sampled_fit",
+    "ann6_topk_per_label",
+    "ann7_quantized_topk",
+    "ann8_pq_adc",
+    "clean1_boilerplate_removal",
+    "dc1_contamination",
+    "dedup11_winnowed_spans",
+    "dedup12_keep_best",
+    "dedup13_incremental",
+    "dedup14_semdedup",
+    "dedup3_minhash_lsh",
+    "dedup4_simhash_pairs",
+    "dedup8_duplicated_spans",
+    "diff1_snapshot_diff",
+    "emb1_norms_by_label",
+    "merge1_latest_wins",
+    "mm1_image_features",
+    "mm2_frame_plan",
+    "mm3_audio_chunks",
+    "mm5_image_resize",
+    "ord1_shuffle_shards",
+    "pack1_token_budget",
+    "pack2_batch_manifest",
+    "pii1_redaction",
+    "pr1_dup_pagerank",
+    "prof3_pair_degree_hist",
+    "quality3_model_filter",
+    "scd1_event_intervals",
+    "scd2_point_in_time",
+    "sketch1_hll_registers",
+    "sketch2_cms_heavy_hitters",
+    "stream10_cdc_compaction",
+    "stream11_cdc_upsert_sink",
+    "stream12_hll_accumulate",
+    "stream13_cms_accumulate",
+    "stream1_windowed_counts",
+    "stream2_sessionize_stream",
+    "stream4_dedup_stream",
+    "stream5_dim_join_stream",
+    "stream6_running_totals",
+    "stream7_stream_stream_join",
+    "stream8_dedup_within_watermark",
+    "stream9_native_session_stream",
 )
 
 

@@ -345,6 +345,68 @@ def main() -> int:
             fit_iters=2, fit_seed=7,
         )
 
+    def bpe_pack_probe(docs):
+        # pipe6 end-to-end: train 4 merges, encode, prefix-sum pack
+        from nlp_to_nosql_spark.operators.packing import (
+            pack_by_token_budget,
+        )
+        from nlp_to_nosql_spark.operators.selection import (
+            bpe_encode_len,
+            bpe_train,
+        )
+
+        merges, vocab = bpe_train(docs, n_merges=4, return_vocab=True)
+        enc = bpe_encode_len(docs, merges, vocab=vocab, assume_covered=True)
+        return pack_by_token_budget(enc, "doc_id", "n_tokens", budget=5_000)
+
+    def bpe_local_probe(docs):
+        # the PRODUCTION trainer at production merge counts: one
+        # distributed word count, then the incremental vocab-local loop
+        # (n_merges=1000 ≫ the 4-merge contract; the rotated copies give
+        # the big corpus a ~26× vocabulary, so the loop has real work)
+        from nlp_to_nosql_spark.operators.selection import bpe_train_local
+
+        merges = bpe_train_local(docs, n_merges=1000)
+        return docs.sparkSession.createDataFrame(
+            [(r, l, rh, c) for r, l, rh, c in merges],
+            "merge_rank int, lhs string, rhs string, pair_count long",
+        )
+
+    def target_lm_probe(docs):
+        # lm2: stupid-backoff LM fit on the target split, pool scored —
+        # target-side exchanges target-sized, pool pays one context
+        # explode + broadcast joins + a per-doc reduce
+        from nlp_to_nosql_spark.operators.curation import target_lm_score
+
+        pred = F.col("lang") == "en"
+        return target_lm_score(
+            docs.filter(~pred.eqNullSafe(F.lit(True))),
+            docs.filter(pred.eqNullSafe(F.lit(True))),
+        )
+
+    def semdedup_incremental_probe(emb):
+        # dedup16: the daily ingest job — fit on the corpus split
+        # (k ∝ n, the semdedup cell contract), read the stored
+        # assignment (recomputed lazily here, a zero-shuffle scan),
+        # admit the 20 % batch against kept reps.  The full-rerun
+        # O(n²/k) corpus pair term is exactly what this tier avoids.
+        from nlp_to_nosql_spark.operators.semdedup import (
+            assign_cells,
+            micro_kmeans_fit,
+            semantic_dedup_incremental,
+        )
+
+        corpus = emb.filter(F.col("vec_id") % 5 != 0)
+        batch = emb.filter(F.col("vec_id") % 5 == 0)
+        n = max(8, corpus.count() // 250)
+        cents = micro_kmeans_fit(corpus, n, iters=2, seed=7)
+        state = assign_cells(corpus, cents).withColumn(
+            "kept", F.lit(True)
+        )
+        return semantic_dedup_incremental(
+            batch, state, cents, threshold=0.4, compare_to="kept"
+        )
+
     def probes(docs, events, emb):
         all_probes = _all_probes(docs, events, emb)
         if only:
@@ -422,6 +484,12 @@ def main() -> int:
             "tok4_bpe_train": lambda: bpe_train_probe(docs),
             "tok5_bpe_encode": lambda: bpe_encode_probe(docs),
             "dedup15_semdedup_fitted": lambda: semdedup_fitted_probe(emb),
+            "pipe6_bpe_pack": lambda: bpe_pack_probe(docs),
+            "tok_bpe_train_local_1k": lambda: bpe_local_probe(docs),
+            "lm2_target_ppl": lambda: target_lm_probe(docs),
+            "dedup16_semdedup_incremental": lambda: (
+                semdedup_incremental_probe(emb)
+            ),
             "sketch3_hll_ndv_by_lang": lambda: hll_ndv_by(
                 tokens_by(docs, ["lang"]), ["lang"], "tok", m=64
             ),

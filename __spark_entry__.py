@@ -51,6 +51,7 @@ from nlp_to_nosql_spark.operators.curation import (
     gopher_sql,
     hash_split_sql,
     mixture_sql,
+    ppl_buckets_sql,
     stratified_split_sql,
     target_lm_sql,
     temperature_rate_ctes,
@@ -88,6 +89,7 @@ from nlp_to_nosql_spark.operators.graph import pagerank_sql
 from nlp_to_nosql_spark.operators.evals import (
     calibration_table_sql,
     classification_metrics_sql,
+    rank_correlation_sql,
     retrieval_metrics_sql,
 )
 from nlp_to_nosql_spark.operators.semdedup import (
@@ -2806,6 +2808,60 @@ def _q_target_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return target_lm_score(pool, target)
 
 
+def _q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail perplexity partition (Wenzek et al.
+    §4.3): score the pool under the lm2 target-trained stupid-backoff
+    LM, then NTILE each language into tertiles under the deterministic
+    (score DESC NULLS LAST, id) order — bucket 1 = most target-like.
+    The scoring plan is lm2's; the NTILE window ranks the
+    one-row-per-doc score frame per language (production assigns
+    scan-side against sampled thresholds, as CCNet does — documented
+    on operators/curation.py ppl_buckets)."""
+    from nlp_to_nosql_spark.operators.curation import ppl_buckets
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    pred = F.col("lang") == "en"
+    return ppl_buckets(
+        docs.filter(~pred.eqNullSafe(F.lit(True))),
+        docs.filter(pred.eqNullSafe(F.lit(True))),
+        group_col="lang",
+        n_buckets=3,
+    )
+
+
+def _q_score_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Spearman rank correlation between the corpus-SELF
+    bigram likelihood (lm1) and the TARGET-trained stupid-backoff score
+    (lm2) on the pool — the agreement diagnostic run before swapping
+    one quality signal for another.  Ranks are deterministic
+    (score DESC NULLS LAST, id) row numbers; sum_d2 is an exact BIGINT
+    and rho_micro's one float step is a shared-association division of
+    exactly-representable integers (operators/evals.py
+    rank_correlation)."""
+    from nlp_to_nosql_spark.operators.curation import (
+        bigram_likelihood,
+        target_lm_score,
+    )
+    from nlp_to_nosql_spark.operators.evals import rank_correlation
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    pred = F.col("lang") == "en"
+    pool = docs.filter(~pred.eqNullSafe(F.lit(True)))
+    target = docs.filter(pred.eqNullSafe(F.lit(True)))
+    self_s = bigram_likelihood(docs).select(
+        "doc_id", F.col("mean_cond_prob_micro").alias("s_self")
+    )
+    tgt_s = target_lm_score(pool, target).select(
+        "doc_id", F.col("mean_lp_micro").alias("s_target")
+    )
+    scores = tgt_s.join(self_s, "doc_id").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return rank_correlation(
+        scores, "s_self", "s_target", group_col="lang"
+    )
+
+
 def _q_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE pretraining-data pipeline in one composed plan —
     every stage an already-oracle-proven operator, composed the way a
@@ -3871,6 +3927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk1_context_windows": _q_context_chunks,
         "lm1_bigram_likelihood": _q_bigram_likelihood,
         "lm2_target_ppl": _q_target_lm_score,
+        "lm3_ppl_buckets": _q_ppl_buckets,
+        "eval6_score_correlation": _q_score_correlation,
         "quality2_gopher_rules": _q_gopher_rules,
         "clean1_boilerplate_removal": _q_boilerplate_removal,
         "cap1_source_cap": _q_source_cap,
@@ -3966,17 +4024,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 #: Round-11 driver-window rotation (VERDICT r10 task 4): freshness is
-#: the metric — the three round-11 additions (lm2/dedup16/tok6, checked
-#: immediately, never left for a tail) front the window, followed by 47
-#: of the 50 queries whose last green driver row is CORRECTNESS_r07
-#: (nothing is staler).  The three r07 members left for the round-12
-#: front are sibling-covered paths whose in-window twins exercise the
-#: same operators (mm4_audio_decode ~ mm3, ann9_pq_rerank ~ ann8,
-#: stream3_windowed_counts_stream ~ stream1); they stay
-#: selfcheck-verified each round like everything outside the window.
+#: the metric — the five round-11 additions (lm2/lm3/eval6/dedup16/
+#: tok6, checked immediately, never left for a tail) front the window,
+#: followed by 45 of the 50 queries whose last green driver row is
+#: CORRECTNESS_r07 (nothing is staler).  The five r07 members left for
+#: the round-12 front are sibling-covered paths whose in-window twins
+#: exercise the same operators (mm4_audio_decode ~ mm3, ann9_pq_rerank
+#: ~ ann8, stream3_windowed_counts_stream ~ stream1,
+#: stream2_sessionize_stream ~ stream9/sess1, ann5_ivf_sampled_fit ~
+#: ann3/ann10's fit path); they stay selfcheck-verified each round like
+#: everything outside the window.
 _ROTATED_FRONT = (
     # new in round 11 (driver-checked immediately)
     "lm2_target_ppl",
+    "lm3_ppl_buckets",
+    "eval6_score_correlation",
     "dedup16_semdedup_incremental",
     "tok6_bpe_artifact",
     # stalest greens: last driver row r07
@@ -3984,7 +4046,6 @@ _ROTATED_FRONT = (
     "ann11_matryoshka",
     "ann12_hard_negatives",
     "ann2_topk_lsh",
-    "ann5_ivf_sampled_fit",
     "ann6_topk_per_label",
     "ann7_quantized_topk",
     "ann8_pq_adc",
@@ -4020,7 +4081,6 @@ _ROTATED_FRONT = (
     "stream12_hll_accumulate",
     "stream13_cms_accumulate",
     "stream1_windowed_counts",
-    "stream2_sessionize_stream",
     "stream4_dedup_stream",
     "stream5_dim_join_stream",
     "stream6_running_totals",
@@ -4946,6 +5006,26 @@ def oracle_sql() -> dict[str, str]:
         # convention); every conditional probability a ratio of target
         # BIGINT counts with α = 2/5 folded into the integers.
         "lm2_target_ppl": target_lm_sql("lang = 'en'"),
+        # lm3: lm2's scored frame NTILE'd into per-language perplexity
+        # tertiles (CCNet head/middle/tail).
+        "lm3_ppl_buckets": ppl_buckets_sql(
+            "lang = 'en'", group_col="lang", n_buckets=3
+        ),
+        # eval6: per-language Spearman between the corpus-self bigram
+        # score (lm1's proven CTE) and the target-trained score (lm2's)
+        # — deterministic row_number ranks, BIGINT sum_d2, shared float
+        # association for rho.
+        "eval6_score_correlation": rank_correlation_sql(
+            "SELECT b.doc_id, d.lang, "
+            "a.mean_cond_prob_micro AS s_self, "
+            "b.mean_lp_micro AS s_target "
+            "FROM (" + BIGRAM_LM_SQL.format(scale=1_000_000) + ") a "
+            "JOIN (" + target_lm_sql("lang = 'en'") + ") b "
+            "USING (doc_id) JOIN documents d USING (doc_id)",
+            "s_self",
+            "s_target",
+            group_col="lang",
+        ),
         "quality2_gopher_rules": gopher_sql(),
         "clean1_boilerplate_removal": boilerplate_removal_sql(
             k=5, max_df=2

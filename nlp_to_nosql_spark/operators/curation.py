@@ -22,7 +22,7 @@ kept or dropped on every retry, executor, and engine.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from nlp_to_nosql_spark.functions.text import NORMALIZE_SQL, normalize_text
@@ -1041,6 +1041,69 @@ def target_lm_sql(
         f"(SELECT {id_col} FROM {table} "
         f"WHERE NOT COALESCE(({target_sql}), FALSE)) d "
         f"LEFT JOIN per_doc USING ({id_col})"
+    )
+
+
+def ppl_buckets(
+    pool: DataFrame,
+    target: DataFrame,
+    group_col: str = "lang",
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet's head/middle/tail partition: score the pool under the
+    target-trained LM (:func:`target_lm_score`) and NTILE each
+    ``group_col`` partition into ``n_buckets`` perplexity bands —
+    bucket 1 = most target-like (the "head" CCNet trains on first),
+    bucket ``n`` = least (Wenzek et al., arXiv:1911.00359 §4.3 cut
+    each language's crawl into perplexity tertiles).  Returns
+    ``(id, group, mean_lp_micro, ppl_bucket)``.
+
+    Order within a group is the deterministic ``(mean_lp_micro DESC
+    NULLS LAST, id ASC)`` total order, so the NTILE boundary is
+    engine-reproducible (both engines share NTILE's remainder-to-
+    earlier-buckets semantics).  Scale note: the NTILE window ranks
+    each group's one-row-per-doc score frame — narrow but group-sized;
+    at 100 TB production assigns buckets SCAN-SIDE against per-group
+    threshold scores estimated from a consistent-hash sample (CCNet
+    itself uses sampled thresholds), keeping the exact-NTILE form for
+    oracle replay and modest groups.
+    """
+    scored = target_lm_score(pool, target, id_col, text_col)
+    meta = pool.select(F.col(id_col), F.col(group_col))
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc_nulls_last("mean_lp_micro"), F.asc(id_col)
+    )
+    return (
+        scored.join(meta, id_col)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col("mean_lp_micro"),
+            F.ntile(int(n_buckets)).over(w).cast("int").alias("ppl_bucket"),
+        )
+    )
+
+
+def ppl_buckets_sql(
+    target_sql: str = "lang = 'en'",
+    group_col: str = "lang",
+    n_buckets: int = 3,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`ppl_buckets` — :func:`target_lm_sql` as a
+    nested-WITH CTE, then the identical NTILE window."""
+    inner = target_lm_sql(target_sql, table, text_col, id_col)
+    return (
+        f"WITH scored AS ({inner}) "
+        f"SELECT s.{id_col}, d.{group_col}, s.mean_lp_micro, "
+        f"CAST(NTILE({int(n_buckets)}) OVER (PARTITION BY d.{group_col} "
+        f"ORDER BY s.mean_lp_micro DESC NULLS LAST, s.{id_col}) AS INT) "
+        "AS ppl_bucket "
+        f"FROM scored s JOIN {table} d USING ({id_col})"
     )
 
 

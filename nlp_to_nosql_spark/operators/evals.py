@@ -521,3 +521,108 @@ def retrieval_metrics_sql(
         "CAST(coalesce(1000000 // first_rk, 0) AS BIGINT) AS mrr_micro "
         f"FROM nrel LEFT JOIN hit USING ({query_col})"
     )
+
+
+def rank_correlation(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Spearman rank correlation between two per-row scores — the
+    agreement diagnostic run before swapping one quality signal for
+    another (does the cheap corpus-self LM score rank documents the way
+    the target-trained one does?  does a fastText filter agree with a
+    perplexity filter?).
+
+    Ranks are ``row_number`` under the total order ``(score DESC, id
+    ASC)`` — the rank-of-record convention every top-k in this engine
+    uses, so ties break deterministically by id rather than averaging
+    (the classical tie correction); on micro-scaled scores ties are
+    rare and the bias is negligible, and the convention is what makes
+    the DuckDB twin value-exact.  Emits per group (or one global row)::
+
+        (n, sum_d2, rho_micro)
+
+    with ``sum_d2 = Σ(rank_a − rank_b)²`` an exact BIGINT and
+    ``rho_micro = floor((1 − 6·sum_d2 / (n(n²−1))) · 1e6)`` — the one
+    float step is a division of exactly-representable BIGINTs shared
+    association-for-association with the twin (``n`` up to ~2×10⁵ keeps
+    ``n³`` inside 2⁵³; groups are languages/sources, far below that).
+    Groups with n < 2 emit NULL rho (undefined).
+
+    Scale shape: the input must already be one narrow row per id (a
+    score join, not a corpus scan); the two rank windows are the only
+    wide ops, partitioned by ``group_col``.  At 100 TB rank the
+    CONSISTENT-HASH SAMPLE (``curation.consistent_key_sample``), not
+    the corpus — a rank correlation estimate needs ~10⁴ rows, not 10¹⁰;
+    the operator itself is unchanged on the sampled frame.
+    """
+    gcols = [group_col] if group_col else []
+    part = [F.col(group_col)] if group_col else []
+    wa = Window.partitionBy(*part).orderBy(
+        F.desc_nulls_last(col_a), F.asc(id_col)
+    )
+    wb = Window.partitionBy(*part).orderBy(
+        F.desc_nulls_last(col_b), F.asc(id_col)
+    )
+    ranked = df.select(
+        *gcols,
+        F.col(id_col),
+        F.row_number().over(wa).cast("long").alias("_ra"),
+        F.row_number().over(wb).cast("long").alias("_rb"),
+    )
+    d2 = (F.col("_ra") - F.col("_rb")) * (F.col("_ra") - F.col("_rb"))
+    agg = ranked.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d2).cast("long").alias("sum_d2"),
+    )
+    denom = (
+        F.col("n") * (F.col("n") * F.col("n") - F.lit(1).cast("long"))
+    ).cast("double")
+    return agg.select(
+        *gcols,
+        "n",
+        "sum_d2",
+        F.when(
+            F.col("n") >= 2,
+            F.floor(
+                (
+                    F.lit(1.0)
+                    - F.lit(6.0) * F.col("sum_d2").cast("double") / denom
+                )
+                * F.lit(1_000_000.0)
+            ).cast("long"),
+        ).alias("rho_micro"),
+    )
+
+
+def rank_correlation_sql(
+    scores_sql: str,
+    col_a: str,
+    col_b: str,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`rank_correlation` over a scores subquery —
+    same (score DESC NULLS LAST, id) row_number ranks, BIGINT ``sum_d2``,
+    and the identical float association for ``rho_micro``."""
+    g = f"{group_col}, " if group_col else ""
+    part = f"PARTITION BY {group_col} " if group_col else ""
+    grp = f"GROUP BY {group_col}" if group_col else ""
+    return (
+        f"WITH rc_scores AS ({scores_sql}), "
+        f"rc_ranked AS (SELECT {g}{id_col}, "
+        f"CAST(row_number() OVER ({part}ORDER BY {col_a} DESC NULLS LAST, "
+        f"{id_col}) AS BIGINT) AS ra, "
+        f"CAST(row_number() OVER ({part}ORDER BY {col_b} DESC NULLS LAST, "
+        f"{id_col}) AS BIGINT) AS rb FROM rc_scores), "
+        f"rc_agg AS (SELECT {g}CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2 "
+        f"FROM rc_ranked {grp}) "
+        f"SELECT {g}n, sum_d2, "
+        "CASE WHEN n >= 2 THEN CAST(FLOOR((1.0 - 6.0 * "
+        "CAST(sum_d2 AS DOUBLE) / CAST(n * (n * n - 1) AS DOUBLE)) "
+        "* 1000000.0) AS BIGINT) END AS rho_micro FROM rc_agg"
+    )

@@ -715,3 +715,81 @@ def test_target_lm_score_plan_jvm_only(spark):
     )
     assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
+
+
+def test_ppl_buckets_ntile_and_order(spark):
+    """Bucket 1 must hold the most target-like scores per group, with
+    the deterministic (score DESC, id) order and NTILE's
+    remainder-to-earlier-buckets semantics."""
+    from nlp_to_nosql_spark.operators.curation import ppl_buckets
+
+    target = spark.createDataFrame(
+        [(100, "the cat sat on the mat", "en")],
+        "doc_id long, text string, lang string",
+    )
+    pool = spark.createDataFrame(
+        [
+            (1, "the cat sat", "de"),
+            (2, "the cat", "de"),
+            (3, "zz yy xx", "de"),
+            (4, "qq ww", "de"),
+            (5, "the mat", "fr"),
+            (6, "vv uu tt", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in ppl_buckets(pool, target, "lang", n_buckets=3).collect()
+    }
+    assert len(rows) == 6
+    # de: 4 docs -> NTILE(3) gives buckets of size 2,1,1 in score order
+    de = sorted(
+        ((-rows[i]["mean_lp_micro"], i, rows[i]["ppl_bucket"]) for i in (1, 2, 3, 4))
+    )
+    assert [b for _, _, b in de] == [1, 1, 2, 3]
+    # fr: 2 docs -> buckets 1 and 2; target-like doc 5 first
+    assert rows[5]["ppl_bucket"] == 1 and rows[6]["ppl_bucket"] == 2
+    assert rows[5]["mean_lp_micro"] > rows[6]["mean_lp_micro"]
+
+
+def test_ppl_buckets_matches_duckdb_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    from nlp_to_nosql_spark.operators.curation import (
+        ppl_buckets,
+        ppl_buckets_sql,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "a dog ran to the mat", "en"),
+        (3, "el gato", "es"),
+        (4, "the cat sat", "es"),
+        (5, "un perro corre", "es"),
+        (6, None, "es"),
+        (7, "the mat the mat", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    pred = F.col("lang") == "en"
+    got = sorted(
+        tuple(r)
+        for r in ppl_buckets(
+            df.filter(~pred.eqNullSafe(F.lit(True))),
+            df.filter(pred.eqNullSafe(F.lit(True))),
+            "lang",
+            n_buckets=3,
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            ppl_buckets_sql("lang = 'en'", "lang", 3)
+        ).fetchall()
+    )
+    assert got == want

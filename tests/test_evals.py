@@ -392,3 +392,71 @@ def test_classification_duckdb_twin_parity(cls_frames):
         for r in classification_metrics(p, t, group_cols=["g"]).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (eval6)
+# ---------------------------------------------------------------------------
+
+
+def test_rank_correlation_known_values(spark):
+    """Hand-checkable cases: identical rankings -> rho = 1e6; exactly
+    reversed -> -1e6; a known middle case against the closed form."""
+    from nlp_to_nosql_spark.operators.evals import rank_correlation
+
+    same = spark.createDataFrame(
+        [(i, float(10 - i), float(100 - i)) for i in range(5)],
+        "doc_id long, a double, b double",
+    )
+    r = rank_correlation(same, "a", "b").collect()[0]
+    assert (r["n"], r["sum_d2"], r["rho_micro"]) == (5, 0, 1_000_000)
+    rev = spark.createDataFrame(
+        [(i, float(i), float(10 - i)) for i in range(4)],
+        "doc_id long, a double, b double",
+    )
+    r = rank_correlation(rev, "a", "b").collect()[0]
+    # reversed permutation of n=4: sum_d2 = 9+1+1+9 = 20, rho = 1-120/60
+    assert (r["n"], r["sum_d2"], r["rho_micro"]) == (4, 20, -1_000_000)
+    single = spark.createDataFrame(
+        [(1, 1.0, 2.0)], "doc_id long, a double, b double"
+    )
+    r = rank_correlation(single, "a", "b").collect()[0]
+    assert r["n"] == 1 and r["rho_micro"] is None
+
+
+def test_rank_correlation_grouped_and_ties(spark):
+    """Per-group rows, deterministic id tie-break on equal scores, and
+    NULL scores ranked last on both engines."""
+    import duckdb
+    import pandas as pd
+
+    from nlp_to_nosql_spark.operators.evals import (
+        rank_correlation,
+        rank_correlation_sql,
+    )
+
+    rows = [
+        (1, "x", 5.0, 5.0),
+        (2, "x", 5.0, 3.0),   # tie on a -> id order
+        (3, "x", 1.0, None),  # NULL b -> last
+        (4, "y", 2.0, 1.0),
+        (5, "y", 3.0, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, g string, a double, b double"
+    )
+    got = sorted(
+        tuple(r)
+        for r in rank_correlation(df, "a", "b", group_col="g").collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "s", pd.DataFrame(rows, columns=["doc_id", "g", "a", "b"])
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            rank_correlation_sql("SELECT * FROM s", "a", "b", group_col="g")
+        ).fetchall()
+    )
+    assert got == want

@@ -2862,6 +2862,49 @@ def _q_score_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GPT-3/PaLM 13-gram eval-decontamination FILTER (dc1 is the
+    winnowing REPORT): a training document is removed if it shares any
+    exact 13-gram with the eval split (doc_id % 97 == 0, the dc1/pipe3
+    holdout convention).  The eval gram set is benchmark-sized and
+    rides a broadcast join, so the training corpus never shuffles text
+    (operators/dedup.py ngram_decontaminate)."""
+    from nlp_to_nosql_spark.operators.dedup import ngram_decontaminate
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    ev = F.col("doc_id") % 97 == 0
+    return ngram_decontaminate(docs.filter(~ev), docs.filter(ev), k=13)
+
+
+def _q_ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet curation pipeline end-to-end (Wenzek et al.,
+    arXiv:1911.00359): score the pool under the target-trained LM
+    (lm2), partition each language into perplexity tertiles (lm3), keep
+    the head+middle bands (CCNet trains on them and discards the tail),
+    exact-dedup the survivors (min-id representative per fingerprint),
+    and chunk into 64/16 context windows — every stage an
+    already-oracle-proven block, composed the way the paper runs them.
+    Text shuffles exactly once (the dedup groupBy); scoring, bucketing,
+    and chunking move ids, scores, or per-row arrays."""
+    from nlp_to_nosql_spark.operators.curation import (
+        chunk_by_tokens,
+        ppl_buckets,
+    )
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    pred = F.col("lang") == "en"
+    pool = docs.filter(~pred.eqNullSafe(F.lit(True)))
+    target = docs.filter(pred.eqNullSafe(F.lit(True)))
+    buckets = ppl_buckets(pool, target, "lang", n_buckets=3)
+    keep_ids = buckets.filter(F.col("ppl_bucket") <= 2).select("doc_id")
+    kept = docs.join(keep_ids, "doc_id")
+    rep = kept.groupBy(tx.fingerprint(F.col("text")).alias("_fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    deduped = docs.join(rep.select("doc_id"), "doc_id")
+    return chunk_by_tokens(deduped, "doc_id", "text", chunk_tokens=64, overlap=16)
+
+
 def _q_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE pretraining-data pipeline in one composed plan —
     every stage an already-oracle-proven operator, composed the way a
@@ -3929,6 +3972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm2_target_ppl": _q_target_lm_score,
         "lm3_ppl_buckets": _q_ppl_buckets,
         "eval6_score_correlation": _q_score_correlation,
+        "dc2_ngram_decontamination": _q_ngram_decontaminate,
+        "pipe7_ccnet_curation": _q_ccnet_pipeline,
         "quality2_gopher_rules": _q_gopher_rules,
         "clean1_boilerplate_removal": _q_boilerplate_removal,
         "cap1_source_cap": _q_source_cap,
@@ -4024,21 +4069,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 #: Round-11 driver-window rotation (VERDICT r10 task 4): freshness is
-#: the metric — the five round-11 additions (lm2/lm3/eval6/dedup16/
-#: tok6, checked immediately, never left for a tail) front the window,
-#: followed by 45 of the 50 queries whose last green driver row is
-#: CORRECTNESS_r07 (nothing is staler).  The five r07 members left for
-#: the round-12 front are sibling-covered paths whose in-window twins
-#: exercise the same operators (mm4_audio_decode ~ mm3, ann9_pq_rerank
-#: ~ ann8, stream3_windowed_counts_stream ~ stream1,
+#: the metric — the seven round-11 additions (lm2/lm3/eval6/dc2/pipe7/
+#: dedup16/tok6, checked immediately, never left for a tail) front the
+#: window, followed by 43 of the 50 queries whose last green driver row
+#: is CORRECTNESS_r07 (nothing is staler).  The seven r07 members left
+#: for the round-12 front are sibling-covered paths whose in-window
+#: twins exercise the same operators (mm4_audio_decode ~ mm3,
+#: ann9_pq_rerank ~ ann8, stream3_windowed_counts_stream ~ stream1,
 #: stream2_sessionize_stream ~ stream9/sess1, ann5_ivf_sampled_fit ~
-#: ann3/ann10's fit path); they stay selfcheck-verified each round like
-#: everything outside the window.
+#: ann3/ann10's fit path, stream8_dedup_within_watermark ~ stream4,
+#: stream13_cms_accumulate ~ stream12/sketch2); they stay
+#: selfcheck-verified each round like everything outside the window.
 _ROTATED_FRONT = (
     # new in round 11 (driver-checked immediately)
     "lm2_target_ppl",
     "lm3_ppl_buckets",
     "eval6_score_correlation",
+    "dc2_ngram_decontamination",
+    "pipe7_ccnet_curation",
     "dedup16_semdedup_incremental",
     "tok6_bpe_artifact",
     # stalest greens: last driver row r07
@@ -4079,13 +4127,11 @@ _ROTATED_FRONT = (
     "stream10_cdc_compaction",
     "stream11_cdc_upsert_sink",
     "stream12_hll_accumulate",
-    "stream13_cms_accumulate",
     "stream1_windowed_counts",
     "stream4_dedup_stream",
     "stream5_dim_join_stream",
     "stream6_running_totals",
     "stream7_stream_stream_join",
-    "stream8_dedup_within_watermark",
     "stream9_native_session_stream",
 )
 
@@ -5010,6 +5056,28 @@ def oracle_sql() -> dict[str, str]:
         # tertiles (CCNet head/middle/tail).
         "lm3_ppl_buckets": ppl_buckets_sql(
             "lang = 'en'", group_col="lang", n_buckets=3
+        ),
+        # dc2: the GPT-3/PaLM 13-gram exact-collision decontamination
+        # FILTER over the training split (dc1 is the winnowing report).
+        "dc2_ngram_decontamination": dd.ngram_decontaminate_sql(
+            "doc_id % 97 = 0", k=13
+        ),
+        # pipe7: the CCNet pipeline — lm3's bucket CTE (itself lm2's
+        # scored chain), head+middle keep, pipe3's dedup block, chunk1's
+        # window arithmetic.
+        "pipe7_ccnet_curation": (
+            "WITH buckets AS ("
+            + ppl_buckets_sql("lang = 'en'", group_col="lang", n_buckets=3)
+            + "), "
+            "keep AS (SELECT doc_id FROM buckets WHERE ppl_bucket <= 2), "
+            "kept AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)), "
+            "rep AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY "
+            + tx.FINGERPRINT_SQL.format(c="text")
+            + "), "
+            "src7 AS (SELECT d.* FROM documents d JOIN rep USING (doc_id)), "
+            + CHUNK_CTES.format(src="src7", chunk=64, stride=48).rstrip(", ")
+            + " "
+            + CHUNK_SELECT.format(chunk=64, stride=48)
         ),
         # eval6: per-language Spearman between the corpus-self bigram
         # score (lm1's proven CTE) and the target-trained score (lm2's)

@@ -844,6 +844,112 @@ def contamination_report(
     )
 
 
+def ngram_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 13,
+) -> DataFrame:
+    """The GPT-3/PaLM eval-decontamination convention (Brown et al.,
+    arXiv:2005.14165 appendix C; Chowdhery et al., arXiv:2204.02311
+    §6): a training document is REMOVED if it shares at least one exact
+    ``k``-gram (default 13, the published constant) with any eval-set
+    document.  :func:`contamination_report` is the alignment-free
+    winnowing REPORT over the eval side; this is the exact-collision
+    FILTER over the training side — the two standard decontamination
+    shapes.
+
+    Returns one row per training document: ``(id, n_shared_grams,
+    keep)`` — ``n_shared_grams`` counts the doc's DISTINCT k-grams that
+    appear anywhere in the eval set (BIGINT), ``keep`` is the filter
+    verdict.  Documents shorter than ``k`` tokens contribute their
+    whole normalized text as one gram (the :func:`chunk_spans`
+    fallback — a short training doc equal to a short eval doc is
+    contamination).
+
+    Plan, scale-first: both sides tokenize once; the eval side (a
+    benchmark suite — small by construction) reduces to a DISTINCT gram
+    set that rides a broadcast hash join, so the training corpus never
+    shuffles text: one scan-side gram explode, the broadcast inner
+    join, and a map-side-combined per-doc count.  At 100 TB with a
+    large eval union, grams would be ``xxhash64``-keyed before the
+    join; the string form keeps the DuckDB twin value-exact
+    (:func:`ngram_decontaminate_sql`).
+    """
+    t_grams = tokenized(train, id_col, text_col).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(chunk_spans(F.col("_words"), k, stride=1))
+        ).alias("g"),
+    )
+    e_grams = (
+        tokenized(eval_df, id_col, text_col)
+        .select(
+            F.explode(
+                F.array_distinct(chunk_spans(F.col("_words"), k, stride=1))
+            ).alias("g")
+        )
+        .distinct()
+    )
+    hits = (
+        t_grams.join(F.broadcast(e_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+    )
+    return (
+        train.select(F.col(id_col))
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shared_grams", F.lit(0).cast("long")).alias(
+                "n_shared_grams"
+            ),
+            F.col("n_shared_grams").isNull().alias("keep"),
+        )
+    )
+
+
+def ngram_decontaminate_sql(
+    eval_pred: str = "doc_id % 97 = 0",
+    k: int = 13,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`ngram_decontaminate` over a single table
+    split by ``eval_pred`` (train = NOT pred) — same tokenization,
+    stride-1 k-gram enumeration with the whole-text short-doc
+    fallback, per-doc distinct, and the keep verdict."""
+    from nlp_to_nosql_spark.functions.text import NORMALIZE_SQL
+
+    # plain NORMALIZE (no NULL coalesce) — the dedup-family twin
+    # convention (dedup8/dedup11): tokenized() leaves NULL text as a
+    # NULL token array, whose grams never join on either engine
+    norm = NORMALIZE_SQL.format(c=text_col)
+    grams = (
+        f"unnest(list_distinct(CASE WHEN len(ws) >= {k} THEN "
+        f"[array_to_string(ws[i:i+{k - 1}], ' ') "
+        f"for i in range(1, len(ws) - {k} + 2)] "
+        "ELSE [array_to_string(ws, ' ')] END))"
+    )
+    return (
+        f"WITH tw AS (SELECT {id_col}, string_split({norm}, ' ') AS ws "
+        f"FROM {table} WHERE NOT ({eval_pred})), "
+        f"tg AS (SELECT {id_col}, {grams} AS g FROM tw), "
+        f"ew AS (SELECT string_split({norm}, ' ') AS ws "
+        f"FROM {table} WHERE ({eval_pred})), "
+        f"eg AS (SELECT DISTINCT g FROM (SELECT {grams} AS g FROM ew)), "
+        f"hits AS (SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS "
+        "n_shared_grams FROM tg JOIN eg USING (g) "
+        f"GROUP BY {id_col}) "
+        f"SELECT t.{id_col}, COALESCE(h.n_shared_grams, 0) AS "
+        "n_shared_grams, (h.n_shared_grams IS NULL) AS keep "
+        f"FROM (SELECT {id_col} FROM {table} WHERE NOT ({eval_pred})) t "
+        f"LEFT JOIN hits h USING ({id_col})"
+    )
+
+
 def duplicated_spans(
     df: DataFrame, id_col: str, text_col: str, k: int = 5, stride: int = 2
 ) -> DataFrame:

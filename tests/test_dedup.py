@@ -514,3 +514,78 @@ def test_incremental_new_docs_validation_and_empty_corpus(spark):
         incremental_new_docs(batch, empty, k_hashes=0)
     # empty corpus: everything is new, zero anti-join work
     assert [r["doc_id"] for r in incremental_new_docs(batch, empty).collect()] == [1]
+
+
+def test_ngram_decontaminate_filters_shared_grams(spark):
+    """A training doc sharing one exact k-gram with the eval set is
+    removed; unrelated docs keep; short docs fall back to the
+    whole-text gram (short train == short eval -> contamination)."""
+    from nlp_to_nosql_spark.operators.dedup import ngram_decontaminate
+
+    span = " ".join(f"w{i}" for i in range(13))
+    train = spark.createDataFrame(
+        [
+            (1, f"prefix text {span} suffix tail"),   # contains eval 13-gram
+            (2, "totally unrelated training words here"),
+            (3, "tiny doc"),                          # short, equals eval 30
+            (4, span[:-3] + " different ending here"),  # 12-gram overlap only
+        ],
+        "doc_id long, text string",
+    )
+    # note clean token boundaries: normalization keeps punctuation glued
+    # to tokens ("w12?" != "w12"), so the planted span must stand alone
+    eval_df = spark.createDataFrame(
+        [(20, f"question {span} end"), (30, "tiny doc")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in ngram_decontaminate(train, eval_df, k=13).collect()
+    }
+    assert not rows[1]["keep"] and rows[1]["n_shared_grams"] >= 1
+    assert rows[2]["keep"] and rows[2]["n_shared_grams"] == 0
+    assert not rows[3]["keep"]      # whole-text fallback collision
+    assert rows[4]["keep"]          # 12 shared tokens != a shared 13-gram
+
+
+def test_ngram_decontaminate_matches_duckdb_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    from nlp_to_nosql_spark.operators.dedup import (
+        ngram_decontaminate,
+        ngram_decontaminate_sql,
+    )
+
+    span = " ".join(f"s{i}" for i in range(15))
+    rows = [
+        (0, f"eval doc with {span} inside"),       # doc_id % 3 == 0 -> eval
+        (1, f"train doc copying {span} verbatim"),
+        (2, "clean train doc"),
+        (3, "another eval"),
+        (4, "another eval"),                        # short == doc 3? no: train
+        (5, "clean train doc"),                     # exact dup of 2 (both keep/drop together)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = F.col("doc_id") % 3 == 0
+    got = sorted(
+        tuple(r)
+        for r in ngram_decontaminate(
+            df.filter(~ev), df.filter(ev), k=13
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            ngram_decontaminate_sql("doc_id % 3 = 0", k=13)
+        ).fetchall()
+    )
+    assert got == want
+    # doc 4 ("another eval", actually train) whole-text-collides with
+    # eval doc 3 -> dropped; the planted span drops doc 1
+    by_id = dict((r[0], r[2]) for r in got)
+    assert by_id[1] is False and by_id[4] is False and by_id[2] is True

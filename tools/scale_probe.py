@@ -407,6 +407,76 @@ def main() -> int:
             batch, state, cents, threshold=0.4, compare_to="kept"
         )
 
+    def ppl_buckets_probe(docs):
+        # lm3: lm2's scoring plan + a per-language NTILE over the
+        # one-row-per-doc score frame
+        from nlp_to_nosql_spark.operators.curation import ppl_buckets
+
+        pred = F.col("lang") == "en"
+        return ppl_buckets(
+            docs.filter(~pred.eqNullSafe(F.lit(True))),
+            docs.filter(pred.eqNullSafe(F.lit(True))),
+            "lang",
+            n_buckets=3,
+        )
+
+    def score_corr_probe(docs):
+        # eval6: two LM scorers joined one-row-per-doc, two rank windows
+        from nlp_to_nosql_spark.operators.curation import (
+            bigram_likelihood,
+            target_lm_score,
+        )
+        from nlp_to_nosql_spark.operators.evals import rank_correlation
+
+        pred = F.col("lang") == "en"
+        pool = docs.filter(~pred.eqNullSafe(F.lit(True)))
+        target = docs.filter(pred.eqNullSafe(F.lit(True)))
+        scores = (
+            target_lm_score(pool, target)
+            .select("doc_id", F.col("mean_lp_micro").alias("s_target"))
+            .join(
+                bigram_likelihood(docs).select(
+                    "doc_id",
+                    F.col("mean_cond_prob_micro").alias("s_self"),
+                ),
+                "doc_id",
+            )
+            .join(docs.select("doc_id", "lang"), "doc_id")
+        )
+        return rank_correlation(scores, "s_self", "s_target", group_col="lang")
+
+    def decontaminate_probe(docs):
+        # dc2: eval gram set broadcast, training corpus scan-side only
+        from nlp_to_nosql_spark.operators.dedup import ngram_decontaminate
+
+        ev = F.col("doc_id") % 97 == 0
+        return ngram_decontaminate(docs.filter(~ev), docs.filter(ev), k=13)
+
+    def ccnet_probe(docs):
+        # pipe7: lm2 score -> lm3 tertiles -> keep head+middle -> exact
+        # dedup -> 64/16 chunks
+        from nlp_to_nosql_spark.operators.curation import (
+            chunk_by_tokens,
+            ppl_buckets,
+        )
+
+        pred = F.col("lang") == "en"
+        buckets = ppl_buckets(
+            docs.filter(~pred.eqNullSafe(F.lit(True))),
+            docs.filter(pred.eqNullSafe(F.lit(True))),
+            "lang",
+            n_buckets=3,
+        )
+        keep_ids = buckets.filter(F.col("ppl_bucket") <= 2).select("doc_id")
+        kept = docs.join(keep_ids, "doc_id")
+        rep = kept.groupBy(fingerprint(F.col("text")).alias("_fp")).agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        deduped = docs.join(rep.select("doc_id"), "doc_id")
+        return chunk_by_tokens(
+            deduped, "doc_id", "text", chunk_tokens=64, overlap=16
+        )
+
     def probes(docs, events, emb):
         all_probes = _all_probes(docs, events, emb)
         if only:
@@ -487,6 +557,10 @@ def main() -> int:
             "pipe6_bpe_pack": lambda: bpe_pack_probe(docs),
             "tok_bpe_train_local_1k": lambda: bpe_local_probe(docs),
             "lm2_target_ppl": lambda: target_lm_probe(docs),
+            "lm3_ppl_buckets": lambda: ppl_buckets_probe(docs),
+            "eval6_score_correlation": lambda: score_corr_probe(docs),
+            "dc2_ngram_decontamination": lambda: decontaminate_probe(docs),
+            "pipe7_ccnet_curation": lambda: ccnet_probe(docs),
             "dedup16_semdedup_incremental": lambda: (
                 semdedup_incremental_probe(emb)
             ),

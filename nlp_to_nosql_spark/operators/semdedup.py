@@ -563,13 +563,13 @@ def semantic_dedup_incremental(
     * ``"kept"`` — compare against KEPT representatives only: the
       production default, because dropped rows' vectors are typically
       deleted and cannot be compared against.  Keeps a SUPERSET of the
-      ``"all"`` batch keep-set (a batch row whose only near-dups were
-      themselves dropped survives — its surviving representative is by
-      construction not within threshold, or it would have dropped too
-      ... unless similarity chained, which is exactly the chain the
-      full rerun also re-drops only via the dropped row).  The
-      superset property is test-pinned; the keep decisions never
-      disagree on any row with a kept near-dup.
+      ``"all"`` batch keep-set: the two modes differ exactly on batch
+      rows whose every within-threshold corpus mate was itself dropped
+      (a similarity CHAIN — the dropped mate was near its own
+      lower-id representative, but the batch row is not).  Both the
+      superset property and a planted chain divergence are test-pinned
+      (``test_semdedup_incremental_kept_mode_is_superset``); the modes
+      never disagree on a row with a kept near-dup.
 
     Plan shape (100 TB): batch assignment is one zero-shuffle Arrow
     matmul scan (k×dim ints broadcast in the UDF closure); the corpus

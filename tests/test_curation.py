@@ -793,3 +793,55 @@ def test_ppl_buckets_matches_duckdb_twin(spark):
         ).fetchall()
     )
     assert got == want
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+@pytest.mark.skipif(not HAVE_HYPOTHESIS, reason="hypothesis not installed")
+@settings(max_examples=60, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=18),
+        min_size=1,
+        max_size=10,
+    ),
+    split=st.integers(min_value=0, max_value=3),
+)
+def test_target_lm_sql_matches_python_on_random_corpora(texts, split):
+    """The lm2 DuckDB twin equals the pure-Python stupid-backoff model
+    on arbitrary tiny corpora — whitespace-only texts, repeated tokens,
+    single-token docs, and empty targets included (DuckDB-only per
+    example so hypothesis can afford real case counts; the Spark side
+    is pinned to the same model by the fixed-fixture tests)."""
+    import duckdb
+    import pandas as pd
+
+    from nlp_to_nosql_spark.operators.curation import target_lm_sql
+
+    rows = [
+        (i, t, "en" if i % 4 == split else "xx")
+        for i, t in enumerate(texts)
+    ]
+    target_rows = [(i, t) for i, t, lang in rows if lang == "en"]
+    pool_rows = [(i, t) for i, t, lang in rows if lang != "en"]
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    )
+    got = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(target_lm_sql("lang = 'en'")).fetchall()
+    }
+    if not target_rows:
+        # empty target: NULL scores, token counts still real
+        assert set(got) == {i for i, _ in pool_rows}
+        assert all(v[1] is None for v in got.values())
+    else:
+        assert got == _py_stupid_backoff(pool_rows, target_rows)

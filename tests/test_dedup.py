@@ -589,3 +589,63 @@ def test_ngram_decontaminate_matches_duckdb_twin(spark):
     # eval doc 3 -> dropped; the planted span drops doc 1
     by_id = dict((r[0], r[2]) for r in got)
     assert by_id[1] is False and by_id[4] is False and by_id[2] is True
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+def _py_decontaminate(train_rows, eval_rows, k):
+    import re
+
+    def grams(t):
+        ws = re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+        if len(ws) >= k:
+            return {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+        return {" ".join(ws)}
+
+    eg = set()
+    for _, t in eval_rows:
+        eg |= grams(t)
+    return {
+        i: (len(grams(t) & eg), not (grams(t) & eg)) for i, t in train_rows
+    }
+
+
+@pytest.mark.skipif(not HAVE_HYPOTHESIS, reason="hypothesis not installed")
+@settings(max_examples=60, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=20),
+        min_size=1,
+        max_size=10,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_ngram_decontaminate_sql_matches_python(texts, k):
+    """The dc2 twin equals a pure-Python gram-set model on arbitrary
+    tiny corpora — short-doc whole-text fallback, empty eval split, and
+    gram-boundary cases included (DuckDB-only per example; the Spark
+    side is pinned by the fixed-fixture twin-match test)."""
+    import duckdb
+    import pandas as pd
+
+    from nlp_to_nosql_spark.operators.dedup import ngram_decontaminate_sql
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    train = [(i, t) for i, t in rows if i % 3 != 0]
+    ev = [(i, t) for i, t in rows if i % 3 == 0]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            ngram_decontaminate_sql("doc_id % 3 = 0", k=k)
+        ).fetchall()
+    }
+    assert got == _py_decontaminate(train, ev, k)

@@ -1268,6 +1268,23 @@ def _q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay_dedup_distinct(spark, docs, tag=f"sf{_sf_tag(sf_dir)}")
 
 
+def _q_admission_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming ingest-admission gate: the new-document stream
+    (doc_id % 5 == 0) dedups within itself (dropDuplicates state) and
+    LEFT-ANTI joins the static accepted corpus per micro-batch — the
+    streaming twin of dedup13's batch admission; the emitted
+    fingerprint set equals batch DISTINCT-anti-join SQL
+    (streaming/replay.py replay_incremental_admission)."""
+    from nlp_to_nosql_spark.streaming.replay import (
+        replay_incremental_admission,
+    )
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return replay_incremental_admission(
+        spark, docs, tag=f"sf{_sf_tag(sf_dir)}"
+    )
+
+
 def _q_running_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming keyed-state accumulator (applyInPandasWithState,
     update mode) replayed over two micro-batches; the final per-user
@@ -2862,6 +2879,31 @@ def _q_score_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lm_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LM-ARTIFACT contract under the oracle gate (the lm family's
+    tok6): fit the stupid-backoff count tables on the target split,
+    persist them as a parquet artifact (target_lm_fit), reload with
+    schema validation (target_lm_load), and score the pool from the
+    RELOADED tables — CCNet's fit-once-score-everywhere shape.  The
+    oracle is lm2's twin: it re-derives the same counts, so a lossy or
+    mis-shaped artifact would hash-mismatch
+    (operators/curation.py target_lm_fit / target_lm_score_artifact)."""
+    import tempfile
+
+    from nlp_to_nosql_spark.operators.curation import (
+        target_lm_fit,
+        target_lm_score_artifact,
+    )
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    pred = F.col("lang") == "en"
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_lm_artifact")
+    target_lm_fit(docs.filter(pred.eqNullSafe(F.lit(True))), path)
+    return target_lm_score_artifact(
+        docs.filter(~pred.eqNullSafe(F.lit(True))), path
+    )
+
+
 def _q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The GPT-3/PaLM 13-gram eval-decontamination FILTER (dc1 is the
     winnowing REPORT): a training document is removed if it shares any
@@ -3972,6 +4014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm2_target_ppl": _q_target_lm_score,
         "lm3_ppl_buckets": _q_ppl_buckets,
         "eval6_score_correlation": _q_score_correlation,
+        "lm4_lm_artifact": _q_lm_artifact_roundtrip,
         "dc2_ngram_decontamination": _q_ngram_decontaminate,
         "pipe7_ccnet_curation": _q_ccnet_pipeline,
         "quality2_gopher_rules": _q_gopher_rules,
@@ -4014,6 +4057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream2_sessionize_stream": _q_sessionize_stream,
         "stream3_windowed_counts_stream": _q_windowed_counts_stream,
         "stream4_dedup_stream": _q_dedup_stream,
+        "stream15_admission_stream": _q_admission_stream,
         "stream5_dim_join_stream": _q_dim_join_stream,
         "stream6_running_totals": _q_running_totals_stream,
         "stream7_stream_stream_join": _q_stream_stream_join,
@@ -4069,26 +4113,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 #: Round-11 driver-window rotation (VERDICT r10 task 4): freshness is
-#: the metric — the seven round-11 additions (lm2/lm3/eval6/dc2/pipe7/
-#: dedup16/tok6, checked immediately, never left for a tail) front the
-#: window, followed by 43 of the 50 queries whose last green driver row
-#: is CORRECTNESS_r07 (nothing is staler).  The seven r07 members left
+#: the metric — the nine round-11 additions (lm2/lm3/lm4/eval6/dc2/
+#: pipe7/dedup16/tok6/stream15, checked immediately, never left for a
+#: tail) front the window, followed by 41 of the 50 queries whose last
+#: green driver row is CORRECTNESS_r07 (nothing is staler).  The nine
+#: r07 members left
 #: for the round-12 front are sibling-covered paths whose in-window
 #: twins exercise the same operators (mm4_audio_decode ~ mm3,
 #: ann9_pq_rerank ~ ann8, stream3_windowed_counts_stream ~ stream1,
 #: stream2_sessionize_stream ~ stream9/sess1, ann5_ivf_sampled_fit ~
 #: ann3/ann10's fit path, stream8_dedup_within_watermark ~ stream4,
-#: stream13_cms_accumulate ~ stream12/sketch2); they stay
+#: stream13_cms_accumulate ~ stream12/sketch2, scd2_point_in_time ~
+#: scd1's interval build, mm2_frame_plan ~ mm1's metadata plumbing);
+#: they stay
 #: selfcheck-verified each round like everything outside the window.
 _ROTATED_FRONT = (
     # new in round 11 (driver-checked immediately)
     "lm2_target_ppl",
     "lm3_ppl_buckets",
     "eval6_score_correlation",
+    "lm4_lm_artifact",
     "dc2_ngram_decontamination",
     "pipe7_ccnet_curation",
     "dedup16_semdedup_incremental",
     "tok6_bpe_artifact",
+    "stream15_admission_stream",
     # stalest greens: last driver row r07
     "ann10_ivfpq",
     "ann11_matryoshka",
@@ -4110,7 +4159,6 @@ _ROTATED_FRONT = (
     "emb1_norms_by_label",
     "merge1_latest_wins",
     "mm1_image_features",
-    "mm2_frame_plan",
     "mm3_audio_chunks",
     "mm5_image_resize",
     "ord1_shuffle_shards",
@@ -4121,7 +4169,6 @@ _ROTATED_FRONT = (
     "prof3_pair_degree_hist",
     "quality3_model_filter",
     "scd1_event_intervals",
-    "scd2_point_in_time",
     "sketch1_hll_registers",
     "sketch2_cms_heavy_hitters",
     "stream10_cdc_compaction",
@@ -5057,6 +5104,9 @@ def oracle_sql() -> dict[str, str]:
         "lm3_ppl_buckets": ppl_buckets_sql(
             "lang = 'en'", group_col="lang", n_buckets=3
         ),
+        # lm4: the artifact round trip scores under RELOADED count
+        # tables; the twin re-derives the same counts (lm2's chain).
+        "lm4_lm_artifact": target_lm_sql("lang = 'en'"),
         # dc2: the GPT-3/PaLM 13-gram exact-collision decontamination
         # FILTER over the training split (dc1 is the winnowing report).
         "dc2_ngram_decontamination": dd.ngram_decontaminate_sql(
@@ -5461,6 +5511,17 @@ def oracle_sql() -> dict[str, str]:
         "stream4_dedup_stream": (
             "SELECT DISTINCT " + tx.FINGERPRINT_SQL.format(c="text")
             + " AS fp FROM documents"
+        ),
+        # stream15: admitted fingerprints = the new split's distinct
+        # fps ANTI the accepted corpus's.
+        "stream15_admission_stream": (
+            "WITH cf AS (SELECT DISTINCT "
+            + tx.FINGERPRINT_SQL.format(c="text")
+            + " AS fp FROM documents WHERE doc_id % 5 <> 0), "
+            "bf AS (SELECT DISTINCT "
+            + tx.FINGERPRINT_SQL.format(c="text")
+            + " AS fp FROM documents WHERE doc_id % 5 = 0) "
+            "SELECT fp FROM bf ANTI JOIN cf USING (fp)"
         ),
         "stream5_dim_join_stream": (
             "SELECT date_trunc('hour', ts) AS window_start, c_mktsegment, "

@@ -796,15 +796,22 @@ def target_lm_score(
     emitting a single narrow row per pool document.  No corpus-sized
     state ever reaches the driver.
     """
+    uni, bi, tri = _lm_count_tables(target, id_col, text_col)
+    return _lm_score_pool(pool, uni, bi, tri, id_col, text_col)
+
+
+def _lm_count_tables(
+    target: DataFrame, id_col: str, text_col: str
+) -> tuple:
+    """The stupid-backoff MODEL: the target corpus's unigram/bigram/
+    trigram BIGINT count tables ``(uni(w, c1), bi(a, b, c2),
+    tri(a, b, c, c3))`` — everything :func:`_lm_score_pool` needs
+    ((N, V) totals re-derive from ``uni`` with one tiny aggregate)."""
     tt = _tokens(target, id_col, text_col)
     uni = (
         tt.select(F.explode("_w").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("c1"))
-    )
-    tot = uni.agg(
-        F.sum("c1").cast("long").alias("_n_tok"),
-        F.count(F.lit(1)).cast("long").alias("_n_vocab"),
     )
     bi = (
         tt.select(
@@ -852,7 +859,24 @@ def target_lm_score(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("c3"))
     )
+    return uni, bi, tri
 
+
+def _lm_score_pool(
+    pool: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    tri: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Score ``pool`` under prebuilt stupid-backoff count tables — the
+    shared back half of :func:`target_lm_score` and the artifact path
+    (:func:`target_lm_score_artifact`)."""
+    tot = uni.agg(
+        F.sum("c1").cast("long").alias("_n_tok"),
+        F.count(F.lit(1)).cast("long").alias("_n_vocab"),
+    )
     pt = _tokens(pool, id_col, text_col)
     # stage the context-struct array in its own projection so the
     # Generate's input is a cheap attribute (ExtractGenerator hoists
@@ -975,6 +999,70 @@ def target_lm_score(
             "mean_lp_micro",
         )
     )
+
+
+#: Sub-directory names + required schemas of the persisted LM artifact.
+_LM_ARTIFACT_PARTS = {
+    "uni": ("w", "c1"),
+    "bi": ("a", "b", "c2"),
+    "tri": ("a", "b", "c", "c3"),
+}
+
+
+def target_lm_fit(
+    target: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Fit the stupid-backoff count tables on the target corpus and
+    persist them as a parquet artifact (``path/uni``, ``path/bi``,
+    ``path/tri``) — the LM-artifact contract mirroring the tokenizer's
+    (:func:`~nlp_to_nosql_spark.operators.selection.bpe_save`): CCNet
+    trains its KenLM once on Wikipedia and ships the binary to every
+    scoring job; here the artifact is three BIGINT count tables any
+    engine (including the DuckDB oracle) can read.  The (N, V) totals
+    re-derive from ``uni`` at load, so the artifact carries no scalar
+    sidecar to drift out of sync."""
+    uni, bi, tri = _lm_count_tables(target, id_col, text_col)
+    for name, df in (("uni", uni), ("bi", bi), ("tri", tri)):
+        df.write.mode("overwrite").parquet(f"{path}/{name}")
+
+
+def target_lm_load(path: str, spark) -> tuple:
+    """Load a :func:`target_lm_fit` artifact back into the
+    ``(uni, bi, tri)`` count frames, failing loudly on a missing part
+    or a schema drift (a silently mis-shaped count table would skew
+    every downstream score rather than erroring)."""
+    out = []
+    for name, cols in _LM_ARTIFACT_PARTS.items():
+        df = spark.read.parquet(f"{path}/{name}")
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"target_lm_load: artifact part {name!r} at {path!r} "
+                f"lacks columns {missing} (expected {list(cols)})"
+            )
+        out.append(df.select(*cols))
+    return tuple(out)
+
+
+def target_lm_score_artifact(
+    pool: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score ``pool`` under a PERSISTED LM artifact — the production
+    scoring job (fit once on the trusted sample, score every crawl
+    batch from the artifact).  Identical output to
+    :func:`target_lm_score` on the corpus the artifact was fitted
+    from; the plan swaps the fit-side aggregations for three parquet
+    scans of already-reduced count tables (strictly cheaper — the
+    model tables load partition-pruned and broadcast exactly as the
+    in-plan frames did)."""
+    uni, bi, tri = target_lm_load(path, pool.sparkSession)
+    return _lm_score_pool(pool, uni, bi, tri, id_col, text_col)
 
 
 def target_lm_sql(

@@ -644,6 +644,55 @@ def replay_dedup_within_watermark(
     return spark.table(name)
 
 
+def replay_incremental_admission(
+    spark: SparkSession,
+    documents: DataFrame,
+    corpus_pred=None,
+    tag: str = "admit",
+) -> DataFrame:
+    """Streaming ingest-admission gate: a NEW document stream admitted
+    against the STATIC accepted corpus — the streaming twin of
+    dedup13's batch admission (``dedup.incremental_new_docs``), i.e.
+    the gate a continuously-ingesting corpus runs on every arriving
+    crawl shard.
+
+    The corpus splits by ``corpus_pred`` (default ``doc_id % 5 != 0``;
+    the rest is the stream).  Per micro-batch: streaming
+    ``dropDuplicates`` on the content fingerprint (first arrival wins
+    WITHIN the stream — stream4's state shape, O(distinct keys)), then
+    a stream-static LEFT ANTI join against the corpus fingerprint set
+    (supported stream-static join type; the static side is
+    micro-batch-side, no stream state).  Projected to the fingerprint
+    the bounded replay emits exactly the SET of admitted fingerprints —
+    ``batch-distinct-fps ANTI corpus-fps`` in batch SQL, which is the
+    oracle.  At scale the static side is the Bloom-backed admission
+    filter (dedup13); the exact anti join here keeps the replay
+    value-level-checkable.
+    """
+    from nlp_to_nosql_spark.functions.text import fingerprint
+
+    if corpus_pred is None:
+        corpus_pred = F.col("doc_id") % 5 != 0
+    corpus_fps = (
+        documents.filter(corpus_pred)
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    batch = documents.filter(~corpus_pred).select(
+        F.col("doc_id"), fingerprint(F.col("text")).alias("fp")
+    )
+    path = _work_dir(f"{tag}_admission")
+    batch.coalesce(1).write.mode("overwrite").parquet(path)
+
+    stream = spark.readStream.schema("doc_id long, fp string").parquet(path)
+    admitted = stream.dropDuplicates(["fp"]).join(
+        corpus_fps, "fp", "left_anti"
+    )
+    name = f"replay_{tag}_admission"
+    _run_to_memory(admitted.select("fp"), name, "append")
+    return spark.table(name)
+
+
 def _fold_registers(
     spark: SparkSession, table: str, batch: DataFrame, m: int = 64
 ) -> None:

@@ -845,3 +845,48 @@ def test_target_lm_sql_matches_python_on_random_corpora(texts, split):
         assert all(v[1] is None for v in got.values())
     else:
         assert got == _py_stupid_backoff(pool_rows, target_rows)
+
+
+def test_target_lm_artifact_roundtrip(spark, tmp_path):
+    """The LM-artifact contract: scoring from the persisted count
+    tables equals the in-plan two-frame score — on the fitted pool AND
+    on unseen text (the artifact alone determines every score)."""
+    from nlp_to_nosql_spark.operators.curation import (
+        target_lm_fit,
+        target_lm_score,
+        target_lm_score_artifact,
+    )
+
+    target = spark.createDataFrame(_LM2_TARGET, "doc_id long, text string")
+    pool = spark.createDataFrame(_LM2_POOL, "doc_id long, text string")
+    unseen = spark.createDataFrame(
+        [(900, "never seen wording qq zz")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "lm")
+    target_lm_fit(target, path)
+    for frame in (pool, unseen):
+        want = sorted(
+            tuple(r) for r in target_lm_score(frame, target).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in target_lm_score_artifact(frame, path).collect()
+        )
+        assert got == want
+
+
+def test_target_lm_load_rejects_schema_drift(spark, tmp_path):
+    from nlp_to_nosql_spark.operators.curation import (
+        target_lm_fit,
+        target_lm_load,
+    )
+
+    target = spark.createDataFrame(_LM2_TARGET, "doc_id long, text string")
+    path = str(tmp_path / "lm")
+    target_lm_fit(target, path)
+    # corrupt one part: wrong column name
+    spark.createDataFrame(
+        [("x", 1)], "word string, c1 long"
+    ).write.mode("overwrite").parquet(f"{path}/uni")
+    with pytest.raises(ValueError, match="lacks columns"):
+        target_lm_load(path, spark)

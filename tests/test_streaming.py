@@ -324,3 +324,45 @@ def test_cdc_upsert_sink_equals_batch_merge(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_admission_equals_batch_anti_join(spark):
+    """stream15's bounded replay: the admitted fingerprint set must
+    equal the batch DISTINCT-anti-join — within-stream duplicates
+    collapse to one admission, corpus-known content never admits."""
+    from pyspark.sql import functions as F
+
+    from nlp_to_nosql_spark.functions.text import fingerprint
+    from nlp_to_nosql_spark.streaming.replay import (
+        replay_incremental_admission,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "already in the corpus"),
+            (2, "also already accepted"),
+            (5, "brand new document"),          # admitted
+            (10, "already in the corpus"),      # corpus dup -> rejected
+            (15, "brand new document"),         # stream dup -> one admission
+            (20, "second new document"),        # admitted
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["fp"]
+        for r in replay_incremental_admission(
+            spark, docs, tag="admit_test"
+        ).collect()
+    )
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).select(
+        fingerprint(F.col("text")).alias("fp")
+    )
+    want = sorted(
+        r["fp"]
+        for r in docs.filter(F.col("doc_id") % 5 == 0)
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .join(corpus, "fp", "left_anti")
+        .collect()
+    )
+    assert got == want and len(got) == 2

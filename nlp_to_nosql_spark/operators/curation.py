@@ -1,5 +1,8 @@
 """Corpus-curation operators: repetition quality signals, PII redaction,
-and deterministic domain-mixture sampling.
+deterministic domain-mixture sampling, Gopher rules, chunking, splits,
+caps, corpus-self bigram scoring (lm1), and the target-trained
+stupid-backoff LM family (lm2 scoring, lm3 CCNet perplexity tertiles,
+lm4 persisted count-table artifact).
 
 These are the standard pretraining-data stages between dedup and packing
 (cf. Rae et al., "Scaling Language Models: ... Gopher", arXiv:2112.11446

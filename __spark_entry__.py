@@ -75,6 +75,7 @@ from nlp_to_nosql_spark.operators.funnel import (
 from nlp_to_nosql_spark.operators.classify import (
     hashed_linear_score_sql,
     hashed_linear_score_weights_sql,
+    nb_charngram_langid_sql,
 )
 from nlp_to_nosql_spark.operators.selection import (
     bpe_encode_len_ctes,
@@ -3136,6 +3137,21 @@ def _q_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_linear_score(docs, n_buckets=1024, scale=1000)
 
 
+def _q_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language identifier (fastText-langid / Cavnar-Trenkle
+    shape): multinomial Naive Bayes over char trigrams, fit on a seeded
+    md5 half of the labeled corpus, scoring the held-out half — the
+    repo's distributed classifier-TRAINING path (quality3/4 only apply
+    fixed weights; `functions.text.lang_id` is a fixed stopword
+    heuristic).  Add-one NB with per-gram integer-micro log-probs; the
+    OOV algebra keeps scoring corpus-shaped (one gram-key join) instead
+    of corpus×labels-shaped."""
+    from nlp_to_nosql_spark.operators.classify import nb_charngram_langid
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return nb_charngram_langid(docs, n=3, seed=11)
+
+
 #: Deterministic stand-in for a TRAINED coefficient table (quality4):
 #: every third bucket unweighted, sign and magnitude varying with the
 #: bucket id — shared literally by the Spark weights frame and the
@@ -4083,6 +4099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prof5_length_quantiles": _q_length_quantiles,
         "dedup14_semdedup": _q_semantic_dedup,
         "quality3_model_filter": _q_model_filter,
+        "langid1_charngram_nb": _q_nb_langid,
         "quality4_weighted_filter": _q_weighted_filter,
         "eval1_retrieval_metrics": _q_retrieval_metrics,
         "eval2_classifier_metrics": _q_classifier_metrics,
@@ -4129,6 +4146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: selfcheck-verified each round like everything outside the window.
 _ROTATED_FRONT = (
     # new in round 11 (driver-checked immediately)
+    "langid1_charngram_nb",
     "lm2_target_ppl",
     "lm3_ppl_buckets",
     "eval6_score_correlation",
@@ -5170,6 +5188,7 @@ def oracle_sql() -> dict[str, str]:
         "quality4_weighted_filter": hashed_linear_score_weights_sql(
             _QUALITY4_WEIGHTS
         ),
+        "langid1_charngram_nb": nb_charngram_langid_sql(n=3, seed=11),
         "eval1_retrieval_metrics": retrieval_metrics_sql(
             _bm25_oracle_sql(), _bm25_qrels_sql(), k=5
         ),

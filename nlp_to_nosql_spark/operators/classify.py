@@ -387,3 +387,272 @@ def hashed_linear_score_weights_sql(
         "score_sum > 0 AS keep "
         "FROM w WHERE n_tokens > 0"
     )
+
+
+# ---------------------------------------------------------------------------
+# trained Naive Bayes char-n-gram language identifier (fastText-langid shape)
+# ---------------------------------------------------------------------------
+
+
+def _char_grams(norm: Column, n: int) -> Column:
+    """Sliding character n-grams of an already-normalized text attribute
+    (occurrence list, NOT distinct — NB counts every occurrence).  Empty
+    text → empty array, the ``char_ngram_sketch`` contract: a contentless
+    document contributes no evidence.  ``norm`` MUST be a column
+    attribute, not an expression tree (the lambda-recompute trap,
+    ``dedup.shingles_of_words``)."""
+    return F.when(
+        F.length(norm) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
+            lambda p: norm.substr(p, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def nb_charngram_langid(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    n: int = 3,
+    seed: int = 11,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """TRAINED language identifier: multinomial Naive Bayes over sliding
+    character n-grams, fit distributedly on a seeded half of the labeled
+    corpus and scoring the held-out half — the fastText-langid /
+    Cavnar-Trenkle shape (Joulin et al., arXiv:1607.01759; Cavnar &
+    Trenkle 1994) as count arithmetic, complementing the FIXED stopword
+    heuristic ``functions.text.lang_id`` with a model actually learned
+    from the data.  This is also the repo's distributed classifier
+    TRAINING path (``hashed_linear_score`` only applies fixed weights).
+
+    Model: for label ℓ with training-gram total ``tot_ℓ``, vocabulary
+    size ``V`` (distinct grams across the whole training half) and
+    add-one smoothing, a gram ``g`` seen ``c_{ℓg}`` times contributes
+    ``lp = floor((ln(c_{ℓg}+1) − ln(tot_ℓ+V)) · scale)`` and the label
+    prior contributes ``floor((ln(d_ℓ) − ln(d)) · scale)`` (training doc
+    counts).  Every input to ``ln`` is an exactly-representable BIGINT —
+    the repo's one libm trust point, shared with the DuckDB twin
+    (:func:`nb_charngram_langid_sql`) — and per-gram floors make the
+    per-(doc,label) BIGINT sum partition-order-free.  Prediction =
+    argmax score, ties → lexicographically smallest label (both engines
+    sort ``(score DESC, label ASC)``).
+
+    Train/score split: the seeded 28-bit md5 bucket (``dedup.
+    md5_hash28``, the mix1/cap1 convention) — ``h % 2 = 0`` trains,
+    ``h % 2 = 1`` is scored; deterministic and partition-layout-free.
+
+    The OOV algebra keeps the plan corpus-shaped rather than
+    corpus×labels-shaped: a gram unseen for label ℓ contributes the
+    per-label CONSTANT ``miss_ℓ = floor(−ln(tot_ℓ+V)·scale)``, so
+    ``score(doc, ℓ) = Σ_matched lp + (n_grams − n_matched_ℓ)·miss_ℓ +
+    prior_ℓ`` — the scored grams join ONCE on the gram key against the
+    (label, gram) count table and only the per-(doc,label) AGGREGATE
+    meets the tiny label-constants frame.
+
+    Returns one row per held-out document:
+    ``(id, label, pred_label, n_grams, score_micro)`` where ``label`` is
+    the true label (for downstream accuracy evals) and ``score_micro``
+    the winning label's NB log-score.  Documents whose text yields no
+    grams are predicted from priors alone.  An empty training half
+    yields an empty result (no model, no predictions) on both engines.
+
+    Plan shape (100 TB): the count tables are TRAIN-sized groupBys that
+    aggregate down to (labels × vocab) rows; scoring pays one char-gram
+    explode (same factor as the dedup shingle tables, persisted under
+    the same conf), one hash join on the gram key, and one per-(doc,
+    label-hit) groupBy; the label-constants/vocab frames are ≤ |labels|
+    rows, broadcast.  No corpus-sized state reaches the driver.
+    """
+    from nlp_to_nosql_spark.operators.dedup import md5_hash28
+    from nlp_to_nosql_spark.plans.caching import persisted
+
+    sid = F.col(id_col).cast("string")
+    is_train = (
+        md5_hash28(F.concat(F.lit(f"nb{seed}:"), sid)) % 2 == 0
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(label_col).alias("_label"),
+        tx.normalize_text(F.col(text_col)).alias("_norm"),
+        is_train.alias("_train"),
+    )
+    train = base.filter(F.col("_train"))
+    score = base.filter(~F.col("_train"))
+
+    train_grams = persisted(
+        train.select("_label", _char_grams(F.col("_norm"), n).alias("_gs"))
+        .select("_label", F.explode("_gs").alias("g")),
+        "shingles",
+    )
+    counts = train_grams.groupBy("_label", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    vocab = train_grams.select("g").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("_v")
+    )
+    doc_counts = train.groupBy("_label").agg(
+        F.count(F.lit(1)).cast("long").alias("_dl")
+    )
+    tot_docs = train.agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    gram_tots = train_grams.groupBy("_label").agg(
+        F.count(F.lit(1)).cast("long").alias("_tot")
+    )
+    lconst = (
+        doc_counts.join(gram_tots, "_label", "left")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(tot_docs))
+        .select(
+            "_label",
+            (F.coalesce("_tot", F.lit(0).cast("long")) + F.col("_v")).alias(
+                "_den"
+            ),
+            F.floor(
+                -F.log((F.coalesce("_tot", F.lit(0).cast("long")) + F.col("_v"))
+                       .cast("double"))
+                * F.lit(float(scale))
+            ).cast("long").alias("_miss"),
+            F.floor(
+                (F.log(F.col("_dl").cast("double"))
+                 - F.log(F.col("_d").cast("double")))
+                * F.lit(float(scale))
+            ).cast("long").alias("_prior"),
+        )
+    )
+
+    sg = persisted(
+        score.select(
+            F.col(id_col), _char_grams(F.col("_norm"), n).alias("_gs")
+        ).select(F.col(id_col), F.explode("_gs").alias("g")),
+        "shingles",
+    )
+    per_doc = sg.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_ng")
+    )
+    matched = (
+        sg.join(counts, "g")
+        .join(F.broadcast(lconst.select("_label", "_den")), "_label")
+        .select(
+            F.col(id_col),
+            "_label",
+            F.floor(
+                (F.log((F.col("c") + 1).cast("double"))
+                 - F.log(F.col("_den").cast("double")))
+                * F.lit(float(scale))
+            ).cast("long").alias("_lp"),
+        )
+        .groupBy(id_col, "_label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_nm"),
+            F.sum("_lp").cast("long").alias("_slp"),
+        )
+    )
+    ids = score.select(F.col(id_col), F.col("_label").alias("_true")).join(
+        per_doc, id_col, "left"
+    )
+    scored = (
+        ids.crossJoin(F.broadcast(lconst))
+        .join(matched, [id_col, "_label"], "left")
+        .select(
+            F.col(id_col),
+            F.col("_true"),
+            F.col("_label"),
+            F.coalesce("_ng", F.lit(0).cast("long")).alias("_ngp"),
+            (
+                F.coalesce("_slp", F.lit(0).cast("long"))
+                + (
+                    F.coalesce("_ng", F.lit(0).cast("long"))
+                    - F.coalesce("_nm", F.lit(0).cast("long"))
+                ) * F.col("_miss")
+                + F.col("_prior")
+            ).alias("_score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_score").desc(), F.col("_label").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("_true").alias(label_col),
+            F.col("_label").alias("pred_" + label_col),
+            F.col("_ngp").alias("n_grams"),
+            F.col("_score").alias("score_micro"),
+        )
+    )
+
+
+def nb_charngram_langid_sql(
+    n: int = 3,
+    seed: int = 11,
+    scale: int = 1_000_000,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> str:
+    """DuckDB twin of :func:`nb_charngram_langid` — same seeded md5
+    split, same add-one NB algebra with per-gram integer-micro floors,
+    same ``(score DESC, label ASC)`` argmax."""
+    norm = tx.NORMALIZE_SQL.format(c=f"COALESCE({text_col}, '')")
+    split = (
+        f"CAST(CAST('0x' || substr(md5('nb{seed}:' || "
+        f"CAST({id_col} AS VARCHAR)), 1, 7) AS UBIGINT) % 2 AS BIGINT)"
+    )
+    grams = (
+        "CASE WHEN len(nm) > 0 THEN "
+        f"[substr(nm, p, {n}) for p in range(1, greatest(len(nm) - {n - 1}, 1) + 1)] "
+        "ELSE [] END"
+    )
+    return (
+        f"WITH base AS (SELECT {id_col}, {label_col} AS _label, "
+        f"{norm} AS nm, {split} = 0 AS _train FROM {table}), "
+        f"tg AS (SELECT _label, unnest({grams}) AS g FROM base WHERE _train), "
+        "counts AS (SELECT _label, g, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM tg GROUP BY 1, 2), "
+        "vocab AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS _v FROM tg), "
+        "dc AS (SELECT _label, CAST(COUNT(*) AS BIGINT) AS _dl "
+        "FROM base WHERE _train GROUP BY 1), "
+        "td AS (SELECT CAST(COUNT(*) AS BIGINT) AS _d FROM base WHERE _train), "
+        "gt AS (SELECT _label, CAST(COUNT(*) AS BIGINT) AS _tot "
+        "FROM tg GROUP BY 1), "
+        "lconst AS (SELECT dc._label, COALESCE(_tot, 0) + _v AS _den, "
+        f"CAST(FLOOR(-ln(CAST(COALESCE(_tot, 0) + _v AS DOUBLE)) * {scale}) "
+        "AS BIGINT) AS _miss, "
+        f"CAST(FLOOR((ln(CAST(_dl AS DOUBLE)) - ln(CAST(_d AS DOUBLE))) * {scale}) "
+        "AS BIGINT) AS _prior "
+        "FROM dc LEFT JOIN gt ON dc._label = gt._label CROSS JOIN vocab "
+        "CROSS JOIN td), "
+        f"sg AS (SELECT {id_col}, unnest({grams}) AS g "
+        "FROM base WHERE NOT _train), "
+        f"pd AS (SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS _ng "
+        "FROM sg GROUP BY 1), "
+        f"matched AS (SELECT {id_col}, _label, "
+        "CAST(COUNT(*) AS BIGINT) AS _nm, "
+        "CAST(SUM(_lp) AS BIGINT) AS _slp FROM ("
+        f"SELECT sg.{id_col}, counts._label, "
+        "CAST(FLOOR((ln(CAST(c + 1 AS DOUBLE)) - ln(CAST(_den AS DOUBLE))) "
+        f"* {scale}) AS BIGINT) AS _lp "
+        "FROM sg JOIN counts USING (g) "
+        "JOIN lconst ON counts._label = lconst._label) GROUP BY 1, 2), "
+        f"ids AS (SELECT base.{id_col}, base._label AS _true, pd._ng "
+        f"FROM base LEFT JOIN pd USING ({id_col}) WHERE NOT _train), "
+        f"scored AS (SELECT ids.{id_col}, ids._true, lconst._label, "
+        "COALESCE(_ng, 0) AS _ngp, "
+        "COALESCE(_slp, 0) + (COALESCE(_ng, 0) - COALESCE(_nm, 0)) * _miss "
+        "+ _prior AS _score "
+        "FROM ids CROSS JOIN lconst "
+        f"LEFT JOIN matched ON ids.{id_col} = matched.{id_col} "
+        "AND lconst._label = matched._label) "
+        f"SELECT {id_col}, _true AS {label_col}, _label AS pred_{label_col}, "
+        "_ngp AS n_grams, _score AS score_micro FROM ("
+        f"SELECT *, ROW_NUMBER() OVER (PARTITION BY {id_col} "
+        "ORDER BY _score DESC, _label ASC) AS _rn FROM scored) "
+        "WHERE _rn = 1"
+    )

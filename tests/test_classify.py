@@ -222,3 +222,143 @@ def test_bad_impl_raises(docs):
     _, df = docs
     with pytest.raises(ValueError, match="impl"):
         hashed_linear_score(df, impl="numpy")
+
+
+# ---------------------------------------------------------------------------
+# trained NB char-n-gram language identifier
+# ---------------------------------------------------------------------------
+
+import math
+
+from nlp_to_nosql_spark.operators.classify import nb_charngram_langid
+
+N = 3
+SEED = 11
+
+
+def _nb_split_is_train(doc_id: int) -> bool:
+    return int(hashlib.md5(f"nb{SEED}:{doc_id}".encode()).hexdigest()[:7], 16) % 2 == 0
+
+
+def _nb_grams(text: str) -> list:
+    # Spark/DuckDB `trim` strips SPACES only (not tabs/newlines); the
+    # collapse happens after lower(trim(..)) — mirror that exactly.
+    norm = re.sub(r"\s+", " ", (text or "").strip(" ").lower())
+    if not norm:
+        return []
+    return [norm[p - 1 : p - 1 + N] for p in range(1, max(len(norm) - (N - 1), 1) + 1)]
+
+
+def _nb_model(rows):
+    """Pure-python twin of nb_charngram_langid: same seeded split,
+    add-one NB, per-gram integer-micro floors, (score DESC, label ASC)
+    argmax."""
+    train = [(i, lab, txt) for i, txt, lab in rows if _nb_split_is_train(i)]
+    score = [(i, lab, txt) for i, txt, lab in rows if not _nb_split_is_train(i)]
+    counts: dict = {}
+    gram_tot: dict = {}
+    doc_cnt: dict = {}
+    vocab = set()
+    for _, lab, txt in train:
+        doc_cnt[lab] = doc_cnt.get(lab, 0) + 1
+        for g in _nb_grams(txt):
+            counts[(lab, g)] = counts.get((lab, g), 0) + 1
+            gram_tot[lab] = gram_tot.get(lab, 0) + 1
+            vocab.add(g)
+    if not train:
+        return {}
+    v, d = len(vocab), len(train)
+    out = {}
+    for i, true_lab, txt in score:
+        grams = _nb_grams(txt)
+        best = None
+        for lab in sorted(doc_cnt):
+            den = gram_tot.get(lab, 0) + v
+            miss = math.floor(-math.log(den) * 1_000_000)
+            prior = math.floor(
+                (math.log(doc_cnt[lab]) - math.log(d)) * 1_000_000
+            )
+            s = prior
+            for g in grams:
+                c = counts.get((lab, g), 0)
+                if c:
+                    s += math.floor(
+                        (math.log(c + 1) - math.log(den)) * 1_000_000
+                    )
+                else:
+                    s += miss
+            if best is None or s > best[1]:
+                best = (lab, s)
+        out[i] = (true_lab, best[0], len(grams), best[1])
+    return out
+
+
+@pytest.fixture(scope="module")
+def lang_rows():
+    return [
+        (0, "the cat sat on the mat and the dog slept", "en"),
+        (1, "le chat est sur le tapis et le chien dort", "fr"),
+        (2, "the weather is nice and the sun shines today", "en"),
+        (3, "il fait beau et le soleil brille aujourd'hui", "fr"),
+        (4, "der hund schläft auf dem teppich im zimmer", "de"),
+        (5, "the quick brown fox jumps over the lazy dog", "en"),
+        (6, "le renard brun saute par dessus le chien", "fr"),
+        (7, "die katze sitzt auf der matte und schläft", "de"),
+        (8, "", "en"),  # contentless: priors-only prediction
+        (9, "   \t ", "fr"),  # whitespace-only: priors-only too
+        (10, "a", "de"),  # shorter than n: one short gram
+        (11, "the sun and the moon and the stars above", "en"),
+        (12, "le soleil et la lune et les étoiles", "fr"),
+    ]
+
+
+def test_nb_langid_matches_pure_python(spark, lang_rows):
+    df = spark.createDataFrame(
+        lang_rows, "doc_id long, text string, lang string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["lang"], r["pred_lang"], r["n_grams"], r["score_micro"]
+        )
+        for r in nb_charngram_langid(df, n=N, seed=SEED).collect()
+    }
+    want = _nb_model(lang_rows)
+    assert want, "fixture must place at least one row in the training half"
+    assert got == want
+
+
+def test_nb_langid_scores_exactly_the_held_out_half(spark, lang_rows):
+    df = spark.createDataFrame(
+        lang_rows, "doc_id long, text string, lang string"
+    )
+    got_ids = {
+        r["doc_id"] for r in nb_charngram_langid(df, n=N, seed=SEED).collect()
+    }
+    assert got_ids == {
+        i for i, _, _ in lang_rows if not _nb_split_is_train(i)
+    }
+
+
+def test_nb_langid_empty_training_half_yields_empty(spark):
+    held_out = next(i for i in range(100) if not _nb_split_is_train(i))
+    df = spark.createDataFrame(
+        [(held_out, "some text", "en")], "doc_id long, text string, lang string"
+    )
+    assert nb_charngram_langid(df, n=N, seed=SEED).count() == 0
+
+
+def test_nb_langid_contentless_doc_predicted_from_priors(spark, lang_rows):
+    df = spark.createDataFrame(
+        lang_rows, "doc_id long, text string, lang string"
+    )
+    rows = {
+        r["doc_id"]: r for r in nb_charngram_langid(df, n=N, seed=SEED).collect()
+    }
+    want = _nb_model(lang_rows)
+    saw_contentless = False
+    for i, txt, _ in lang_rows:
+        if i in rows and not _nb_grams(txt):
+            saw_contentless = True
+            assert rows[i]["n_grams"] == 0
+            assert rows[i]["pred_lang"] == want[i][1]
+    assert saw_contentless, "fixture must hold out at least one empty doc"

@@ -32,6 +32,7 @@ from nlp_to_nosql_spark.operators.similarity import (
     RandomHyperplaneLSH,
     embedding_neardup_exact,
     int_srp_topk_sql,
+    knn_graph_sql,
     quantize_long_sql,
     topk_bruteforce,
     topk_quantized_sql,
@@ -617,6 +618,21 @@ def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in qrows
     ]
     return hard_negative_topk(emb, queries, k=5)
+
+
+def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN graph over the int8-quantized cosine: one directed
+    edge per (vector, neighbor-rank) with a mutual-kNN flag — the
+    substrate of graph-based curation (cluster pruning, label
+    propagation, NN-descent seeding).  Blocked int64 matmuls emit exact
+    (dot, na, nb) integers; similarity, ranking, and the mutual
+    self-join happen JVM-side, so no numpy float rounding reaches the
+    output.  Fail-fast above spark.nlp2nosql.exact.maxRows — at corpus
+    scale the graph is built per IVF cell."""
+    from nlp_to_nosql_spark.operators.similarity import knn_graph
+
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    return knn_graph(emb, k=5)
 
 
 def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4090,6 +4106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff1_snapshot_diff": _q_snapshot_diff,
         "dedup13_incremental": _q_incremental_ingest,
         "ann12_hard_negatives": _q_hard_negatives,
+        "ann13_knn_graph": _q_knn_graph,
         "sketch1_hll_registers": _q_hll_registers,
         "sketch2_cms_heavy_hitters": _q_cms_heavy_hitters,
         "stream12_hll_accumulate": _q_hll_accumulate_stream,
@@ -4147,6 +4164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _ROTATED_FRONT = (
     # new in round 11 (driver-checked immediately)
     "langid1_charngram_nb",
+    "ann13_knn_graph",
     "lm2_target_ppl",
     "lm3_ppl_buckets",
     "eval6_score_correlation",
@@ -5063,6 +5081,7 @@ def oracle_sql() -> dict[str, str]:
             "QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id "
             "ORDER BY cos_sim DESC, e.vec_id) <= 5"
         ),
+        "ann13_knn_graph": knn_graph_sql(k=5),
         # sketch1/2: md5-family integer hashes + integer-only rho / cell
         # math — every register and sketch cell replays bit-exactly.
         "sketch1_hll_registers": _SKETCH_HLL_SQL,

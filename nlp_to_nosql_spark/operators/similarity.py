@@ -1061,6 +1061,213 @@ def topk_quantized_sql(
     )
 
 
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 127,
+    block_size: int = 1024,
+    n_blocks: int | None = None,
+    sel_margin: int = 8,
+) -> DataFrame:
+    """Exact k-nearest-neighbor GRAPH over the int8-quantized cosine —
+    one directed edge per (vector, neighbor-rank) plus a ``mutual``
+    flag.  The k-NN graph is the substrate of graph-based curation
+    (SemDeDup-style cluster pruning, label propagation, kNN-classifier
+    evals, NN-descent seeding); this operator materializes it with the
+    repo's exact-integer discipline so it carries a value-level DuckDB
+    oracle (:func:`knn_graph_sql`).
+
+    Similarity is :func:`topk_quantized`'s arithmetic — exact BIGINT
+    code dot products and squared norms, two IEEE sqrts, one divide,
+    ``round(·, 6)`` — with final ordering ``(quant_sim DESC, dst ASC)``
+    per source.  Zero-norm vectors score 0 against everything.  Edges
+    are DIRECTED (src's top-k); ``mutual`` marks edges whose reverse is
+    also a top-k edge — the mutual-kNN filter graph-clustering wants.
+
+    Execution is the blocked-matmul shape of
+    :func:`embedding_neardup_exact`: id-hash blocks, each unordered
+    block-pair computes ONE int64 numpy matmul inside
+    ``applyInPandas``, and each pair emits only its LOCAL top
+    ``k + sel_margin`` candidates per source as exact integer
+    ``(dot, na, nb)`` rows — the float similarity and the rank are
+    computed JVM-side from those integers, so no numpy float rounding
+    ever reaches the output (the ann4/eval4 half-to-even caveat does
+    not apply; selection inside a block uses raw doubles, where a
+    candidate dropped despite post-round-tying with the kept k-th
+    would need > ``sel_margin`` raw-double near-ties in one block —
+    not observed at any SF).  Global per-source top-k is one
+    ``n_blocks·(k+margin)``-candidate window, and the mutual flag one
+    self-join of the k·n edge list.  Same fail-fast ceiling as the
+    exact near-dup tier (``spark.nlp2nosql.exact.maxRows``): at corpus
+    scale, run this per IVF cell (:class:`~nlp_to_nosql_spark.
+    operators.ivf.IVFIndex` partitions, then exact graph within cells)
+    instead of globally.
+    """
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError("knn_graph: k must be >= 1")
+    spark = df.sparkSession
+    ceiling = int(
+        spark.conf.get(_EXACT_MAX_ROWS_CONF, str(_EXACT_MAX_ROWS_DEFAULT))
+    )
+    quant = quantize_embeddings(df, id_col, vec_col, levels).select(
+        id_col, "codes"
+    )
+    if n_blocks is None:
+        quant = persisted(quant, "vectors")
+        n = quant.count()
+        if ceiling > 0 and n > ceiling:
+            quant.unpersist()
+            raise ValueError(
+                f"knn_graph: input has more than {ceiling} rows (saw {n}); "
+                "the exact all-pairs tier is O(n²). Build the graph per "
+                "IVF cell (operators/ivf.py) or raise "
+                f"{_EXACT_MAX_ROWS_CONF} deliberately."
+            )
+        n_blocks = max(1, -(-n // block_size))
+    elif ceiling > 0:
+        probe = quant.limit(ceiling + 1).count()
+        if probe > ceiling:
+            raise ValueError(
+                f"knn_graph: input exceeds {ceiling} rows; see "
+                f"{_EXACT_MAX_ROWS_CONF}"
+            )
+
+    blocks = fan_out(quant).withColumn(
+        "blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    )
+    replicated = blocks.select(
+        id_col,
+        "codes",
+        "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("other"),
+    ).select(
+        id_col,
+        "codes",
+        "blk",
+        F.least("blk", "other").alias("pa"),
+        F.greatest("blk", "other").alias("pb"),
+    )
+
+    m = int(k + sel_margin)
+
+    def _local_topm(ids_src, ids_dst, dots, na, nb, out):
+        # selection only — final ordering recomputes from the exact ints
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = dots / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+        sims[~np.isfinite(sims)] = 0.0
+        for i in range(len(ids_src)):
+            row = sims[i]
+            mask = ids_dst != ids_src[i]
+            cand = np.nonzero(mask)[0]
+            if len(cand) > m:
+                # top-m by (sim desc, dst asc): lexsort on (-sim, dst)
+                order = np.lexsort((ids_dst[cand], -row[cand]))[:m]
+                cand = cand[order]
+            for j in cand:
+                out.append(
+                    (
+                        int(ids_src[i]),
+                        int(ids_dst[j]),
+                        int(dots[i, j]),
+                        int(na[i]),
+                        int(nb[j]),
+                    )
+                )
+
+    def compare(key, pdf):
+        pa, pb = key
+        ids = pdf[id_col].to_numpy()
+        x = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
+        norms2 = (x * x).sum(axis=1)
+        in_a = (pdf["blk"] == pa).to_numpy()
+        out: list = []
+        if pa == pb:
+            dots = x @ x.T
+            _local_topm(ids, ids, dots, norms2, norms2, out)
+        else:
+            xa, xb = x[in_a], x[~in_a]
+            ia, ib = ids[in_a], ids[~in_a]
+            na2, nb2 = norms2[in_a], norms2[~in_a]
+            dots = xa @ xb.T
+            _local_topm(ia, ib, dots, na2, nb2, out)
+            _local_topm(ib, ia, dots.T, nb2, na2, out)
+        return pd.DataFrame(
+            out, columns=["src", "dst", "dot", "na", "nb"]
+        ).astype("int64")
+
+    cands = replicated.groupBy("pa", "pb").applyInPandas(
+        compare, "src long, dst long, dot long, na long, nb long"
+    )
+    denom = F.sqrt(F.col("na").cast("double")) * F.sqrt(
+        F.col("nb").cast("double")
+    )
+    sim = F.when(
+        denom > 0, F.round(F.col("dot").cast("double") / denom, 6)
+    ).otherwise(F.lit(0.0))
+    w = Window.partitionBy("src").orderBy(
+        F.col("quant_sim").desc(), F.col("dst").asc()
+    )
+    edges = persisted(
+        cands.select("src", "dst", sim.alias("quant_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "src", "dst", F.col("rank").cast("int").alias("rank"), "quant_sim"
+        ),
+        "edges",
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"),
+        F.lit(True).alias("mutual"),
+    )
+    return edges.join(rev, ["src", "dst"], "left").select(
+        "src",
+        "dst",
+        "rank",
+        "quant_sim",
+        F.coalesce("mutual", F.lit(False)).alias("mutual"),
+    )
+
+
+def knn_graph_sql(
+    k: int = 5,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 127,
+) -> str:
+    """DuckDB twin of :func:`knn_graph` — full all-pairs quantized
+    cosine (the oracle can afford O(n²) at check scale), identical
+    ``(quant_sim DESC, dst ASC)`` ranking, identical mutual self-join."""
+    return (
+        "WITH quant AS ("
+        + quantize_sql(table, id_col, vec_col, levels)
+        + "), "
+        "nrm AS (SELECT "
+        f"{id_col} AS vid, codes, "
+        "list_sum([codes[i] * codes[i] for i in range(1, len(codes) + 1)]) "
+        "AS n2 FROM quant), "
+        "scored AS (SELECT a.vid AS src, b.vid AS dst, "
+        "CASE WHEN sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)) > 0 "
+        "THEN ROUND(CAST(list_sum([a.codes[i] * b.codes[i] "
+        "for i in range(1, len(a.codes) + 1)]) AS DOUBLE) / "
+        "(sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))), 6) "
+        "ELSE 0.0 END AS quant_sim "
+        "FROM nrm a JOIN nrm b ON a.vid <> b.vid), "
+        "ranked AS (SELECT src, dst, quant_sim, "
+        "ROW_NUMBER() OVER (PARTITION BY src "
+        "ORDER BY quant_sim DESC, dst ASC) AS rnk FROM scored), "
+        f"knn AS (SELECT * FROM ranked WHERE rnk <= {int(k)}) "
+        "SELECT e.src, e.dst, CAST(e.rnk AS INT) AS rank, e.quant_sim, "
+        "r.src IS NOT NULL AS mutual "
+        "FROM knn e LEFT JOIN knn r ON e.src = r.dst AND e.dst = r.src"
+    )
+
+
 def hard_negative_topk(
     df: DataFrame,
     queries: Sequence[tuple[int, Sequence[float], object]],

@@ -540,3 +540,106 @@ def test_hard_negative_topk_excludes_query_label_and_is_exact(spark):
     # q0 (label a): nearest non-a are 2 (0.976) then 4 (0.707)
     # q3 (label b): nearest non-b are 4 (0.707) then 1 (0.100)
     assert got == [(0, 2), (0, 4), (3, 4), (3, 1)]
+
+
+# ---------------------------------------------------------------------------
+# exact k-NN graph (blocked int-quantized cosine, mutual flag)
+# ---------------------------------------------------------------------------
+
+
+def _knn_twin(vecs, k, levels=127):
+    """Pure-python twin: quantize (floor x/maxabs*levels), all-pairs
+    rounded quantized cosine, (sim desc, dst asc) top-k, mutual flag."""
+    import math
+
+    codes = {}
+    for i, v in vecs:
+        maxabs = max((abs(float(x)) for x in v), default=0.0)
+        codes[i] = (
+            [int(math.floor(float(x) / maxabs * levels)) for x in v]
+            if maxabs > 0
+            else [0] * len(v)
+        )
+    edges = {}
+    for src in codes:
+        cands = []
+        for dst in codes:
+            if dst == src:
+                continue
+            a, b = codes[src], codes[dst]
+            dot = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            sim = round(dot / (na * nb), 6) if na * nb > 0 else 0.0
+            cands.append((dst, sim))
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        edges[src] = cands[:k]
+    out = {}
+    for src, cs in edges.items():
+        for rank, (dst, sim) in enumerate(cs, 1):
+            mutual = any(d == src for d, _ in edges.get(dst, []))
+            out[(src, dst)] = (rank, sim, mutual)
+    return out
+
+
+def test_knn_graph_matches_pure_python_all_pairs(spark):
+    from nlp_to_nosql_spark.operators.similarity import knn_graph
+
+    import random
+
+    rng = random.Random(7)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)
+    ]
+    vecs.append((30, [0.0] * 8))  # zero vector: sim 0 with everything
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    # block_size 8 forces multiple blocks → exercises the blocked merge
+    got = {
+        (r["src"], r["dst"]): (r["rank"], r["quant_sim"], r["mutual"])
+        for r in knn_graph(df, k=3, block_size=8).collect()
+    }
+    assert got == _knn_twin(vecs, k=3)
+
+
+def test_knn_graph_excludes_self_and_caps_k(spark):
+    from nlp_to_nosql_spark.operators.similarity import knn_graph
+
+    vecs = [(i, [1.0, float(i)]) for i in range(6)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    rows = knn_graph(df, k=10).collect()
+    for r in rows:
+        assert r["src"] != r["dst"]
+    from collections import Counter
+
+    per_src = Counter(r["src"] for r in rows)
+    assert all(c == 5 for c in per_src.values())  # n-1 < k → all others
+
+
+def test_knn_graph_mutual_flag_is_symmetric_membership(spark):
+    from nlp_to_nosql_spark.operators.similarity import knn_graph
+
+    import random
+
+    rng = random.Random(3)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    edges = {
+        (r["src"], r["dst"]): r["mutual"] for r in knn_graph(df, k=2).collect()
+    }
+    for (s, d), m in edges.items():
+        assert m == ((d, s) in edges)
+
+
+def test_knn_graph_scale_guard_refuses_oversize(spark):
+    from nlp_to_nosql_spark.operators.similarity import knn_graph
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    spark.conf.set("spark.nlp2nosql.exact.maxRows", "10")
+    try:
+        with pytest.raises(ValueError, match="exact.maxRows"):
+            knn_graph(df, k=2)
+    finally:
+        spark.conf.unset("spark.nlp2nosql.exact.maxRows")

@@ -86,6 +86,7 @@ from nlp_to_nosql_spark.operators.selection import (
     dsir_select_by_sql,
     dsir_select_gumbel_sql,
     dsir_select_sql,
+    unigram_viterbi_sql,
 )
 from nlp_to_nosql_spark.operators.graph import pagerank_sql
 from nlp_to_nosql_spark.operators.evals import (
@@ -2261,6 +2262,20 @@ def _q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_pairs(docs, top_n=50)
 
 
+def _q_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM subword segmentation (SentencePiece's Viterbi
+    inference, Kudo arXiv:1804.10959): corpus-substring piece inventory
+    with integer-micro log scores, then a per-word max-likelihood DP —
+    forward pass and backtrack both as `aggregate` higher-order
+    functions in ONE zero-shuffle projection over the Heaps'-law
+    distinct-word frame.  The non-merge-based production tokenizer
+    family, complementing BPE (tok3-tok6)."""
+    from nlp_to_nosql_spark.operators.selection import unigram_viterbi
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return unigram_viterbi(docs, max_piece_len=4, min_count=2)
+
+
 def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full BPE trainer LOOP (tok3 is its inner statistic): 4
     driver-iterated merges over the persisted Heaps'-law vocabulary —
@@ -4134,6 +4149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok4_bpe_train": _q_bpe_train,
         "tok5_bpe_encode": _q_bpe_encode,
         "tok6_bpe_artifact": _q_bpe_artifact_roundtrip,
+        "tok7_unigram_viterbi": _q_unigram_viterbi,
         "pipe6_bpe_pack": _q_bpe_pack_pipeline,
         "dedup15_semdedup_fitted": _q_semantic_dedup_fitted,
         "dedup16_semdedup_incremental": _q_semantic_dedup_incremental,
@@ -4165,6 +4181,7 @@ _ROTATED_FRONT = (
     # new in round 11 (driver-checked immediately)
     "langid1_charngram_nb",
     "ann13_knn_graph",
+    "tok7_unigram_viterbi",
     "lm2_target_ppl",
     "lm3_ppl_buckets",
     "eval6_score_correlation",
@@ -5271,6 +5288,9 @@ def oracle_sql() -> dict[str, str]:
         # the unrolled train+encode chain, so artifact lossiness would
         # hash-mismatch.
         "tok6_bpe_artifact": bpe_encode_len_sql(n_merges=4),
+        "tok7_unigram_viterbi": unigram_viterbi_sql(
+            max_piece_len=4, min_count=2
+        ),
         # pipe6: tok5's proven train+encode CTE chain feeding pack1's
         # prefix-sum window arithmetic — the composed tokenizer→packing
         # pipeline.

@@ -1220,3 +1220,262 @@ def bpe_encode_len_sql(
     the final encoded vocabulary (zero-token documents keep a 0 row)."""
     ctes = bpe_encode_len_ctes(n_merges, table, text_col, id_col)
     return f"WITH {ctes} SELECT {id_col}, n_tokens FROM encoded"
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM Viterbi segmentation (the SentencePiece inference pass)
+# ---------------------------------------------------------------------------
+
+
+def unigram_viterbi(
+    df: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Unigram-LM subword segmentation (Kudo, arXiv:1804.10959 — the
+    SentencePiece unigram model's Viterbi inference): build a piece
+    inventory from the corpus's own substring statistics, score each
+    piece by its corpus log-frequency, and segment every DISTINCT word
+    into the maximum-likelihood piece sequence by dynamic programming.
+    The BPE family (tok3–tok6) covers the merge-based tokenizer; this is
+    the other production tokenizer family, and unlike BPE its inference
+    is a per-word DP, not a greedy merge replay.
+
+    Inventory: every substring of length 1..``max_piece_len`` of every
+    corpus word, counted weighted by word frequency; pieces of length
+    ≥ 2 must reach ``min_count`` (noise floor), single characters are
+    ALWAYS kept so every word stays segmentable (no OOV path — the
+    inventory is built from the same corpus it segments).  Piece score
+    ``lp = floor((ln(c) − ln(T)) · scale)`` with ``T`` the kept
+    inventory's total count — exact BIGINTs into the one libm-trusted
+    ``ln``, so the whole DP runs on integers and carries a value-level
+    DuckDB oracle (:func:`unigram_viterbi_sql`).
+
+    Viterbi: ``dp[i] = max over piece (j, i]`` of ``dp[j] + lp(piece)``,
+    ties → the LONGEST last piece (both engines maximize the struct
+    ``(score, piece_len)``).  The whole DP — forward pass AND
+    backtrack — is TWO ``aggregate`` higher-order functions over the
+    word's character positions: plain Catalyst expressions, no Python,
+    no unrolled plan (iteration count is runtime data), evaluated in
+    one projection over the Heaps'-law distinct-word frame.  The DP
+    array and the piece map are staged as attributes in their own
+    projections first (the lambda-recompute trap,
+    ``dedup.shingles_of_words``).
+
+    Returns ``(word, wc, n_pieces, seg, score_micro)``: corpus
+    frequency, piece count, the segmentation joined with spaces, and
+    the winning path's total log-score.
+
+    Plan shape (100 TB): one corpus-token shuffle into the distinct-word
+    frame (the ``bpe_vocab`` contract), then everything is
+    vocabulary-sized — the span explode (×len×L), the piece-count
+    groupBy, one gram-keyed join of word-pieces against the scored
+    inventory, one map-building groupBy, and a zero-shuffle DP
+    projection.  The corpus text is never touched again after the word
+    count; no state reaches the driver.
+    """
+    from nlp_to_nosql_spark.plans.caching import persisted
+
+    if max_piece_len < 1:
+        raise ValueError("unigram_viterbi: max_piece_len must be >= 1")
+    L = int(max_piece_len)
+
+    words = persisted(
+        df.select(F.explode(_tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc")),
+        "tokens",
+    )
+
+    def _spans_arr(wcol: Column) -> Column:
+        ln = F.length(wcol)
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), ln),
+                lambda j: F.transform(
+                    F.sequence(F.lit(1), F.least(F.lit(L), ln - j + 1)),
+                    lambda l: wcol.substr(j, l),
+                ),
+            )
+        )
+
+    staged = words.select("w", "wc", _spans_arr(F.col("w")).alias("_sp"))
+    counts = (
+        staged.select("wc", F.explode("_sp").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("wc").cast("long").alias("c"))
+    )
+    kept = counts.filter(
+        (F.length("piece") == 1) | (F.col("c") >= int(min_count))
+    )
+    tot = kept.agg(F.sum("c").cast("long").alias("_t"))
+    lp = kept.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        F.floor(
+            (F.log(F.col("c").cast("double")) - F.log(F.col("_t").cast("double")))
+            * F.lit(float(scale))
+        ).cast("long").alias("lp"),
+    )
+
+    wp = (
+        staged.select("w", F.explode(F.array_distinct("_sp")).alias("piece"))
+        .join(lp, "piece")
+        .groupBy("w")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("piece"), F.col("lp")))
+            ).alias("m")
+        )
+    )
+    frame = words.join(wp, "w")
+
+    def _dp_col(wcol: Column, m: Column) -> Column:
+        def step(acc, i):
+            cands = []
+            for off in range(1, L + 1):
+                j = i - F.lit(off)
+                s = F.when(
+                    j >= 0,
+                    F.element_at(acc, (j + F.lit(1)).cast("int")).getField("s")
+                    + F.element_at(m, wcol.substr(j + 1, F.lit(off))),
+                )
+                cands.append(
+                    F.struct(
+                        s.alias("s"), F.lit(off).cast("int").alias("plen")
+                    )
+                )
+            best = F.array_max(
+                F.filter(
+                    F.array(*cands), lambda c: c.getField("s").isNotNull()
+                )
+            )
+            return F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        best.getField("s").alias("s"),
+                        (i - best.getField("plen")).cast("int").alias("bp"),
+                    )
+                ),
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.length(wcol)),
+            F.array(
+                F.struct(
+                    F.lit(0).cast("long").alias("s"),
+                    F.lit(0).cast("int").alias("bp"),
+                )
+            ),
+            step,
+        )
+
+    with_dp = frame.select(
+        "w", "wc", _dp_col(F.col("w"), F.col("m")).alias("_dp")
+    )
+
+    def _walk_col(wcol: Column, dp: Column) -> Column:
+        ln = F.length(wcol)
+
+        def step(acc, _):
+            pos = acc.getField("pos")
+            bp = F.element_at(dp, pos + F.lit(1)).getField("bp")
+            return F.when(
+                pos > 0,
+                F.struct(
+                    bp.alias("pos"),
+                    F.concat(
+                        F.array(wcol.substr(bp + 1, pos - bp)),
+                        acc.getField("ps"),
+                    ).alias("ps"),
+                ),
+            ).otherwise(acc)
+
+        return F.aggregate(
+            F.sequence(F.lit(1), ln),
+            F.struct(
+                ln.cast("int").alias("pos"),
+                F.array().cast("array<string>").alias("ps"),
+            ),
+            step,
+        )
+
+    walked = with_dp.select(
+        "w", "wc", "_dp", _walk_col(F.col("w"), F.col("_dp")).alias("_wk")
+    )
+    return walked.select(
+        F.col("w").alias("word"),
+        "wc",
+        F.size(F.col("_wk").getField("ps")).cast("long").alias("n_pieces"),
+        F.array_join(F.col("_wk").getField("ps"), " ").alias("seg"),
+        F.element_at(F.col("_dp"), F.length("w") + 1)
+        .getField("s")
+        .alias("score_micro"),
+    )
+
+
+def unigram_viterbi_sql(
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    scale: int = 1_000_000,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`unigram_viterbi` — the same inventory,
+    the same integer-micro piece scores, and the SAME DP expressed as
+    two recursive CTEs: the forward pass carries the growing
+    ``(scores, backpointers)`` lists per word (each iteration appends
+    position ``i`` from a per-(word, i) candidate list, maximizing the
+    ``{s, plen}`` struct exactly like the Spark ``array_max``), the
+    backtrack walks the finished backpointer list.  Recursion depth =
+    max word length, not corpus size."""
+    norm = tx.NORMALIZE_SQL.format(c=f"COALESCE({text_col}, '')")
+    L, mc = int(max_piece_len), int(min_count)
+    return (
+        "WITH RECURSIVE toks AS (SELECT "
+        f"list_filter(string_split({norm}, ' '), t -> t <> '') AS ts "
+        f"FROM {table}), "
+        "words AS (SELECT f AS w, CAST(count(*) AS BIGINT) AS wc "
+        "FROM toks, LATERAL UNNEST(ts) AS u(f) GROUP BY f), "
+        "spans AS (SELECT w, wc, j, l, substr(w, j, l) AS piece "
+        "FROM words, LATERAL UNNEST(generate_series(1, len(w))) AS a(j), "
+        f"LATERAL UNNEST(generate_series(1, least({L}, len(w) - j + 1))) "
+        "AS b(l)), "
+        "counts AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS c "
+        "FROM spans GROUP BY piece), "
+        "kept AS (SELECT piece, c FROM counts "
+        f"WHERE length(piece) = 1 OR c >= {mc}), "
+        "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM kept), "
+        "lp AS (SELECT piece, CAST(FLOOR((ln(CAST(c AS DOUBLE)) - "
+        f"ln(CAST(t AS DOUBLE))) * {int(scale)}) AS BIGINT) AS lp "
+        "FROM kept CROSS JOIN tot), "
+        "wp AS (SELECT DISTINCT s.w, s.j, s.l, lp.lp "
+        "FROM spans s JOIN lp USING (piece)), "
+        "cand AS (SELECT w, j + l - 1 AS i, "
+        "list({'j': j - 1, 'lp': lp, 'plen': l}) AS cs "
+        "FROM wp GROUP BY w, j + l - 1), "
+        "dp AS ("
+        "SELECT w, wc, len(w) AS ln, 0 AS i, [CAST(0 AS BIGINT)] AS ss, "
+        "[0] AS bps FROM words "
+        "UNION ALL "
+        "SELECT w, wc, ln, i, list_append(ss, best['s']), "
+        "list_append(bps, best['bp']) FROM ("
+        "SELECT d.w, d.wc, d.ln, d.i + 1 AS i, d.ss AS ss, d.bps AS bps, "
+        "list_sort([{'s': d.ss[x.j + 1] + x.lp, 'plen': x.plen, "
+        "'bp': x.j} for x in c.cs], 'DESC')[1] AS best "
+        "FROM dp d JOIN cand c ON c.w = d.w AND c.i = d.i + 1 "
+        "WHERE d.i < d.ln)), "
+        "fin AS (SELECT w, wc, ln, ss, bps FROM dp WHERE i = ln), "
+        "back AS ("
+        "SELECT w, ln AS pos, bps, CAST([] AS VARCHAR[]) AS ps FROM fin "
+        "UNION ALL "
+        "SELECT w, bps[pos + 1], bps, "
+        "list_prepend(substr(w, bps[pos + 1] + 1, pos - bps[pos + 1]), ps) "
+        "FROM back WHERE pos > 0), "
+        "seg AS (SELECT w, ps FROM back WHERE pos = 0) "
+        "SELECT f.w AS word, f.wc, CAST(len(s.ps) AS BIGINT) AS n_pieces, "
+        "array_to_string(s.ps, ' ') AS seg, f.ss[f.ln + 1] AS score_micro "
+        "FROM fin f JOIN seg s USING (w)"
+    )

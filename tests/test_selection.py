@@ -964,3 +964,117 @@ def test_bpe_train_local_incremental_equals_naive(words, n):
     from nlp_to_nosql_spark.operators.selection import _bpe_merge_loop
 
     assert _bpe_merge_loop(dict(words), n) == _naive_merge_loop(words, n)
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM Viterbi segmentation (tok7)
+# ---------------------------------------------------------------------------
+
+
+def _uv_twin(texts, L=4, min_count=2, scale=1_000_000):
+    """Pure-python twin of unigram_viterbi: same inventory, integer-micro
+    scores, (score, piece_len)-max DP with longest-piece tie-break."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        norm = _re.sub(r"\s+", " ", (t or "").strip(" ").lower())
+        for w in norm.split(" "):
+            if w:
+                words[w] += 1
+    counts = Counter()
+    for w, wc in words.items():
+        for j in range(len(w)):
+            for l in range(1, min(L, len(w) - j) + 1):
+                counts[w[j : j + l]] += wc
+    kept = {
+        p: c for p, c in counts.items() if len(p) == 1 or c >= min_count
+    }
+    t_tot = sum(kept.values())
+    lp = {
+        p: math.floor((math.log(c) - math.log(t_tot)) * scale)
+        for p, c in kept.items()
+    }
+    out = {}
+    for w, wc in words.items():
+        n = len(w)
+        dp = [(0, 0)] + [None] * n  # (score, backpointer)
+        for i in range(1, n + 1):
+            best = None
+            for off in range(1, min(L, i) + 1):
+                j = i - off
+                piece = w[j:i]
+                if piece not in lp or dp[j] is None:
+                    continue
+                cand = (dp[j][0] + lp[piece], off)
+                if best is None or cand > best[0:2]:
+                    best = (cand[0], cand[1], j)
+            dp[i] = (best[0], best[2])
+        pieces = []
+        pos = n
+        while pos > 0:
+            bp = dp[pos][1]
+            pieces.insert(0, w[bp:pos])
+            pos = bp
+        out[w] = (wc, len(pieces), " ".join(pieces), dp[n][0])
+    return out
+
+
+def test_unigram_viterbi_matches_pure_python_on_random_corpus(spark):
+    from nlp_to_nosql_spark.operators.selection import unigram_viterbi
+
+    import random
+
+    rng = random.Random(17)
+    alphabet = "abcdef"
+    texts = [
+        " ".join(
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9)))
+            for _ in range(rng.randint(1, 12))
+        )
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["word"]: (r["wc"], r["n_pieces"], r["seg"], r["score_micro"])
+        for r in unigram_viterbi(df, max_piece_len=4, min_count=2).collect()
+    }
+    assert got == _uv_twin(texts)
+
+
+def test_unigram_viterbi_prefers_longer_piece_on_score_tie(spark):
+    from nlp_to_nosql_spark.operators.selection import unigram_viterbi
+
+    # 'ab' appears twice (kept, c=2); 'a'/'b' singles c=2 each.  Any
+    # exact score tie between ['ab'] and ['a','b'] must resolve to the
+    # longer piece; with lp(ab)=lp(a)=lp(b) impossible here, assert the
+    # structural invariant instead: every segmentation is optimal per
+    # the twin (which implements the same tie-break).
+    texts = ["ab ab aab"]
+    df = spark.createDataFrame([(0, texts[0])], "doc_id long, text string")
+    got = {
+        r["word"]: r["seg"]
+        for r in unigram_viterbi(df, max_piece_len=4, min_count=2).collect()
+    }
+    want = {w: v[2] for w, v in _uv_twin(texts).items()}
+    assert got == want
+    assert got["ab"] == "ab"  # whole word kept as one piece
+
+
+def test_unigram_viterbi_single_chars_always_segmentable(spark):
+    from nlp_to_nosql_spark.operators.selection import unigram_viterbi
+
+    # every word is unique → no multi-char piece reaches min_count;
+    # all words must still segment (into single chars)
+    df = spark.createDataFrame(
+        [(0, "wxyz qrst mnop")], "doc_id long, text string"
+    )
+    rows = unigram_viterbi(df, max_piece_len=4, min_count=2).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["n_pieces"] == len(r["word"])
+        assert r["seg"] == " ".join(r["word"])

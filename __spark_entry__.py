@@ -2443,6 +2443,18 @@ def _q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_table(scored, truth).orderBy("band")
 
 
+def _q_kmv_lang_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct sketches per language + pairwise Jaccard
+    estimated ENTIRELY in sketch space — the set-operation capability
+    HLL registers lack.  Salted two-stage bottom-k keeps hot keys off a
+    single reducer; the pair join is #langs²-sized sketch rows."""
+    from nlp_to_nosql_spark.operators.sketch import kmv_by, kmv_jaccard_pairs
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    sk = kmv_by(docs, ["lang"], "text", k=64)
+    return kmv_jaccard_pairs(sk, "lang", k=64)
+
+
 def _q_hll_snapshot_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-fingerprint overlap between two corpus snapshots from
     HLL sketches alone (sketch.hll_overlap) — the drift/contamination
@@ -2751,6 +2763,7 @@ from nlp_to_nosql_spark.operators.sketch import (  # noqa: E402
     HLL_REGISTERS_SQL as _HLL_SQL_T,
     hll_ndv_by_sql as _hll_ndv_by_sql,
     hll_overlap_sql as _hll_overlap_sql,
+    kmv_overlap_sql as _kmv_overlap_sql,
     cms_heavy_hitters_by_sql as _cms_heavy_by_sql,
 )
 
@@ -4139,6 +4152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch3_hll_ndv_by_lang": _q_hll_ndv_by_lang,
         "sketch4_hll_snapshot_overlap": _q_hll_snapshot_overlap,
         "sketch5_cms_heavy_by_lang": _q_cms_heavy_by_lang,
+        "sketch6_kmv_lang_overlap": _q_kmv_lang_overlap,
         "eval4_ann_recall": _q_ann_recall,
         "fuse1_rrf_hybrid": _q_rrf_hybrid,
         "eval5_dedup_quality": _q_dedup_quality,
@@ -4182,6 +4196,7 @@ _ROTATED_FRONT = (
     "langid1_charngram_nb",
     "ann13_knn_graph",
     "tok7_unigram_viterbi",
+    "sketch6_kmv_lang_overlap",
     "lm2_target_ppl",
     "lm3_ppl_buckets",
     "eval6_score_correlation",
@@ -5315,6 +5330,7 @@ def oracle_sql() -> dict[str, str]:
             "vec_id % 4 <> 0", n_clusters=8, iters=2, threshold=0.4,
             seed=7, compare_to="kept",
         ),
+        "sketch6_kmv_lang_overlap": _kmv_overlap_sql("lang", k=64),
         # sketch5: per-key CMS + per-key exact audit (QUALIFY window).
         "sketch5_cms_heavy_by_lang": (
             "SELECT * FROM ("

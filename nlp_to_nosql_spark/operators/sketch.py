@@ -698,3 +698,168 @@ def cms_heavy_hitters_by_sql(
         f"FROM probes p JOIN cms c ON {on} "
         f"GROUP BY {pk}, p.tok, p.true_cnt"
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) distinct sketch + sketch-space Jaccard
+# ---------------------------------------------------------------------------
+
+
+def kmv_by(
+    df: DataFrame,
+    key_cols: "list[str]",
+    text_col: str = "text",
+    k: int = 64,
+    salt: int = 16,
+) -> DataFrame:
+    """Bottom-k (KMV) distinct sketch per key group: the ``k`` smallest
+    60-bit md5 hashes of the group's distinct normalized tokens (Bar-
+    Yossef et al. 2002; Beyer et al., SIGMOD 2007).  The third sketch
+    family after HLL (NDV) and CMS (frequency): unlike HLL registers, a
+    bottom-k sketch supports SET operations in sketch space — the
+    k smallest of a union is computable from the two sketches alone —
+    which is what :func:`kmv_jaccard_pairs` exploits for containment/
+    overlap estimates HLL cannot give directly.
+
+    Returns ``(key..., kmv array<long> ascending, n_kept, ndv_est)``.
+    When the group has fewer than ``k`` distinct tokens the sketch IS
+    the distinct set and ``ndv_est = n_kept`` exactly; otherwise the
+    standard KMV estimator ``floor((k−1)·2⁶⁰ / h_k)`` — the numerator
+    is one exact IEEE double (small int × power of two), the divide is
+    the one shared float op, so the estimate replays bit-exactly in
+    DuckDB (:func:`kmv_by_sql`).  NULL/empty tokens are not values
+    (the HLL register contract).
+
+    Scale shape: tokenize (zero-shuffle) → one distinct groupBy of
+    ``(key, hash)`` (map-side combined) → SALTED two-stage bottom-k
+    (``hash % salt`` sub-partitions keep a hot key's distinct hashes
+    off a single reducer; second stage ranks ``k·salt`` survivors per
+    key) → one ≤ k-row-per-key collect_list.  Sketches merge across
+    shards by union + re-rank, same discipline as the HLL MAX-merge.
+    """
+    if k < 2:
+        raise ValueError("kmv_by: k must be >= 2")
+    from pyspark.sql import Window
+
+    toks = tokens_by(df, key_cols, text_col)
+    dist = (
+        toks.select(*key_cols, md5_hash60(F.col("tok")).alias("h"))
+        .groupBy(*key_cols, "h")
+        .agg(F.lit(1))
+        .select(*key_cols, "h")
+    )
+    salted = dist.withColumn(
+        "_s", F.pmod(F.col("h"), F.lit(int(salt))).cast("int")
+    )
+    w1 = Window.partitionBy(*key_cols, "_s").orderBy("h")
+    local = salted.withColumn("_rn", F.row_number().over(w1)).filter(
+        F.col("_rn") <= k
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy("h")
+    glob = local.withColumn("_rn2", F.row_number().over(w2)).filter(
+        F.col("_rn2") <= k
+    )
+    num = float((k - 1) * (1 << 60))  # exact: small int × 2^60
+    agg = glob.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_list("h")).alias("kmv"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    return agg.select(
+        *key_cols,
+        "kmv",
+        "n_kept",
+        F.when(F.col("n_kept") < k, F.col("n_kept"))
+        .otherwise(
+            F.floor(
+                F.lit(num) / F.element_at("kmv", k).cast("double")
+            ).cast("long")
+        )
+        .alias("ndv_est"),
+    )
+
+
+def kmv_jaccard_pairs(sketches: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Pairwise Jaccard estimates between every two key groups, computed
+    ENTIRELY in sketch space: ``U_k`` = the ``k`` smallest of the two
+    sketches' union (exactly the union's own KMV sketch), and
+    ``J ≈ |{h ∈ U_k : h ∈ A ∧ h ∈ B}| / |U_k|`` (Beyer et al. 2007
+    §5).  Input is :func:`kmv_by` output; the join is
+    ``#groups²/2``-sized — sketch rows, never corpus rows.
+
+    Returns ``(key_a, key_b, union_k, inter_k, jaccard_est)`` for
+    ``key_a < key_b``; ``jaccard_est`` rounds half-away-from-zero to 6
+    places in both engines (one exact integer ratio through one IEEE
+    divide)."""
+    a = sketches.select(
+        F.col(key_col).alias("key_a"),
+        F.col("kmv").alias("_ka"),
+        F.col("ndv_est").alias("ndv_a"),
+    )
+    b = sketches.select(
+        F.col(key_col).alias("key_b"),
+        F.col("kmv").alias("_kb"),
+        F.col("ndv_est").alias("ndv_b"),
+    )
+    joined = a.join(b, F.col("key_a") < F.col("key_b"))
+    u = F.slice(
+        F.array_sort(F.array_union(F.col("_ka"), F.col("_kb"))), 1, int(k)
+    )
+    staged = joined.select(
+        "key_a", "key_b", "ndv_a", "ndv_b", "_ka", "_kb", u.alias("_u")
+    )
+    inter = F.filter(
+        F.col("_u"),
+        lambda h: F.array_contains(F.col("_ka"), h)
+        & F.array_contains(F.col("_kb"), h),
+    )
+    return staged.select(
+        "key_a",
+        "key_b",
+        "ndv_a",
+        "ndv_b",
+        F.size("_u").cast("long").alias("union_k"),
+        F.size(inter).cast("long").alias("inter_k"),
+        F.round(
+            F.size(inter).cast("double") / F.size("_u").cast("double"), 6
+        ).alias("jaccard_est"),
+    )
+
+
+def kmv_overlap_sql(
+    key_col: str = "lang",
+    k: int = 64,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``kmv_by`` + ``kmv_jaccard_pairs`` over one keyed
+    corpus — same 60-bit md5 hashes, same bottom-k (QUALIFY row_number),
+    same sketch-space union/intersection algebra."""
+    norm = NORMALIZE_SQL.format(c=f"COALESCE({text_col}, '')")
+    num = float((k - 1) * (1 << 60))
+    return (
+        f"WITH t AS (SELECT {key_col} AS key, "
+        f"unnest(string_split({norm}, ' ')) AS tok FROM {table}), "
+        "hs AS (SELECT DISTINCT key, "
+        "CAST(CAST('0x' || substr(md5(tok), 1, 15) AS UBIGINT) AS BIGINT) "
+        "AS h FROM t WHERE tok <> ''), "
+        "bk AS (SELECT key, h FROM hs "
+        f"QUALIFY ROW_NUMBER() OVER (PARTITION BY key ORDER BY h) <= {k}), "
+        "km AS (SELECT key, list_sort(list(h ORDER BY h)) AS kmv, "
+        "CAST(COUNT(*) AS BIGINT) AS n_kept FROM bk GROUP BY key), "
+        "sk AS (SELECT key, kmv, n_kept, "
+        f"CASE WHEN n_kept < {k} THEN n_kept "
+        f"ELSE CAST(FLOOR({num!r} / CAST(kmv[{k}] AS DOUBLE)) AS BIGINT) "
+        "END AS ndv_est FROM km), "
+        "pairs AS (SELECT a.key AS key_a, b.key AS key_b, "
+        "a.kmv AS ka, b.kmv AS kb, "
+        "a.ndv_est AS ndv_a, b.ndv_est AS ndv_b, "
+        f"list_sort(list_distinct(a.kmv || b.kmv))[1:{k}] AS u "
+        "FROM sk a JOIN sk b ON a.key < b.key) "
+        "SELECT key_a, key_b, ndv_a, ndv_b, "
+        "CAST(len(u) AS BIGINT) AS union_k, "
+        "CAST(len([x for x in u IF list_contains(ka, x) "
+        "AND list_contains(kb, x)]) AS BIGINT) AS inter_k, "
+        "ROUND(CAST(len([x for x in u IF list_contains(ka, x) "
+        "AND list_contains(kb, x)]) AS DOUBLE) / CAST(len(u) AS DOUBLE), 6) "
+        "AS jaccard_est FROM pairs"
+    )

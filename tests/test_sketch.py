@@ -514,3 +514,73 @@ def test_unicode_tokens_hash_cross_engine(spark):
         reg, v = h % 64, h >> 6
         regs[reg] = max(regs.get(reg, 0), _py_rho(v, 55))
     assert got == regs
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_regime_below_k(spark):
+    """Fewer distinct tokens than k → the sketch IS the distinct set and
+    ndv_est is exact."""
+    from nlp_to_nosql_spark.operators.sketch import kmv_by
+
+    df = spark.createDataFrame(
+        [("a", "x y z x y"), ("a", "z w")], "lang string, text string"
+    )
+    row = kmv_by(df, ["lang"], "text", k=64).collect()[0]
+    assert row["n_kept"] == 4  # x y z w
+    assert row["ndv_est"] == 4
+    assert list(row["kmv"]) == sorted(row["kmv"])
+
+
+def test_kmv_estimator_tracks_true_ndv(spark):
+    """1000 distinct tokens, k=64 → estimate within 30% (KMV σ ≈
+    1/√(k−2) ≈ 12.7%)."""
+    from nlp_to_nosql_spark.operators.sketch import kmv_by
+
+    text = " ".join(f"tok{i}" for i in range(1000))
+    df = spark.createDataFrame([("a", text)], "lang string, text string")
+    row = kmv_by(df, ["lang"], "text", k=64).collect()[0]
+    assert row["n_kept"] == 64
+    assert 700 <= row["ndv_est"] <= 1300
+
+
+def test_kmv_jaccard_exact_when_sets_small(spark):
+    """Below k the sketches are the full sets → Jaccard is exact."""
+    from nlp_to_nosql_spark.operators.sketch import kmv_by, kmv_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [("a", "p q r s"), ("b", "r s t u")], "lang string, text string"
+    )
+    sk = kmv_by(df, ["lang"], "text", k=64)
+    row = kmv_jaccard_pairs(sk, "lang", k=64).collect()[0]
+    assert (row["key_a"], row["key_b"]) == ("a", "b")
+    assert row["union_k"] == 6 and row["inter_k"] == 2
+    assert row["jaccard_est"] == round(2 / 6, 6)
+
+
+def test_kmv_sketch_merges_by_union_rerank(spark):
+    """KMV merge law: bottom-k of (A ∪ B) == bottom-k of
+    (sketch(A) ∪ sketch(B)) — the shard-merge discipline."""
+    from nlp_to_nosql_spark.operators.sketch import kmv_by
+
+    ta = " ".join(f"a{i}" for i in range(200))
+    tb = " ".join(f"b{i}" for i in range(200))
+    k = 16
+    both = spark.createDataFrame(
+        [("u", ta), ("u", tb)], "lang string, text string"
+    )
+    parts = spark.createDataFrame(
+        [("a", ta), ("b", tb)], "lang string, text string"
+    )
+    merged_direct = list(
+        kmv_by(both, ["lang"], "text", k=k).collect()[0]["kmv"]
+    )
+    shards = {
+        r["lang"]: list(r["kmv"])
+        for r in kmv_by(parts, ["lang"], "text", k=k).collect()
+    }
+    rerank = sorted(set(shards["a"]) | set(shards["b"]))[:k]
+    assert merged_direct == rerank

@@ -52,6 +52,7 @@ from nlp_to_nosql_spark.operators.curation import (
     gopher_sql,
     hash_split_sql,
     mixture_sql,
+    unimax_sql,
     ppl_buckets_sql,
     stratified_split_sql,
     target_lm_sql,
@@ -3278,6 +3279,20 @@ def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(docs, "doc_id", "text")
 
 
+def _q_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixture planning (Chung et al., arXiv:2304.09151): split a
+    token budget across languages as uniformly as the per-language epoch
+    cap allows — relational water-filling (prefix-sum + window argmax
+    over the m group rows), all BIGINT, no driver loop.  Budget 20000 at
+    E=1 exercises all three regimes across the SFs: mixed capped/
+    uncapped at sf0.01, all-capped at sf0.001, pure even split at
+    sf0.1."""
+    from nlp_to_nosql_spark.operators.curation import unimax_allocation
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return unimax_allocation(docs, "lang", budget=20000, max_epochs=1)
+
+
 def _q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flattened source mixture (α=0.5): keep rates derived
     from per-source corpus shares (sqrt-flattened, floor-scaled to
@@ -4083,6 +4098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split1_hash_split": _q_hash_split,
         "pipe4_corpus_layout": _q_corpus_layout,
         "mix2_temperature_sample": _q_temperature_sample,
+        "mix3_unimax_alloc": _q_unimax_alloc,
         "pipe3_pretraining_e2e": _q_pretraining_e2e,
         "sess2_native_session_window": _q_native_session_window,
         "emb1_norms_by_label": _q_embedding_norms,
@@ -4197,6 +4213,7 @@ _ROTATED_FRONT = (
     "ann13_knn_graph",
     "tok7_unigram_viterbi",
     "sketch6_kmv_lang_overlap",
+    "mix3_unimax_alloc",
     "lm2_target_ppl",
     "lm3_ppl_buckets",
     "eval6_score_correlation",
@@ -5394,6 +5411,9 @@ def oracle_sql() -> dict[str, str]:
             + CHUNK_CTES.format(src="samp", chunk=64, stride=48).rstrip(", ")
             + " "
             + CHUNK_SELECT.format(chunk=64, stride=48)
+        ),
+        "mix3_unimax_alloc": unimax_sql(
+            "lang", budget=20000, max_epochs=1
         ),
         "mix2_temperature_sample": (
             "SELECT doc_id, source, threshold_micro FROM ("

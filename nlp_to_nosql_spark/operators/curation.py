@@ -1577,3 +1577,159 @@ def stratified_split_sql(
         f"CAST(COUNT(*) OVER (PARTITION BY {strata_col}) AS BIGINT) AS _n "
         f"FROM {table})"
     )
+
+
+# ---------------------------------------------------------------------------
+# UniMax budget allocation (water-filling mixture planner)
+# ---------------------------------------------------------------------------
+
+
+def unimax_allocation(
+    df: DataFrame,
+    key_col: str = "lang",
+    budget: int = 1_000,
+    max_epochs: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax mixture planning (Chung et al., ICLR 2023,
+    arXiv:2304.09151): split a total token ``budget`` across key groups
+    (languages/sources) as UNIFORMLY as possible subject to a per-group
+    epoch cap — no group may be sampled more than ``max_epochs`` times
+    its corpus size.  The production alternative to temperature
+    sampling (``mix2``): temperature still over-allocates to head
+    languages; UniMax gives every group an equal share unless its cap
+    binds, then redistributes the residue.
+
+    Water-filling, RELATIONALLY (no driver loop): sort groups by cap
+    ``c = max_epochs·n`` ascending; with prefix sums ``S``, group ``i``
+    is capped iff ``c_i · (m − i + 1) ≤ budget − S_{i−1}`` (its cap is
+    below the even split of what remains) — the capped set is always a
+    PREFIX of the ascending sort, so the split point ``i*`` is one
+    window max and the uncapped share is the exact integer division
+    ``(budget − S_{i*}) div (m − i*)``.  Everything is BIGINT
+    arithmetic — ties broken by ``(cap, key)`` — so the plan carries a
+    value-level DuckDB oracle (:func:`unimax_sql`) with no float
+    anywhere.  Up to ``m − i* − 1`` remainder tokens stay unallocated
+    (reported via the allocation column, not silently spread).
+
+    Returns per group: ``(key, n_tokens, cap, allocation,
+    epochs_micro = (allocation·1e6) div n_tokens)``.
+
+    Scale shape: one map-side-combined groupBy to ``m`` group rows; the
+    window/prefix-sum/argmax all run on those ``m`` rows.  The corpus
+    is scanned once for token counts; nothing else is corpus-sized.
+    """
+    from nlp_to_nosql_spark.functions.text import token_count
+
+    sizes = (
+        df.select(
+            F.col(key_col).alias("key"),
+            token_count(F.col(text_col)).alias("_nt"),
+        )
+        .groupBy("key")
+        .agg(F.sum("_nt").cast("long").alias("n_tokens"))
+        .select(
+            "key",
+            "n_tokens",
+            (F.col("n_tokens") * F.lit(int(max_epochs))).alias("cap"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_ord = Window.orderBy(F.col("cap").asc(), F.col("key").asc())
+    w_all = Window.partitionBy()
+    ranked = sizes.select(
+        "key",
+        "n_tokens",
+        "cap",
+        F.row_number().over(w_ord).alias("_i"),
+        F.coalesce(
+            F.sum("cap").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ).alias("_s_prev"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("_m"),
+    )
+    B = F.lit(int(budget)).cast("long")
+    flagged = ranked.select(
+        "*",
+        (
+            F.col("cap") * (F.col("_m") - F.col("_i") + 1)
+            <= B - F.col("_s_prev")
+        ).alias("_capped"),
+    )
+    star = flagged.select(
+        "*",
+        F.max(F.when(F.col("_capped"), F.col("_i")).otherwise(0))
+        .over(w_all)
+        .alias("_istar"),
+        F.max(F.when(F.col("_capped"), F.col("_s_prev") + F.col("cap"))
+              .otherwise(0))
+        .over(w_all)
+        .alias("_s_star"),
+    )
+    share = F.when(
+        F.col("_m") > F.col("_istar"),
+        F.expr("(CAST(%d AS BIGINT) - _s_star) div (_m - _istar)"
+               % int(budget)),
+    ).otherwise(F.lit(0).cast("long"))
+    alloc = F.when(F.col("_i") <= F.col("_istar"), F.col("cap")).otherwise(
+        share
+    )
+    alloced = star.select(
+        F.col("key").alias(key_col),
+        "n_tokens",
+        "cap",
+        alloc.cast("long").alias("allocation"),
+    )
+    return alloced.select(
+        key_col,
+        "n_tokens",
+        "cap",
+        "allocation",
+        F.expr(
+            "(allocation * CAST(1000000 AS BIGINT)) div n_tokens"
+        ).alias("epochs_micro"),
+    )
+
+
+def unimax_sql(
+    key_col: str = "lang",
+    budget: int = 1_000,
+    max_epochs: int = 3,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`unimax_allocation` — identical ascending
+    (cap, key) water-filling with BIGINT prefix sums and ``//`` integer
+    division; no float anywhere."""
+    from nlp_to_nosql_spark.functions.text import TOKEN_COUNT_SQL
+
+    ntok = TOKEN_COUNT_SQL.format(c=text_col)
+    b, e = int(budget), int(max_epochs)
+    return (
+        f"WITH sizes AS (SELECT {key_col} AS key, "
+        f"CAST(SUM({ntok}) AS BIGINT) AS n_tokens FROM {table} GROUP BY 1), "
+        f"caps AS (SELECT key, n_tokens, n_tokens * {e} AS cap FROM sizes), "
+        "ranked AS (SELECT key, n_tokens, cap, "
+        "ROW_NUMBER() OVER (ORDER BY cap, key) AS i, "
+        "CAST(COALESCE(SUM(cap) OVER (ORDER BY cap, key "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+        "AS s_prev, "
+        "CAST(COUNT(*) OVER () AS BIGINT) AS m FROM caps), "
+        "flagged AS (SELECT *, "
+        f"cap * (m - i + 1) <= {b} - s_prev AS capped FROM ranked), "
+        "star AS (SELECT *, "
+        "MAX(CASE WHEN capped THEN i ELSE 0 END) OVER () AS istar, "
+        "MAX(CASE WHEN capped THEN s_prev + cap ELSE 0 END) OVER () "
+        "AS s_star FROM flagged) "
+        f"SELECT key AS {key_col}, n_tokens, cap, "
+        "CAST(CASE WHEN i <= istar THEN cap "
+        f"WHEN m > istar THEN ({b} - s_star) // (m - istar) "
+        "ELSE 0 END AS BIGINT) AS allocation, "
+        "CAST((CASE WHEN i <= istar THEN cap "
+        f"WHEN m > istar THEN ({b} - s_star) // (m - istar) "
+        "ELSE 0 END * CAST(1000000 AS BIGINT)) // n_tokens "
+        "AS BIGINT) AS epochs_micro FROM star"
+    )

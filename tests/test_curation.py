@@ -890,3 +890,68 @@ def test_target_lm_load_rejects_schema_drift(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{path}/uni")
     with pytest.raises(ValueError, match="lacks columns"):
         target_lm_load(path, spark)
+
+
+# ---------------------------------------------------------------------------
+# UniMax water-filling allocation (mix3)
+# ---------------------------------------------------------------------------
+
+
+def _unimax_twin(sizes, budget, e):
+    """Pure-python water-filling: caps ascending, capped prefix, exact
+    integer even split of the residue."""
+    caps = sorted(((n * e, k, n) for k, n in sizes.items()))
+    m = len(caps)
+    out = {}
+    rem, taken = budget, 0
+    istar = 0
+    s = 0
+    for idx, (c, k, n) in enumerate(caps, 1):
+        if c * (m - idx + 1) <= budget - s:
+            istar, s = idx, s + c
+    for idx, (c, k, n) in enumerate(caps, 1):
+        if idx <= istar:
+            alloc = c
+        elif m > istar:
+            alloc = (budget - s) // (m - istar)
+        else:
+            alloc = 0
+        out[k] = (n, c, alloc, (alloc * 1_000_000) // n)
+    return out
+
+
+def test_unimax_matches_pure_python_waterfill(spark):
+    from nlp_to_nosql_spark.operators.curation import unimax_allocation
+
+    rows = [
+        (0, "a " * 100, "en"), (1, "b " * 40, "fr"),
+        (2, "c " * 25, "de"), (3, "d " * 5, "zh"), (4, "e " * 30, "fr"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t.strip(), l) for i, t, l in rows],
+        "doc_id long, text string, lang string",
+    )
+    sizes = {"en": 100, "fr": 70, "de": 25, "zh": 5}
+    for budget in (10, 60, 150, 10_000):
+        got = {
+            r["lang"]: (
+                r["n_tokens"], r["cap"], r["allocation"], r["epochs_micro"]
+            )
+            for r in unimax_allocation(
+                df, "lang", budget=budget, max_epochs=2
+            ).collect()
+        }
+        assert got == _unimax_twin(sizes, budget, 2), f"budget={budget}"
+
+
+def test_unimax_allocations_never_exceed_caps_and_sum_within_budget(spark):
+    from nlp_to_nosql_spark.operators.curation import unimax_allocation
+
+    df = spark.createDataFrame(
+        [(i, "w " * (i + 1), f"l{i % 4}") for i in range(12)],
+        "doc_id long, text string, lang string",
+    )
+    rows = unimax_allocation(df, "lang", budget=37, max_epochs=3).collect()
+    assert sum(r["allocation"] for r in rows) <= 37
+    for r in rows:
+        assert 0 <= r["allocation"] <= r["cap"]

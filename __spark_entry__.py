@@ -93,6 +93,7 @@ from nlp_to_nosql_spark.operators.graph import pagerank_sql
 from nlp_to_nosql_spark.operators.evals import (
     calibration_table_sql,
     classification_metrics_sql,
+    knn_label_eval_sql,
     rank_correlation_sql,
     retrieval_metrics_sql,
 )
@@ -620,6 +621,18 @@ def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in qrows
     ]
     return hard_negative_topk(emb, queries, k=5)
+
+
+def _q_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN classification accuracy per label — the
+    standard embedding-quality probe (SSL literature's "kNN probe"),
+    built on the ann13 exact k-NN graph: one edge-list label join, one
+    majority-vote window, ≤ |labels| output rows.  Closes the loop on
+    whether the space SemDeDup/ANN operate in clusters by label."""
+    from nlp_to_nosql_spark.operators.evals import knn_label_eval
+
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    return knn_label_eval(emb, k=5)
 
 
 def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4151,6 +4164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup13_incremental": _q_incremental_ingest,
         "ann12_hard_negatives": _q_hard_negatives,
         "ann13_knn_graph": _q_knn_graph,
+        "eval7_knn_label_eval": _q_knn_label_eval,
         "sketch1_hll_registers": _q_hll_registers,
         "sketch2_cms_heavy_hitters": _q_cms_heavy_hitters,
         "stream12_hll_accumulate": _q_hll_accumulate_stream,
@@ -4214,6 +4228,7 @@ _ROTATED_FRONT = (
     "tok7_unigram_viterbi",
     "sketch6_kmv_lang_overlap",
     "mix3_unimax_alloc",
+    "eval7_knn_label_eval",
     "lm2_target_ppl",
     "lm3_ppl_buckets",
     "eval6_score_correlation",
@@ -5131,6 +5146,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY cos_sim DESC, e.vec_id) <= 5"
         ),
         "ann13_knn_graph": knn_graph_sql(k=5),
+        "eval7_knn_label_eval": knn_label_eval_sql(k=5),
         # sketch1/2: md5-family integer hashes + integer-only rho / cell
         # math — every register and sketch cell replays bit-exactly.
         "sketch1_hll_registers": _SKETCH_HLL_SQL,

@@ -626,3 +626,118 @@ def rank_correlation_sql(
         "CAST(sum_d2 AS DOUBLE) / CAST(n * (n * n - 1) AS DOUBLE)) "
         "* 1000000.0) AS BIGINT) END AS rho_micro FROM rc_agg"
     )
+
+
+# ---------------------------------------------------------------------------
+# leave-one-out kNN label eval (the embedding-quality probe)
+# ---------------------------------------------------------------------------
+
+
+def knn_label_eval(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Leave-one-out k-nearest-neighbor classification over an embedding
+    table — the standard representation-quality probe (the "kNN probe"
+    of the self-supervised literature, e.g. Wu et al., CVPR 2018;
+    Caron et al., ICCV 2021 §4): predict every vector's label as the
+    majority label among its k nearest OTHER vectors, then report
+    per-label accuracy.  High kNN accuracy ⇒ the embedding space
+    clusters by label ⇒ SemDeDup/ANN decisions made in that space are
+    meaningful — this eval closes the loop on the whole
+    similarity-operator family.
+
+    Built ON :func:`~nlp_to_nosql_spark.operators.similarity.knn_graph`
+    (exact int8-quantized cosine edges, value-level oracle): one join
+    of the k·n edge list against the label column, one
+    ``(node, neighbor-label)`` count, one argmax window — ties break
+    ``(votes DESC, label ASC)``, identically in the DuckDB twin
+    (:func:`knn_label_eval_sql`).  Returns
+    ``(label, n, correct, accuracy)`` per true label, ``accuracy``
+    rounded half-up to 6 places from an exact integer ratio.
+
+    Scale: inherits knn_graph's contract (exact tier fail-fast above
+    ``spark.nlp2nosql.exact.maxRows``; per-IVF-cell at corpus scale);
+    everything after the graph is edge-list-sized joins and ≤ |labels|
+    output rows.
+    """
+    from nlp_to_nosql_spark.operators.similarity import knn_graph
+    from pyspark.sql import Window
+
+    labels = emb.select(F.col(id_col), F.col(label_col))
+    edges = knn_graph(emb, k=k, id_col=id_col, vec_col=vec_col).select(
+        "src", "dst"
+    )
+    votes = (
+        edges.join(
+            labels.select(
+                F.col(id_col).alias("dst"),
+                F.col(label_col).alias("_nl"),
+            ),
+            "dst",
+        )
+        .groupBy("src", "_nl")
+        .agg(F.count(F.lit(1)).cast("long").alias("_v"))
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("_v").desc(), F.col("_nl").asc()
+    )
+    pred = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("src").alias(id_col), F.col("_nl").alias("_pred"))
+    )
+    scored = labels.join(pred, id_col)
+    return (
+        scored.groupBy(F.col(label_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col(label_col) == F.col("_pred"), 1).otherwise(0)
+            ).cast("long").alias("correct"),
+        )
+        .select(
+            label_col,
+            "n",
+            "correct",
+            F.round(
+                F.col("correct").cast("double") / F.col("n").cast("double"), 6
+            ).alias("accuracy"),
+        )
+    )
+
+
+def knn_label_eval_sql(
+    k: int = 5,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> str:
+    """DuckDB twin of :func:`knn_label_eval` — the knn_graph oracle's
+    edge list, the same (votes DESC, label ASC) majority, the same exact
+    integer accuracy ratio."""
+    from nlp_to_nosql_spark.operators.similarity import knn_graph_sql
+
+    return (
+        "WITH edges AS (SELECT src, dst FROM ("
+        + knn_graph_sql(k=k, table=table, id_col=id_col, vec_col=vec_col)
+        + ")), "
+        f"lab AS (SELECT {id_col} AS node, {label_col} AS l FROM {table}), "
+        "votes AS (SELECT e.src, lab.l AS nl, "
+        "CAST(COUNT(*) AS BIGINT) AS v "
+        "FROM edges e JOIN lab ON e.dst = lab.node GROUP BY 1, 2), "
+        "pred AS (SELECT src, nl FROM votes "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY src "
+        "ORDER BY v DESC, nl ASC) = 1), "
+        "scored AS (SELECT lab.l, lab.node, pred.nl "
+        "FROM lab JOIN pred ON lab.node = pred.src) "
+        f"SELECT l AS {label_col}, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CASE WHEN l = nl THEN 1 ELSE 0 END) AS BIGINT) AS correct, "
+        "ROUND(CAST(SUM(CASE WHEN l = nl THEN 1 ELSE 0 END) AS DOUBLE) / "
+        "CAST(COUNT(*) AS DOUBLE), 6) AS accuracy "
+        "FROM scored GROUP BY 1"
+    )

@@ -460,3 +460,48 @@ def test_rank_correlation_grouped_and_ties(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# leave-one-out kNN label eval (eval7)
+# ---------------------------------------------------------------------------
+
+
+def test_knn_label_eval_separable_clusters_score_one(spark):
+    """Two well-separated clusters → every vector's neighbors share its
+    label → accuracy 1.0 per label."""
+    from nlp_to_nosql_spark.operators.evals import knn_label_eval
+
+    rows = [(i, [10.0 + (i % 3), 0.1 * i, 0.0], 0) for i in range(6)]
+    rows += [(10 + i, [0.0, 0.1 * i, 10.0 + (i % 3)], 1) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {
+        r["label"]: (r["n"], r["correct"], r["accuracy"])
+        for r in knn_label_eval(df, k=3).collect()
+    }
+    assert got == {0: (6, 6, 1.0), 1: (6, 6, 1.0)}
+
+
+def test_knn_label_eval_majority_tie_breaks_to_smallest_label(spark):
+    """A probe vector with k=2 neighbors of two different labels must be
+    predicted as the SMALLEST label (votes tie 1-1)."""
+    from nlp_to_nosql_spark.operators.evals import knn_label_eval
+
+    rows = [
+        (0, [1.0, 0.0], 7),       # probe, true label 7
+        (1, [1.0, 0.01], 9),      # nearest, label 9
+        (2, [1.0, -0.01], 3),     # second, label 3
+        (3, [-1.0, 0.0], 3),      # far away
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    # reconstruct via the public eval by checking label-7's accuracy:
+    # probe 0 votes {9: 1, 3: 1} → tie → predict 3 ≠ 7 → 0 correct
+    got = {
+        r["label"]: (r["n"], r["correct"])
+        for r in knn_label_eval(df, k=2).collect()
+    }
+    assert got[7] == (1, 0)

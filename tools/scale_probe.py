@@ -570,6 +570,23 @@ def main() -> int:
             "sketch5_cms_heavy_by_lang": lambda: cms_heavy_hitters_by(
                 docs, ["lang"], top_n=10
             ),
+            "langid1_nb_charngram": lambda: __import__(
+                "nlp_to_nosql_spark.operators.classify", fromlist=["x"]
+            ).nb_charngram_langid(docs, n=3, seed=11),
+            "ann13_knn_graph": lambda: __import__(
+                "nlp_to_nosql_spark.operators.similarity", fromlist=["x"]
+            ).knn_graph(emb, k=5),
+            "tok7_unigram_viterbi": lambda: __import__(
+                "nlp_to_nosql_spark.operators.selection", fromlist=["x"]
+            ).unigram_viterbi(docs, max_piece_len=4, min_count=2),
+            "sketch6_kmv_overlap": lambda: (lambda sk: __import__(
+                "nlp_to_nosql_spark.operators.sketch", fromlist=["x"]
+            ).kmv_jaccard_pairs(sk, "lang", k=64))(__import__(
+                "nlp_to_nosql_spark.operators.sketch", fromlist=["x"]
+            ).kmv_by(docs, ["lang"], "text", k=64)),
+            "mix3_unimax": lambda: __import__(
+                "nlp_to_nosql_spark.operators.curation", fromlist=["x"]
+            ).unimax_allocation(docs, "lang", budget=200000, max_epochs=1),
             "eval2_classifier_metrics": lambda: classification_metrics(
                 hashed_linear_score(docs, n_buckets=1024, scale=1000)
                 .select("doc_id", F.col("keep").alias("pred"))

@@ -2777,6 +2777,7 @@ from nlp_to_nosql_spark.operators.sketch import (  # noqa: E402
     HLL_REGISTERS_SQL as _HLL_SQL_T,
     hll_ndv_by_sql as _hll_ndv_by_sql,
     hll_overlap_sql as _hll_overlap_sql,
+    kmv_by_sql as _kmv_by_sql,
     kmv_overlap_sql as _kmv_overlap_sql,
     cms_heavy_hitters_by_sql as _cms_heavy_by_sql,
 )
@@ -3621,6 +3622,19 @@ def _q_cdc_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay_cdc_upsert_sink(spark, ev, tag=f"sf{_sf_tag(sf_dir)}")
 
 
+def _q_kmv_accumulate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-language KMV accumulation: fold micro-batches into a
+    persistent (key, h) bottom-k table by union + re-rank — idempotent
+    like the HLL MAX merge, so at-least-once re-delivery is free.  The
+    final table reassembles through the batch operator's own
+    kmv_assemble, so the stream equals the batch sketch BY CONSTRUCTION
+    and shares kmv_by_sql verbatim."""
+    from nlp_to_nosql_spark.streaming.replay import replay_kmv_accumulate
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return replay_kmv_accumulate(spark, docs, key_col="lang", k=64)
+
+
 def _q_hll_accumulate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming HLL accumulation: each document micro-batch folds
     into the persistent register table by element-wise MAX
@@ -4168,6 +4182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch1_hll_registers": _q_hll_registers,
         "sketch2_cms_heavy_hitters": _q_cms_heavy_hitters,
         "stream12_hll_accumulate": _q_hll_accumulate_stream,
+        "stream16_kmv_accumulate": _q_kmv_accumulate_stream,
         "stream13_cms_accumulate": _q_cms_accumulate_stream,
         "stream14_hll_by_accumulate": _q_hll_by_accumulate_stream,
         "split2_stratified_split": _q_stratified_split,
@@ -4229,6 +4244,7 @@ _ROTATED_FRONT = (
     "sketch6_kmv_lang_overlap",
     "mix3_unimax_alloc",
     "eval7_knn_label_eval",
+    "stream16_kmv_accumulate",
     "lm2_target_ppl",
     "lm3_ppl_buckets",
     "eval6_score_correlation",
@@ -5154,6 +5170,9 @@ def oracle_sql() -> dict[str, str]:
         # stream12: the streaming fold must equal the batch sketch —
         # oracle shared verbatim with sketch1 (merge-by-MAX associativity).
         "stream12_hll_accumulate": _SKETCH_HLL_SQL,
+        # stream16: the streaming bottom-k fold must equal the batch
+        # sketch — oracle shared verbatim with kmv_by.
+        "stream16_kmv_accumulate": _kmv_by_sql("lang", k=64),
         # stream13: batch-id-keyed partials SUM-fold to the batch sketch.
         "stream13_cms_accumulate": _SKETCH_CMS_CELLS_SQL,
         # stream14: the keyed streaming fold must equal the batch

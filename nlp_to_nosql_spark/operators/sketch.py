@@ -53,6 +53,11 @@ __all__ = [
     "cms_heavy_hitters",
     "cms_heavy_hitters_by",
     "cms_heavy_hitters_by_sql",
+    "kmv_by",
+    "kmv_assemble",
+    "kmv_jaccard_pairs",
+    "kmv_by_sql",
+    "kmv_overlap_sql",
     "tokens_of",
     "tokens_by",
     "HLL_REGISTERS_SQL",
@@ -759,8 +764,19 @@ def kmv_by(
     glob = local.withColumn("_rn2", F.row_number().over(w2)).filter(
         F.col("_rn2") <= k
     )
+    return kmv_assemble(glob, key_cols, k)
+
+
+def kmv_assemble(
+    rows: DataFrame, key_cols: "list[str]", k: int
+) -> DataFrame:
+    """Assemble ``(key..., kmv, n_kept, ndv_est)`` sketches from a
+    ``(key..., h)`` bottom-k hash frame (≤ k rows per key) — the shared
+    back half of :func:`kmv_by` and the streaming accumulate
+    (``streaming/replay.py::replay_kmv_accumulate``), so the batch and
+    streaming paths produce byte-identical sketches by construction."""
     num = float((k - 1) * (1 << 60))  # exact: small int × 2^60
-    agg = glob.groupBy(*key_cols).agg(
+    agg = rows.groupBy(*key_cols).agg(
         F.sort_array(F.collect_list("h")).alias("kmv"),
         F.count(F.lit(1)).cast("long").alias("n_kept"),
     )
@@ -825,19 +841,15 @@ def kmv_jaccard_pairs(sketches: DataFrame, key_col: str, k: int) -> DataFrame:
     )
 
 
-def kmv_overlap_sql(
-    key_col: str = "lang",
-    k: int = 64,
-    table: str = "documents",
-    text_col: str = "text",
+def _kmv_sketch_ctes(
+    key_col: str, k: int, table: str, text_col: str
 ) -> str:
-    """DuckDB twin of ``kmv_by`` + ``kmv_jaccard_pairs`` over one keyed
-    corpus — same 60-bit md5 hashes, same bottom-k (QUALIFY row_number),
-    same sketch-space union/intersection algebra."""
+    """CTE chain ``t``/``hs``/``bk``/``km``/``sk`` building per-key KMV
+    sketches — shared by :func:`kmv_by_sql` and :func:`kmv_overlap_sql`."""
     norm = NORMALIZE_SQL.format(c=f"COALESCE({text_col}, '')")
     num = float((k - 1) * (1 << 60))
     return (
-        f"WITH t AS (SELECT {key_col} AS key, "
+        f"t AS (SELECT {key_col} AS key, "
         f"unnest(string_split({norm}, ' ')) AS tok FROM {table}), "
         "hs AS (SELECT DISTINCT key, "
         "CAST(CAST('0x' || substr(md5(tok), 1, 15) AS UBIGINT) AS BIGINT) "
@@ -849,7 +861,39 @@ def kmv_overlap_sql(
         "sk AS (SELECT key, kmv, n_kept, "
         f"CASE WHEN n_kept < {k} THEN n_kept "
         f"ELSE CAST(FLOOR({num!r} / CAST(kmv[{k}] AS DOUBLE)) AS BIGINT) "
-        "END AS ndv_est FROM km), "
+        "END AS ndv_est FROM km)"
+    )
+
+
+def kmv_by_sql(
+    key_col: str = "lang",
+    k: int = 64,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`kmv_by` alone: the per-key sketches
+    ``(key, kmv, n_kept, ndv_est)`` — also the shared oracle of the
+    streaming accumulate (the fold must equal the batch sketch)."""
+    return (
+        "WITH "
+        + _kmv_sketch_ctes(key_col, k, table, text_col)
+        + f" SELECT key AS {key_col}, kmv, n_kept, ndv_est FROM sk"
+    )
+
+
+def kmv_overlap_sql(
+    key_col: str = "lang",
+    k: int = 64,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``kmv_by`` + ``kmv_jaccard_pairs`` over one keyed
+    corpus — same 60-bit md5 hashes, same bottom-k (QUALIFY row_number),
+    same sketch-space union/intersection algebra."""
+    return (
+        "WITH "
+        + _kmv_sketch_ctes(key_col, k, table, text_col)
+        + ", "
         "pairs AS (SELECT a.key AS key_a, b.key AS key_b, "
         "a.kmv AS ka, b.kmv AS kb, "
         "a.ndv_est AS ndv_a, b.ndv_est AS ndv_b, "

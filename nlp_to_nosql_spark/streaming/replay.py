@@ -881,6 +881,101 @@ def replay_hll_accumulate(
     return spark.read.parquet(table).select("reg", "max_rho")
 
 
+def replay_kmv_accumulate(
+    spark: SparkSession,
+    docs: DataFrame,
+    tag: str = "kmvacc",
+    key_col: str = "lang",
+    k: int = 64,
+) -> DataFrame:
+    """Streaming per-key KMV accumulation — the bottom-k twin of
+    :func:`replay_hll_accumulate`: fold each arriving micro-batch's
+    distinct token hashes into a persistent ``(key, h)`` bottom-k table
+    via union + re-rank.  Like the HLL MAX merge (and unlike CMS SUM),
+    the bottom-k merge is IDEMPOTENT — re-delivering a batch unions in
+    hashes that are already present (or already above the k-th), so
+    foreachBatch's at-least-once semantics are absorbed for free and no
+    batch-id keyed partials are needed.
+
+    State is ≤ ``|keys| · k`` int rows regardless of corpus size.  The
+    final table reassembles through the SAME
+    :func:`~nlp_to_nosql_spark.operators.sketch.kmv_assemble` back half
+    the batch operator uses, so the stream result equals the batch
+    sketch BY CONSTRUCTION and shares its DuckDB oracle verbatim
+    (``kmv_by_sql``).
+    """
+    import shutil
+
+    from nlp_to_nosql_spark.operators.dedup import md5_hash60
+    from nlp_to_nosql_spark.operators.sketch import kmv_assemble, tokens_by
+
+    src = docs.select("doc_id", key_col, "text")
+    in_path = _work_dir(f"{tag}_in")
+    src.repartition(2).write.mode("overwrite").parquet(in_path)
+
+    table = _work_dir(f"{tag}_table")
+    shutil.rmtree(table, ignore_errors=True)
+    ckpt = _work_dir(f"{tag}_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(f"doc_id long, {key_col} string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_path)
+    )
+
+    def fold(batch: DataFrame, _batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        old = table + "_old"
+        if not os.path.isdir(table) and os.path.isdir(old):
+            os.replace(old, table)
+        rows = (
+            tokens_by(batch, [key_col], "text")
+            .select(key_col, md5_hash60(F.col("tok")).alias("h"))
+            .groupBy(key_col, "h")
+            .agg(F.lit(1))
+            .select(key_col, "h")
+        )
+        if os.path.isdir(table):
+            cur = spark.read.schema(f"{key_col} string, h long").parquet(
+                table
+            )
+            rows = cur.unionByName(rows).groupBy(key_col, "h").agg(
+                F.lit(1)
+            ).select(key_col, "h")
+        w = Window.partitionBy(key_col).orderBy("h")
+        trimmed = (
+            rows.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select(key_col, "h")
+        )
+        nxt = table + "_next"
+        trimmed.write.mode("overwrite").parquet(nxt)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(table):
+            os.replace(table, old)
+        os.replace(nxt, table)
+        shutil.rmtree(old, ignore_errors=True)
+
+    with _REPLAY_CONF_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(_REPLAY_PARTITIONS))
+        try:
+            q = (
+                stream.writeStream.foreachBatch(fold)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    final = spark.read.schema(f"{key_col} string, h long").parquet(table)
+    return kmv_assemble(final, [key_col], k)
+
+
 def replay_cms_accumulate(
     spark: SparkSession,
     docs: DataFrame,

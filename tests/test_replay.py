@@ -520,3 +520,79 @@ def test_cms_accumulate_batch_retry_is_idempotent(spark, tmp_path):
         (r["row"], r["col"], r["cnt"]) for r in cms_cells(docs).collect()
     }
     assert folded == want
+
+
+def test_kmv_accumulate_stream_equals_batch_sketch(spark):
+    from nlp_to_nosql_spark.operators.sketch import kmv_by
+    from nlp_to_nosql_spark.streaming.replay import replay_kmv_accumulate
+
+    docs = spark.createDataFrame(
+        [
+            (i, "en" if i % 2 else "fr", f"alpha tok{i} tok{i % 9} beta")
+            for i in range(40)
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    got = {
+        (r["lang"], tuple(r["kmv"]), r["n_kept"], r["ndv_est"])
+        for r in replay_kmv_accumulate(
+            spark, docs, tag="kmvtest", key_col="lang", k=8
+        ).collect()
+    }
+    want = {
+        (r["lang"], tuple(r["kmv"]), r["n_kept"], r["ndv_est"])
+        for r in kmv_by(docs, ["lang"], "text", k=8).collect()
+    }
+    # the 2-micro-batch streaming fold must equal the whole-corpus sketch
+    assert got == want
+
+
+def test_kmv_fold_redelivery_is_idempotent(spark, tmp_path):
+    """Re-merging the same batch into the bottom-k state is a no-op —
+    the property that makes foreachBatch at-least-once delivery safe."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from nlp_to_nosql_spark.operators.dedup import md5_hash60
+    from nlp_to_nosql_spark.operators.sketch import tokens_by
+
+    docs = spark.createDataFrame(
+        [(i, "en", f"tok{i} tok{i % 5}") for i in range(30)],
+        ["doc_id", "lang", "text"],
+    )
+    table = str(tmp_path / "kmv_state")
+    k = 8
+
+    def fold(batch):
+        import shutil
+
+        rows = (
+            tokens_by(batch, ["lang"], "text")
+            .select("lang", md5_hash60(F.col("tok")).alias("h"))
+            .distinct()
+        )
+        if os.path.isdir(table):
+            cur = spark.read.schema("lang string, h long").parquet(table)
+            rows = cur.unionByName(rows).distinct()
+        w = Window.partitionBy("lang").orderBy("h")
+        trimmed = (
+            rows.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("lang", "h")
+        )
+        nxt = table + "_next"
+        trimmed.write.mode("overwrite").parquet(nxt)
+        shutil.rmtree(table, ignore_errors=True)
+        os.replace(nxt, table)
+
+    fold(docs)
+    first = sorted(
+        tuple(r) for r in spark.read.parquet(table).collect()
+    )
+    fold(docs)  # redelivery
+    second = sorted(
+        tuple(r) for r in spark.read.parquet(table).collect()
+    )
+    assert first == second and len(first) == k

@@ -3632,7 +3632,21 @@ def _q_kmv_accumulate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nlp_to_nosql_spark.streaming.replay import replay_kmv_accumulate
 
     docs = register_tables(spark, sf_dir)["documents"]
-    return replay_kmv_accumulate(spark, docs, key_col="lang", k=64)
+    sk = replay_kmv_accumulate(spark, docs, key_col="lang", k=64)
+    # contract outputs are FLAT (driver compare): explode the sketch to
+    # one (lang, rank, hash) row per kept minimum, stats carried along
+    return sk.select(
+        "lang",
+        F.posexplode("kmv").alias("_p", "h"),
+        "n_kept",
+        "ndv_est",
+    ).select(
+        "lang",
+        (F.col("_p") + 1).cast("int").alias("rnk"),
+        "h",
+        "n_kept",
+        "ndv_est",
+    )
 
 
 def _q_hll_accumulate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5172,7 +5186,11 @@ def oracle_sql() -> dict[str, str]:
         "stream12_hll_accumulate": _SKETCH_HLL_SQL,
         # stream16: the streaming bottom-k fold must equal the batch
         # sketch — oracle shared verbatim with kmv_by.
-        "stream16_kmv_accumulate": _kmv_by_sql("lang", k=64),
+        "stream16_kmv_accumulate": (
+            "SELECT lang, CAST(i AS INT) AS rnk, kmv[i] AS h, n_kept, "
+            "ndv_est FROM (" + _kmv_by_sql("lang", k=64) + "), "
+            "LATERAL UNNEST(generate_series(1, len(kmv))) AS g(i)"
+        ),
         # stream13: batch-id-keyed partials SUM-fold to the batch sketch.
         "stream13_cms_accumulate": _SKETCH_CMS_CELLS_SQL,
         # stream14: the keyed streaming fold must equal the batch

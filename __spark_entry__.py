@@ -676,6 +676,30 @@ def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "fp", "n_copies", "quality")
 
 
+def _q_langid_unimax_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed crawl-curation pipeline over the TRAINED stack: (1)
+    predict language with the NB char-trigram classifier (langid1 —
+    the realistic crawl scenario where no label column exists), (2)
+    keep docs PREDICTED english, (3) exact-dedup survivors by
+    normalized-text fingerprint, (4) water-fill a token budget across
+    the surviving sources (mix3's UniMax planner).  Classifier →
+    filter → dedup → planner; the output is the per-source allocation
+    plan a sampler would execute."""
+    from nlp_to_nosql_spark.operators.classify import nb_charngram_langid
+    from nlp_to_nosql_spark.operators.curation import unimax_allocation
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    pred = nb_charngram_langid(docs, n=3, seed=11)
+    keep = docs.join(
+        pred.filter(F.col("pred_lang") == "en").select("doc_id"), "doc_id"
+    )
+    rep = keep.groupBy(tx.fingerprint(F.col("text")).alias("_fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    deduped = keep.join(rep.select("doc_id"), "doc_id")
+    return unimax_allocation(deduped, "source", budget=2000, max_epochs=1)
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = register_tables(spark, sf_dir)["events"]
     return sessionize(ev, gap_minutes=30)
@@ -4140,6 +4164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe4_corpus_layout": _q_corpus_layout,
         "mix2_temperature_sample": _q_temperature_sample,
         "mix3_unimax_alloc": _q_unimax_alloc,
+        "pipe8_langid_unimax": _q_langid_unimax_pipeline,
         "pipe3_pretraining_e2e": _q_pretraining_e2e,
         "sess2_native_session_window": _q_native_session_window,
         "emb1_norms_by_label": _q_embedding_norms,
@@ -4259,6 +4284,7 @@ _ROTATED_FRONT = (
     "mix3_unimax_alloc",
     "eval7_knn_label_eval",
     "stream16_kmv_accumulate",
+    "pipe8_langid_unimax",
     "lm2_target_ppl",
     "lm3_ppl_buckets",
     "eval6_score_correlation",
@@ -5464,6 +5490,20 @@ def oracle_sql() -> dict[str, str]:
             + CHUNK_CTES.format(src="samp", chunk=64, stride=48).rstrip(", ")
             + " "
             + CHUNK_SELECT.format(chunk=64, stride=48)
+        ),
+        "pipe8_langid_unimax": (
+            "WITH pred AS ("
+            + nb_charngram_langid_sql(n=3, seed=11)
+            + "), keep AS (SELECT d.* FROM documents d "
+            "JOIN pred USING (doc_id) WHERE pred.pred_lang = 'en'), "
+            "rep AS (SELECT "
+            + tx.FINGERPRINT_SQL.format(c="text")
+            + " AS _fp, MIN(doc_id) AS doc_id FROM keep GROUP BY 1), "
+            "dedup AS (SELECT k.* FROM keep k "
+            "JOIN (SELECT doc_id FROM rep) r USING (doc_id)), "
+            + unimax_sql(
+                "source", budget=2000, max_epochs=1, table="dedup"
+            )[len("WITH ") :]
         ),
         "mix3_unimax_alloc": unimax_sql(
             "lang", budget=20000, max_epochs=1

@@ -87,6 +87,7 @@ from nlp_to_nosql_spark.operators.selection import (
     dsir_select_by_sql,
     dsir_select_gumbel_sql,
     dsir_select_sql,
+    unigram_viterbi_ctes,
     unigram_viterbi_sql,
 )
 from nlp_to_nosql_spark.operators.graph import pagerank_sql
@@ -648,6 +649,30 @@ def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = register_tables(spark, sf_dir)["embeddings"]
     return knn_graph(emb, k=5)
+
+
+def _q_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering by connected components over the MUTUAL
+    k-NN graph (ann13's mutual flag as the edge filter — the standard
+    robust-clustering construction: an edge only when both endpoints
+    claim each other): every vector labeled with its component minimum
+    plus the component size.  The graph tier of embedding-space
+    curation, complementing the centroid tier (SemDeDup)."""
+    from nlp_to_nosql_spark.operators.graph import connected_components
+    from nlp_to_nosql_spark.operators.similarity import knn_graph
+    from pyspark.sql import Window
+
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    edges = knn_graph(emb, k=5).filter(F.col("mutual")).select("src", "dst")
+    labels = connected_components(
+        edges, "src", "dst", nodes=emb, id_col="vec_id"
+    )
+    w = Window.partitionBy("label")
+    return labels.select(
+        F.col("id").alias("vec_id"),
+        F.col("label").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+    )
 
 
 def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2374,6 +2399,21 @@ def _q_bpe_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_tables(spark, sf_dir)["documents"]
     merges, vocab = bpe_train(docs, n_merges=4, return_vocab=True)
     enc = bpe_encode_len(docs, merges, vocab=vocab, assume_covered=True)
+    return pack_by_token_budget(enc, "doc_id", "n_tokens", budget=5_000)
+
+
+def _q_unigram_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipe6's twin for the unigram tokenizer family: segment the
+    distinct-word frame once (tok7's Viterbi DP), join every token
+    occurrence to its piece count, and pack documents into contiguous
+    5k-token batches via the distributed prefix sum.  One corpus-token
+    shuffle for the inventory, one for the doc-token join, one narrow
+    prefix-sum pass."""
+    from nlp_to_nosql_spark.operators.packing import pack_by_token_budget
+    from nlp_to_nosql_spark.operators.selection import unigram_encode_len
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    enc = unigram_encode_len(docs, max_piece_len=4, min_count=2)
     return pack_by_token_budget(enc, "doc_id", "n_tokens", budget=5_000)
 
 
@@ -4165,6 +4205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix2_temperature_sample": _q_temperature_sample,
         "mix3_unimax_alloc": _q_unimax_alloc,
         "pipe8_langid_unimax": _q_langid_unimax_pipeline,
+        "pipe9_unigram_pack": _q_unigram_pack_pipeline,
         "pipe3_pretraining_e2e": _q_pretraining_e2e,
         "sess2_native_session_window": _q_native_session_window,
         "emb1_norms_by_label": _q_embedding_norms,
@@ -4218,6 +4259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann12_hard_negatives": _q_hard_negatives,
         "ann13_knn_graph": _q_knn_graph,
         "eval7_knn_label_eval": _q_knn_label_eval,
+        "dedup18_mutual_knn_clusters": _q_mutual_knn_clusters,
         "sketch1_hll_registers": _q_hll_registers,
         "sketch2_cms_heavy_hitters": _q_cms_heavy_hitters,
         "stream12_hll_accumulate": _q_hll_accumulate_stream,
@@ -4285,6 +4327,8 @@ _ROTATED_FRONT = (
     "eval7_knn_label_eval",
     "stream16_kmv_accumulate",
     "pipe8_langid_unimax",
+    "dedup18_mutual_knn_clusters",
+    "pipe9_unigram_pack",
     "lm2_target_ppl",
     "lm3_ppl_buckets",
     "eval6_score_correlation",
@@ -5203,6 +5247,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann13_knn_graph": knn_graph_sql(k=5),
         "eval7_knn_label_eval": knn_label_eval_sql(k=5),
+        "dedup18_mutual_knn_clusters": (
+            "WITH RECURSIVE knn AS (SELECT src, dst FROM ("
+            + knn_graph_sql(k=5)
+            + ") WHERE mutual), "
+            # mutual edges are already symmetric (e and its reverse are
+            # both top-k edges), so knn IS the directed-both-ways set
+            "reach(id, label) AS ("
+            "SELECT vec_id, vec_id FROM embeddings "
+            "UNION "
+            "SELECT e.dst, r.label FROM reach r "
+            "JOIN knn e ON e.src = r.id WHERE r.label < e.dst) "
+            "SELECT id AS vec_id, MIN(label) AS cluster_id, "
+            "CAST(COUNT(*) OVER (PARTITION BY MIN(label)) AS BIGINT) "
+            "AS cluster_size FROM reach GROUP BY id"
+        ),
         # sketch1/2: md5-family integer hashes + integer-only rho / cell
         # math — every register and sketch cell replays bit-exactly.
         "sketch1_hll_registers": _SKETCH_HLL_SQL,
@@ -5409,6 +5468,28 @@ def oracle_sql() -> dict[str, str]:
             "WITH "
             + bpe_encode_len_ctes(n_merges=4)
             + ", packed AS (SELECT doc_id, n_tokens, "
+            "SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED "
+            "PRECEDING) AS cum_tokens FROM encoded) "
+            "SELECT doc_id, n_tokens, "
+            "CAST(cum_tokens AS BIGINT) AS cum_tokens, "
+            "CAST(FLOOR((cum_tokens - n_tokens) / 5000.0) AS BIGINT) "
+            "AS batch_id FROM packed"
+        ),
+        "pipe9_unigram_pack": (
+            "WITH RECURSIVE "
+            + unigram_viterbi_ctes(max_piece_len=4, min_count=2)
+            + ", uvenc AS (SELECT f.w, CAST(len(s2.ps) AS BIGINT) "
+            "AS n_pieces FROM fin f JOIN seg s2 USING (w)), "
+            "dt AS (SELECT doc_id, u.f AS w FROM (SELECT doc_id, "
+            "list_filter(string_split("
+            + tx.NORMALIZE_SQL.format(c="COALESCE(text, '')")
+            + ", ' '), t -> t <> '') AS ts FROM documents), "
+            "LATERAL UNNEST(ts) AS u(f)), "
+            "agg AS (SELECT dt.doc_id, CAST(SUM(e.n_pieces) AS BIGINT) "
+            "AS s FROM dt JOIN uvenc e USING (w) GROUP BY dt.doc_id), "
+            "encoded AS (SELECT d.doc_id, COALESCE(a.s, 0) AS n_tokens "
+            "FROM documents d LEFT JOIN agg a USING (doc_id)), "
+            "packed AS (SELECT doc_id, n_tokens, "
             "SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED "
             "PRECEDING) AS cum_tokens FROM encoded) "
             "SELECT doc_id, n_tokens, "

@@ -1416,25 +1416,21 @@ def unigram_viterbi(
     )
 
 
-def unigram_viterbi_sql(
+def unigram_viterbi_ctes(
     max_piece_len: int = 4,
     min_count: int = 2,
     scale: int = 1_000_000,
     table: str = "documents",
     text_col: str = "text",
 ) -> str:
-    """DuckDB twin of :func:`unigram_viterbi` — the same inventory,
-    the same integer-micro piece scores, and the SAME DP expressed as
-    two recursive CTEs: the forward pass carries the growing
-    ``(scores, backpointers)`` lists per word (each iteration appends
-    position ``i`` from a per-(word, i) candidate list, maximizing the
-    ``{s, plen}`` struct exactly like the Spark ``array_max``), the
-    backtrack walks the finished backpointer list.  Recursion depth =
-    max word length, not corpus size."""
+    """The recursive CTE chain of :func:`unigram_viterbi_sql` WITHOUT
+    the ``WITH RECURSIVE`` keyword or final select — ends at ``fin``
+    (per-word scores/backpointers) and ``seg`` (per-word piece list),
+    so composed pipelines (pipe9) can append their own CTEs."""
     norm = tx.NORMALIZE_SQL.format(c=f"COALESCE({text_col}, '')")
     L, mc = int(max_piece_len), int(min_count)
     return (
-        "WITH RECURSIVE toks AS (SELECT "
+        "toks AS (SELECT "
         f"list_filter(string_split({norm}, ' '), t -> t <> '') AS ts "
         f"FROM {table}), "
         "words AS (SELECT f AS w, CAST(count(*) AS BIGINT) AS wc "
@@ -1474,8 +1470,66 @@ def unigram_viterbi_sql(
         "SELECT w, bps[pos + 1], bps, "
         "list_prepend(substr(w, bps[pos + 1] + 1, pos - bps[pos + 1]), ps) "
         "FROM back WHERE pos > 0), "
-        "seg AS (SELECT w, ps FROM back WHERE pos = 0) "
-        "SELECT f.w AS word, f.wc, CAST(len(s.ps) AS BIGINT) AS n_pieces, "
+        "seg AS (SELECT w, ps FROM back WHERE pos = 0)"
+    )
+
+
+def unigram_viterbi_sql(
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    scale: int = 1_000_000,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`unigram_viterbi` — the same inventory,
+    the same integer-micro piece scores, and the SAME DP expressed as
+    two recursive CTEs: the forward pass carries the growing
+    ``(scores, backpointers)`` lists per word (each iteration appends
+    position ``i`` from a per-(word, i) candidate list, maximizing the
+    ``{s, plen}`` struct exactly like the Spark ``array_max``), the
+    backtrack walks the finished backpointer list.  Recursion depth =
+    max word length, not corpus size."""
+    return (
+        "WITH RECURSIVE "
+        + unigram_viterbi_ctes(max_piece_len, min_count, scale, table, text_col)
+        + " SELECT f.w AS word, f.wc, CAST(len(s.ps) AS BIGINT) AS n_pieces, "
         "array_to_string(s.ps, ' ') AS seg, f.ss[f.ln + 1] AS score_micro "
         "FROM fin f JOIN seg s USING (w)"
+    )
+
+
+def unigram_encode_len(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document token counts under the fitted unigram-LM tokenizer —
+    the packing feed (``bpe_encode_len``'s twin for the tok7 family):
+    segment every DISTINCT word once (:func:`unigram_viterbi`, the
+    Heaps'-law frame), then one corpus-token explode joins each word
+    occurrence to its piece count and one per-doc sum emits
+    ``(id, n_tokens)``.  Documents whose text yields no words (the
+    tokenizer drops empty tokens) count 0, keeping the mapping total.
+    Same two-exchange shape as the BPE encoder: one corpus-token
+    shuffle, one vocabulary-keyed join."""
+    seg = unigram_viterbi(
+        df, text_col, max_piece_len=max_piece_len, min_count=min_count
+    ).select(F.col("word").alias("w"), "n_pieces")
+    dt = df.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("w")
+    )
+    agg = (
+        dt.join(seg, "w")
+        .groupBy(id_col)
+        .agg(F.sum("n_pieces").cast("long").alias("n_tokens"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        )
     )

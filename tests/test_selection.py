@@ -1078,3 +1078,29 @@ def test_unigram_viterbi_single_chars_always_segmentable(spark):
     for r in rows:
         assert r["n_pieces"] == len(r["word"])
         assert r["seg"] == " ".join(r["word"])
+
+
+def test_unigram_encode_len_sums_piece_counts_per_doc(spark):
+    from nlp_to_nosql_spark.operators.selection import (
+        unigram_encode_len,
+        unigram_viterbi,
+    )
+
+    texts = ["banana bandana", "banana banana x", ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    pieces = {
+        r["word"]: r["n_pieces"]
+        for r in unigram_viterbi(df, max_piece_len=4, min_count=2).collect()
+    }
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in unigram_encode_len(df).collect()
+    }
+    want = {
+        i: sum(pieces[w] for w in t.split() if w)
+        for i, t in enumerate(texts)
+    }
+    assert got == want
+    assert got[2] == 0  # empty doc stays in the mapping with 0 tokens

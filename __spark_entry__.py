@@ -53,6 +53,7 @@ from nlp_to_nosql_spark.operators.curation import (
     hash_split_sql,
     mixture_sql,
     unimax_sql,
+    filter_attribution_sql,
     ppl_buckets_sql,
     stratified_split_sql,
     target_lm_sql,
@@ -2949,6 +2950,19 @@ def _q_target_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return target_lm_score(pool, target)
 
 
+def _q_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb/Dolma-style filter ablation table: run the three-gate
+    production stack (Gopher rules, hashed-linear classifier, CCNet
+    perplexity tertile) over the same pool and report per gate the
+    unconditional kills AND the marginal kills (docs only this gate
+    fails) — the number an ablation argues from.  Exact BIGINT counts;
+    the oracle nests the three gates' own proven SQL."""
+    from nlp_to_nosql_spark.operators.curation import filter_attribution
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return filter_attribution(docs, F.col("lang") == "en")
+
+
 def _q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail perplexity partition (Wenzek et al.
     §4.3): score the pool under the lm2 target-trained stupid-backoff
@@ -4272,6 +4286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality3_model_filter": _q_model_filter,
         "langid1_charngram_nb": _q_nb_langid,
         "quality4_weighted_filter": _q_weighted_filter,
+        "quality5_filter_attribution": _q_filter_attribution,
         "eval1_retrieval_metrics": _q_retrieval_metrics,
         "eval2_classifier_metrics": _q_classifier_metrics,
         "eval3_classifier_calibration": _q_classifier_calibration,
@@ -4329,6 +4344,7 @@ _ROTATED_FRONT = (
     "pipe8_langid_unimax",
     "dedup18_mutual_knn_clusters",
     "pipe9_unigram_pack",
+    "quality5_filter_attribution",
     "lm2_target_ppl",
     "lm3_ppl_buckets",
     "eval6_score_correlation",
@@ -5395,6 +5411,9 @@ def oracle_sql() -> dict[str, str]:
             _QUALITY4_WEIGHTS
         ),
         "langid1_charngram_nb": nb_charngram_langid_sql(n=3, seed=11),
+        "quality5_filter_attribution": filter_attribution_sql(
+            "lang = 'en'"
+        ),
         "eval1_retrieval_metrics": retrieval_metrics_sql(
             _bm25_oracle_sql(), _bm25_qrels_sql(), k=5
         ),

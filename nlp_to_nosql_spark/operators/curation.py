@@ -1733,3 +1733,164 @@ def unimax_sql(
         "ELSE 0 END * CAST(1000000 AS BIGINT)) // n_tokens "
         "AS BIGINT) AS epochs_micro FROM star"
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-gate filter attribution (which filter kills what)
+# ---------------------------------------------------------------------------
+
+
+def filter_attribution(
+    pool: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Per-gate kill attribution for the three-gate production filter
+    stack (the FineWeb/Dolma ablation table, Penedo et al.
+    arXiv:2406.17557 §3; Soldaini et al. arXiv:2402.00159): run the
+    Gopher structural rules, the hashed-linear quality classifier, and
+    the CCNet perplexity-tertile gate over the same pool and report,
+    per gate, how many documents it fails UNCONDITIONALLY (``n_fail``)
+    and how many it ALONE fails (``n_fail_only`` — passing both other
+    gates), plus the surviving intersection (``n_pass_all``, identical
+    on every row).  ``n_fail_only`` is the marginal-kill number an
+    ablation actually argues from: a gate whose kills are all covered
+    by the other two is removable.
+
+    Gates: ``gopher`` = :func:`gopher_rules` keep; ``classifier`` =
+    ``classify.hashed_linear_score`` keep (absent rows — zero-token
+    docs — count as fail); ``ppl`` = :func:`ppl_buckets` bucket ≤ 2
+    under the ``target``-trained LM (CCNet keeps head+middle), scored
+    over the NON-target pool per the lm3 convention — documents
+    matching ``target_pred`` are definitionally in-domain and PASS the
+    ppl gate.  All counts are exact BIGINTs; the DuckDB twin
+    (:func:`filter_attribution_sql`) nests the three gates' own proven
+    oracle SQL as CTEs, so this query's correctness is inherited, not
+    re-derived.
+
+    Scale: three scans of the pool (each gate's own plan — the
+    classifier zero-shuffle, Gopher one (id, gram) partial agg, the LM
+    gate lm2's two corpus-independent exchanges), one three-way id
+    join of one-row-per-doc boolean frames, one global aggregate to a
+    single counts row exploded to 3 gate rows.
+    """
+    from nlp_to_nosql_spark.operators.classify import hashed_linear_score
+
+    is_target = target_pred.eqNullSafe(F.lit(True))
+    gg = gopher_rules(pool, id_col, text_col).select(
+        F.col(id_col), F.col("keep").alias("_gg")
+    )
+    gc = hashed_linear_score(pool, n_buckets=1024, scale=1000).select(
+        F.col(id_col), F.col("keep").alias("_gc")
+    )
+    gp = ppl_buckets(
+        pool.filter(~is_target),
+        pool.filter(is_target),
+        group_col,
+        3,
+        id_col,
+        text_col,
+    ).select(F.col(id_col), (F.col("ppl_bucket") <= 2).alias("_gp"))
+    flags = (
+        pool.select(F.col(id_col), is_target.alias("_t"))
+        .join(gg, id_col, "left")
+        .join(gc, id_col, "left")
+        .join(gp, id_col, "left")
+        .select(
+            F.coalesce("_gg", F.lit(False)).alias("_gg"),
+            F.coalesce("_gc", F.lit(False)).alias("_gc"),
+            # target docs are in-domain by definition → ppl gate passes
+            F.coalesce("_gp", F.col("_t")).alias("_gp"),
+        )
+    )
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    g, c, p = F.col("_gg"), F.col("_gc"), F.col("_gp")
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        cnt(~g).alias("f_g"),
+        cnt(~c).alias("f_c"),
+        cnt(~p).alias("f_p"),
+        cnt(~g & c & p).alias("o_g"),
+        cnt(g & ~c & p).alias("o_c"),
+        cnt(g & c & ~p).alias("o_p"),
+        cnt(g & c & p).alias("pass_all"),
+    )
+    rows = agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("gopher").alias("gate"),
+                    F.col("f_g").alias("n_fail"),
+                    F.col("o_g").alias("n_fail_only"),
+                ),
+                F.struct(
+                    F.lit("classifier").alias("gate"),
+                    F.col("f_c").alias("n_fail"),
+                    F.col("o_c").alias("n_fail_only"),
+                ),
+                F.struct(
+                    F.lit("ppl").alias("gate"),
+                    F.col("f_p").alias("n_fail"),
+                    F.col("o_p").alias("n_fail_only"),
+                ),
+            )
+        ).alias("_r"),
+        "n_docs",
+        "pass_all",
+    )
+    return rows.select(
+        F.col("_r.gate").alias("gate"),
+        "n_docs",
+        F.col("_r.n_fail").alias("n_fail"),
+        F.col("_r.n_fail_only").alias("n_fail_only"),
+        F.col("pass_all").alias("n_pass_all"),
+    )
+
+
+def filter_attribution_sql(
+    target_sql: str = "lang = 'en'",
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> str:
+    """DuckDB twin of :func:`filter_attribution` — the three gates'
+    proven oracle SQL nested as CTEs, the same boolean algebra, the
+    same 3-row explosion (UNION ALL)."""
+    from nlp_to_nosql_spark.operators.classify import hashed_linear_score_sql
+
+    gopher = gopher_sql()
+    cls = hashed_linear_score_sql(n_buckets=1024, scale=1000)
+    ppl = ppl_buckets_sql(target_sql, group_col, 3, table, text_col, id_col)
+    return (
+        f"WITH gg AS (SELECT {id_col}, keep AS g FROM ({gopher})), "
+        f"gc AS (SELECT {id_col}, keep AS c FROM ({cls})), "
+        f"gp AS (SELECT {id_col}, ppl_bucket <= 2 AS p FROM ({ppl})), "
+        f"flags AS (SELECT COALESCE(g, FALSE) AS g, COALESCE(c, FALSE) AS c, "
+        # target docs never appear in gp (lm3 scores the complement):
+        # they are in-domain by definition and pass the ppl gate
+        f"COALESCE(p, COALESCE(({target_sql}), FALSE)) AS p FROM {table} d "
+        f"LEFT JOIN gg USING ({id_col}) LEFT JOIN gc USING ({id_col}) "
+        f"LEFT JOIN gp USING ({id_col})), "
+        "agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(CASE WHEN NOT g THEN 1 ELSE 0 END) AS BIGINT) AS f_g, "
+        "CAST(SUM(CASE WHEN NOT c THEN 1 ELSE 0 END) AS BIGINT) AS f_c, "
+        "CAST(SUM(CASE WHEN NOT p THEN 1 ELSE 0 END) AS BIGINT) AS f_p, "
+        "CAST(SUM(CASE WHEN NOT g AND c AND p THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS o_g, "
+        "CAST(SUM(CASE WHEN g AND NOT c AND p THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS o_c, "
+        "CAST(SUM(CASE WHEN g AND c AND NOT p THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS o_p, "
+        "CAST(SUM(CASE WHEN g AND c AND p THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS pass_all FROM flags) "
+        "SELECT 'gopher' AS gate, n_docs, f_g AS n_fail, o_g AS n_fail_only, "
+        "pass_all AS n_pass_all FROM agg "
+        "UNION ALL SELECT 'classifier', n_docs, f_c, o_c, pass_all FROM agg "
+        "UNION ALL SELECT 'ppl', n_docs, f_p, o_p, pass_all FROM agg"
+    )

@@ -955,3 +955,45 @@ def test_unimax_allocations_never_exceed_caps_and_sum_within_budget(spark):
     assert sum(r["allocation"] for r in rows) <= 37
     for r in rows:
         assert 0 <= r["allocation"] <= r["cap"]
+
+
+def test_filter_attribution_counts_are_consistent(spark):
+    """Internal consistency: n_fail_only <= n_fail per gate, n_pass_all
+    constant, and n_docs - pass_all <= sum of fails (inclusion)."""
+    from pyspark.sql import functions as F
+
+    from nlp_to_nosql_spark.operators.curation import filter_attribution
+
+    rows = [
+        (i, " ".join(f"w{j % 11}" for j in range(5 + (i * 7) % 40)),
+         "en" if i % 3 == 0 else "fr")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = filter_attribution(df, F.col("lang") == "en").collect()
+    assert {r["gate"] for r in out} == {"gopher", "classifier", "ppl"}
+    pass_all = {r["n_pass_all"] for r in out}
+    assert len(pass_all) == 1
+    for r in out:
+        assert r["n_docs"] == 30
+        assert 0 <= r["n_fail_only"] <= r["n_fail"] <= 30
+    killed = 30 - pass_all.pop()
+    assert killed <= sum(r["n_fail"] for r in out)
+    assert killed >= max(r["n_fail"] for r in out)
+
+
+def test_filter_attribution_target_docs_pass_ppl_gate(spark):
+    """Every target (en) doc passes the ppl gate by definition, so the
+    ppl gate's fail count is bounded by the non-target pool size."""
+    from pyspark.sql import functions as F
+
+    from nlp_to_nosql_spark.operators.curation import filter_attribution
+
+    rows = [
+        (i, "the cat sat on the mat again and again", "en")
+        for i in range(10)
+    ] + [(100 + i, f"zz{i} yy{i} xx{i}", "fr") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["gate"]: r for r in filter_attribution(
+        df, F.col("lang") == "en").collect()}
+    assert out["ppl"]["n_fail"] <= 4

@@ -96,6 +96,7 @@ from nlp_to_nosql_spark.operators.evals import (
     calibration_table_sql,
     classification_metrics_sql,
     knn_label_eval_sql,
+    ndcg_at_k_sql,
     rank_correlation_sql,
     retrieval_metrics_sql,
 )
@@ -673,6 +674,49 @@ def _q_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("vec_id"),
         F.col("label").alias("cluster_id"),
         F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+    )
+
+
+def _q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label purity of the mutual-kNN clusters (dedup18): per cluster,
+    its size, majority label, majority count, and purity =
+    majority/size — the clustering-quality companion to eval7's kNN
+    accuracy (purity high ⇒ graph clusters align with labels ⇒
+    cluster-level dedup decisions respect label structure).  Majority
+    ties break (votes DESC, label ASC), both engines."""
+    from pyspark.sql import Window
+
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    clusters = _q_mutual_knn_clusters(spark, sf_dir)
+    votes = (
+        clusters.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster_id", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("_v"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_v").desc(), F.col("label").asc()
+    )
+    maj = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("label").alias("majority_label"),
+            F.col("_v").alias("majority_n"),
+        )
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    return sizes.join(maj, "cluster_id").select(
+        "cluster_id",
+        "size",
+        "majority_label",
+        "majority_n",
+        F.round(
+            F.col("majority_n").cast("double") / F.col("size").cast("double"),
+            6,
+        ).alias("purity"),
     )
 
 
@@ -2104,6 +2148,34 @@ def _bm25_qrels_sql() -> str:
     )
 
 
+def _bm25_qrels_frame(spark, docs, qterms):
+    """Conjunctive contains-all-query-tokens judgments — the shared
+    ground truth of eval1 (recall/MRR) and eval9 (nDCG).  Prunes the
+    exploded tokens to the broadcast query terms BEFORE deduplicating
+    (judgment-sized, not corpus-sized, exchange — the round-9 rework)."""
+    from nlp_to_nosql_spark.operators.dedup import tokenized
+
+    q = qterms.distinct()
+    qn = q.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_qn")
+    )
+    cand = (
+        tokenized(docs, "doc_id", "text")
+        .select("doc_id", F.explode("_words").alias("token"))
+        .filter(F.col("token") != "")
+        .join(F.broadcast(q), "token")
+        .select("query_id", "doc_id", "token")
+        .distinct()
+    )
+    return (
+        cand.groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .join(F.broadcast(qn), "query_id")
+        .filter(F.col("_c") == F.col("_qn"))
+        .select("query_id", "doc_id")
+    )
+
+
 def _q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k / MRR of the BM25 retriever against conjunctive
     contains-all-query-tokens ground truth — the eval step a RAG /
@@ -2126,7 +2198,6 @@ def _q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     PERFORMANCE.md).  In production both the ranked results and the
     judgments are materialized tables and this query is only the
     small-join metric layer."""
-    from nlp_to_nosql_spark.operators.dedup import tokenized
     from nlp_to_nosql_spark.operators.evals import retrieval_metrics
     from nlp_to_nosql_spark.operators.terms import bm25_topk
 
@@ -2135,31 +2206,7 @@ def _q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(_BM25_QUERY_ROWS), schema="query_id string, token string"
     )
     results = bm25_topk(docs, qterms, "doc_id", "text", k=5)
-    q = qterms.distinct()
-    qn = q.groupBy("query_id").agg(
-        F.count(F.lit(1)).cast("long").alias("_qn")
-    )
-    # Prune to query tokens BEFORE deduplicating: distinct-then-filter
-    # and filter-then-distinct are the same relation, but the former
-    # shuffles every (doc, token) pair in the corpus while the latter
-    # shuffles only candidate rows (docs containing a query token) —
-    # the difference between a corpus-sized and a judgment-sized
-    # exchange.  The oracle dedups before filtering (same values).
-    cand = (
-        tokenized(docs, "doc_id", "text")
-        .select("doc_id", F.explode("_words").alias("token"))
-        .filter(F.col("token") != "")
-        .join(F.broadcast(q), "token")
-        .select("query_id", "doc_id", "token")
-        .distinct()
-    )
-    qrels = (
-        cand.groupBy("query_id", "doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
-        .join(F.broadcast(qn), "query_id")
-        .filter(F.col("_c") == F.col("_qn"))
-        .select("query_id", "doc_id")
-    )
+    qrels = _bm25_qrels_frame(spark, docs, qterms)
     return retrieval_metrics(results, qrels, k=5)
 
 
@@ -2466,6 +2513,24 @@ def _q_dsir_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: sits in the mid band — a deterministic stand-in for human quality
 #: labels, shared literally by the Spark truth frame and the DuckDB CTE.
 _EVAL2_CHAR_BAND = (150, 2000)
+
+
+def _q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@5 of the BM25 retriever against the conjunctive ground
+    truth — the position-weighted metric eval1's recall/MRR lack.
+    Per-rank gains floored to integer micros independently (shared IEEE
+    ln association), so DCG/IDCG are exact BIGINT sums; same ranked
+    lists and judgments as eval1."""
+    from nlp_to_nosql_spark.operators.evals import ndcg_at_k
+    from nlp_to_nosql_spark.operators.terms import bm25_topk
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    qterms = spark.createDataFrame(
+        list(_BM25_QUERY_ROWS), schema="query_id string, token string"
+    )
+    results = bm25_topk(docs, qterms, "doc_id", "text", k=5)
+    qrels = _bm25_qrels_frame(spark, docs, qterms)
+    return ndcg_at_k(results, qrels, k=5)
 
 
 def _q_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4274,6 +4339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann13_knn_graph": _q_knn_graph,
         "eval7_knn_label_eval": _q_knn_label_eval,
         "dedup18_mutual_knn_clusters": _q_mutual_knn_clusters,
+        "eval8_cluster_purity": _q_cluster_purity,
+        "eval9_ndcg": _q_ndcg,
         "sketch1_hll_registers": _q_hll_registers,
         "sketch2_cms_heavy_hitters": _q_cms_heavy_hitters,
         "stream12_hll_accumulate": _q_hll_accumulate_stream,
@@ -4345,6 +4412,8 @@ _ROTATED_FRONT = (
     "dedup18_mutual_knn_clusters",
     "pipe9_unigram_pack",
     "quality5_filter_attribution",
+    "eval8_cluster_purity",
+    "eval9_ndcg",
     "lm2_target_ppl",
     "lm3_ppl_buckets",
     "eval6_score_correlation",
@@ -5263,6 +5332,30 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann13_knn_graph": knn_graph_sql(k=5),
         "eval7_knn_label_eval": knn_label_eval_sql(k=5),
+        "eval8_cluster_purity": (
+            "WITH RECURSIVE knn AS (SELECT src, dst FROM ("
+            + knn_graph_sql(k=5)
+            + ") WHERE mutual), "
+            "reach(id, label) AS ("
+            "SELECT vec_id, vec_id FROM embeddings "
+            "UNION "
+            "SELECT e.dst, r.label FROM reach r "
+            "JOIN knn e ON e.src = r.id WHERE r.label < e.dst), "
+            "cl AS (SELECT id AS vec_id, MIN(label) AS cluster_id "
+            "FROM reach GROUP BY id), "
+            "votes AS (SELECT cl.cluster_id, emb.label, "
+            "CAST(COUNT(*) AS BIGINT) AS v FROM cl "
+            "JOIN embeddings emb USING (vec_id) GROUP BY 1, 2), "
+            "maj AS (SELECT cluster_id, label AS majority_label, "
+            "v AS majority_n FROM votes "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster_id "
+            "ORDER BY v DESC, label ASC) = 1), "
+            "sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size "
+            "FROM cl GROUP BY 1) "
+            "SELECT s.cluster_id, s.size, m.majority_label, m.majority_n, "
+            "ROUND(CAST(m.majority_n AS DOUBLE) / CAST(s.size AS DOUBLE), 6) "
+            "AS purity FROM sizes s JOIN maj m USING (cluster_id)"
+        ),
         "dedup18_mutual_knn_clusters": (
             "WITH RECURSIVE knn AS (SELECT src, dst FROM ("
             + knn_graph_sql(k=5)
@@ -5415,6 +5508,9 @@ def oracle_sql() -> dict[str, str]:
             "lang = 'en'"
         ),
         "eval1_retrieval_metrics": retrieval_metrics_sql(
+            _bm25_oracle_sql(), _bm25_qrels_sql(), k=5
+        ),
+        "eval9_ndcg": ndcg_at_k_sql(
             _bm25_oracle_sql(), _bm25_qrels_sql(), k=5
         ),
         # eval2: the classifier-score CTE is quality3's already-proven

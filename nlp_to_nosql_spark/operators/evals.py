@@ -741,3 +741,118 @@ def knn_label_eval_sql(
         "CAST(COUNT(*) AS DOUBLE), 6) AS accuracy "
         "FROM scored GROUP BY 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# nDCG@k (binary relevance)
+# ---------------------------------------------------------------------------
+
+
+def ndcg_at_k(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 5,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-query nDCG@k under binary relevance — the position-weighted
+    retrieval metric :func:`retrieval_metrics` (recall/MRR) lacks
+    (Järvelin & Kekäläinen, TOIS 2002): a hit at rank ``i`` gains
+    ``1/log2(i+1)``, DCG sums the gains over the top ``k``, IDCG is the
+    best achievable (all ``min(k, n_rel)`` leading ranks hit), nDCG =
+    DCG/IDCG.
+
+    Determinism: each rank's gain is floored to integer micros
+    INDEPENDENTLY — ``g(i) = floor(10⁶·ln(2)/ln(i+1))`` with both
+    engines evaluating the same IEEE ops on the same doubles (``i ≤ k``
+    is a small exact int) — so DCG/IDCG are exact BIGINT sums and only
+    the final ratio divides (round 6, both engines).  Queries without
+    judgments are excluded (IDCG undefined); judged-but-missed queries
+    emit nDCG 0.
+
+    Returns ``(query_col, n_rel, dcg_micro, idcg_micro, ndcg)``.
+    Scale: judgment-sized joins on top of whatever ranked-list plan
+    feeds it — the metric layer itself never touches the corpus.
+    """
+    gain = lambda i: F.floor(  # noqa: E731 — shared by both sums
+        F.lit(1_000_000.0)
+        * F.log(F.lit(2.0))
+        / F.log((i + F.lit(1)).cast("double"))
+    ).cast("long")
+    topk = results.filter(F.col("rk") <= int(k)).select(
+        query_col, "rk", id_col
+    )
+    qr = qrels.select(query_col, id_col).distinct()
+    nrel = qr.groupBy(query_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    dcg = (
+        topk.join(qr, [query_col, id_col])
+        .select(query_col, gain(F.col("rk")).alias("_g"))
+        .groupBy(query_col)
+        .agg(F.sum("_g").cast("long").alias("dcg_micro"))
+    )
+    idcg = nrel.select(
+        query_col,
+        "n_rel",
+        F.aggregate(
+            F.sequence(
+                F.lit(1), F.least(F.lit(int(k)), F.col("n_rel").cast("int"))
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + gain(i),
+        ).alias("idcg_micro"),
+    )
+    return (
+        idcg.join(dcg, query_col, "left")
+        .select(
+            query_col,
+            "n_rel",
+            F.coalesce("dcg_micro", F.lit(0).cast("long")).alias(
+                "dcg_micro"
+            ),
+            "idcg_micro",
+            F.round(
+                F.coalesce("dcg_micro", F.lit(0).cast("long")).cast("double")
+                / F.col("idcg_micro").cast("double"),
+                6,
+            ).alias("ndcg"),
+        )
+    )
+
+
+def ndcg_at_k_sql(
+    results_sql: str,
+    qrels_sql: str,
+    k: int = 5,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`ndcg_at_k` — identical per-rank micro
+    floors (same IEEE op association), BIGINT sums, round-6 ratio."""
+    gain = (
+        "CAST(FLOOR(1000000.0 * ln(2.0) / ln(CAST({i} + 1 AS DOUBLE))) "
+        "AS BIGINT)"
+    )
+    return (
+        f"WITH res AS (SELECT {query_col}, rk, {id_col} "
+        f"FROM ({results_sql}) r WHERE rk <= {int(k)}), "
+        f"qr AS (SELECT DISTINCT {query_col}, {id_col} "
+        f"FROM ({qrels_sql}) s), "
+        f"nrel AS (SELECT {query_col}, CAST(COUNT(*) AS BIGINT) AS n_rel "
+        f"FROM qr GROUP BY {query_col}), "
+        f"dcg AS (SELECT {query_col}, CAST(SUM("
+        + gain.format(i="rk")
+        + f") AS BIGINT) AS dcg_micro "
+        f"FROM res JOIN qr USING ({query_col}, {id_col}) "
+        f"GROUP BY {query_col}), "
+        f"idcg AS (SELECT {query_col}, n_rel, "
+        "CAST(list_sum([" + gain.format(i="i")
+        + f" for i in range(1, least({int(k)}, CAST(n_rel AS INT)) + 1)]) "
+        "AS BIGINT) AS idcg_micro FROM nrel) "
+        f"SELECT idcg.{query_col}, n_rel, "
+        "CAST(COALESCE(dcg_micro, 0) AS BIGINT) AS dcg_micro, idcg_micro, "
+        "ROUND(CAST(COALESCE(dcg_micro, 0) AS DOUBLE) / "
+        "CAST(idcg_micro AS DOUBLE), 6) AS ndcg "
+        f"FROM idcg LEFT JOIN dcg USING ({query_col})"
+    )

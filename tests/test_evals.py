@@ -505,3 +505,62 @@ def test_knn_label_eval_majority_tie_breaks_to_smallest_label(spark):
         for r in knn_label_eval(df, k=2).collect()
     }
     assert got[7] == (1, 0)
+
+
+# ---------------------------------------------------------------------------
+# nDCG@k (eval9)
+# ---------------------------------------------------------------------------
+
+
+def _ndcg_twin(results, qrels, k=5):
+    import math
+    from collections import defaultdict
+
+    gain = lambda i: math.floor(1_000_000.0 * math.log(2.0) / math.log(i + 1))
+    rel = defaultdict(set)
+    for q, d in set(qrels):
+        rel[q].add(d)
+    ranked = defaultdict(list)
+    for q, rk, d in results:
+        if rk <= k:
+            ranked[q].append((rk, d))
+    out = {}
+    for q, docs in rel.items():
+        dcg = sum(gain(rk) for rk, d in ranked.get(q, []) if d in docs)
+        idcg = sum(gain(i) for i in range(1, min(k, len(docs)) + 1))
+        out[q] = (len(docs), dcg, idcg, round(dcg / idcg, 6))
+    return out
+
+
+def test_ndcg_matches_pure_python(spark):
+    from nlp_to_nosql_spark.operators.evals import ndcg_at_k
+
+    results = [
+        ("q1", 1, 10), ("q1", 2, 11), ("q1", 3, 12), ("q1", 4, 13),
+        ("q1", 5, 14),
+        ("q2", 1, 20), ("q2", 2, 10), ("q2", 3, 21),
+        ("q3", 1, 30), ("q3", 2, 31),  # judged but zero hits
+    ]
+    qrels = [
+        ("q1", 10), ("q1", 12), ("q1", 99),     # hits at ranks 1, 3
+        ("q2", 10), ("q2", 10),                  # dup judgment, hit rank 2
+        ("q3", 77),                              # never retrieved
+    ]
+    rdf = spark.createDataFrame(results, "query_id string, rk int, doc_id long")
+    qdf = spark.createDataFrame(qrels, "query_id string, doc_id long")
+    got = {
+        r["query_id"]: (
+            r["n_rel"], r["dcg_micro"], r["idcg_micro"], r["ndcg"]
+        )
+        for r in ndcg_at_k(rdf, qdf, k=5).collect()
+    }
+    assert got == _ndcg_twin(results, qrels, k=5)
+    assert got["q3"][3] == 0.0
+    # perfect-prefix sanity: a query whose hits occupy the leading
+    # ranks up to min(k, n_rel) scores exactly 1.0 — build one
+    results2 = [("p", i, i) for i in range(1, 6)]
+    qrels2 = [("p", 1), ("p", 2)]
+    r2 = spark.createDataFrame(results2, "query_id string, rk int, doc_id long")
+    q2 = spark.createDataFrame(qrels2, "query_id string, doc_id long")
+    row = ndcg_at_k(r2, q2, k=5).collect()[0]
+    assert row["ndcg"] == 1.0

@@ -587,6 +587,40 @@ def main() -> int:
             "mix3_unimax": lambda: __import__(
                 "nlp_to_nosql_spark.operators.curation", fromlist=["x"]
             ).unimax_allocation(docs, "lang", budget=200000, max_epochs=1),
+            "pipe8_langid_unimax": lambda: (lambda cls, cur: (
+                lambda keep: cur.unimax_allocation(
+                    keep, "source", budget=2000, max_epochs=1
+                ))(
+                docs.join(
+                    cls.nb_charngram_langid(docs, n=3, seed=11)
+                    .filter(F.col("pred_lang") == "en")
+                    .select("doc_id"),
+                    "doc_id",
+                )
+            ))(
+                __import__(
+                    "nlp_to_nosql_spark.operators.classify", fromlist=["x"]
+                ),
+                __import__(
+                    "nlp_to_nosql_spark.operators.curation", fromlist=["x"]
+                ),
+            ),
+            "pipe9_unigram_pack": lambda: (lambda sel, pk: pk.pack_by_token_budget(
+                sel.unigram_encode_len(docs), "doc_id", "n_tokens", 5000
+            ))(
+                __import__(
+                    "nlp_to_nosql_spark.operators.selection", fromlist=["x"]
+                ),
+                __import__(
+                    "nlp_to_nosql_spark.operators.packing", fromlist=["x"]
+                ),
+            ),
+            "quality5_filter_attribution": lambda: __import__(
+                "nlp_to_nosql_spark.operators.curation", fromlist=["x"]
+            ).filter_attribution(docs, F.col("lang") == "en"),
+            "eval7_knn_label_eval": lambda: __import__(
+                "nlp_to_nosql_spark.operators.evals", fromlist=["x"]
+            ).knn_label_eval(emb, k=5),
             "eval2_classifier_metrics": lambda: classification_metrics(
                 hashed_linear_score(docs, n_buckets=1024, scale=1000)
                 .select("doc_id", F.col("keep").alias("pred"))

@@ -88,6 +88,7 @@ from nlp_to_nosql_spark.operators.selection import (
     dsir_select_by_sql,
     dsir_select_gumbel_sql,
     dsir_select_sql,
+    kcenter_sql,
     unigram_viterbi_ctes,
     unigram_viterbi_sql,
 )
@@ -2450,6 +2451,18 @@ def _q_bpe_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_by_token_budget(enc, "doc_id", "n_tokens", budget=5_000)
 
 
+def _q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez farthest-point
+    traversal, the Sener & Savarese active-learning selector): where
+    DSIR matches a target distribution, k-center maximizes geometric
+    COVERAGE.  Exact int64 squared-L2 over integer-micro vectors; k
+    corpus scans with TakeOrdered(1) each; driver state k x dim ints."""
+    from nlp_to_nosql_spark.operators.selection import kcenter_select
+
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    return kcenter_select(emb, k=4)
+
+
 def _q_unigram_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pipe6's twin for the unigram tokenizer family: segment the
     distinct-word frame once (tok7's Viterbi DP), join every token
@@ -4367,6 +4380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sel1_dsir_select": _q_dsir_select,
         "sel2_dsir_per_source": _q_dsir_per_source,
         "sel3_dsir_gumbel": _q_dsir_gumbel,
+        "sel4_kcenter": _q_kcenter,
         "tok3_bpe_merge_pairs": _q_bpe_merge_pairs,
         "tok4_bpe_train": _q_bpe_train,
         "tok5_bpe_encode": _q_bpe_encode,
@@ -4414,6 +4428,7 @@ _ROTATED_FRONT = (
     "quality5_filter_attribution",
     "eval8_cluster_purity",
     "eval9_ndcg",
+    "sel4_kcenter",
     "lm2_target_ppl",
     "lm3_ppl_buckets",
     "eval6_score_correlation",
@@ -5504,6 +5519,7 @@ def oracle_sql() -> dict[str, str]:
             _QUALITY4_WEIGHTS
         ),
         "langid1_charngram_nb": nb_charngram_langid_sql(n=3, seed=11),
+        "sel4_kcenter": kcenter_sql(k=4),
         "quality5_filter_attribution": filter_attribution_sql(
             "lang = 'en'"
         ),

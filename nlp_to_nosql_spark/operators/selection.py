@@ -1533,3 +1533,140 @@ def unigram_encode_len(
             F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# greedy k-center coreset selection (Gonzalez farthest-point traversal)
+# ---------------------------------------------------------------------------
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center data selection over an embedding column
+    (Gonzalez, TCS 1985; the coreset / active-learning selection family
+    — Sener & Savarese, ICLR 2018 use exactly this farthest-point
+    traversal): seed with the lowest-id vector, then repeatedly select
+    the point FARTHEST from its nearest already-chosen center.  Where
+    DSIR (sel1–sel3) matches a target DISTRIBUTION, k-center maximizes
+    geometric COVERAGE — the complementary selection axis.
+
+    Exactness: vectors quantize to integer micros
+    (``semdedup._micro_vec``'s recipe — one IEEE multiply + floor per
+    component) and every distance is an exact int64 squared L2 (micro
+    components ≤ 1e6, diff² ≤ 4e12, ×dim ≪ 2⁶³), so argmax ties are
+    real ties and break to the lowest id — the whole traversal replays
+    in DuckDB as k unrolled CTEs (:func:`kcenter_sql`).
+
+    Returns the ``k`` selected rows ``(rnk, id, sel_dist2)``:
+    selection order, vector id, and the squared micro distance to the
+    nearest prior center at selection time (the coverage radius² after
+    ``rnk`` centers is row ``rnk+1``'s ``sel_dist2``); the seed row has
+    ``sel_dist2 = 0``.  Fewer than ``k`` input rows yield that many.
+
+    Scale: ``k`` corpus scans, each a zero-shuffle projection (centers
+    ride the task closure as ``k×dim`` int literals) + one
+    TakeOrdered(1); driver state is ``k×dim`` ints + one 1-row collect
+    per iteration — the ``micro_kmeans_fit`` / BPE-loop driver-state
+    contract.
+    """
+    if k < 1:
+        raise ValueError("kcenter_select: k must be >= 1")
+    from nlp_to_nosql_spark.operators.semdedup import _micro_vec
+
+    spark = df.sparkSession
+    m = df.select(F.col(id_col), _micro_vec(vec_col).alias("_mv"))
+
+    def dist2_to(center: list) -> Column:
+        lit = F.array(*[F.lit(int(c)).cast("long") for c in center])
+        return F.aggregate(
+            F.zip_with(F.col("_mv"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    seed = m.orderBy(F.col(id_col).asc()).limit(1).collect()
+    if not seed:
+        return spark.createDataFrame(
+            [], f"rnk int, {id_col} long, sel_dist2 long"
+        )
+    picks = [(1, seed[0][id_col], 0, list(seed[0]["_mv"]))]
+    for r in range(2, int(k) + 1):
+        chosen_ids = [p[1] for p in picks]
+        dists = [dist2_to(p[3]) for p in picks]
+        dmin = dists[0] if len(dists) == 1 else F.least(*dists)
+        cand = (
+            m.filter(~F.col(id_col).isin(chosen_ids))
+            .select(F.col(id_col), F.col("_mv"), dmin.alias("_d"))
+            .orderBy(F.col("_d").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()
+        )
+        if not cand:
+            break
+        row = cand[0]
+        picks.append((r, row[id_col], int(row["_d"]), list(row["_mv"])))
+    return spark.createDataFrame(
+        [(r, i, d) for r, i, d, _ in picks],
+        f"rnk int, {id_col} long, sel_dist2 long",
+    )
+
+
+def kcenter_sql(
+    k: int = 4,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`kcenter_select` — the greedy traversal
+    unrolled into ``k`` CTE rounds over the same integer-micro vectors,
+    same (dist DESC, id ASC) argmax, same chosen-id exclusion."""
+    mv = (
+        f"list_transform({vec_col}, "
+        "x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+    )
+    d2 = (
+        "list_sum([(a.mv[i] - {c}.mv[i]) * (a.mv[i] - {c}.mv[i]) "
+        "for i in range(1, len(a.mv) + 1)])"
+    )
+    parts = [
+        f"m AS (SELECT {id_col} AS vid, {mv} AS mv FROM {table})",
+        "c1 AS (SELECT vid, mv, CAST(0 AS BIGINT) AS sd "
+        "FROM m ORDER BY vid LIMIT 1)",
+    ]
+    sel = ["SELECT 1 AS rnk, vid, sd FROM c1"]
+    prev_ds = None
+    for r in range(2, int(k) + 1):
+        prev = f"c{r - 1}"
+        ds = f"d{r - 1}"
+        if prev_ds is None:
+            parts.append(
+                f"{ds} AS (SELECT a.vid, a.mv, "
+                "CAST(" + d2.format(c="c1") + " AS BIGINT) AS dmin "
+                "FROM m a, c1 WHERE a.vid <> c1.vid)"
+            )
+        else:
+            parts.append(
+                f"{ds} AS (SELECT a.vid, a.mv, "
+                "least(a.dmin, CAST(" + d2.format(c=prev) + " AS BIGINT)) "
+                f"AS dmin FROM {prev_ds} a, {prev} "
+                f"WHERE a.vid <> {prev}.vid)"
+            )
+        parts.append(
+            f"c{r} AS (SELECT vid, mv, dmin AS sd FROM {ds} "
+            "ORDER BY dmin DESC, vid LIMIT 1)"
+        )
+        sel.append(f"SELECT {r} AS rnk, vid, sd FROM c{r}")
+        prev_ds = ds
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + " SELECT CAST(rnk AS INT) AS rnk, vid AS "
+        + id_col
+        + ", CAST(sd AS BIGINT) AS sel_dist2 FROM ("
+        + " UNION ALL ".join(sel)
+        + ")"
+    )

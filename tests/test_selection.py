@@ -1104,3 +1104,53 @@ def test_unigram_encode_len_sums_piece_counts_per_doc(spark):
     }
     assert got == want
     assert got[2] == 0  # empty doc stays in the mapping with 0 tokens
+
+
+def test_kcenter_matches_pure_python_traversal(spark):
+    """Greedy farthest-point vs a pure-python twin on a corpus with a
+    planted far outlier: the outlier must be picked second."""
+    import math
+    import random
+
+    from nlp_to_nosql_spark.operators.selection import kcenter_select
+
+    rng = random.Random(5)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(25)]
+    vecs.append((25, [50.0] * 6))  # planted outlier
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    def micro(v):
+        return [math.floor(x * 1_000_000) for x in v]
+
+    mv = {i: micro(v) for i, v in vecs}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    picks = [(1, 0, 0)]
+    chosen = [0]
+    for r in range(2, 5):
+        best = None
+        for i in sorted(mv):
+            if i in chosen:
+                continue
+            dmin = min(d2(mv[i], mv[c]) for c in chosen)
+            if best is None or (dmin, -i) > (best[1], -best[0]):
+                best = (i, dmin)
+        picks.append((r, best[0], best[1]))
+        chosen.append(best[0])
+    got = sorted(tuple(r) for r in kcenter_select(df, k=4).collect())
+    assert got == picks
+    assert got[1][1] == 25  # the planted outlier is selected second
+
+
+def test_kcenter_fewer_rows_than_k(spark):
+    from nlp_to_nosql_spark.operators.selection import kcenter_select
+
+    df = spark.createDataFrame(
+        [(3, [1.0, 0.0]), (7, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = sorted(tuple(r) for r in kcenter_select(df, k=5).collect())
+    assert [r[0] for r in rows] == [1, 2]
+    assert rows[0][1] == 3  # lowest id seeds

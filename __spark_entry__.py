@@ -21,6 +21,7 @@ from nlp_to_nosql_spark.functions import text as tx
 from nlp_to_nosql_spark.ir import QuerySpec
 from nlp_to_nosql_spark.operators import dedup as dd
 from nlp_to_nosql_spark.operators.multimodal import (
+    aspect_bucket_sql,
     audio_chunk_plan,
     frame_sample_plan,
     image_features,
@@ -1470,6 +1471,31 @@ def _q_dim_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, t["events"], t["customer"], window="1 hour",
         tag=f"sf{_sf_tag(sf_dir)}",
     )
+
+
+def _q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing (the NovelAI/SDXL diffusion-batching
+    plan): assign each image to the area-constant bucket nearest its
+    aspect in log space, ties to the earliest bucket.  Dims are typed
+    metadata synthesized deterministically from the id (the mm-family
+    convention — the plumbing is real, the pixels are not); the argmin
+    is a per-row literal-array struct-min, zero shuffle."""
+    from nlp_to_nosql_spark.operators.multimodal import aspect_bucket_plan
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.struct(
+            (F.lit(256) + (F.col("doc_id") * 37) % 1024)
+            .cast("int")
+            .alias("width"),
+            (F.lit(256) + (F.col("doc_id") * 101) % 1024)
+            .cast("int")
+            .alias("height"),
+        ).alias("meta"),
+    )
+    return aspect_bucket_plan(media)
 
 
 def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4345,6 +4371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm3_audio_chunks": _q_audio_chunks,
         "mm4_audio_decode": _q_audio_decode,
         "mm5_image_resize": _q_image_resize,
+        "mm6_aspect_buckets": _q_aspect_buckets,
         "dedup12_keep_best": _q_keep_best,
         "diff1_snapshot_diff": _q_snapshot_diff,
         "dedup13_incremental": _q_incremental_ingest,
@@ -4429,6 +4456,7 @@ _ROTATED_FRONT = (
     "eval8_cluster_purity",
     "eval9_ndcg",
     "sel4_kcenter",
+    "mm6_aspect_buckets",
     "lm2_target_ppl",
     "lm3_ppl_buckets",
     "eval6_score_correlation",
@@ -5520,6 +5548,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "langid1_charngram_nb": nb_charngram_langid_sql(n=3, seed=11),
         "sel4_kcenter": kcenter_sql(k=4),
+        "mm6_aspect_buckets": aspect_bucket_sql(
+            "SELECT doc_id AS media_id, 'image' AS kind, "
+            "CAST(256 + (doc_id * 37) % 1024 AS INT) AS width, "
+            "CAST(256 + (doc_id * 101) % 1024 AS INT) AS height "
+            "FROM documents"
+        ),
         "quality5_filter_attribution": filter_attribution_sql(
             "lang = 'en'"
         ),

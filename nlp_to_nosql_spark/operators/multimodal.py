@@ -398,3 +398,127 @@ def resize_images(
             "media_id", "payload", "meta"
         )
     ).mapInPandas(do, RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# aspect-ratio bucketing (the diffusion-training batching plan)
+# ---------------------------------------------------------------------------
+
+#: The default bucket inventory: resolutions with ~512² pixels spanning
+#: 1:2.4 … 2.4:1, the NovelAI/SDXL bucketing shape (Podell et al.,
+#: arXiv:2307.01952 App. I train on exactly such an area-constant
+#: aspect ladder).  Order matters: ties break to the EARLIEST bucket.
+DEFAULT_ASPECT_BUCKETS: tuple = (
+    (512, 512),
+    (576, 448), (448, 576),
+    (640, 384), (384, 640),
+    (704, 320), (320, 704),
+    (768, 320), (320, 768),
+)
+
+
+def aspect_bucket_plan(
+    media: DataFrame,
+    buckets: "tuple | None" = None,
+) -> DataFrame:
+    """Assign every image to the aspect-ratio bucket nearest its own
+    aspect in LOG space — the batching plan aspect-bucketed diffusion
+    training runs (images in one batch share a bucket, so no
+    destructive square-cropping; NovelAI's bucketing, adopted by SDXL).
+    Nearest = minimize ``|ln(w)−ln(h) − (ln(bw)−ln(bh))|`` floored to
+    integer micros; ties → the earliest bucket in the inventory.  Every
+    ``ln`` input is an exact small int, the same four-ln expression in
+    both engines, so the assignment carries a value-level DuckDB
+    oracle.
+
+    Input rows need ``meta.width``/``meta.height``; images with NULL or
+    non-positive dims emit NULL bucket columns (unplannable, kept so
+    the mapping stays total).  Returns ``(media_id, width, height,
+    bucket_w, bucket_h, score_micro)``.
+
+    Zero shuffle: the bucket inventory is a per-row literal struct
+    array (≤ a few dozen entries), the argmin a single ``array_min``
+    over it — a scan-side projection at any corpus size; the batch
+    assembly that follows is ``pack_by_token_budget`` per bucket.
+    """
+    inv = tuple(buckets) if buckets is not None else DEFAULT_ASPECT_BUCKETS
+    if not inv:
+        raise ValueError("aspect_bucket_plan: bucket inventory is empty")
+    w = F.col("meta.width").cast("int")
+    h = F.col("meta.height").cast("int")
+    base = media.filter(F.col("kind") == "image").select(
+        "media_id", w.alias("width"), h.alias("height")
+    )
+    lw = F.log(F.col("width").cast("double"))
+    lh = F.log(F.col("height").cast("double"))
+    cands = F.array(
+        *[
+            F.struct(
+                F.floor(
+                    F.abs(
+                        (lw - lh)
+                        - (
+                            F.log(F.lit(float(bw)))
+                            - F.log(F.lit(float(bh)))
+                        )
+                    )
+                    * F.lit(1_000_000.0)
+                )
+                .cast("long")
+                .alias("score"),
+                F.lit(i).cast("int").alias("idx"),
+                F.lit(bw).cast("int").alias("bw"),
+                F.lit(bh).cast("int").alias("bh"),
+            )
+            for i, (bw, bh) in enumerate(inv)
+        ]
+    )
+    ok = (
+        F.col("width").isNotNull()
+        & F.col("height").isNotNull()
+        & (F.col("width") > 0)
+        & (F.col("height") > 0)
+    )
+    staged = base.select(
+        "media_id",
+        "width",
+        "height",
+        F.when(ok, F.array_min(cands)).alias("_b"),
+    )
+    return staged.select(
+        "media_id",
+        "width",
+        "height",
+        F.col("_b.bw").alias("bucket_w"),
+        F.col("_b.bh").alias("bucket_h"),
+        F.col("_b.score").alias("score_micro"),
+    )
+
+
+def aspect_bucket_sql(
+    media_sql: str,
+    buckets: "tuple | None" = None,
+) -> str:
+    """DuckDB twin of :func:`aspect_bucket_plan` over any media-shaped
+    SQL (columns ``media_id``, ``kind``, ``width``, ``height``) — the
+    same literal inventory, the same four-ln micro floors, the same
+    (score, idx) struct-min tie-break."""
+    inv = tuple(buckets) if buckets is not None else DEFAULT_ASPECT_BUCKETS
+    entries = ", ".join(
+        "{'score': CAST(FLOOR(abs((ln(CAST(width AS DOUBLE)) - "
+        "ln(CAST(height AS DOUBLE))) - "
+        f"(ln(CAST({bw} AS DOUBLE)) - ln(CAST({bh} AS DOUBLE)))) "
+        f"* 1000000.0) AS BIGINT), 'idx': {i}, 'bw': {bw}, 'bh': {bh}}}"
+        for i, (bw, bh) in enumerate(inv)
+    )
+    return (
+        f"WITH base AS (SELECT media_id, width, height FROM ({media_sql}) "
+        "WHERE kind = 'image'), "
+        "scored AS (SELECT media_id, width, height, "
+        "CASE WHEN width IS NOT NULL AND height IS NOT NULL "
+        "AND width > 0 AND height > 0 THEN "
+        f"list_sort([{entries}])[1] END AS b FROM base) "
+        "SELECT media_id, width, height, "
+        "CAST(b['bw'] AS INT) AS bucket_w, CAST(b['bh'] AS INT) AS bucket_h, "
+        "b['score'] AS score_micro FROM scored"
+    )

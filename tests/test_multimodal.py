@@ -205,3 +205,59 @@ def test_resize_real_codecs_is_gated(spark):
 
         with pytest.raises((Py4JJavaError, Exception)):
             df.collect()
+
+
+# ---------------------------------------------------------------------------
+# aspect-ratio bucketing (mm6)
+# ---------------------------------------------------------------------------
+
+
+def test_aspect_buckets_pick_nearest_log_aspect(spark):
+    import math
+
+    from nlp_to_nosql_spark.operators.multimodal import (
+        DEFAULT_ASPECT_BUCKETS,
+        aspect_bucket_plan,
+    )
+
+    dims = [(0, 512, 512), (1, 1024, 512), (2, 300, 900), (3, 640, 400)]
+    media = spark.createDataFrame(
+        [(i, "image", {"width": w, "height": h}) for i, w, h in dims],
+        "media_id long, kind string, "
+        "meta struct<width: int, height: int>",
+    )
+    got = {
+        r["media_id"]: (r["bucket_w"], r["bucket_h"])
+        for r in aspect_bucket_plan(media).collect()
+    }
+
+    def twin(w, h):
+        best = None
+        for i, (bw, bh) in enumerate(DEFAULT_ASPECT_BUCKETS):
+            s = math.floor(
+                abs(
+                    (math.log(w) - math.log(h))
+                    - (math.log(float(bw)) - math.log(float(bh)))
+                )
+                * 1_000_000.0
+            )
+            if best is None or (s, i) < best[0:2]:
+                best = (s, i, bw, bh)
+        return (best[2], best[3])
+
+    assert got == {i: twin(w, h) for i, w, h in dims}
+    assert got[0] == (512, 512)  # square lands in the square bucket
+
+
+def test_aspect_buckets_null_dims_stay_unplanned(spark):
+    from nlp_to_nosql_spark.operators.multimodal import aspect_bucket_plan
+
+    media = spark.createDataFrame(
+        [(0, "image", {"width": None, "height": 512}),
+         (1, "image", {"width": 0, "height": 4}),
+         (2, "audio", {"width": 512, "height": 512})],
+        "media_id long, kind string, meta struct<width: int, height: int>",
+    )
+    rows = {r["media_id"]: r for r in aspect_bucket_plan(media).collect()}
+    assert rows[0]["bucket_w"] is None and rows[1]["bucket_w"] is None
+    assert 2 not in rows  # non-image rows are not planned

@@ -116,6 +116,7 @@ from nlp_to_nosql_spark.operators.terms import (
     collocations_sql,
     source_divergence_sql,
     vocab_coverage_sql,
+    zipf_slope_sql,
 )
 from nlp_to_nosql_spark.operators.sessions import SESSIONIZE_SQL, sessionize
 from nlp_to_nosql_spark.operators.timeseries import GAPFILL_SQL
@@ -2477,6 +2478,19 @@ def _q_bpe_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_by_token_budget(enc, "doc_id", "n_tokens", budget=5_000)
 
 
+def _q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit in log-log space — the corpus health
+    check (slope near -1 = natural language; flat head / cliff tail =
+    boilerplate flooding or dedup failure).  Milli-ln integer floors +
+    exact BIGINT five-sums + closed-form double slope (the agg6
+    discipline, never the engines' regr_slope); the rank window sorts
+    the vocabulary, never the corpus."""
+    from nlp_to_nosql_spark.operators.terms import zipf_slope
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return zipf_slope(docs)
+
+
 def _q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center coreset selection (Gonzalez farthest-point
     traversal, the Sener & Savarese active-learning selector): where
@@ -4389,6 +4403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream14_hll_by_accumulate": _q_hll_by_accumulate_stream,
         "split2_stratified_split": _q_stratified_split,
         "prof5_length_quantiles": _q_length_quantiles,
+        "prof6_zipf_slope": _q_zipf_slope,
         "dedup14_semdedup": _q_semantic_dedup,
         "quality3_model_filter": _q_model_filter,
         "langid1_charngram_nb": _q_nb_langid,
@@ -4457,6 +4472,7 @@ _ROTATED_FRONT = (
     "eval9_ndcg",
     "sel4_kcenter",
     "mm6_aspect_buckets",
+    "prof6_zipf_slope",
     "lm2_target_ppl",
     "lm3_ppl_buckets",
     "eval6_score_correlation",
@@ -5548,6 +5564,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "langid1_charngram_nb": nb_charngram_langid_sql(n=3, seed=11),
         "sel4_kcenter": kcenter_sql(k=4),
+        "prof6_zipf_slope": zipf_slope_sql(),
         "mm6_aspect_buckets": aspect_bucket_sql(
             "SELECT doc_id AS media_id, 'image' AS kind, "
             "CAST(256 + (doc_id * 37) % 1024 AS INT) AS width, "

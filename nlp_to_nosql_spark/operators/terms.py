@@ -610,3 +610,154 @@ def bm25_topk_sql(
         f"ORDER BY score_micro DESC, {id_col}) AS INT) AS rk FROM agg) t "
         f"WHERE rk <= {int(k)}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-slope corpus diagnostic
+# ---------------------------------------------------------------------------
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    scale: int = 1_000,
+) -> DataFrame:
+    """Least-squares fit of the corpus's token rank-frequency curve in
+    log-log space — the Zipf diagnostic a corpus health check runs: a
+    clean natural-language corpus fits ``ln f ≈ a + s·ln r`` with slope
+    ``s ≈ −1``; a large deviation (flat head, cliff tail) signals
+    boilerplate flooding, dedup failure, or truncation (Piantadosi,
+    Psychon Bull Rev 2014 reviews the law and its diagnostics).
+
+    Exactness (the agg6 discipline — NOT the engines' regr_slope, whose
+    streaming updates differ in last ulps): ``x = floor(ln(rank)·1e3)``
+    and ``y = floor(ln(freq)·1e3)`` are MILLI-scaled integers (milli
+    not micro so ``Σx²`` keeps int64 headroom to ~10⁹-type vocabularies:
+    ln ≤ ~21 → x ≤ 21 000 → x² ≤ 4.4·10⁸ per row), all five sums are
+    exact BIGINTs, and the closed-form slope/intercept/correlation are
+    the same IEEE double expression in both engines
+    (:func:`zipf_slope_sql`).  Rank ties break ``(freq DESC, token
+    ASC)``.
+
+    Returns one row ``(n_vocab, n_tokens, slope, intercept_milli_ln,
+    corr)``; ``slope ≈ −1`` is the healthy reading.  Fewer than two
+    distinct tokens yield a NULL fit (zero variance) on both engines.
+
+    Scale: one corpus-token shuffle into the vocabulary frame; the rank
+    window sorts the VOCABULARY (narrow (token, count) rows — never the
+    corpus), then one global five-sum reduce to a single row.
+    """
+    from pyspark.sql import Window
+
+    from nlp_to_nosql_spark.functions.text import normalize_text
+
+    words = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(normalize_text(F.col(text_col)), " "),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    w_rank = Window.orderBy(F.col("wc").desc(), F.col("w").asc())
+    ranked = words.select(
+        F.row_number().over(w_rank).cast("long").alias("r"), "wc"
+    ).select(
+        F.floor(F.log(F.col("r").cast("double")) * F.lit(float(scale)))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("wc").cast("double")) * F.lit(float(scale)))
+        .cast("long")
+        .alias("y"),
+        "wc",
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("wc").cast("long").alias("n_tokens"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    return sums.select(
+        F.col("n").alias("n_vocab"),
+        "n_tokens",
+        F.when(var_x > 0, cov_n / var_x).alias("slope"),
+        F.when(
+            var_x > 0, (sy - (cov_n / var_x) * sx) / n
+        ).alias("intercept_milli_ln"),
+        F.when(
+            (var_x > 0) & (var_y > 0),
+            cov_n / (F.sqrt(var_x) * F.sqrt(var_y)),
+        ).alias("corr"),
+    )
+
+
+def zipf_slope_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    scale: int = 1_000,
+) -> str:
+    """DuckDB twin of :func:`zipf_slope` — same milli-ln floors, same
+    exact BIGINT sums, same closed-form double expressions."""
+    from nlp_to_nosql_spark.functions.text import NORMALIZE_SQL
+
+    norm = NORMALIZE_SQL.format(c=f"COALESCE({text_col}, '')")
+    return (
+        f"WITH toks AS (SELECT list_filter(string_split({norm}, ' '), "
+        f"t -> t <> '') AS ts FROM {table}), "
+        "words AS (SELECT f AS w, CAST(count(*) AS BIGINT) AS wc "
+        "FROM toks, LATERAL UNNEST(ts) AS u(f) GROUP BY f), "
+        "ranked AS (SELECT CAST(ROW_NUMBER() OVER "
+        "(ORDER BY wc DESC, w ASC) AS BIGINT) AS r, wc FROM words), "
+        "xy AS (SELECT "
+        f"CAST(FLOOR(ln(CAST(r AS DOUBLE)) * {float(scale)!r}) AS BIGINT) "
+        "AS x, "
+        f"CAST(FLOOR(ln(CAST(wc AS DOUBLE)) * {float(scale)!r}) AS BIGINT) "
+        "AS y, wc FROM ranked), "
+        "sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(wc) AS BIGINT) AS n_tokens, "
+        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+        "CAST(SUM(x * x) AS BIGINT) AS sxx, "
+        "CAST(SUM(y * y) AS BIGINT) AS syy, "
+        "CAST(SUM(x * y) AS BIGINT) AS sxy FROM xy) "
+        "SELECT n AS n_vocab, n_tokens, "
+        "CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - "
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN "
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - "
+        "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - "
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS slope, "
+        "CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - "
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN "
+        "(CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - "
+        "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - "
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / "
+        "CAST(n AS DOUBLE) END AS intercept_milli_ln, "
+        "CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - "
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 AND "
+        "CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - "
+        "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN "
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - "
+        "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - "
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * "
+        "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - "
+        "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS corr "
+        "FROM sums"
+    )

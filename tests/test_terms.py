@@ -295,3 +295,49 @@ def test_bm25_matches_duckdb(spark):
     )
     want = sorted(con.execute(bm25_topk_sql(qrows, k=5)).fetchall())
     assert got == want and len(got) == 10
+
+
+# ---------------------------------------------------------------------------
+# Zipf-slope diagnostic (prof6)
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_slope_matches_pure_python_fit(spark):
+    import math
+    from collections import Counter
+
+    from nlp_to_nosql_spark.operators.terms import zipf_slope
+
+    texts = [
+        "a a a a a a b b b b c c c d d e",
+        "a a b b c d e f g",
+        "a b c",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    counts = Counter()
+    for t in texts:
+        counts.update(t.split())
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [math.floor(math.log(r) * 1000.0) for r in range(1, len(ranked) + 1)]
+    ys = [math.floor(math.log(c) * 1000.0) for _, c in ranked]
+    n = float(len(xs))
+    sx, sy = float(sum(xs)), float(sum(ys))
+    sxx = float(sum(x * x for x in xs))
+    syy = float(sum(y * y for y in ys))
+    sxy = float(sum(x * y for x, y in zip(xs, ys)))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    row = zipf_slope(df).collect()[0]
+    assert row["n_vocab"] == len(ranked)
+    assert row["n_tokens"] == sum(counts.values())
+    assert row["slope"] == slope
+    assert row["slope"] < 0  # frequency falls with rank
+
+
+def test_zipf_slope_degenerate_vocab_yields_null_fit(spark):
+    from nlp_to_nosql_spark.operators.terms import zipf_slope
+
+    df = spark.createDataFrame([(0, "same same same")], "doc_id long, text string")
+    row = zipf_slope(df).collect()[0]
+    assert row["n_vocab"] == 1 and row["slope"] is None

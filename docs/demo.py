@@ -122,6 +122,30 @@ def run_demo(sf_dir: str = DEFAULT_SF_DIR, spark=None) -> str:
     vocab.unpersist()
     say("")
 
+    say("=" * 72, "5. Round-11 additions — trained language ID, UniMax "
+        "budget planning,", "   unigram-LM segmentation (plain DataFrame "
+        "APIs)", "=" * 72)
+    from nlp_to_nosql_spark.operators.classify import nb_charngram_langid
+    from nlp_to_nosql_spark.operators.curation import unimax_allocation
+    from nlp_to_nosql_spark.operators.selection import unigram_viterbi
+
+    pred = nb_charngram_langid(docs, n=3, seed=11)
+    agree = pred.filter(F.col("pred_lang") == F.col("lang")).count()
+    total = pred.count()
+    say(f">>> nb_charngram_langid(docs)  ->  {total} held-out docs "
+        f"scored, {agree} predicted == labeled")
+    plan = unimax_allocation(docs, "lang", budget=20_000, max_epochs=1)
+    say(">>> unimax_allocation(docs, 'lang', budget=20000, E=1)  ->")
+    for r in sorted(plan.collect(), key=lambda r: r["lang"]):
+        say(f"    {r['lang']}: n_tokens={r['n_tokens']} "
+            f"alloc={r['allocation']} epochs_micro={r['epochs_micro']}")
+    segs = unigram_viterbi(docs).orderBy(F.col("wc").desc()).limit(3)
+    say(">>> unigram_viterbi(docs)  (3 most frequent words)  ->")
+    for r in segs.collect():
+        say(f"    {r['word']!r} -> {r['seg']!r} "
+            f"(score_micro={r['score_micro']})")
+    say("")
+
     say("=" * 72, "Demo complete: one NL query compiled (rule-based "
         "fallback, offline),", "executed on Spark, and returned through "
         "all three client surfaces,", "plus the corpus-pipeline "

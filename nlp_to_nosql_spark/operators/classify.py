@@ -394,22 +394,6 @@ def hashed_linear_score_weights_sql(
 # ---------------------------------------------------------------------------
 
 
-def _char_grams(norm: Column, n: int) -> Column:
-    """Sliding character n-grams of an already-normalized text attribute
-    (occurrence list, NOT distinct — NB counts every occurrence).  Empty
-    text → empty array, the ``char_ngram_sketch`` contract: a contentless
-    document contributes no evidence.  ``norm`` MUST be a column
-    attribute, not an expression tree (the lambda-recompute trap,
-    ``dedup.shingles_of_words``)."""
-    return F.when(
-        F.length(norm) > 0,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
-            lambda p: norm.substr(p, F.lit(n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-
 def nb_charngram_langid(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -490,15 +474,35 @@ def nb_charngram_langid(
     train = base.filter(F.col("_train"))
     score = base.filter(~F.col("_train"))
 
+    # Gram production explodes POSITIONS and computes the substring
+    # AFTER the Generate as a top-level codegen'd expression: a
+    # dynamic-position substr inside a transform() lambda is evaluated
+    # interpreted per element (measured 19 s vs 2.2 s for this corpus's
+    # 1.5M trigrams at sf0.1 — same class of cost as the staged-array
+    # winnowing trap, different mechanism).  The position array is a
+    # cheap int sequence; `_norm` rides through the explode as an
+    # attribute.
+    def _gram_rows(part: DataFrame, *keep: str) -> DataFrame:
+        pos = F.when(
+            F.length("_norm") > 0,
+            F.sequence(
+                F.lit(1), F.greatest(F.length("_norm") - (n - 1), F.lit(1))
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+        return (
+            part.select(*keep, "_norm", pos.alias("_ps"))
+            .select(*keep, "_norm", F.explode("_ps").alias("_p"))
+            .select(
+                *keep, F.expr(f"substring(_norm, _p, {int(n)})").alias("g")
+            )
+        )
+
     # ONE aggregation pass over the exploded training grams — the
     # vocabulary size and the per-label totals both derive from the
     # (label, gram) count table (≤ labels×vocab rows), so the gram
-    # explosion is consumed exactly once and needs no persist (this
-    # dropped two aggregation passes + two cache round-trips ≈ 40 % of
-    # the query's quiet wall time).
+    # explosion is consumed exactly once and needs no persist.
     counts = persisted(
-        train.select("_label", _char_grams(F.col("_norm"), n).alias("_gs"))
-        .select("_label", F.explode("_gs").alias("g"))
+        _gram_rows(train, "_label")
         .groupBy("_label", "g")
         .agg(F.count(F.lit(1)).cast("long").alias("c")),
         "tokens",
@@ -542,10 +546,7 @@ def nb_charngram_langid(
     # the fan-out identically — Σ_occurrences floor(lp) = cnt·floor(lp)
     # exactly, so the oracle's per-occurrence form is value-identical.
     sg = (
-        score.select(
-            F.col(id_col), _char_grams(F.col("_norm"), n).alias("_gs")
-        )
-        .select(F.col(id_col), F.explode("_gs").alias("g"))
+        _gram_rows(score, id_col)
         .groupBy(id_col, "g")
         .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
     )

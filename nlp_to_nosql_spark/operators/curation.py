@@ -1624,7 +1624,14 @@ def unimax_allocation(
     sizes = (
         df.select(
             F.col(key_col).alias("key"),
-            token_count(F.col(text_col)).alias("_nt"),
+            # NULL text counts 0 tokens (round-11 advisory: an all-NULL
+            # key otherwise yields NULL n_tokens/cap, and Spark's
+            # ascending sort puts NULLs FIRST where DuckDB's defaults
+            # LAST — coalescing on both engines keeps the water-fill
+            # order and the epochs division identical)
+            F.coalesce(
+                token_count(F.col(text_col)), F.lit(0).cast("long")
+            ).alias("_nt"),
         )
         .groupBy("key")
         .agg(F.sum("_nt").cast("long").alias("n_tokens"))
@@ -1688,8 +1695,11 @@ def unimax_allocation(
         "n_tokens",
         "cap",
         "allocation",
+        # explicit NULL for a zero-token key on BOTH engines (Spark's
+        # `div` by 0 is NULL; DuckDB's `//` by 0 would error)
         F.expr(
-            "(allocation * CAST(1000000 AS BIGINT)) div n_tokens"
+            "CASE WHEN n_tokens > 0 THEN "
+            "(allocation * CAST(1000000 AS BIGINT)) div n_tokens END"
         ).alias("epochs_micro"),
     )
 
@@ -1706,7 +1716,7 @@ def unimax_sql(
     division; no float anywhere."""
     from nlp_to_nosql_spark.functions.text import TOKEN_COUNT_SQL
 
-    ntok = TOKEN_COUNT_SQL.format(c=text_col)
+    ntok = "COALESCE(" + TOKEN_COUNT_SQL.format(c=text_col) + ", 0)"
     b, e = int(budget), int(max_epochs)
     return (
         f"WITH sizes AS (SELECT {key_col} AS key, "
@@ -1728,9 +1738,10 @@ def unimax_sql(
         "CAST(CASE WHEN i <= istar THEN cap "
         f"WHEN m > istar THEN ({b} - s_star) // (m - istar) "
         "ELSE 0 END AS BIGINT) AS allocation, "
-        "CAST((CASE WHEN i <= istar THEN cap "
+        "CAST(CASE WHEN n_tokens > 0 THEN "
+        "(CASE WHEN i <= istar THEN cap "
         f"WHEN m > istar THEN ({b} - s_star) // (m - istar) "
-        "ELSE 0 END * CAST(1000000 AS BIGINT)) // n_tokens "
+        "ELSE 0 END * CAST(1000000 AS BIGINT)) // n_tokens END "
         "AS BIGINT) AS epochs_micro FROM star"
     )
 

@@ -659,6 +659,15 @@ def knn_label_eval(
     ``(label, n, correct, accuracy)`` per true label, ``accuracy``
     rounded half-up to 6 places from an exact integer ratio.
 
+    Denominator semantics (round-11 advisory, now explicit): ``n``
+    counts only vectors that RECEIVED a prediction — the inner join
+    with the vote argmax.  Under :func:`knn_graph` every block-pair
+    sees every other vector, so with ≥ 2 input rows every vector has
+    ≥ 1 neighbor and ``n`` equals the label's row count; the only
+    degenerate case is a 1-row input (no neighbors, zero output
+    rows).  Both engines share the inner-join convention, so the
+    oracle checks the stated contract.
+
     Scale: inherits knn_graph's contract (exact tier fail-fast above
     ``spark.nlp2nosql.exact.maxRows``; per-IVF-cell at corpus scale);
     everything after the graph is edge-list-sized joins and ≤ |labels|

@@ -1577,7 +1577,24 @@ def kcenter_select(
         raise ValueError("kcenter_select: k must be >= 1")
     from nlp_to_nosql_spark.operators.semdedup import _micro_vec
 
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
     spark = df.sparkSession
+    # result schema mirrors the INPUT id type (string ids work too —
+    # round-11 advisory: the traversal is type-agnostic, the assembly
+    # must be as well)
+    out_schema = StructType(
+        [
+            StructField("rnk", IntegerType(), False),
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("sel_dist2", LongType(), True),
+        ]
+    )
     m = df.select(F.col(id_col), _micro_vec(vec_col).alias("_mv"))
 
     def dist2_to(center: list) -> Column:
@@ -1590,9 +1607,7 @@ def kcenter_select(
 
     seed = m.orderBy(F.col(id_col).asc()).limit(1).collect()
     if not seed:
-        return spark.createDataFrame(
-            [], f"rnk int, {id_col} long, sel_dist2 long"
-        )
+        return spark.createDataFrame([], out_schema)
     picks = [(1, seed[0][id_col], 0, list(seed[0]["_mv"]))]
     for r in range(2, int(k) + 1):
         chosen_ids = [p[1] for p in picks]
@@ -1610,8 +1625,7 @@ def kcenter_select(
         row = cand[0]
         picks.append((r, row[id_col], int(row["_d"]), list(row["_mv"])))
     return spark.createDataFrame(
-        [(r, i, d) for r, i, d, _ in picks],
-        f"rnk int, {id_col} long, sel_dist2 long",
+        [(r, i, d) for r, i, d, _ in picks], out_schema
     )
 
 

@@ -1094,11 +1094,17 @@ def knn_graph(
     ``(dot, na, nb)`` rows — the float similarity and the rank are
     computed JVM-side from those integers, so no numpy float rounding
     ever reaches the output (the ann4/eval4 half-to-even caveat does
-    not apply; selection inside a block uses raw doubles, where a
-    candidate dropped despite post-round-tying with the kept k-th
-    would need > ``sel_margin`` raw-double near-ties in one block —
-    not observed at any SF).  Global per-source top-k is one
-    ``n_blocks·(k+margin)``-candidate window, and the mutual flag one
+    not apply).  Local selection is PROVABLY a superset of anything
+    the global ``(round(sim, 6) DESC, dst ASC)`` window can rank in
+    the top ``k``: a block-pair keeps every candidate whose raw
+    double similarity is within ``2e-6`` of its k-th best — since
+    ``round(·, 6)`` is monotone and moves a value by at most
+    ``5e-7``, any candidate more than ``1e-6`` below k raw
+    candidates is strictly below k candidates post-round too, so
+    dropping it can never change the global top-k (this closed the
+    round-11 advisory's raw-vs-rounded near-tie gap; ``sel_margin``
+    remains as a keep-count floor).  Global per-source top-k is one
+    bounded-candidate window, and the mutual flag one
     self-join of the k·n edge list.  Same fail-fast ceiling as the
     exact near-dup tier (``spark.nlp2nosql.exact.maxRows``): at corpus
     scale, run this per IVF cell (:class:`~nlp_to_nosql_spark.
@@ -1164,9 +1170,16 @@ def knn_graph(
             mask = ids_dst != ids_src[i]
             cand = np.nonzero(mask)[0]
             if len(cand) > m:
-                # top-m by (sim desc, dst asc): lexsort on (-sim, dst)
-                order = np.lexsort((ids_dst[cand], -row[cand]))[:m]
+                # order by (sim desc, dst asc), then keep the top-m PLUS
+                # everything within 2e-6 of the k-th raw sim — round(·,6)
+                # shifts a double by ≤ 5e-7, so a candidate > 1e-6 below
+                # k others can never post-round into the global top-k
+                # (see docstring); the slack set is the provable superset
+                order = np.lexsort((ids_dst[cand], -row[cand]))
                 cand = cand[order]
+                kth = row[cand[k - 1]]
+                n_keep = max(m, int((row[cand] >= kth - 2e-6).sum()))
+                cand = cand[:n_keep]
             for j in cand:
                 out.append(
                     (

@@ -997,3 +997,26 @@ def test_filter_attribution_target_docs_pass_ppl_gate(spark):
     out = {r["gate"]: r for r in filter_attribution(
         df, F.col("lang") == "en").collect()}
     assert out["ppl"]["n_fail"] <= 4
+
+def test_unimax_all_null_text_group(spark):
+    """Round-11 advisory: a key whose texts are all NULL must count 0
+    tokens (not NULL), sort deterministically, and emit NULL
+    epochs_micro rather than divide by zero."""
+    from nlp_to_nosql_spark.operators.curation import unimax_allocation
+
+    df = spark.createDataFrame(
+        [("xx", None), ("xx", None), ("en", "three token text"),
+         ("de", "zwei worte")],
+        "lang string, text string",
+    )
+    rows = {r["lang"]: r for r in unimax_allocation(
+        df, "lang", budget=10, max_epochs=2
+    ).collect()}
+    assert rows["xx"]["n_tokens"] == 0
+    assert rows["xx"]["cap"] == 0
+    assert rows["xx"]["allocation"] == 0
+    assert rows["xx"]["epochs_micro"] is None
+    assert rows["en"]["n_tokens"] == 3
+    # the zero-cap group binds first; the rest water-fill the budget
+    assert rows["de"]["allocation"] == rows["de"]["cap"] == 4
+    assert rows["en"]["allocation"] == 6

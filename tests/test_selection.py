@@ -1154,3 +1154,18 @@ def test_kcenter_fewer_rows_than_k(spark):
     rows = sorted(tuple(r) for r in kcenter_select(df, k=5).collect())
     assert [r[0] for r in rows] == [1, 2]
     assert rows[0][1] == 3  # lowest id seeds
+
+def test_kcenter_string_ids(spark):
+    """Round-11 advisory: the result schema must mirror the INPUT id
+    type — string ids traverse and assemble identically to longs."""
+    from nlp_to_nosql_spark.operators.selection import kcenter_select
+
+    df = spark.createDataFrame(
+        [("a", [0.0, 0.0]), ("b", [1.0, 0.0]), ("c", [10.0, 10.0])],
+        "vec_id string, embedding array<double>",
+    )
+    out = kcenter_select(df, k=3)
+    assert out.schema["vec_id"].dataType.simpleString() == "string"
+    rows = sorted(tuple(r) for r in out.collect())
+    assert rows[0] == (1, "a", 0)  # lowest id seeds
+    assert rows[1][1] == "c"  # farthest point second

@@ -50,6 +50,7 @@ from nlp_to_nosql_spark.operators.curation import (
     cap_per_group_sql,
     chunk_sql,
     consistent_sample_sql,
+    exact_substring_decontaminate_sql,
     gopher_sql,
     hash_split_sql,
     mixture_sql,
@@ -3174,6 +3175,105 @@ def _q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_decontaminate(docs.filter(~ev), docs.filter(ev), k=13)
 
 
+#: Pseudo-paragraph width for the paragraph-grain contract queries: the
+#: synthetic corpus has no newlines, so dedup19/pipe10 derive a
+#: deterministic multi-line rendering (10 normalized tokens per line)
+#: shared exactly with the DuckDB oracle (:data:`_ML_DOCS_CTE`).
+_PARA_TOKENS = 10
+
+
+def _multiline_docs(docs: DataFrame) -> DataFrame:
+    """documents with text re-rendered as newline-delimited
+    ``_PARA_TOKENS``-token pseudo-paragraphs (keeps doc_id + lang)."""
+    p = _PARA_TOKENS
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        F.split(tx.normalize_text(F.col("text")), " ").alias("_ws"),
+    )
+    lines = F.transform(
+        F.sequence(F.lit(1), F.expr(f"(size(_ws) + {p - 1}) div {p}").cast("int")),
+        lambda i: F.array_join(
+            F.slice(F.col("_ws"), (i - F.lit(1)) * p + 1, p), " "
+        ),
+    )
+    return staged.select(
+        "doc_id", "lang", F.array_join(lines, "\n").alias("text")
+    )
+
+
+#: DuckDB twin of :func:`_multiline_docs` — a CTE named ``ml``.
+_ML_DOCS_CTE = (
+    "ml AS (SELECT doc_id, lang, array_to_string(["
+    f"array_to_string(ws[(i-1)*{_PARA_TOKENS}+1:(i-1)*{_PARA_TOKENS}"
+    f"+{_PARA_TOKENS}], ' ') "
+    f"for i in range(1, (len(ws)+{_PARA_TOKENS - 1})//{_PARA_TOKENS} + 1)"
+    "], chr(10)) AS text FROM (SELECT doc_id, lang, string_split("
+    + tx.NORMALIZE_SQL.format(c="text")
+    + ", ' ') AS ws FROM documents))"
+)
+
+
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's actual stage 1 at paragraph grain (dedup19): corpus-wide
+    first-occurrence dedup of newline-delimited paragraphs, documents
+    reassembled from the survivors (operators/dedup.py
+    paragraph_dedup).  Runs over the deterministic 10-token
+    pseudo-paragraph rendering of the corpus (no newlines in the
+    synthetic testdata); only 16-byte paragraph fingerprints shuffle
+    for the census, paragraph text moves once in the rebuild."""
+    docs = register_tables(spark, sf_dir)["documents"]
+    return dd.paragraph_dedup(_multiline_docs(docs), "doc_id", "text")
+
+
+def _q_exact_substring_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ExactSubstr decontamination (dc3, Lee et al. 2022): REMOVE any
+    ≥ k-token span shared with the eval split (doc_id % 97 == 0, the
+    dc1/dc2 holdout convention) from every training document — dc2
+    drops whole documents, this strips the contaminated spans and
+    keeps the rest.  k=3 at test scale so the oracle exercises real
+    overlapping-window unions (the published constant is 50; the
+    operator's default).  Eval gram set broadcasts; training text
+    never shuffles for the match."""
+    from nlp_to_nosql_spark.operators.curation import (
+        exact_substring_decontaminate,
+    )
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    ev = F.col("doc_id") % 97 == 0
+    return exact_substring_decontaminate(
+        docs.filter(~ev), docs.filter(ev), k=3
+    )
+
+
+def _q_ccnet_paragraph_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """pipe10 — the CCNet front half in the paper's ACTUAL order
+    (Wenzek et al., arXiv:1911.00359 §3): paragraph-grain dedup of the
+    crawl FIRST (dedup19's operator over the pseudo-paragraph
+    rendering), THEN score what survives under the target-trained LM
+    and keep the head+middle perplexity tertiles per language —
+    pipe7 dedups whole documents after bucketing; this composes the
+    published stage order.  Target = the 'en' slice (raw text); pool =
+    everything else, scored on its paragraph-deduped clean_text."""
+    from nlp_to_nosql_spark.operators.curation import ppl_buckets
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    ml = _multiline_docs(docs)
+    pred = F.col("lang") == "en"
+    target = ml.filter(pred.eqNullSafe(F.lit(True)))
+    poolsrc = ml.filter(~pred.eqNullSafe(F.lit(True)))
+    cleaned = dd.paragraph_dedup(poolsrc, "doc_id", "text")
+    pool = cleaned.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", F.col("clean_text").alias("text")
+    )
+    buckets = ppl_buckets(pool, target, "lang", n_buckets=3)
+    return buckets.filter(F.col("ppl_bucket") <= 2)
+
+
 def _q_ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CCNet curation pipeline end-to-end (Wenzek et al.,
     arXiv:1911.00359): score the pool under the target-trained LM
@@ -4328,7 +4428,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval6_score_correlation": _q_score_correlation,
         "lm4_lm_artifact": _q_lm_artifact_roundtrip,
         "dc2_ngram_decontamination": _q_ngram_decontaminate,
+        "dc3_exact_substring": _q_exact_substring_decontaminate,
+        "dedup19_paragraph_dedup": _q_paragraph_dedup,
         "pipe7_ccnet_curation": _q_ccnet_pipeline,
+        "pipe10_ccnet_paragraph": _q_ccnet_paragraph_pipeline,
         "quality2_gopher_rules": _q_gopher_rules,
         "clean1_boilerplate_removal": _q_boilerplate_removal,
         "cap1_source_cap": _q_source_cap,
@@ -5507,6 +5610,38 @@ def oracle_sql() -> dict[str, str]:
         # pipe7: the CCNet pipeline — lm3's bucket CTE (itself lm2's
         # scored chain), head+middle keep, pipe3's dedup block, chunk1's
         # window arithmetic.
+        "dedup19_paragraph_dedup": (
+            "WITH "
+            + _ML_DOCS_CTE
+            + " SELECT * FROM ("
+            + dd.paragraph_dedup_sql(table="ml")
+            + ") t"
+        ),
+        "dc3_exact_substring": exact_substring_decontaminate_sql(
+            "doc_id % 97 = 0", k=3
+        ),
+        # pipe10: paragraph dedup of the non-en crawl FIRST (CCNet's
+        # published stage order), then the lm3 tertile gate over a
+        # combined target∪cleaned-pool table — every block an
+        # already-proven CTE (ml / paragraph_dedup_sql / ppl_buckets_sql).
+        "pipe10_ccnet_paragraph": (
+            "WITH "
+            + _ML_DOCS_CTE
+            + ", mlp AS (SELECT doc_id, text FROM ml "
+            "WHERE NOT COALESCE((lang = 'en'), FALSE)), "
+            "cleaned AS ("
+            + dd.paragraph_dedup_sql(table="mlp")
+            + "), "
+            "cc AS (SELECT doc_id, lang, text FROM ml "
+            "WHERE COALESCE((lang = 'en'), FALSE) "
+            "UNION ALL SELECT c.doc_id, d.lang, c.clean_text AS text "
+            "FROM cleaned c JOIN documents d USING (doc_id)) "
+            "SELECT * FROM ("
+            + ppl_buckets_sql(
+                "lang = 'en'", group_col="lang", n_buckets=3, table="cc"
+            )
+            + ") WHERE ppl_bucket <= 2"
+        ),
         "pipe7_ccnet_curation": (
             "WITH buckets AS ("
             + ppl_buckets_sql("lang = 'en'", group_col="lang", n_buckets=3)

@@ -1270,6 +1270,18 @@ def remove_boilerplate_spans(
         .groupBy(id_col)
         .agg(F.collect_set("wp").alias("_cov"))
     )
+    return _strip_covered(toks, covered, id_col)
+
+
+def _strip_covered(
+    toks: DataFrame, covered: DataFrame, id_col: str
+) -> DataFrame:
+    """Shared rebuild of :func:`remove_boilerplate_spans` and
+    :func:`exact_substring_decontaminate`: left-join per-doc covered
+    word positions (``(id, _cov array<int>)``, 1-based) back onto the
+    tokenized frame and emit ``(id, clean_text, n_words, n_removed)``
+    via a zero-shuffle indexed array filter."""
+    words = F.col("_w")
     cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
     clean_words = F.filter(
         words, lambda w, i: ~F.array_contains(cov, (i + F.lit(1)).cast("int"))
@@ -1284,6 +1296,143 @@ def remove_boilerplate_spans(
                 "n_removed"
             ),
         )
+    )
+
+
+def exact_substring_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """ExactSubstr-style decontamination (Lee et al., arXiv:2107.06499
+    §4.1 — the "deduplicating training data" standard): REMOVE from
+    every training document any span of ``k`` or more tokens that also
+    occurs anywhere in the eval set, keeping the rest of the document.
+    The family's third tier: dc1 (winnowing) REPORTS sampled overlap,
+    dc2 (:func:`~nlp_to_nosql_spark.operators.dedup.
+    ngram_decontaminate`) DROPS whole documents on a 13-gram collision;
+    this surgically removes the contaminated spans themselves.
+
+    Span semantics via k-gram coverage: a shared span of length
+    ``m ≥ k`` contains exactly ``m − k + 1`` matching k-grams whose
+    [pos, pos+k) windows union to the whole span, and every matching
+    k-gram lies inside a shared span — so "union of matched k-gram
+    windows" IS "union of all ≥ k-token shared spans", with prefix /
+    suffix / interior overlaps composing by plain set union (pinned by
+    tests).  Documents (train or eval) shorter than ``k`` tokens carry
+    no ≥ k-token span and contribute nothing — deliberately NOT dc2's
+    whole-text short-doc fallback, because the contract here is a
+    minimum span length.
+
+    Returns ``(id, clean_text, n_words, n_removed)`` over the
+    normalized token stream — :func:`remove_boilerplate_spans`' exact
+    output contract (this operator retargets that machinery's coverage
+    union from a corpus census to the eval gram set).
+
+    Plan shape (100 TB): the eval side reduces to a DISTINCT gram set
+    that rides a broadcast hash join (dc2's story), so training text
+    never shuffles for the match; one scan-side (pos, gram) explode,
+    the broadcast join, a per-doc coverage groupBy moving (id, pos)
+    ints only, and the zero-shuffle indexed rebuild.  DuckDB twin:
+    :func:`exact_substring_decontaminate_sql`.
+    """
+    toks = persisted(_tokens(train, id_col, text_col), "spans")
+    words = F.col("_w")
+    n = F.size(words)
+
+    def _grams(struct_form: bool):
+        body = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            (
+                (lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    F.array_join(F.slice(words, i, k), " ").alias("gram"),
+                ))
+                if struct_form
+                else (lambda i: F.array_join(F.slice(words, i, k), " "))
+            ),
+        )
+        empty = (
+            "CAST(array() AS array<struct<pos: int, gram: string>>)"
+            if struct_form
+            else "CAST(array() AS array<string>)"
+        )
+        return F.when(n >= k, body).otherwise(F.expr(empty))
+
+    exploded = toks.select(
+        F.col(id_col), F.explode(_grams(True)).alias("s")
+    ).select(
+        id_col, F.col("s.pos").alias("pos"), F.col("s.gram").alias("gram")
+    )
+    etoks = _tokens(eval_df, id_col, text_col)
+    eg = (
+        etoks.select(F.explode(_grams(False)).alias("gram"))
+        .distinct()
+    )
+    covered = (
+        exploded.join(F.broadcast(eg), "gram")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("wp"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("wp").alias("_cov"))
+    )
+    return _strip_covered(toks, covered, id_col)
+
+
+def exact_substring_decontaminate_sql(
+    eval_pred: str = "doc_id % 97 = 0",
+    k: int = 50,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`exact_substring_decontaminate` over a
+    single table split by ``eval_pred`` (train = NOT pred) — identical
+    tokenization, ≥ k gram enumeration with NO short-doc fallback,
+    window-union coverage, and indexed rebuild."""
+    norm = NORMALIZE_SQL.format(c=f"COALESCE({text_col}, '')")
+    grams = (
+        f"CASE WHEN len(w) >= {k} "
+        f"THEN [array_to_string(w[i:i+{k - 1}], ' ') "
+        f"for i in range(1, len(w) - {k - 2})] "
+        "ELSE [] END"
+    )
+    poss = (
+        f"CASE WHEN len(w) >= {k} "
+        f"THEN [i for i in range(1, len(w) - {k - 2})] ELSE [] END"
+    )
+    strip = (
+        "[w.w[i] for i in range(1, len(w.w) + 1) "
+        "if NOT list_contains(COALESCE(c.cw, CAST([] AS BIGINT[])), i)]"
+    )
+    return (
+        f"WITH es_words AS (SELECT {id_col}, string_split({norm}, ' ') AS w "
+        f"FROM {table} WHERE NOT ({eval_pred})), "
+        f"es_ch AS (SELECT {id_col}, unnest({poss}) AS pos, "
+        f"unnest({grams}) AS gram FROM es_words), "
+        f"es_ew AS (SELECT string_split({norm}, ' ') AS w "
+        f"FROM {table} WHERE ({eval_pred})), "
+        "es_eg AS (SELECT DISTINCT gram FROM "
+        f"(SELECT unnest({grams}) AS gram FROM es_ew)), "
+        f"es_cov0 AS (SELECT {id_col}, "
+        f"unnest([pos + o for o in range(0, {k})]) AS wp "
+        "FROM es_ch WHERE gram IN (SELECT gram FROM es_eg)), "
+        f"es_cov AS (SELECT DISTINCT {id_col}, wp FROM es_cov0), "
+        f"es_covagg AS (SELECT {id_col}, list(wp) AS cw "
+        f"FROM es_cov GROUP BY {id_col}) "
+        f"SELECT w.{id_col}, "
+        f"COALESCE(array_to_string({strip}, ' '), '') AS clean_text, "
+        "CAST(len(w.w) AS BIGINT) AS n_words, "
+        f"CAST(len(w.w) - len({strip}) AS BIGINT) AS n_removed "
+        f"FROM es_words w LEFT JOIN es_covagg c "
+        f"ON w.{id_col} = c.{id_col}"
     )
 
 

@@ -950,6 +950,139 @@ def ngram_decontaminate_sql(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet's ACTUAL first stage (Wenzek et al., arXiv:1911.00359 §3.1):
+    dedup at PARAGRAPH grain across the whole corpus, then reassemble
+    each document from its surviving paragraphs — :func:`dedup_exact`
+    keeps/drops whole documents; CCNet hashes every newline-delimited
+    paragraph, drops any paragraph whose (normalized) hash was already
+    seen, and keeps the document with whatever text remains.  "First
+    seen" is made deterministic and engine-reproducible as the minimum
+    ``(id, position)`` over the corpus for each paragraph key.
+
+    Keys are ``md5(normalized paragraph)`` — the :func:`dedup_exact`
+    fingerprint at paragraph grain, so the census/first-occurrence
+    shuffle moves 16-byte keys, never paragraph text.  Paragraphs whose
+    normalized form is EMPTY (blank lines, whitespace runs) carry no
+    content to dedup and are always kept, preserving document structure.
+
+    Returns one row per input document: ``(id, clean_text,
+    n_paragraphs, n_removed)`` — ``clean_text`` rejoins the surviving
+    ORIGINAL paragraphs with ``sep`` (an entirely-duplicate document
+    reads as ``''``; NULL text stays NULL, the dedup-family
+    convention).
+
+    Plan shape (100 TB): one paragraph explode (scan-side), one
+    groupBy on the 128-bit key (min-(id,pos) census — the dedup1
+    exchange at paragraph grain), one key-equi join back, and one
+    groupBy on the id to reassemble — paragraph TEXT shuffles exactly
+    once, in the rebuild.  DuckDB twin: :func:`paragraph_dedup_sql`.
+    """
+    split_pat = {"\n": r"\n"}.get(sep, sep)
+    base = persisted(
+        df.select(
+            F.col(id_col), F.split(F.col(text_col), split_pat).alias("_ps")
+        ),
+        "paragraphs",
+    )
+    paras = base.select(
+        F.col(id_col), F.posexplode("_ps").alias("_pos0", "_para")
+    ).select(
+        F.col(id_col),
+        (F.col("_pos0") + 1).cast("int").alias("pos"),
+        F.col("_para"),
+        fingerprint(F.col("_para")).alias("_key"),
+        (normalize_text(F.col("_para")) == "").alias("_blank"),
+    )
+    firsts = (
+        paras.filter(~F.col("_blank"))
+        .groupBy("_key")
+        .agg(
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+            ).alias("_f")
+        )
+    )
+    kept = paras.join(firsts, "_key", "left").filter(
+        F.col("_blank")
+        | (
+            (F.col("_f.i") == F.col(id_col))
+            & (F.col("_f.p") == F.col("pos"))
+        )
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("_para")))
+                ),
+                lambda s: s.getField("_para"),
+            ),
+            sep,
+        ).alias("_clean"),
+        F.count(F.lit(1)).cast("long").alias("_n_kept"),
+    )
+    n_paras = F.size("_ps").cast("long")
+    return base.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.when(F.col("_ps").isNotNull(), F.coalesce("_clean", F.lit("")))
+        .alias("clean_text"),
+        F.when(F.col("_ps").isNotNull(), n_paras).alias("n_paragraphs"),
+        F.when(
+            F.col("_ps").isNotNull(),
+            n_paras - F.coalesce("_n_kept", F.lit(0).cast("long")),
+        ).alias("n_removed"),
+    )
+
+
+def paragraph_dedup_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`paragraph_dedup` (newline separator) —
+    identical split, md5-of-normalized keys, min-(id, pos) first
+    occurrence, blank-paragraph keep rule, and ordered rejoin."""
+    from nlp_to_nosql_spark.functions.text import FINGERPRINT_SQL
+
+    key = FINGERPRINT_SQL.format(c="_para")
+    blank = NORMALIZE_SQL.format(c="_para") + " = ''"
+    return (
+        f"WITH pd_base AS (SELECT {id_col}, "
+        f"string_split({text_col}, chr(10)) AS ps FROM {table}), "
+        f"pd_paras AS (SELECT {id_col}, CAST(i AS INT) AS pos, "
+        "ps[i] AS _para FROM pd_base, "
+        "UNNEST(range(1, len(ps) + 1)) u(i)), "
+        f"pd_keyed AS (SELECT {id_col}, pos, _para, {key} AS key, "
+        f"{blank} AS blank FROM pd_paras), "
+        f"pd_firsts AS (SELECT key, {id_col} AS fid, pos AS fpos "
+        "FROM pd_keyed WHERE NOT blank "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY key "
+        f"ORDER BY {id_col}, pos) = 1), "
+        f"pd_kept AS (SELECT k.{id_col}, k.pos, k._para "
+        "FROM pd_keyed k LEFT JOIN pd_firsts f ON k.key = f.key "
+        f"WHERE k.blank OR (k.{id_col} = f.fid AND k.pos = f.fpos)), "
+        f"pd_reb AS (SELECT {id_col}, "
+        "COALESCE(array_to_string(list(_para ORDER BY pos), chr(10)), '') "
+        "AS _clean, CAST(COUNT(*) AS BIGINT) AS n_kept "
+        f"FROM pd_kept GROUP BY {id_col}) "
+        f"SELECT b.{id_col}, "
+        "CASE WHEN b.ps IS NOT NULL THEN COALESCE(r._clean, '') END "
+        "AS clean_text, "
+        "CASE WHEN b.ps IS NOT NULL THEN CAST(len(b.ps) AS BIGINT) END "
+        "AS n_paragraphs, "
+        "CASE WHEN b.ps IS NOT NULL THEN "
+        "CAST(len(b.ps) - COALESCE(r.n_kept, 0) AS BIGINT) END "
+        "AS n_removed "
+        f"FROM pd_base b LEFT JOIN pd_reb r USING ({id_col})"
+    )
+
+
 def duplicated_spans(
     df: DataFrame, id_col: str, text_col: str, k: int = 5, stride: int = 2
 ) -> DataFrame:

@@ -1020,3 +1020,57 @@ def test_unimax_all_null_text_group(spark):
     # the zero-cap group binds first; the rest water-fill the budget
     assert rows["de"]["allocation"] == rows["de"]["cap"] == 4
     assert rows["en"]["allocation"] == 6
+
+
+def test_exact_substring_decontaminate_span_overlaps(spark):
+    """dc3 span fixtures: prefix, suffix, and interior shared spans are
+    removed exactly (k-gram window union); sub-k overlaps survive; docs
+    shorter than k (train or eval) contribute nothing."""
+    from nlp_to_nosql_spark.operators.curation import (
+        exact_substring_decontaminate,
+    )
+
+    eval_df = spark.createDataFrame(
+        [(100, "p q r s"), (101, "x y")],  # 101 is < k: no grams
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "p q r s t u"),      # prefix overlap: p q r s removed
+            (2, "a b p q r s"),      # suffix overlap
+            (3, "a p q r s b"),      # interior overlap
+            (4, "p q x r s"),        # only sub-k fragments: untouched
+            (5, "x y"),              # short train doc: untouched
+            (6, "p q r s"),          # whole doc removed -> ''
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in exact_substring_decontaminate(train, eval_df, k=3).collect()
+    }
+    assert got[1]["clean_text"] == "t u" and got[1]["n_removed"] == 4
+    assert got[2]["clean_text"] == "a b" and got[2]["n_removed"] == 4
+    assert got[3]["clean_text"] == "a b" and got[3]["n_removed"] == 4
+    assert got[4]["clean_text"] == "p q x r s" and got[4]["n_removed"] == 0
+    assert got[5]["clean_text"] == "x y" and got[5]["n_removed"] == 0
+    assert got[6]["clean_text"] == "" and got[6]["n_removed"] == 4
+
+
+def test_exact_substring_decontaminate_long_span_union(spark):
+    """A shared span of length m >= k is removed in ONE piece: its
+    m-k+1 matching k-grams' windows union to exactly [span]."""
+    from nlp_to_nosql_spark.operators.curation import (
+        exact_substring_decontaminate,
+    )
+
+    eval_df = spark.createDataFrame(
+        [(9, "one two three four five six")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [(1, "zz one two three four five six yy")],
+        "doc_id long, text string",
+    )
+    r = exact_substring_decontaminate(train, eval_df, k=3).collect()[0]
+    assert r["clean_text"] == "zz yy"
+    assert r["n_words"] == 8 and r["n_removed"] == 6

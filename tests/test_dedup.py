@@ -649,3 +649,60 @@ def test_ngram_decontaminate_sql_matches_python(texts, k):
         ).fetchall()
     }
     assert got == _py_decontaminate(train, ev, k)
+
+
+def test_paragraph_dedup_first_occurrence_and_rebuild(spark):
+    """dedup19 semantics: corpus-wide first (id, pos) occurrence per
+    normalized paragraph survives; docs rebuild in original order;
+    blank paragraphs always survive; a fully-duplicate doc reads ''."""
+    from nlp_to_nosql_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\ngamma delta"),
+            (2, "gamma delta\nepsilon"),          # para 1 dups doc1 pos2
+            (3, "Alpha  Beta\n\nzeta"),           # para 1 dups doc1 pos1 (normalized); blank kept
+            (4, "alpha beta\ngamma delta"),       # fully duplicate doc
+            (5, None),                            # NULL text stays NULL
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert got[1]["clean_text"] == "alpha beta\ngamma delta"
+    assert (got[1]["n_paragraphs"], got[1]["n_removed"]) == (2, 0)
+    assert got[2]["clean_text"] == "epsilon"
+    assert (got[2]["n_paragraphs"], got[2]["n_removed"]) == (2, 1)
+    assert got[3]["clean_text"] == "\nzeta"       # blank line preserved
+    assert (got[3]["n_paragraphs"], got[3]["n_removed"]) == (3, 1)
+    assert got[4]["clean_text"] == ""
+    assert (got[4]["n_paragraphs"], got[4]["n_removed"]) == (2, 2)
+    assert got[5]["clean_text"] is None
+    assert got[5]["n_paragraphs"] is None and got[5]["n_removed"] is None
+
+
+def test_paragraph_dedup_matches_duckdb_twin(spark):
+    """Engine vs oracle on a handcrafted multi-line corpus."""
+    import duckdb
+
+    from nlp_to_nosql_spark.operators.dedup import (
+        paragraph_dedup,
+        paragraph_dedup_sql,
+    )
+
+    rows = [
+        (1, "a b\nc d\na b"),
+        (2, "c d\ne f\n\nc d"),
+        (3, "x\ny\nx"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in paragraph_dedup(docs).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r) for r in con.execute(paragraph_dedup_sql(table="t")).fetchall()
+    )
+    assert got == want

@@ -56,6 +56,7 @@ from nlp_to_nosql_spark.operators.curation import (
     mixture_sql,
     unimax_sql,
     filter_attribution_sql,
+    kneser_ney_sql,
     ppl_buckets_sql,
     stratified_split_sql,
     target_lm_sql,
@@ -3161,6 +3162,22 @@ def _q_lm_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lm5 — interpolated Kneser-Ney trigram scoring of the non-en pool
+    under the en-trained model (the smoothing the published CCNet
+    filter actually uses; lm2 is the stupid-backoff tier).  All model
+    tables are target-sized continuation-count aggregates; every
+    probability is staged BIGINT-nano arithmetic, identical in the
+    DuckDB twin (operators/curation.py kneser_ney_score)."""
+    from nlp_to_nosql_spark.operators.curation import kneser_ney_score
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    pred = F.col("lang") == "en"
+    pool = docs.filter(~pred.eqNullSafe(F.lit(True)))
+    target = docs.filter(pred.eqNullSafe(F.lit(True)))
+    return kneser_ney_score(pool, target)
+
+
 def _q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The GPT-3/PaLM 13-gram eval-decontamination FILTER (dc1 is the
     winnowing REPORT): a training document is removed if it shares any
@@ -4424,6 +4441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk1_context_windows": _q_context_chunks,
         "lm1_bigram_likelihood": _q_bigram_likelihood,
         "lm2_target_ppl": _q_target_lm_score,
+        "lm5_kneser_ney": _q_kneser_ney,
         "lm3_ppl_buckets": _q_ppl_buckets,
         "eval6_score_correlation": _q_score_correlation,
         "lm4_lm_artifact": _q_lm_artifact_roundtrip,
@@ -5594,6 +5612,7 @@ def oracle_sql() -> dict[str, str]:
         # convention); every conditional probability a ratio of target
         # BIGINT counts with α = 2/5 folded into the integers.
         "lm2_target_ppl": target_lm_sql("lang = 'en'"),
+        "lm5_kneser_ney": kneser_ney_sql("lang = 'en'"),
         # lm3: lm2's scored frame NTILE'd into per-language perplexity
         # tertiles (CCNet head/middle/tail).
         "lm3_ppl_buckets": ppl_buckets_sql(

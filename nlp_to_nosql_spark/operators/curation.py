@@ -880,37 +880,7 @@ def _lm_score_pool(
         F.sum("c1").cast("long").alias("_n_tok"),
         F.count(F.lit(1)).cast("long").alias("_n_vocab"),
     )
-    pt = _tokens(pool, id_col, text_col)
-    # stage the context-struct array in its own projection so the
-    # Generate's input is a cheap attribute (ExtractGenerator hoists
-    # non-generator expressions ABOVE the explode otherwise)
-    staged = pt.select(
-        F.col(id_col),
-        F.transform(
-            F.sequence(F.lit(1), F.size("_w")),
-            lambda i: F.struct(
-                i.cast("int").alias("pos"),
-                F.element_at("_w", i).alias("w3"),
-                F.when(i >= 2, F.element_at("_w", i - 1)).alias("w2"),
-                F.when(i >= 3, F.element_at("_w", i - 2)).alias("w1"),
-            ),
-        ).alias("_ctx"),
-    )
-    # explode_outer, not explode: _ctx is NEVER empty (the tokenizer
-    # yields >= 1 token even for NULL/empty text), and the non-outer
-    # form makes InferFiltersFromGenerate push a `size(_ctx) > 0`
-    # filter below the fan-out exchange that REBUILDS the whole
-    # context-struct array once per row just to test its size —
-    # doubling the scan-side tokenize+struct CPU for a filter that
-    # never rejects anything.  The outer form generates no such filter
-    # and is result-identical here.
-    ctx = staged.select(id_col, F.explode_outer("_ctx").alias("g")).select(
-        F.col(id_col),
-        F.col("g.pos").alias("pos"),
-        F.col("g.w1").alias("w1"),
-        F.col("g.w2").alias("w2"),
-        F.col("g.w3").alias("w3"),
-    )
+    ctx = _pool_contexts(pool, id_col, text_col)
 
     joined = (
         ctx.join(
@@ -1132,6 +1102,314 @@ def target_lm_sql(
         f"(SELECT {id_col} FROM {table} "
         f"WHERE NOT COALESCE(({target_sql}), FALSE)) d "
         f"LEFT JOIN per_doc USING ({id_col})"
+    )
+
+
+#: Staged-probability scale for the Kneser-Ney scorer: probabilities are
+#: carried as BIGINT "nanos" (floor(P·1e9)) between interpolation levels.
+_KN_SCALE = 1_000_000_000
+
+
+def kneser_ney_score(
+    pool: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every POOL document under an interpolated Kneser-Ney
+    trigram LM trained on a SEPARATE target corpus — the smoothing the
+    PUBLISHED CCNet filter actually uses (Wenzek et al.,
+    arXiv:1911.00359 §4.3 score with KenLM, whose default is modified
+    Kneser-Ney; Heafield 2011): :func:`target_lm_score` (lm2) is the
+    stupid-backoff tier, this is the discount-and-interpolate tier.
+    Same two-frame API and output contract as lm2:
+    ``(id, n_tokens, mean_lp_micro)``.
+
+    Model (Kneser & Ney 1995; Chen & Goodman 1999 interpolated form)
+    with a FIXED absolute discount ``D = 3/4`` (scaled by 4 so every
+    numerator stays an exact BIGINT)::
+
+        P(w | u v) = (max(c(uvw) − D, 0) + D·N1+(uv·)·P(w | v)) / c(uv)
+        P(w | v)   = (max(N1+(·vw) − D, 0) + D·N1+(v·)·P(w)) / N1+(·v·)
+        P(w)       = (N1+(·w) + 1) / (N1+(··) + V)
+
+    where every ``N1+`` is a DISTINCT-count table derived from the
+    target trigram counts (continuation counts — the defining KN
+    ingredient: "how many contexts does w complete", not "how often
+    does w occur"), ``c(uv) = Σ_w c(uvw)`` so denominators equal the
+    sum of their numerators, and the unigram floor carries lm2's
+    add-one so OOV pool words score nonzero (KenLM reserves ``<unk>``
+    for the same job).  A level whose denominator is empty (unseen
+    context) backs off fully to the level below; position 1 scores at
+    the unigram level, position 2 at the bigram level (lm2's
+    convention).
+
+    Exactness: probabilities are staged as BIGINT nanos —
+    ``P1 = (S·(N1+(·w)+1)) div (N1+(··)+V)`` with ``S = 1e9``, then
+    each higher level is one integer expression
+    ``(max(4c−3, 0)·S + 3·N1+·P_lower) div (4·den)`` — so both engines
+    run IDENTICAL integer arithmetic end-to-end (each staged floor
+    quantizes by < 1e-9, a score perturbation, never an engine
+    divergence), and the only float op is the final
+    ``lp_micro = floor((ln(max(P_nano, 1)) − ln(S))·1e6)`` on
+    exactly-representable BIGINTs — the one libm-trusted op (lm2's
+    discipline).  Within-BIGINT bounds: ``4c·S`` caps the target at
+    ~2.3e9 tokens and ``3·N1+·P ≤ 3·V·S`` caps the vocabulary at
+    ~3e9 types — a Wikipedia-scale TARGET (the trusted sample) fits
+    with orders of magnitude to spare; a larger target raises the
+    discipline's scale, not the shape.
+
+    Plan shape (100 TB): the five model tables (tri, (uv)-context
+    sums, continuation counts, v-context sums, w-continuation counts)
+    are TARGET-sized aggregates — three chained groupBys off the one
+    trigram table; the pool pays lm2's exact shape: one scan-side
+    token-context explode, five gram-keyed equi-joins (broadcast when
+    the target is a sample; AQE decides), one per-doc groupBy.  DuckDB
+    twin: :func:`kneser_ney_sql`.
+    """
+    uni, _bi, tri = _lm_count_tables(target, id_col, text_col)
+    tri = persisted(tri, "model")
+    c2ctx = tri.groupBy("a", "b").agg(
+        F.sum("c3").cast("long").alias("c2ctx"),
+        F.count(F.lit(1)).cast("long").alias("n1p_uv"),
+    )
+    cont2 = persisted(
+        tri.groupBy("b", "c").agg(
+            F.count(F.lit(1)).cast("long").alias("cont2")
+        ),
+        "model",
+    )
+    ctx2 = cont2.groupBy("b").agg(
+        F.sum("cont2").cast("long").alias("ctx2"),
+        F.count(F.lit(1)).cast("long").alias("n1p_v"),
+    )
+    cont1 = cont2.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("cont1")
+    )
+    tots = cont1.agg(
+        F.coalesce(F.sum("cont1"), F.lit(0)).cast("long").alias("_tot1")
+    ).crossJoin(
+        uni.agg(F.count(F.lit(1)).cast("long").alias("_v"))
+    )
+
+    ctx = _pool_contexts(pool, id_col, text_col)
+    joined = (
+        ctx.join(
+            tri.select(
+                F.col("a").alias("w1"),
+                F.col("b").alias("w2"),
+                F.col("c").alias("w3"),
+                "c3",
+            ),
+            ["w1", "w2", "w3"],
+            "left",
+        )
+        .join(
+            c2ctx.select(
+                F.col("a").alias("w1"), F.col("b").alias("w2"),
+                "c2ctx", "n1p_uv",
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            cont2.select(
+                F.col("b").alias("w2"), F.col("c").alias("w3"), "cont2"
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            ctx2.select(F.col("b").alias("w2"), "ctx2", "n1p_v"),
+            ["w2"],
+            "left",
+        )
+        .join(
+            cont1.select(F.col("c").alias("w3"), "cont1"), ["w3"], "left"
+        )
+        .crossJoin(F.broadcast(tots))
+    )
+    S = _KN_SCALE
+    lvl1 = joined.select(
+        F.col(id_col),
+        "pos",
+        "c3",
+        "c2ctx",
+        "n1p_uv",
+        "cont2",
+        "ctx2",
+        "n1p_v",
+        F.expr(
+            f"CASE WHEN _tot1 + _v > 0 THEN "
+            f"(CAST({S} AS BIGINT) * (COALESCE(cont1, 0) + 1)) "
+            "div (_tot1 + _v) END"
+        ).alias("p1"),
+    )
+    lvl2 = lvl1.select(
+        F.col(id_col),
+        "pos",
+        "c3",
+        "c2ctx",
+        "n1p_uv",
+        "p1",
+        F.expr(
+            "CASE WHEN ctx2 IS NOT NULL AND ctx2 > 0 THEN "
+            f"(GREATEST(4 * COALESCE(cont2, 0) - 3, 0) * CAST({S} AS BIGINT) "
+            "+ 3 * n1p_v * p1) div (4 * ctx2) ELSE p1 END"
+        ).alias("p2"),
+    )
+    lvl3 = lvl2.select(
+        F.col(id_col),
+        F.expr(
+            "CASE WHEN pos >= 3 AND c2ctx IS NOT NULL AND c2ctx > 0 THEN "
+            f"(GREATEST(4 * COALESCE(c3, 0) - 3, 0) * CAST({S} AS BIGINT) "
+            "+ 3 * n1p_uv * p2) div (4 * c2ctx) "
+            "WHEN pos >= 2 THEN p2 ELSE p1 END"
+        ).alias("_p"),
+    )
+    # the < 1 clamp keeps a NULL probability NULL (an EMPTY target has
+    # no model — lm2's contract); GREATEST would swallow the NULL
+    scored = lvl3.select(
+        F.col(id_col),
+        F.expr(
+            "CAST(FLOOR((ln(CAST("
+            "CASE WHEN _p < 1 THEN 1 ELSE _p END AS DOUBLE)) "
+            f"- ln(CAST({S} AS DOUBLE))) * 1000000) AS BIGINT)"
+        ).alias("lp_micro"),
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.floor(F.sum("lp_micro") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mean_lp_micro"),
+    )
+    return (
+        pool.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            "mean_lp_micro",
+        )
+    )
+
+
+def _pool_contexts(pool: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, w1, w2, w3) token-context explode shared by the LM
+    scorers (lm2 / lm5).
+
+    The context-struct array is staged in its own projection so the
+    Generate's input is a cheap attribute (ExtractGenerator hoists
+    non-generator expressions ABOVE the explode otherwise), and the
+    explode is the OUTER form: ``_ctx`` is never empty (the tokenizer
+    yields ≥ 1 token even for NULL/empty text), and the non-outer form
+    makes InferFiltersFromGenerate push a ``size(_ctx) > 0`` filter
+    below the fan-out exchange that REBUILDS the whole context-struct
+    array once per row just to test its size — doubling the scan-side
+    tokenize+struct CPU for a filter that never rejects anything."""
+    pt = _tokens(pool, id_col, text_col)
+    staged = pt.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w")),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.element_at("_w", i).alias("w3"),
+                F.when(i >= 2, F.element_at("_w", i - 1)).alias("w2"),
+                F.when(i >= 3, F.element_at("_w", i - 2)).alias("w1"),
+            ),
+        ).alias("_ctx"),
+    )
+    return staged.select(id_col, F.explode_outer("_ctx").alias("g")).select(
+        F.col(id_col),
+        F.col("g.pos").alias("pos"),
+        F.col("g.w1").alias("w1"),
+        F.col("g.w2").alias("w2"),
+        F.col("g.w3").alias("w3"),
+    )
+
+
+def kneser_ney_sql(
+    target_sql: str = "lang = 'en'",
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`kneser_ney_score` over a single table split
+    by ``target_sql`` — identical tokenization, continuation-count
+    tables, staged BIGINT-nano interpolation, ``ln`` association, and
+    floor-divided per-doc mean."""
+    norm = NORMALIZE_SQL.format(c=f"COALESCE({text_col}, '')")
+    S = _KN_SCALE
+    p1 = (
+        "CASE WHEN tots.tot1 + tots.v > 0 THEN "
+        f"(CAST({S} AS BIGINT) * (COALESCE(k1.cont1, 0) + 1)) "
+        "// (tots.tot1 + tots.v) END"
+    )
+    p2 = (
+        "CASE WHEN ctx2 IS NOT NULL AND ctx2 > 0 THEN "
+        f"(GREATEST(4 * COALESCE(cont2, 0) - 3, 0) * CAST({S} AS BIGINT) "
+        "+ 3 * n1p_v * p1) // (4 * ctx2) ELSE p1 END"
+    )
+    p3 = (
+        "CASE WHEN pos >= 3 AND c2ctx IS NOT NULL AND c2ctx > 0 THEN "
+        f"(GREATEST(4 * COALESCE(c3, 0) - 3, 0) * CAST({S} AS BIGINT) "
+        "+ 3 * n1p_uv * p2) // (4 * c2ctx) "
+        "WHEN pos >= 2 THEN p2 ELSE p1 END"
+    )
+    return (
+        f"WITH kn_tt AS (SELECT string_split({norm}, ' ') AS ws "
+        f"FROM {table} WHERE COALESCE(({target_sql}), FALSE)), "
+        "kn_uni AS (SELECT w FROM (SELECT DISTINCT f AS w "
+        "FROM kn_tt, LATERAL UNNEST(ws) AS u(f))), "
+        "kn_tri AS (SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS c3 FROM ("
+        "SELECT ws[i] AS a, ws[i+1] AS b, ws[i+2] AS c FROM kn_tt, "
+        "UNNEST(range(1, len(ws) - 1)) u(i)) GROUP BY a, b, c), "
+        "kn_c2ctx AS (SELECT a, b, CAST(SUM(c3) AS BIGINT) AS c2ctx, "
+        "CAST(COUNT(*) AS BIGINT) AS n1p_uv FROM kn_tri GROUP BY a, b), "
+        "kn_cont2 AS (SELECT b, c, CAST(COUNT(*) AS BIGINT) AS cont2 "
+        "FROM kn_tri GROUP BY b, c), "
+        "kn_ctx2 AS (SELECT b, CAST(SUM(cont2) AS BIGINT) AS ctx2, "
+        "CAST(COUNT(*) AS BIGINT) AS n1p_v FROM kn_cont2 GROUP BY b), "
+        "kn_cont1 AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cont1 "
+        "FROM kn_cont2 GROUP BY c), "
+        "kn_tots AS (SELECT CAST(COALESCE((SELECT SUM(cont1) FROM kn_cont1), 0) "
+        "AS BIGINT) AS tot1, "
+        "CAST((SELECT COUNT(*) FROM kn_uni) AS BIGINT) AS v), "
+        f"kn_pt AS (SELECT {id_col}, string_split({norm}, ' ') AS ws "
+        f"FROM {table} WHERE NOT COALESCE(({target_sql}), FALSE)), "
+        f"kn_ctx AS (SELECT {id_col}, CAST(i AS INT) AS pos, ws[i] AS w3, "
+        "CASE WHEN i >= 2 THEN ws[i-1] END AS w2, "
+        "CASE WHEN i >= 3 THEN ws[i-2] END AS w1 "
+        "FROM kn_pt, UNNEST(range(1, len(ws) + 1)) u(i)), "
+        f"kn_lvl AS (SELECT kn_ctx.{id_col}, pos, k3.c3, k3c.c2ctx, "
+        "k3c.n1p_uv, k2.cont2, k2c.ctx2, k2c.n1p_v, "
+        f"{p1} AS p1 "
+        "FROM kn_ctx "
+        "LEFT JOIN kn_tri k3 ON k3.a = kn_ctx.w1 AND k3.b = kn_ctx.w2 "
+        "AND k3.c = kn_ctx.w3 "
+        "LEFT JOIN kn_c2ctx k3c ON k3c.a = kn_ctx.w1 AND k3c.b = kn_ctx.w2 "
+        "LEFT JOIN kn_cont2 k2 ON k2.b = kn_ctx.w2 AND k2.c = kn_ctx.w3 "
+        "LEFT JOIN kn_ctx2 k2c ON k2c.b = kn_ctx.w2 "
+        "LEFT JOIN kn_cont1 k1 ON k1.c = kn_ctx.w3 "
+        "CROSS JOIN kn_tots tots), "
+        f"kn_lvl2 AS (SELECT {id_col}, pos, c3, c2ctx, n1p_uv, p1, "
+        f"{p2} AS p2 FROM kn_lvl), "
+        f"kn_lvl3 AS (SELECT {id_col}, {p3} AS _p FROM kn_lvl2), "
+        f"kn_scored AS (SELECT {id_col}, "
+        "CAST(FLOOR((ln(CAST("
+        "CASE WHEN _p < 1 THEN 1 ELSE _p END AS DOUBLE)) "
+        f"- ln(CAST({S} AS DOUBLE))) * 1000000) AS BIGINT) AS lp_micro "
+        "FROM kn_lvl3), "
+        f"kn_per_doc AS (SELECT {id_col}, "
+        "CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+        "CAST(FLOOR(SUM(lp_micro) / COUNT(*)) AS BIGINT) AS mean_lp_micro "
+        f"FROM kn_scored GROUP BY {id_col}) "
+        f"SELECT d.{id_col}, COALESCE(n_tokens, 0) AS n_tokens, "
+        "mean_lp_micro FROM "
+        f"(SELECT {id_col} FROM {table} "
+        f"WHERE NOT COALESCE(({target_sql}), FALSE)) d "
+        f"LEFT JOIN kn_per_doc USING ({id_col})"
     )
 
 

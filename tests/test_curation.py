@@ -1074,3 +1074,132 @@ def test_exact_substring_decontaminate_long_span_union(spark):
     r = exact_substring_decontaminate(train, eval_df, k=3).collect()[0]
     assert r["clean_text"] == "zz yy"
     assert r["n_words"] == 8 and r["n_removed"] == 6
+
+
+def _kn_pure_python(target_texts, pool_docs):
+    """Reference interpolated-KN twin of kneser_ney_score (staged
+    BIGINT-nano arithmetic, D=3/4, add-one unigram floor)."""
+    import math
+    from collections import Counter
+
+    S = 10**9
+    tri = Counter()
+    uni = set()
+    for t in target_texts:
+        ws = t.split(" ")
+        uni.update(ws)
+        for i in range(len(ws) - 2):
+            tri[(ws[i], ws[i + 1], ws[i + 2])] += 1
+    c2ctx, n1p_uv, cont2 = Counter(), Counter(), Counter()
+    for (a, b, c), n in tri.items():
+        c2ctx[(a, b)] += n
+        n1p_uv[(a, b)] += 1
+        cont2[(b, c)] += 1
+    ctx2, n1p_v, cont1 = Counter(), Counter(), Counter()
+    for (b, c), n in cont2.items():
+        ctx2[b] += n
+        n1p_v[b] += 1
+        cont1[c] += 1
+    tot1, V = sum(cont1.values()), len(uni)
+
+    def p1(w):
+        return (S * (cont1.get(w, 0) + 1)) // (tot1 + V)
+
+    def p2(v, w):
+        if ctx2.get(v, 0) > 0:
+            return (
+                max(4 * cont2.get((v, w), 0) - 3, 0) * S
+                + 3 * n1p_v[v] * p1(w)
+            ) // (4 * ctx2[v])
+        return p1(w)
+
+    def p3(u, v, w):
+        if c2ctx.get((u, v), 0) > 0:
+            return (
+                max(4 * tri.get((u, v, w), 0) - 3, 0) * S
+                + 3 * n1p_uv[(u, v)] * p2(v, w)
+            ) // (4 * c2ctx[(u, v)])
+        return p2(v, w)
+
+    out = {}
+    for did, text in pool_docs:
+        ws = text.split(" ")
+        lps = []
+        for i, w in enumerate(ws):
+            p = (
+                p1(w)
+                if i == 0
+                else p2(ws[i - 1], w)
+                if i == 1
+                else p3(ws[i - 2], ws[i - 1], w)
+            )
+            lps.append(
+                math.floor((math.log(max(p, 1)) - math.log(S)) * 1_000_000)
+            )
+        out[did] = (len(ws), math.floor(sum(lps) / len(lps)))
+    return out
+
+
+def test_kneser_ney_matches_pure_python_twin(spark):
+    """lm5 vs the reference implementation on a seeded random corpus —
+    pins the continuation counts, the staged integer interpolation, the
+    backoff dispatch, and the per-doc mean."""
+    import random
+
+    from nlp_to_nosql_spark.operators.curation import kneser_ney_score
+
+    rng = random.Random(31)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    target_texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12)))
+        for _ in range(20)
+    ]
+    pool_docs = [
+        (
+            i,
+            " ".join(
+                rng.choice(vocab + ["oov"])
+                for _ in range(rng.randint(1, 10))
+            ),
+        )
+        for i in range(12)
+    ]
+    target = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(target_texts)],
+        "doc_id long, text string",
+    )
+    pool = spark.createDataFrame(pool_docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["mean_lp_micro"])
+        for r in kneser_ney_score(pool, target).collect()
+    }
+    assert got == _kn_pure_python(target_texts, pool_docs)
+
+
+def test_kneser_ney_empty_target_yields_null_scores(spark):
+    from nlp_to_nosql_spark.operators.curation import kneser_ney_score
+
+    pool = spark.createDataFrame(
+        [(1, "some words here")], "doc_id long, text string"
+    )
+    target = spark.createDataFrame([], "doc_id long, text string")
+    rows = kneser_ney_score(pool, target).collect()
+    assert rows[0]["mean_lp_micro"] is None
+    assert rows[0]["n_tokens"] == 3
+
+
+def test_kneser_ney_probabilities_proper(spark):
+    """Per scored position the staged nano probability never exceeds
+    the scale (interpolation weights sum below 1 by construction) —
+    so lp_micro <= 0 everywhere."""
+    from nlp_to_nosql_spark.operators.curation import kneser_ney_score
+
+    target = spark.createDataFrame(
+        [(1, "a b a b a c"), (2, "a b c a b")], "doc_id long, text string"
+    )
+    pool = spark.createDataFrame(
+        [(10, "a b a"), (11, "c a b c"), (12, "zz a b")],
+        "doc_id long, text string",
+    )
+    for r in kneser_ney_score(pool, target).collect():
+        assert r["mean_lp_micro"] is not None and r["mean_lp_micro"] <= 0

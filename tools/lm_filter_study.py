@@ -26,7 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from nlp_to_nosql_spark.operators.curation import target_lm_score
+from nlp_to_nosql_spark.operators.curation import (
+    kneser_ney_score,
+    target_lm_score,
+)
 from nlp_to_nosql_spark.session import get_spark
 from nlp_to_nosql_spark.sources.catalog import register_tables
 
@@ -98,7 +101,7 @@ def study(spark, sf_dir: str) -> dict:
     }
 
 
-def planted_study(spark, sf_dir: str) -> dict:
+def planted_study(spark, sf_dir: str, scorer=target_lm_score) -> dict:
     """The PLANTED-shift protocol: the lang-label protocol above is an
     honest null on this synthetic testdata (every lang shares one
     31-word vocabulary, so labels carry no textual signal — AUC ~0.5
@@ -107,7 +110,12 @@ def planted_study(spark, sf_dir: str) -> dict:
     half and (b) the same held-out docs with a Caesar-rotated
     vocabulary (``scale_probe``'s disjoint-vocabulary transform — a
     maximal distribution shift with identical length/structure).  A
-    working filter must rank (a) far above (b)."""
+    working filter must rank (a) far above (b).
+
+    ``scorer`` is any lm2-contract two-frame scorer — run for both
+    ``target_lm_score`` (stupid backoff, lm2) and ``kneser_ney_score``
+    (interpolated KN, lm5) so the two smoothing tiers report
+    side-by-side AUC rows."""
     import string
 
     docs = register_tables(spark, sf_dir)["documents"]
@@ -120,7 +128,7 @@ def planted_study(spark, sf_dir: str) -> dict:
         F.translate(F.col("text"), alpha, rot).alias("text"),
     )
     pool = held.unionByName(shifted)
-    scored = target_lm_score(pool, target).filter(
+    scored = scorer(pool, target).filter(
         F.col("mean_lp_micro").isNotNull()
     ).select(
         "doc_id",
@@ -183,15 +191,22 @@ def main() -> int:
         )
         spark.catalog.clearCache()
     print()
-    print("| sf (planted shift) | n each | mean lp (in-dist/shifted) | AUC |")
-    print("|---|---|---|---|")
+    print(
+        "| sf (planted shift) | scorer | n each | "
+        "mean lp (in-dist/shifted) | AUC |"
+    )
+    print("|---|---|---|---|---|")
     for d in dirs:
-        r = planted_study(spark, d)
-        print(
-            f"| {r['sf']} | {r['n_each']} | "
-            f"{r['mean_indist']} / {r['mean_shifted']} | {r['auc']} |"
-        )
-        spark.catalog.clearCache()
+        for label, fn in (
+            ("lm2 stupid-backoff", target_lm_score),
+            ("lm5 kneser-ney", kneser_ney_score),
+        ):
+            r = planted_study(spark, d, scorer=fn)
+            print(
+                f"| {r['sf']} | {label} | {r['n_each']} | "
+                f"{r['mean_indist']} / {r['mean_shifted']} | {r['auc']} |"
+            )
+            spark.catalog.clearCache()
     spark.stop()
     return 0
 

@@ -92,6 +92,7 @@ from nlp_to_nosql_spark.operators.selection import (
     dsir_select_gumbel_sql,
     dsir_select_sql,
     kcenter_sql,
+    unigram_train_sql,
     unigram_viterbi_ctes,
     unigram_viterbi_sql,
 )
@@ -3162,6 +3163,21 @@ def _q_lm_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tok8 — the SentencePiece unigram TRAINER (hard-EM: Viterbi
+    E-step, add-one integer-micro M-step, zero-use + target-vocab
+    prune), 2 unrolled iterations over the Heaps'-law distinct-word
+    frame; tok7 is this model's inference pass.  max_pieces=25
+    exercises the (c DESC, piece ASC) prune; single chars always
+    survive (operators/selection.py unigram_train)."""
+    from nlp_to_nosql_spark.operators.selection import unigram_train
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return unigram_train(
+        docs, "text", max_piece_len=4, min_count=2, n_iters=2, max_pieces=25
+    )
+
+
 def _q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lm5 — interpolated Kneser-Ney trigram scoring of the non-en pool
     under the en-trained model (the smoothing the published CCNet
@@ -4549,6 +4565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok5_bpe_encode": _q_bpe_encode,
         "tok6_bpe_artifact": _q_bpe_artifact_roundtrip,
         "tok7_unigram_viterbi": _q_unigram_viterbi,
+        "tok8_unigram_train": _q_unigram_train,
         "pipe6_bpe_pack": _q_bpe_pack_pipeline,
         "dedup15_semdedup_fitted": _q_semantic_dedup_fitted,
         "dedup16_semdedup_incremental": _q_semantic_dedup_incremental,
@@ -5796,6 +5813,9 @@ def oracle_sql() -> dict[str, str]:
         "tok6_bpe_artifact": bpe_encode_len_sql(n_merges=4),
         "tok7_unigram_viterbi": unigram_viterbi_sql(
             max_piece_len=4, min_count=2
+        ),
+        "tok8_unigram_train": unigram_train_sql(
+            max_piece_len=4, min_count=2, n_iters=2, max_pieces=25
         ),
         # pipe6: tok5's proven train+encode CTE chain feeding pack1's
         # prefix-sum window arithmetic — the composed tokenizer→packing

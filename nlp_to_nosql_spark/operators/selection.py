@@ -1289,19 +1289,7 @@ def unigram_viterbi(
         "tokens",
     )
 
-    def _spans_arr(wcol: Column) -> Column:
-        ln = F.length(wcol)
-        return F.flatten(
-            F.transform(
-                F.sequence(F.lit(1), ln),
-                lambda j: F.transform(
-                    F.sequence(F.lit(1), F.least(F.lit(L), ln - j + 1)),
-                    lambda l: wcol.substr(j, l),
-                ),
-            )
-        )
-
-    staged = words.select("w", "wc", _spans_arr(F.col("w")).alias("_sp"))
+    staged = words.select("w", "wc", _spans_arr(F.col("w"), L).alias("_sp"))
     counts = (
         staged.select("wc", F.explode("_sp").alias("piece"))
         .groupBy("piece")
@@ -1319,6 +1307,45 @@ def unigram_viterbi(
         ).cast("long").alias("lp"),
     )
 
+    walked = _viterbi_segment(staged, lp, L)
+    return walked.select(
+        F.col("w").alias("word"),
+        "wc",
+        F.size(F.col("_wk").getField("ps")).cast("long").alias("n_pieces"),
+        F.array_join(F.col("_wk").getField("ps"), " ").alias("seg"),
+        F.element_at(F.col("_dp"), F.length("w") + 1)
+        .getField("s")
+        .alias("score_micro"),
+    )
+
+
+def _spans_arr(wcol: Column, L: int) -> Column:
+    """All substrings of length 1..L of a word column, position-major —
+    the unigram-family inventory enumeration (tok7/tok8)."""
+    ln = F.length(wcol)
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), ln),
+            lambda j: F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(L), ln - j + 1)),
+                lambda l: wcol.substr(j, l),
+            ),
+        )
+    )
+
+
+def _viterbi_segment(staged: DataFrame, lp: DataFrame, L: int) -> DataFrame:
+    """Maximum-likelihood segmentation of every word under a piece-score
+    table — the tok7 DP factored out so the EM trainer (tok8) can run
+    it once per iteration against evolving scores.
+
+    ``staged`` is ``(w, wc, _sp)`` (word, count, substring inventory
+    as an attribute); ``lp`` is ``(piece, lp)`` BIGINT scores and MUST
+    contain every single character of every word (the segmentability
+    guarantee).  Ties maximize the ``(score, piece_len)`` struct —
+    longest last piece, identically in the DuckDB twins.  Returns
+    ``(w, wc, _dp, _wk)`` with ``_wk.ps`` the winning piece list."""
+
     wp = (
         staged.select("w", F.explode(F.array_distinct("_sp")).alias("piece"))
         .join(lp, "piece")
@@ -1329,7 +1356,7 @@ def unigram_viterbi(
             ).alias("m")
         )
     )
-    frame = words.join(wp, "w")
+    frame = staged.select("w", "wc").join(wp, "w")
 
     def _dp_col(wcol: Column, m: Column) -> Column:
         def step(acc, i):
@@ -1402,17 +1429,8 @@ def unigram_viterbi(
             step,
         )
 
-    walked = with_dp.select(
+    return with_dp.select(
         "w", "wc", "_dp", _walk_col(F.col("w"), F.col("_dp")).alias("_wk")
-    )
-    return walked.select(
-        F.col("w").alias("word"),
-        "wc",
-        F.size(F.col("_wk").getField("ps")).cast("long").alias("n_pieces"),
-        F.array_join(F.col("_wk").getField("ps"), " ").alias("seg"),
-        F.element_at(F.col("_dp"), F.length("w") + 1)
-        .getField("s")
-        .alias("score_micro"),
     )
 
 
@@ -1532,6 +1550,310 @@ def unigram_encode_len(
             id_col,
             F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
         )
+    )
+
+
+def unigram_train(
+    df: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    n_iters: int = 2,
+    max_pieces: int | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Unigram-LM tokenizer TRAINER (Kudo, arXiv:1804.10959 §3.2 —
+    the SentencePiece unigram training loop): seed a substring
+    inventory, then alternate (E) maximum-likelihood segmentation of
+    every word under the current piece scores and (M) re-estimating
+    piece scores from their use counts, pruning pieces the
+    segmentations stop using — ``tok7``
+    (:func:`unigram_viterbi`) is this model's INFERENCE pass over the
+    seed scores; this is what :func:`bpe_train` (tok4) is to the BPE
+    encoder.  The E-step is the hard (Viterbi) variant of Kudo's EM:
+    each word's single best segmentation contributes its counts —
+    every quantity stays an exact BIGINT, so the whole unrolled loop
+    carries a value-level DuckDB oracle (:func:`unigram_train_sql`)
+    where expected-count (soft) EM would put corpus-sized float sums
+    between the engines.
+
+    Per iteration: scores are ``lp = floor((ln(c + 1) − ln(T + m)) ·
+    scale)`` (add-one over the kept inventory of size ``m`` with total
+    count ``T`` — a piece can legitimately fall to 0 uses, and its
+    score must stay finite for the next E-step); segmentation is
+    :func:`_viterbi_segment` (ties → longest piece, both engines);
+    new counts are ``c'(p) = Σ_w wc(w) · uses(p, seg(w))``.  Pruning:
+    multi-char pieces with 0 uses drop; if ``max_pieces`` is set, only
+    the top ``max_pieces`` multi-char pieces by ``(c' DESC, piece
+    ASC)`` survive (Kudo's prune-to-target-vocab axis, made exact);
+    single characters are ALWAYS kept (coalesced to 0 uses) so every
+    word stays segmentable in every iteration.
+
+    Returns the FINAL inventory ``(piece, c, lp_micro)`` — use counts
+    from the last E-step and scores from the last M-step (the
+    artifact a packing/encode pass consumes).
+
+    Plan shape (100 TB): one corpus-token shuffle into the Heaps'-law
+    distinct-word frame, then ``n_iters`` unrolled rounds of
+    vocabulary-sized work — the span explode, the piece-keyed join,
+    the map-building groupBy, the zero-shuffle DP projection, and a
+    use-count groupBy; the corpus text is never touched after the
+    word count (the BPE-trainer contract), and no state reaches the
+    driver (the loop composes lazily; ``n_iters`` is a constant).
+    """
+    from nlp_to_nosql_spark.plans.caching import persisted
+
+    if max_piece_len < 1:
+        raise ValueError("unigram_train: max_piece_len must be >= 1")
+    if n_iters < 1:
+        raise ValueError("unigram_train: n_iters must be >= 1")
+    L = int(max_piece_len)
+
+    words = persisted(
+        df.select(F.explode(_tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc")),
+        "tokens",
+    )
+    staged = persisted(
+        words.select("w", "wc", _spans_arr(F.col("w"), L).alias("_sp")),
+        "tokens",
+    )
+    counts = (
+        staged.select("wc", F.explode("_sp").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("wc").cast("long").alias("c"))
+    )
+    chars = persisted(
+        counts.filter(F.length("piece") == 1).select("piece"), "tokens"
+    )
+    kept = counts.filter(
+        (F.length("piece") == 1) | (F.col("c") >= int(min_count))
+    )
+
+    def _score(inv: DataFrame) -> DataFrame:
+        tot = inv.agg(
+            F.sum("c").cast("long").alias("_t"),
+            F.count(F.lit(1)).cast("long").alias("_m"),
+        )
+        return inv.crossJoin(F.broadcast(tot)).select(
+            "piece",
+            F.floor(
+                (
+                    F.log((F.col("c") + 1).cast("double"))
+                    - F.log((F.col("_t") + F.col("_m")).cast("double"))
+                )
+                * F.lit(float(scale))
+            ).cast("long").alias("lp"),
+        )
+
+    # each iteration's inventory is multi-referenced (the score agg, the
+    # score crossJoin, the next E-step's piece join) — persist the
+    # vocabulary-sized frames or the unrolled plan re-runs every prior
+    # iteration's DP per reference (measured 3× blowup per round)
+    kept = persisted(kept, "tokens")
+    for _ in range(int(n_iters)):
+        seg = _viterbi_segment(staged, _score(kept), L)
+        used = persisted(
+            seg.select(
+                "wc", F.explode(F.col("_wk").getField("ps")).alias("piece")
+            )
+            .groupBy("piece")
+            .agg(F.sum("wc").cast("long").alias("c")),
+            "tokens",
+        )
+        multi = used.filter(F.length("piece") >= 2)
+        if max_pieces is not None:
+            w_rank = Window.orderBy(F.col("c").desc(), F.col("piece").asc())
+            multi = (
+                multi.withColumn("_rk", F.row_number().over(w_rank))
+                .filter(F.col("_rk") <= int(max_pieces))
+                .drop("_rk")
+            )
+        kept = persisted(
+            chars.join(used, "piece", "left")
+            .select(
+                "piece", F.coalesce("c", F.lit(0).cast("long")).alias("c")
+            )
+            .unionByName(multi),
+            "tokens",
+        )
+
+    return kept.join(_score(kept), "piece").select(
+        "piece", "c", F.col("lp").alias("lp_micro")
+    )
+
+
+def unigram_train_local(
+    word_counts: dict,
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    n_iters: int = 2,
+    max_pieces: int | None = None,
+    scale: int = 1_000_000,
+) -> dict:
+    """Pure-Python twin of :func:`unigram_train` over a ``{word:
+    count}`` frame — the hypothesis pin (the :func:`bpe_train_local`
+    convention).  Returns ``{piece: (c, lp_micro)}``."""
+    import math
+    from collections import Counter
+
+    L = int(max_piece_len)
+    counts0: Counter = Counter()
+    for w, wc in word_counts.items():
+        for j in range(len(w)):
+            for l in range(1, min(L, len(w) - j) + 1):
+                counts0[w[j : j + l]] += wc
+    chars = sorted(p for p in counts0 if len(p) == 1)
+    kept = {
+        p: c
+        for p, c in counts0.items()
+        if len(p) == 1 or c >= int(min_count)
+    }
+
+    def _lp(c: int, t: int, m: int) -> int:
+        return math.floor(
+            (math.log(c + 1) - math.log(t + m)) * float(scale)
+        )
+
+    def _segment(w: str, lp: dict) -> list:
+        # dp[i] = (score, backpointer); ties maximize (score, plen)
+        dp = [(0, 0)]
+        for i in range(1, len(w) + 1):
+            best = None
+            for plen in range(1, min(L, i) + 1):
+                piece = w[i - plen : i]
+                if piece in lp and dp[i - plen][0] is not None:
+                    s = dp[i - plen][0] + lp[piece]
+                    if best is None or (s, plen) > (best[0], best[1]):
+                        best = (s, plen)
+            dp.append((best[0], i - best[1]))
+        ps, pos = [], len(w)
+        while pos > 0:
+            bp = dp[pos][1]
+            ps.insert(0, w[bp:pos])
+            pos = bp
+        return ps
+
+    for _ in range(int(n_iters)):
+        t, m = sum(kept.values()), len(kept)
+        lp = {p: _lp(c, t, m) for p, c in kept.items()}
+        used: Counter = Counter()
+        for w, wc in word_counts.items():
+            for p in _segment(w, lp):
+                used[p] += wc
+        multi = sorted(
+            ((c, p) for p, c in used.items() if len(p) >= 2),
+            key=lambda x: (-x[0], x[1]),
+        )
+        if max_pieces is not None:
+            multi = multi[: int(max_pieces)]
+        kept = {p: used.get(p, 0) for p in chars}
+        kept.update({p: c for c, p in multi})
+    t, m = sum(kept.values()), len(kept)
+    return {p: (c, _lp(c, t, m)) for p, c in kept.items()}
+
+
+def _unigram_train_iter_ctes(
+    t: int, prev_kept: str, scale: int, max_pieces: int | None, L: int
+) -> str:
+    """One unrolled EM iteration of :func:`unigram_train_sql`: score
+    ``prev_kept`` → recursive-CTE Viterbi over every word → use counts
+    → pruned ``kept{t}``.  The DP is :func:`unigram_viterbi_ctes`'
+    exact recursion, suffixed per iteration."""
+    mp = (
+        f"QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, piece) "
+        f"<= {int(max_pieces)} "
+        if max_pieces is not None
+        else ""
+    )
+    return (
+        f"tot{t} AS (SELECT CAST(SUM(c) AS BIGINT) AS t, "
+        f"CAST(COUNT(*) AS BIGINT) AS m FROM {prev_kept}), "
+        f"lp{t} AS (SELECT piece, CAST(FLOOR((ln(CAST(c + 1 AS DOUBLE)) - "
+        f"ln(CAST(t + m AS DOUBLE))) * {int(scale)}) AS BIGINT) AS lp "
+        f"FROM {prev_kept} CROSS JOIN tot{t}), "
+        f"wp{t} AS (SELECT DISTINCT s.w, s.j, s.l, lp.lp "
+        f"FROM spans s JOIN lp{t} lp USING (piece)), "
+        f"cand{t} AS (SELECT w, j + l - 1 AS i, "
+        "list({'j': j - 1, 'lp': lp, 'plen': l}) AS cs "
+        f"FROM wp{t} GROUP BY w, j + l - 1), "
+        f"dp{t} AS ("
+        "SELECT w, wc, len(w) AS ln, 0 AS i, [CAST(0 AS BIGINT)] AS ss, "
+        "[0] AS bps FROM words "
+        "UNION ALL "
+        "SELECT w, wc, ln, i, list_append(ss, best['s']), "
+        "list_append(bps, best['bp']) FROM ("
+        "SELECT d.w, d.wc, d.ln, d.i + 1 AS i, d.ss AS ss, d.bps AS bps, "
+        "list_sort([{'s': d.ss[x.j + 1] + x.lp, 'plen': x.plen, "
+        "'bp': x.j} for x in c.cs], 'DESC')[1] AS best "
+        f"FROM dp{t} d JOIN cand{t} c ON c.w = d.w AND c.i = d.i + 1 "
+        "WHERE d.i < d.ln)), "
+        f"fin{t} AS (SELECT w, wc, ln, ss, bps FROM dp{t} WHERE i = ln), "
+        f"back{t} AS ("
+        f"SELECT w, ln AS pos, bps, CAST([] AS VARCHAR[]) AS ps FROM fin{t} "
+        "UNION ALL "
+        "SELECT w, bps[pos + 1], bps, "
+        "list_prepend(substr(w, bps[pos + 1] + 1, pos - bps[pos + 1]), ps) "
+        f"FROM back{t} WHERE pos > 0), "
+        f"seg{t} AS (SELECT w, ps FROM back{t} WHERE pos = 0), "
+        f"used{t} AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS c FROM ("
+        f"SELECT words.wc, unnest(s.ps) AS piece FROM seg{t} s "
+        "JOIN words USING (w)) GROUP BY piece), "
+        f"kept{t} AS ("
+        f"SELECT ch.piece, COALESCE(u.c, CAST(0 AS BIGINT)) AS c "
+        f"FROM chars ch LEFT JOIN used{t} u USING (piece) "
+        "UNION ALL "
+        f"SELECT piece, c FROM used{t} WHERE length(piece) >= 2 {mp})"
+    )
+
+
+def unigram_train_sql(
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    n_iters: int = 2,
+    max_pieces: int | None = None,
+    scale: int = 1_000_000,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`unigram_train` — the EM loop unrolled into
+    ``n_iters`` suffixed copies of the tok7 recursive-CTE Viterbi, each
+    reading the previous iteration's kept-inventory CTE; identical
+    add-one integer-micro scores, tie rule, zero-use pruning, and
+    (c DESC, piece ASC) target-vocab prune."""
+    norm = tx.NORMALIZE_SQL.format(c=f"COALESCE({text_col}, '')")
+    L, mc = int(max_piece_len), int(min_count)
+    parts = [
+        "toks AS (SELECT "
+        f"list_filter(string_split({norm}, ' '), t -> t <> '') AS ts "
+        f"FROM {table})",
+        "words AS (SELECT f AS w, CAST(count(*) AS BIGINT) AS wc "
+        "FROM toks, LATERAL UNNEST(ts) AS u(f) GROUP BY f)",
+        "spans AS (SELECT w, wc, j, l, substr(w, j, l) AS piece "
+        "FROM words, LATERAL UNNEST(generate_series(1, len(w))) AS a(j), "
+        f"LATERAL UNNEST(generate_series(1, least({L}, len(w) - j + 1))) "
+        "AS b(l))",
+        "counts AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS c "
+        "FROM spans GROUP BY piece)",
+        "chars AS (SELECT piece FROM counts WHERE length(piece) = 1)",
+        "kept0 AS (SELECT piece, c FROM counts "
+        f"WHERE length(piece) = 1 OR c >= {mc})",
+    ]
+    prev = "kept0"
+    for t in range(1, int(n_iters) + 1):
+        parts.append(
+            _unigram_train_iter_ctes(t, prev, scale, max_pieces, L)
+        )
+        prev = f"kept{t}"
+    return (
+        "WITH RECURSIVE "
+        + ", ".join(parts)
+        + f", ftot AS (SELECT CAST(SUM(c) AS BIGINT) AS t, "
+        f"CAST(COUNT(*) AS BIGINT) AS m FROM {prev}) "
+        f"SELECT piece, c, CAST(FLOOR((ln(CAST(c + 1 AS DOUBLE)) - "
+        f"ln(CAST(t + m AS DOUBLE))) * {int(scale)}) AS BIGINT) "
+        f"AS lp_micro FROM {prev} CROSS JOIN ftot"
     )
 
 

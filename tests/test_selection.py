@@ -1169,3 +1169,25 @@ def test_kcenter_string_ids(spark):
     rows = sorted(tuple(r) for r in out.collect())
     assert rows[0] == (1, "a", 0)  # lowest id seeds
     assert rows[1][1] == "c"  # farthest point second
+
+
+def test_unigram_train_prune_keeps_chars_segmentable(spark):
+    """tok8: every single character survives pruning (coalesced to 0
+    uses when longer pieces cover it) and the target-vocab prune keeps
+    the top multi-char pieces by (c DESC, piece ASC)."""
+    from nlp_to_nosql_spark.operators.selection import unigram_train
+
+    df = spark.createDataFrame(
+        [(1, "abab abab abab cd"), (2, "abab cd cd")],
+        "doc_id long, text string",
+    )
+    rows = {r["piece"]: r for r in unigram_train(
+        df, "text", max_piece_len=4, min_count=2, n_iters=2, max_pieces=1
+    ).collect()}
+    chars = {p for p in rows if len(p) == 1}
+    assert chars == {"a", "b", "c", "d"}
+    multi = sorted(p for p in rows if len(p) >= 2)
+    assert len(multi) == 1  # max_pieces=1 pruned the rest
+    assert rows[multi[0]]["c"] > 0
+    # chars fully covered by the surviving piece carry 0 uses but stay
+    assert all(rows[p]["lp_micro"] is not None for p in chars)

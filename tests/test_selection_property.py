@@ -138,3 +138,50 @@ def test_bpe_matches_python_model(spark, corpus, top_n):
         for r in bpe_merge_pairs(df, top_n=top_n).collect()
     ]
     assert got == _py_bpe(rows, top_n)
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    corpus_st,
+    st.integers(min_value=1, max_value=2),
+    st.one_of(st.none(), st.integers(min_value=1, max_value=6)),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_unigram_train_matches_python_model(spark, corpus, n_iters, max_pieces):
+    """tok8's unrolled hard-EM (Viterbi E-step, add-one M-step,
+    zero-use + target-vocab prune) vs the pure-Python twin — covering
+    empty corpora, single-char vocabularies, duplicated words, and
+    prune ties resolved by (count DESC, piece ASC)."""
+    from nlp_to_nosql_spark.operators.selection import (
+        unigram_train,
+        unigram_train_local,
+    )
+
+    rows = _rows(corpus)
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, is_t boolean"
+    )
+    got = {
+        r["piece"]: (r["c"], r["lp_micro"])
+        for r in unigram_train(
+            df,
+            "text",
+            max_piece_len=3,
+            min_count=2,
+            n_iters=n_iters,
+            max_pieces=max_pieces,
+        ).collect()
+    }
+    wc = Counter(t for _, text, _ in rows for t in _toks(text))
+    want = unigram_train_local(
+        dict(wc),
+        max_piece_len=3,
+        min_count=2,
+        n_iters=n_iters,
+        max_pieces=max_pieces,
+    )
+    assert got == want

@@ -57,6 +57,7 @@ from nlp_to_nosql_spark.operators.curation import (
     unimax_sql,
     filter_attribution_sql,
     kneser_ney_sql,
+    ppl_buckets_sampled_sql,
     ppl_buckets_sql,
     stratified_split_sql,
     target_lm_sql,
@@ -3194,6 +3195,45 @@ def _q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kneser_ney_score(pool, target)
 
 
+def _q_kn_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lm6 — the KN-ARTIFACT contract under the oracle gate (lm4's
+    shape for the Kneser-Ney tier): fit the raw uni/tri count tables
+    on the target split, persist as a parquet artifact
+    (kneser_ney_fit), reload with schema validation, and score the
+    pool from the RELOADED tables — every continuation-count table
+    re-derives from tri at load, so a lossy artifact would
+    hash-mismatch against lm5's twin."""
+    import tempfile
+
+    from nlp_to_nosql_spark.operators.curation import (
+        kneser_ney_fit,
+        kneser_ney_score_artifact,
+    )
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    pred = F.col("lang") == "en"
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_kn_artifact")
+    kneser_ney_fit(docs.filter(pred.eqNullSafe(F.lit(True))), path)
+    return kneser_ney_score_artifact(
+        docs.filter(~pred.eqNullSafe(F.lit(True))), path
+    )
+
+
+def _q_sampled_tertiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lm7 — CCNet's tertile partition the way it runs at corpus scale
+    (per-language cutoffs from a seeded consistent-hash SAMPLE, then
+    zero-shuffle scan-side assignment) — the production path lm3's
+    exact-NTILE docstring promises, as a first-class oracle-checked
+    operator (operators/curation.py ppl_buckets_sampled)."""
+    from nlp_to_nosql_spark.operators.curation import ppl_buckets_sampled
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    pred = F.col("lang") == "en"
+    pool = docs.filter(~pred.eqNullSafe(F.lit(True)))
+    target = docs.filter(pred.eqNullSafe(F.lit(True)))
+    return ppl_buckets_sampled(pool, target, "lang", rate=0.3, seed=41)
+
+
 def _q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The GPT-3/PaLM 13-gram eval-decontamination FILTER (dc1 is the
     winnowing REPORT): a training document is removed if it shares any
@@ -4458,6 +4498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm1_bigram_likelihood": _q_bigram_likelihood,
         "lm2_target_ppl": _q_target_lm_score,
         "lm5_kneser_ney": _q_kneser_ney,
+        "lm6_kn_artifact": _q_kn_artifact_roundtrip,
+        "lm7_sampled_tertiles": _q_sampled_tertiles,
         "lm3_ppl_buckets": _q_ppl_buckets,
         "eval6_score_correlation": _q_score_correlation,
         "lm4_lm_artifact": _q_lm_artifact_roundtrip,
@@ -5611,6 +5653,12 @@ def oracle_sql() -> dict[str, str]:
         # BIGINT counts with α = 2/5 folded into the integers.
         "lm2_target_ppl": target_lm_sql("lang = 'en'"),
         "lm5_kneser_ney": kneser_ney_sql("lang = 'en'"),
+        # lm6 scores from the reloaded artifact; the oracle re-derives
+        # the same counts (lm5's twin), so artifact loss would mismatch
+        "lm6_kn_artifact": kneser_ney_sql("lang = 'en'"),
+        "lm7_sampled_tertiles": ppl_buckets_sampled_sql(
+            "lang = 'en'", group_col="lang", rate=0.3, seed=41
+        ),
         # lm3: lm2's scored frame NTILE'd into per-language perplexity
         # tertiles (CCNet head/middle/tail).
         "lm3_ppl_buckets": ppl_buckets_sql(

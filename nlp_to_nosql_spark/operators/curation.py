@@ -1168,6 +1168,22 @@ def kneser_ney_score(
     twin: :func:`kneser_ney_sql`.
     """
     uni, _bi, tri = _lm_count_tables(target, id_col, text_col)
+    return _kn_score_pool(pool, uni, tri, id_col, text_col)
+
+
+def _kn_score_pool(
+    pool: DataFrame,
+    uni: DataFrame,
+    tri: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Score ``pool`` under prebuilt KN base tables — the shared back
+    half of :func:`kneser_ney_score` and the artifact path
+    (:func:`kneser_ney_score_artifact`).  Every continuation-count
+    table re-derives from ``tri`` here (and ``V`` from ``uni``), so
+    the artifact carries only the two raw count tables and nothing
+    can drift."""
     tri = persisted(tri, "model")
     c2ctx = tri.groupBy("a", "b").agg(
         F.sum("c3").cast("long").alias("c2ctx"),
@@ -1292,6 +1308,64 @@ def kneser_ney_score(
             "mean_lp_micro",
         )
     )
+
+
+#: Sub-directory names + required schemas of the persisted KN artifact:
+#: just the raw unigram and trigram count tables — every continuation
+#: count re-derives from ``tri`` at load (:func:`_kn_score_pool`).
+_KN_ARTIFACT_PARTS = {
+    "uni": ("w", "c1"),
+    "tri": ("a", "b", "c", "c3"),
+}
+
+
+def kneser_ney_fit(
+    target: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Fit the KN base tables on the target corpus and persist them as
+    a parquet artifact (``path/uni``, ``path/tri``) — lm4's contract
+    (:func:`target_lm_fit`) for the Kneser-Ney tier.  Deliberately
+    stores ONLY the raw count tables: all four continuation-count
+    tables and the ``(N1+(··), V)`` totals re-derive from them at
+    load, so the artifact has no derived state to drift out of sync
+    with the smoothing arithmetic."""
+    uni, _bi, tri = _lm_count_tables(target, id_col, text_col)
+    for name, df in (("uni", uni), ("tri", tri)):
+        df.write.mode("overwrite").parquet(f"{path}/{name}")
+
+
+def kneser_ney_load(path: str, spark) -> tuple:
+    """Load a :func:`kneser_ney_fit` artifact back into ``(uni, tri)``,
+    failing loudly on a missing part or schema drift (lm4's
+    :func:`target_lm_load` discipline)."""
+    out = []
+    for name, cols in _KN_ARTIFACT_PARTS.items():
+        df = spark.read.parquet(f"{path}/{name}")
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"kneser_ney_load: artifact part {name!r} at {path!r} "
+                f"lacks columns {missing} (expected {list(cols)})"
+            )
+        out.append(df.select(*cols))
+    return tuple(out)
+
+
+def kneser_ney_score_artifact(
+    pool: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score ``pool`` under a PERSISTED KN artifact — identical output
+    to :func:`kneser_ney_score` on the corpus the artifact was fitted
+    from; the plan swaps the fit-side token aggregations for two
+    parquet scans of already-reduced count tables."""
+    uni, tri = kneser_ney_load(path, pool.sparkSession)
+    return _kn_score_pool(pool, uni, tri, id_col, text_col)
 
 
 def _pool_contexts(pool: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -1452,6 +1526,132 @@ def ppl_buckets(
             F.col("mean_lp_micro"),
             F.ntile(int(n_buckets)).over(w).cast("int").alias("ppl_bucket"),
         )
+    )
+
+
+def ppl_buckets_sampled(
+    pool: DataFrame,
+    target: DataFrame,
+    group_col: str = "lang",
+    rate: float = 0.2,
+    seed: int = 41,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet's tertile partition the way it ACTUALLY runs at corpus
+    scale (Wenzek et al., arXiv:1911.00359 §4.3 compute per-language
+    perplexity CUTOFFS from a sample, then assign every document
+    scan-side): :func:`ppl_buckets` (lm3) ranks each whole group with
+    an exact NTILE window — correct, but the window sorts a group-sized
+    frame; this variant estimates the two cut scores from a seeded
+    consistent-hash sample (:func:`consistent_key_sample`'s md5
+    discipline, so the sample is engine-reproducible) and assigns
+    buckets with a zero-shuffle per-row comparison.  The 100 TB path
+    lm3's docstring promises, as a first-class oracle-checked operator.
+
+    Thresholds per group: order the group's SAMPLED scores by
+    ``(mean_lp_micro DESC NULLS LAST, id ASC)``; with ``s`` sampled
+    rows, ``t1`` = the ``ceil(s/3)``-th score and ``t2`` = the
+    ``ceil(2s/3)``-th.  Assignment: bucket 1 iff ``score ≥ t1``,
+    else 2 iff ``score ≥ t2``, else 3 — boundary ties land in the
+    better bucket, identically in the DuckDB twin
+    (:func:`ppl_buckets_sampled_sql`).  Groups with NO sampled rows
+    emit bucket NULL (unbucketed, reported — never silently kept or
+    dropped); NULL scores land in bucket 3 (least target-like).
+
+    Returns ``(id, group, mean_lp_micro, ppl_bucket)`` — lm3's exact
+    schema, so the two tiers are drop-in swappable.
+
+    Plan shape (100 TB): scoring is lm2's contract; the threshold
+    estimate ranks ONLY the sample (a per-group window over ``rate``
+    of the rows — CCNet itself samples); the thresholds frame is
+    ≤ |groups| rows and broadcasts; assignment is a scan-side CASE.
+    No group-sized sort anywhere.
+    """
+    from pyspark.sql import Window
+
+    scored = persisted(
+        target_lm_score(pool, target, id_col, text_col).join(
+            pool.select(F.col(id_col), F.col(group_col)), id_col
+        ),
+        "results",
+    )
+    sample = scored.filter(
+        _mix_hash(F.col(id_col), seed) < F.lit(int(rate * _MIX_BUCKETS))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc_nulls_last("mean_lp_micro"), F.asc(id_col)
+    )
+    ranked = sample.select(
+        group_col,
+        "mean_lp_micro",
+        F.row_number().over(w).alias("_rk"),
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("_s"),
+    )
+    cuts = ranked.groupBy(group_col).agg(
+        F.max(
+            F.when(
+                F.col("_rk") == F.expr("CAST((_s + 2) div 3 AS INT)"),
+                F.col("mean_lp_micro"),
+            )
+        ).alias("_t1"),
+        F.max(
+            F.when(
+                F.col("_rk") == F.expr("CAST((2 * _s + 2) div 3 AS INT)"),
+                F.col("mean_lp_micro"),
+            )
+        ).alias("_t2"),
+        F.count(F.lit(1)).cast("long").alias("_s_n"),
+    )
+    out = scored.join(F.broadcast(cuts), group_col, "left")
+    bucket = (
+        F.when(F.col("_s_n").isNull(), F.lit(None).cast("int"))
+        .when(F.col("mean_lp_micro") >= F.col("_t1"), F.lit(1))
+        .when(F.col("mean_lp_micro") >= F.col("_t2"), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    return out.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col("mean_lp_micro"),
+        bucket.cast("int").alias("ppl_bucket"),
+    )
+
+
+def ppl_buckets_sampled_sql(
+    target_sql: str = "lang = 'en'",
+    group_col: str = "lang",
+    rate: float = 0.2,
+    seed: int = 41,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`ppl_buckets_sampled` — identical md5
+    sample, per-group sample ranks, ceil-division cut indices, and
+    boundary-tie assignment."""
+    inner = target_lm_sql(target_sql, table, text_col, id_col)
+    h = MIX_HASH_SQL.format(c=id_col, seed=seed)
+    thr = int(rate * _MIX_BUCKETS)
+    return (
+        f"WITH pbs_scored AS (SELECT s.{id_col}, d.{group_col} AS grp, "
+        f"s.mean_lp_micro FROM ({inner}) s "
+        f"JOIN {table} d USING ({id_col})), "
+        f"pbs_sample AS (SELECT * FROM pbs_scored WHERE {h} < {thr}), "
+        "pbs_ranked AS (SELECT grp, mean_lp_micro, "
+        "ROW_NUMBER() OVER (PARTITION BY grp "
+        f"ORDER BY mean_lp_micro DESC NULLS LAST, {id_col}) AS rk, "
+        "COUNT(*) OVER (PARTITION BY grp) AS s FROM pbs_sample), "
+        "pbs_cuts AS (SELECT grp, "
+        "MAX(CASE WHEN rk = (s + 2) // 3 THEN mean_lp_micro END) AS t1, "
+        "MAX(CASE WHEN rk = (2 * s + 2) // 3 THEN mean_lp_micro END) AS t2, "
+        "COUNT(*) AS s_n FROM pbs_ranked GROUP BY grp) "
+        f"SELECT sc.{id_col}, sc.grp AS {group_col}, sc.mean_lp_micro, "
+        "CAST(CASE WHEN c.s_n IS NULL THEN NULL "
+        "WHEN sc.mean_lp_micro >= c.t1 THEN 1 "
+        "WHEN sc.mean_lp_micro >= c.t2 THEN 2 "
+        "ELSE 3 END AS INT) AS ppl_bucket "
+        "FROM pbs_scored sc LEFT JOIN pbs_cuts c ON sc.grp = c.grp"
     )
 
 

@@ -1203,3 +1203,109 @@ def test_kneser_ney_probabilities_proper(spark):
     )
     for r in kneser_ney_score(pool, target).collect():
         assert r["mean_lp_micro"] is not None and r["mean_lp_micro"] <= 0
+
+
+def test_kn_artifact_roundtrip_equals_in_plan_fit(spark, tmp_path):
+    """lm6: scoring from the reloaded artifact equals kneser_ney_score
+    on the corpus the artifact was fitted from."""
+    from nlp_to_nosql_spark.operators.curation import (
+        kneser_ney_fit,
+        kneser_ney_score,
+        kneser_ney_score_artifact,
+    )
+
+    target = spark.createDataFrame(
+        [(100, "a b c a b d"), (101, "a b c c")], "doc_id long, text string"
+    )
+    pool = spark.createDataFrame(
+        [(1, "a b c"), (2, "d a b zz")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "kn_artifact")
+    kneser_ney_fit(target, path)
+    got = sorted(
+        tuple(r) for r in kneser_ney_score_artifact(pool, path).collect()
+    )
+    want = sorted(
+        tuple(r) for r in kneser_ney_score(pool, target).collect()
+    )
+    assert got == want
+
+
+def test_kn_load_rejects_schema_drift(spark, tmp_path):
+    import pytest as _pytest
+
+    from nlp_to_nosql_spark.operators.curation import (
+        kneser_ney_fit,
+        kneser_ney_load,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a b c d")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "kn_artifact")
+    kneser_ney_fit(target, path)
+    # corrupt one part: wrong column name
+    spark.createDataFrame(
+        [("x", "y", "z", 1)], "a string, b string, c string, n3 long"
+    ).write.mode("overwrite").parquet(f"{path}/tri")
+    with _pytest.raises(ValueError, match="lacks columns"):
+        kneser_ney_load(path, spark)
+
+
+def test_sampled_tertiles_threshold_semantics(spark):
+    """lm7: cut scores come from the SAMPLE's (score DESC, id) order;
+    boundary ties land in the better bucket; a group absent from the
+    sample emits NULL buckets."""
+    from nlp_to_nosql_spark.operators.curation import (
+        ppl_buckets_sampled,
+        _mix_hash,
+        _MIX_BUCKETS,
+    )
+    from pyspark.sql import functions as F
+
+    target = spark.createDataFrame(
+        [(1000 + i, "en", "common words shared by every document")
+         for i in range(3)],
+        "doc_id long, lang string, text string",
+    )
+    pool = spark.createDataFrame(
+        [(i, "de" if i % 2 else "fr",
+          "common words shared" if i < 8 else "zz yy xx ww vv uu")
+         for i in range(16)],
+        "doc_id long, lang string, text string",
+    )
+    rate, seed = 0.5, 41
+    out = ppl_buckets_sampled(
+        pool.select("doc_id", "lang", "text"),
+        target.select("doc_id", "lang", "text"),
+        "lang",
+        rate=rate,
+        seed=seed,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 16
+    # every returned bucket is 1..3 or NULL only for unsampled groups
+    sampled_ids = {
+        r["doc_id"]
+        for r in pool.filter(
+            _mix_hash(F.col("doc_id"), seed) < int(rate * _MIX_BUCKETS)
+        ).collect()
+    }
+    sampled_groups = {
+        ("de" if i % 2 else "fr") for i in sampled_ids
+    }
+    for i, r in rows.items():
+        g = "de" if i % 2 else "fr"
+        if g in sampled_groups:
+            assert r["ppl_bucket"] in (1, 2, 3)
+        else:
+            assert r["ppl_bucket"] is None
+    # target-like docs never rank below off-vocabulary docs in a
+    # sampled group
+    for g in sampled_groups:
+        b_common = [r["ppl_bucket"] for i, r in rows.items()
+                    if i < 8 and (("de" if i % 2 else "fr") == g)]
+        b_weird = [r["ppl_bucket"] for i, r in rows.items()
+                   if i >= 8 and (("de" if i % 2 else "fr") == g)]
+        if b_common and b_weird:
+            assert max(b_common) <= min(b_weird)

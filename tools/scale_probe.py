@@ -775,6 +775,16 @@ def main() -> int:
             ),
             # round-12 additions + the round-11 unprobed tail
             "lm5_kneser_ney": lambda: kneser_ney_probe(docs),
+            "lm7_sampled_tertiles": lambda: (lambda cur: (
+                lambda pred: cur.ppl_buckets_sampled(
+                    docs.filter(~pred.eqNullSafe(F.lit(True))),
+                    docs.filter(pred.eqNullSafe(F.lit(True))),
+                    "lang", rate=0.3, seed=41,
+                ))(F.col("lang") == "en"))(
+                __import__(
+                    "nlp_to_nosql_spark.operators.curation", fromlist=["x"]
+                )
+            ),
             "dedup19_paragraph_dedup": lambda: paragraph_dedup_probe(docs),
             "dc3_exact_substring": lambda: dc3_probe(docs),
             "pipe10_ccnet_paragraph": lambda: pipe10_probe(docs),

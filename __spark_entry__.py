@@ -51,6 +51,7 @@ from nlp_to_nosql_spark.operators.curation import (
     chunk_sql,
     consistent_sample_sql,
     exact_substring_decontaminate_sql,
+    longest_shared_span_sql,
     gopher_sql,
     hash_split_sql,
     mixture_sql,
@@ -3347,6 +3348,21 @@ def _q_ccnet_paragraph_pipeline(
     return buckets.filter(F.col("ppl_bucket") <= 2)
 
 
+def _q_longest_shared_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dc4 — the ExactSubstr family's DIAGNOSTIC tier: per training
+    doc, the matched-gram count and the length of the longest span
+    shared with the eval split (the distribution Lee et al. 2022
+    report before choosing a removal threshold; dc2 verdicts, dc3
+    removes, dc4 measures).  Gaps-and-islands over matched (id, pos)
+    int pairs; eval gram set broadcast (operators/curation.py
+    longest_shared_span)."""
+    from nlp_to_nosql_spark.operators.curation import longest_shared_span
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    ev = F.col("doc_id") % 97 == 0
+    return longest_shared_span(docs.filter(~ev), docs.filter(ev), k=3)
+
+
 def _q_ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CCNet curation pipeline end-to-end (Wenzek et al.,
     arXiv:1911.00359): score the pool under the target-trained LM
@@ -4505,6 +4521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm4_lm_artifact": _q_lm_artifact_roundtrip,
         "dc2_ngram_decontamination": _q_ngram_decontaminate,
         "dc3_exact_substring": _q_exact_substring_decontaminate,
+        "dc4_longest_shared_span": _q_longest_shared_span,
         "dedup19_paragraph_dedup": _q_paragraph_dedup,
         "pipe7_ccnet_curation": _q_ccnet_pipeline,
         "pipe10_ccnet_paragraph": _q_ccnet_paragraph_pipeline,
@@ -5683,6 +5700,9 @@ def oracle_sql() -> dict[str, str]:
             + ") t"
         ),
         "dc3_exact_substring": exact_substring_decontaminate_sql(
+            "doc_id % 97 = 0", k=3
+        ),
+        "dc4_longest_shared_span": longest_shared_span_sql(
             "doc_id % 97 = 0", k=3
         ),
         # pipe10: paragraph dedup of the non-en crawl FIRST (CCNet's

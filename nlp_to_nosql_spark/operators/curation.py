@@ -1864,6 +1864,144 @@ def exact_substring_decontaminate(
     return _strip_covered(toks, covered, id_col)
 
 
+def longest_shared_span(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """Per-training-document overlap DIAGNOSTIC for the ExactSubstr
+    family: the length (in tokens) of the LONGEST span shared with the
+    eval set, plus the matched-gram count — what a decontamination run
+    reports before choosing its removal threshold (Lee et al.,
+    arXiv:2107.06499 report exactly this distribution; dc2 gives a
+    boolean verdict, dc3 removes — this measures).
+
+    A maximal shared span of length ``m ≥ k`` appears as an ISLAND of
+    ``m − k + 1`` consecutive matched k-gram positions, so
+    ``longest_span = max over islands (last − first + k)`` — the
+    classic gaps-and-islands reduction (``pos − row_number()`` groups
+    each island), exact on both engines
+    (:func:`longest_shared_span_sql`).  Documents with no shared
+    ≥ k-token span report 0.
+
+    Returns ``(id, n_shared_grams, longest_span)`` — total mapping
+    over the training side.
+
+    Plan shape: dc3's match exactly (eval gram set broadcast, training
+    text never shuffles), then the islands window partitions by doc id
+    over matched (id, pos) INT pairs only, and one per-doc max.
+    """
+    toks = persisted(_tokens(train, id_col, text_col), "spans")
+    words = F.col("_w")
+    n = F.size(words)
+    grams_struct = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.array_join(F.slice(words, i, k), " ").alias("gram"),
+            ),
+        ),
+    ).otherwise(
+        F.expr("CAST(array() AS array<struct<pos: int, gram: string>>)")
+    )
+    exploded = toks.select(
+        F.col(id_col), F.explode(grams_struct).alias("s")
+    ).select(
+        id_col, F.col("s.pos").alias("pos"), F.col("s.gram").alias("gram")
+    )
+    etoks = _tokens(eval_df, id_col, text_col)
+    egrams = F.when(
+        F.size("_w") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - (k - 1)),
+            lambda i: F.array_join(F.slice(F.col("_w"), i, k), " "),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    eg = etoks.select(F.explode(egrams).alias("gram")).distinct()
+
+    from pyspark.sql import Window
+
+    matched = exploded.join(F.broadcast(eg), "gram").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = matched.select(
+        F.col(id_col),
+        "pos",
+        (F.col("pos") - F.row_number().over(w)).alias("_grp"),
+    )
+    spans = islands.groupBy(id_col, "_grp").agg(
+        (F.max("pos") - F.min("pos") + F.lit(k)).cast("long").alias("_len"),
+        F.count(F.lit(1)).cast("long").alias("_ng"),
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("_ng").cast("long").alias("n_shared_grams"),
+        F.max("_len").cast("long").alias("longest_span"),
+    )
+    return (
+        train.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shared_grams", F.lit(0).cast("long")).alias(
+                "n_shared_grams"
+            ),
+            F.coalesce("longest_span", F.lit(0).cast("long")).alias(
+                "longest_span"
+            ),
+        )
+    )
+
+
+def longest_shared_span_sql(
+    eval_pred: str = "doc_id % 97 = 0",
+    k: int = 50,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`longest_shared_span` — identical gram
+    enumeration, match, gaps-and-islands grouping, and per-doc max."""
+    norm = NORMALIZE_SQL.format(c=f"COALESCE({text_col}, '')")
+    grams = (
+        f"CASE WHEN len(w) >= {k} "
+        f"THEN [array_to_string(w[i:i+{k - 1}], ' ') "
+        f"for i in range(1, len(w) - {k - 2})] ELSE [] END"
+    )
+    poss = (
+        f"CASE WHEN len(w) >= {k} "
+        f"THEN [i for i in range(1, len(w) - {k - 2})] ELSE [] END"
+    )
+    return (
+        f"WITH ls_words AS (SELECT {id_col}, string_split({norm}, ' ') AS w "
+        f"FROM {table} WHERE NOT ({eval_pred})), "
+        f"ls_ch AS (SELECT {id_col}, unnest({poss}) AS pos, "
+        f"unnest({grams}) AS gram FROM ls_words), "
+        f"ls_ew AS (SELECT string_split({norm}, ' ') AS w "
+        f"FROM {table} WHERE ({eval_pred})), "
+        "ls_eg AS (SELECT DISTINCT gram FROM "
+        f"(SELECT unnest({grams}) AS gram FROM ls_ew)), "
+        f"ls_matched AS (SELECT {id_col}, pos FROM ls_ch "
+        "WHERE gram IN (SELECT gram FROM ls_eg)), "
+        f"ls_islands AS (SELECT {id_col}, pos, pos - ROW_NUMBER() OVER "
+        f"(PARTITION BY {id_col} ORDER BY pos) AS grp FROM ls_matched), "
+        f"ls_spans AS (SELECT {id_col}, grp, "
+        f"CAST(MAX(pos) - MIN(pos) + {k} AS BIGINT) AS len, "
+        "CAST(COUNT(*) AS BIGINT) AS ng "
+        f"FROM ls_islands GROUP BY {id_col}, grp), "
+        f"ls_per_doc AS (SELECT {id_col}, "
+        "CAST(SUM(ng) AS BIGINT) AS n_shared_grams, "
+        "CAST(MAX(len) AS BIGINT) AS longest_span "
+        f"FROM ls_spans GROUP BY {id_col}) "
+        f"SELECT t.{id_col}, COALESCE(p.n_shared_grams, 0) AS "
+        "n_shared_grams, COALESCE(p.longest_span, 0) AS longest_span "
+        f"FROM (SELECT {id_col} FROM {table} WHERE NOT ({eval_pred})) t "
+        f"LEFT JOIN ls_per_doc p USING ({id_col})"
+    )
+
+
 def exact_substring_decontaminate_sql(
     eval_pred: str = "doc_id % 97 = 0",
     k: int = 50,

@@ -1309,3 +1309,32 @@ def test_sampled_tertiles_threshold_semantics(spark):
                    if i >= 8 and (("de" if i % 2 else "fr") == g)]
         if b_common and b_weird:
             assert max(b_common) <= min(b_weird)
+
+
+def test_longest_shared_span_islands(spark):
+    """dc4: island arithmetic — one long shared span reports its full
+    token length; two disjoint spans report the longer; sub-k overlap
+    reports 0."""
+    from nlp_to_nosql_spark.operators.curation import longest_shared_span
+
+    eval_df = spark.createDataFrame(
+        [(100, "one two three four five"), (101, "p q r")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "zz one two three four five yy"),   # one 5-token span
+            (2, "one two three zz p q r"),          # spans 3 and 3
+            (3, "one two zz three four"),           # sub-k pieces only
+            (4, "xx yy"),                           # nothing shared
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shared_grams"], r["longest_span"])
+        for r in longest_shared_span(train, eval_df, k=3).collect()
+    }
+    assert got[1] == (3, 5)   # grams at pos 2,3,4 -> island len 3 -> span 5
+    assert got[2] == (2, 3)   # two 1-gram islands, both spans of 3
+    assert got[3] == (0, 0)
+    assert got[4] == (0, 0)

@@ -787,6 +787,14 @@ def main() -> int:
             ),
             "dedup19_paragraph_dedup": lambda: paragraph_dedup_probe(docs),
             "dc3_exact_substring": lambda: dc3_probe(docs),
+            "dc4_longest_shared_span": lambda: (lambda cur: (
+                lambda ev: cur.longest_shared_span(
+                    docs.filter(~ev), docs.filter(ev), k=3
+                ))(F.col("doc_id") % 97 == 0))(
+                __import__(
+                    "nlp_to_nosql_spark.operators.curation", fromlist=["x"]
+                )
+            ),
             "pipe10_ccnet_paragraph": lambda: pipe10_probe(docs),
             "tok8_unigram_train": lambda: tok8_probe(docs),
             "eval8_cluster_purity": lambda: cluster_purity_probe(emb),

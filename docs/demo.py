@@ -146,6 +146,52 @@ def run_demo(sf_dir: str = DEFAULT_SF_DIR, spark=None) -> str:
             f"(score_micro={r['score_micro']})")
     say("")
 
+    say("=" * 72, "6. Round-12 additions — Kneser-Ney scoring, paragraph "
+        "dedup,", "   ExactSubstr span removal, and the unigram-LM "
+        "TRAINER", "=" * 72)
+    from nlp_to_nosql_spark.operators.curation import (
+        exact_substring_decontaminate,
+        kneser_ney_score,
+    )
+    from nlp_to_nosql_spark.operators.dedup import paragraph_dedup
+    from nlp_to_nosql_spark.operators.selection import unigram_train
+
+    is_en = F.col("lang").eqNullSafe(F.lit("en"))
+    kn = kneser_ney_score(docs.filter(~is_en), docs.filter(is_en))
+    top = kn.orderBy(F.desc_nulls_last("mean_lp_micro"), "doc_id").limit(2)
+    say(">>> kneser_ney_score(pool, target)  (2 most target-like)  ->")
+    for r in top.collect():
+        say(f"    doc {r['doc_id']}: n_tokens={r['n_tokens']} "
+            f"mean_lp_micro={r['mean_lp_micro']}")
+    multi = docs.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"(\S+ \S+ \S+ \S+ \S+) ",
+                         "$1\n").alias("text"),
+    )
+    pd_out = paragraph_dedup(multi)
+    touched = pd_out.filter(F.col("n_removed") > 0)
+    say(f">>> paragraph_dedup(docs-as-5-token-lines)  ->  "
+        f"{touched.count()} docs lost paragraphs "
+        f"({pd_out.agg(F.sum('n_removed')).collect()[0][0]} paragraphs "
+        "deduped corpus-wide)")
+    ev = F.col("doc_id") % 97 == 0
+    dc = exact_substring_decontaminate(
+        docs.filter(~ev), docs.filter(ev), k=3
+    )
+    hit = dc.filter(F.col("n_removed") > 0)
+    say(f">>> exact_substring_decontaminate(train, eval, k=3)  ->  "
+        f"{hit.count()} docs had shared >=3-token spans stripped "
+        f"({dc.agg(F.sum('n_removed')).collect()[0][0]} words removed)")
+    inv = unigram_train(docs, max_piece_len=4, min_count=2, n_iters=2,
+                        max_pieces=5)
+    say(">>> unigram_train(docs, n_iters=2, max_pieces=5)  "
+        "(top multi-char pieces)  ->")
+    for r in inv.filter(F.length("piece") >= 2).orderBy(
+        F.desc("c"), "piece"
+    ).collect():
+        say(f"    {r['piece']!r}: uses={r['c']} lp_micro={r['lp_micro']}")
+    say("")
+
     say("=" * 72, "Demo complete: one NL query compiled (rule-based "
         "fallback, offline),", "executed on Spark, and returned through "
         "all three client surfaces,", "plus the corpus-pipeline "

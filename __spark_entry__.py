@@ -94,6 +94,7 @@ from nlp_to_nosql_spark.operators.selection import (
     dsir_select_gumbel_sql,
     dsir_select_sql,
     kcenter_sql,
+    unigram_encode_len_trained_ctes,
     unigram_train_sql,
     unigram_viterbi_ctes,
     unigram_viterbi_sql,
@@ -2523,6 +2524,26 @@ def _q_unigram_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_by_token_budget(enc, "doc_id", "n_tokens", budget=5_000)
 
 
+def _q_trained_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipe11 — the tok8 family closed end-to-end (what pipe6 is to the
+    BPE trainer): run the 2-round Viterbi-EM trainer, segment every
+    distinct word under the FINAL inventory, join token occurrences to
+    trained piece counts, and pack documents into contiguous 5k-token
+    batches via the distributed prefix sum.  The EM prefix never
+    touches the corpus after the word count; the encode adds pipe9's
+    two exchanges (operators/selection.py unigram_encode_len_trained)."""
+    from nlp_to_nosql_spark.operators.packing import pack_by_token_budget
+    from nlp_to_nosql_spark.operators.selection import (
+        unigram_encode_len_trained,
+    )
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    enc = unigram_encode_len_trained(
+        docs, max_piece_len=4, min_count=2, n_iters=2, max_pieces=25
+    )
+    return pack_by_token_budget(enc, "doc_id", "n_tokens", budget=5_000)
+
+
 def _q_bpe_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tokenizer ARTIFACT contract under the oracle gate: fit 4
     merges with the PRODUCTION trainer shape (bpe_train_local — one
@@ -4534,6 +4555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix3_unimax_alloc": _q_unimax_alloc,
         "pipe8_langid_unimax": _q_langid_unimax_pipeline,
         "pipe9_unigram_pack": _q_unigram_pack_pipeline,
+        "pipe11_trained_pack": _q_trained_pack_pipeline,
         "pipe3_pretraining_e2e": _q_pretraining_e2e,
         "sess2_native_session_window": _q_native_session_window,
         "emb1_norms_by_label": _q_embedding_norms,
@@ -5865,6 +5887,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tok8_unigram_train": unigram_train_sql(
             max_piece_len=4, min_count=2, n_iters=2, max_pieces=25
+        ),
+        # pipe11: tok8's unrolled-EM chain + one encode round + pipe9's
+        # prefix-sum packing tail
+        "pipe11_trained_pack": (
+            "WITH RECURSIVE "
+            + unigram_encode_len_trained_ctes(
+                max_piece_len=4, min_count=2, n_iters=2, max_pieces=25
+            )
+            + ", packed AS (SELECT doc_id, n_tokens, "
+            "SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED "
+            "PRECEDING) AS cum_tokens FROM encoded) "
+            "SELECT doc_id, n_tokens, "
+            "CAST(cum_tokens AS BIGINT) AS cum_tokens, "
+            "CAST(FLOOR((cum_tokens - n_tokens) / 5000.0) AS BIGINT) "
+            "AS batch_id FROM packed"
         ),
         # pipe6: tok5's proven train+encode CTE chain feeding pack1's
         # prefix-sum window arithmetic — the composed tokenizer→packing

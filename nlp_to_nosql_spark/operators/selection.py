@@ -1601,6 +1601,27 @@ def unigram_train(
     word count (the BPE-trainer contract), and no state reaches the
     driver (the loop composes lazily; ``n_iters`` is a constant).
     """
+    staged, kept, score = _unigram_em(
+        df, text_col, max_piece_len, min_count, n_iters, max_pieces, scale
+    )
+    return kept.join(score(kept), "piece").select(
+        "piece", "c", F.col("lp").alias("lp_micro")
+    )
+
+
+def _unigram_em(
+    df: DataFrame,
+    text_col: str,
+    max_piece_len: int,
+    min_count: int,
+    n_iters: int,
+    max_pieces: int | None,
+    scale: int,
+) -> tuple:
+    """The tok8 EM loop factored for reuse (:func:`unigram_train` and
+    :func:`unigram_encode_len_trained`): returns ``(staged, kept,
+    score)`` — the persisted ``(w, wc, _sp)`` word frame, the final
+    kept inventory ``(piece, c)``, and the add-one scoring function."""
     from nlp_to_nosql_spark.plans.caching import persisted
 
     if max_piece_len < 1:
@@ -1678,9 +1699,49 @@ def unigram_train(
             .unionByName(multi),
             "tokens",
         )
+    return staged, kept, _score
 
-    return kept.join(_score(kept), "piece").select(
-        "piece", "c", F.col("lp").alias("lp_micro")
+
+def unigram_encode_len_trained(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    n_iters: int = 2,
+    max_pieces: int | None = None,
+) -> DataFrame:
+    """Per-document token counts under the TRAINED unigram-LM tokenizer
+    — tok8's encode pass (what :func:`unigram_encode_len` is to tok7's
+    seed scores): run the EM loop, segment every distinct word ONCE
+    under the FINAL inventory's scores, then one corpus-token explode
+    joins each word occurrence to its trained piece count and one
+    per-doc sum emits ``(id, n_tokens)`` — the packing feed, total
+    over the input (no-word docs count 0).  Same two-exchange encode
+    shape as pipe6/pipe9; the EM prefix never touches the corpus after
+    the word count."""
+    L = int(max_piece_len)
+    staged, kept, score = _unigram_em(
+        df, text_col, max_piece_len, min_count, n_iters, max_pieces,
+        1_000_000,
+    )
+    seg = _viterbi_segment(staged, score(kept), L).select(
+        "w",
+        F.size(F.col("_wk").getField("ps")).cast("long").alias("n_pieces"),
+    )
+    dt = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("w"))
+    agg = (
+        dt.join(seg, "w")
+        .groupBy(id_col)
+        .agg(F.sum("n_pieces").cast("long").alias("n_tokens"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        )
     )
 
 
@@ -1770,7 +1831,8 @@ def _unigram_train_iter_ctes(
     return (
         f"tot{t} AS (SELECT CAST(SUM(c) AS BIGINT) AS t, "
         f"CAST(COUNT(*) AS BIGINT) AS m FROM {prev_kept}), "
-        f"lp{t} AS (SELECT piece, CAST(FLOOR((ln(CAST(c + 1 AS DOUBLE)) - "
+        f"lp{t} AS MATERIALIZED (SELECT piece, "
+        "CAST(FLOOR((ln(CAST(c + 1 AS DOUBLE)) - "
         f"ln(CAST(t + m AS DOUBLE))) * {int(scale)}) AS BIGINT) AS lp "
         f"FROM {prev_kept} CROSS JOIN tot{t}), "
         f"wp{t} AS (SELECT DISTINCT s.w, s.j, s.l, lp.lp "
@@ -1796,11 +1858,11 @@ def _unigram_train_iter_ctes(
         "SELECT w, bps[pos + 1], bps, "
         "list_prepend(substr(w, bps[pos + 1] + 1, pos - bps[pos + 1]), ps) "
         f"FROM back{t} WHERE pos > 0), "
-        f"seg{t} AS (SELECT w, ps FROM back{t} WHERE pos = 0), "
-        f"used{t} AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS c FROM ("
+        f"seg{t} AS MATERIALIZED (SELECT w, ps FROM back{t} WHERE pos = 0), "
+        f"used{t} AS MATERIALIZED (SELECT piece, CAST(SUM(wc) AS BIGINT) AS c FROM ("
         f"SELECT words.wc, unnest(s.ps) AS piece FROM seg{t} s "
         "JOIN words USING (w)) GROUP BY piece), "
-        f"kept{t} AS ("
+        f"kept{t} AS MATERIALIZED ("
         f"SELECT ch.piece, COALESCE(u.c, CAST(0 AS BIGINT)) AS c "
         f"FROM chars ch LEFT JOIN used{t} u USING (piece) "
         "UNION ALL "
@@ -1828,16 +1890,16 @@ def unigram_train_sql(
         "toks AS (SELECT "
         f"list_filter(string_split({norm}, ' '), t -> t <> '') AS ts "
         f"FROM {table})",
-        "words AS (SELECT f AS w, CAST(count(*) AS BIGINT) AS wc "
-        "FROM toks, LATERAL UNNEST(ts) AS u(f) GROUP BY f)",
-        "spans AS (SELECT w, wc, j, l, substr(w, j, l) AS piece "
+        "words AS MATERIALIZED (SELECT f AS w, CAST(count(*) AS BIGINT) "
+        "AS wc FROM toks, LATERAL UNNEST(ts) AS u(f) GROUP BY f)",
+        "spans AS MATERIALIZED (SELECT w, wc, j, l, substr(w, j, l) AS piece "
         "FROM words, LATERAL UNNEST(generate_series(1, len(w))) AS a(j), "
         f"LATERAL UNNEST(generate_series(1, least({L}, len(w) - j + 1))) "
         "AS b(l))",
         "counts AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS c "
         "FROM spans GROUP BY piece)",
         "chars AS (SELECT piece FROM counts WHERE length(piece) = 1)",
-        "kept0 AS (SELECT piece, c FROM counts "
+        "kept0 AS MATERIALIZED (SELECT piece, c FROM counts "
         f"WHERE length(piece) = 1 OR c >= {mc})",
     ]
     prev = "kept0"
@@ -1854,6 +1916,91 @@ def unigram_train_sql(
         f"SELECT piece, c, CAST(FLOOR((ln(CAST(c + 1 AS DOUBLE)) - "
         f"ln(CAST(t + m AS DOUBLE))) * {int(scale)}) AS BIGINT) "
         f"AS lp_micro FROM {prev} CROSS JOIN ftot"
+    )
+
+
+def unigram_encode_len_trained_ctes(
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    n_iters: int = 2,
+    max_pieces: int | None = None,
+    scale: int = 1_000_000,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Recursive CTE chain of the TRAINED encode pass (no ``WITH``
+    keyword, no final select) — :func:`unigram_train_sql`'s unrolled EM
+    plus ONE more Viterbi round under the final inventory's scores,
+    ending at ``encoded (id, n_tokens)`` so composed pipelines (pipe11)
+    can append their own CTEs."""
+    norm = tx.NORMALIZE_SQL.format(c=f"COALESCE({text_col}, '')")
+    L, mc = int(max_piece_len), int(min_count)
+    parts = [
+        "toks AS (SELECT "
+        f"list_filter(string_split({norm}, ' '), t -> t <> '') AS ts "
+        f"FROM {table})",
+        "words AS MATERIALIZED (SELECT f AS w, CAST(count(*) AS BIGINT) "
+        "AS wc FROM toks, LATERAL UNNEST(ts) AS u(f) GROUP BY f)",
+        "spans AS MATERIALIZED (SELECT w, wc, j, l, substr(w, j, l) AS piece "
+        "FROM words, LATERAL UNNEST(generate_series(1, len(w))) AS a(j), "
+        f"LATERAL UNNEST(generate_series(1, least({L}, len(w) - j + 1))) "
+        "AS b(l))",
+        "counts AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS c "
+        "FROM spans GROUP BY piece)",
+        "chars AS (SELECT piece FROM counts WHERE length(piece) = 1)",
+        "kept0 AS MATERIALIZED (SELECT piece, c FROM counts "
+        f"WHERE length(piece) = 1 OR c >= {mc})",
+    ]
+    prev = "kept0"
+    # n_iters EM rounds, then one ENCODE round (t = n_iters + 1) whose
+    # lp/dp/seg chain segments under the FINAL inventory (its own
+    # used/kept CTEs go unreferenced)
+    for t in range(1, int(n_iters) + 2):
+        parts.append(
+            _unigram_train_iter_ctes(t, prev, scale, max_pieces, L)
+        )
+        prev = f"kept{t}"
+    e = int(n_iters) + 1
+    parts.append(
+        f"uvenc AS (SELECT s.w, CAST(len(s.ps) AS BIGINT) AS n_pieces "
+        f"FROM seg{e} s)"
+    )
+    parts.append(
+        f"dt AS (SELECT {id_col}, u.f AS w FROM (SELECT {id_col}, "
+        f"list_filter(string_split({norm}, ' '), t -> t <> '') AS ts "
+        f"FROM {table}), LATERAL UNNEST(ts) AS u(f))"
+    )
+    parts.append(
+        f"agg AS (SELECT dt.{id_col}, CAST(SUM(e.n_pieces) AS BIGINT) "
+        f"AS s FROM dt JOIN uvenc e USING (w) GROUP BY dt.{id_col})"
+    )
+    parts.append(
+        f"encoded AS (SELECT d.{id_col}, COALESCE(a.s, 0) AS n_tokens "
+        f"FROM {table} d LEFT JOIN agg a USING ({id_col}))"
+    )
+    return ", ".join(parts)
+
+
+def unigram_encode_len_trained_sql(
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    n_iters: int = 2,
+    max_pieces: int | None = None,
+    scale: int = 1_000_000,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`unigram_encode_len_trained`."""
+    return (
+        "WITH RECURSIVE "
+        + unigram_encode_len_trained_ctes(
+            max_piece_len, min_count, n_iters, max_pieces, scale,
+            table, text_col, id_col,
+        )
+        + f" SELECT {id_col}, CAST(n_tokens AS BIGINT) AS n_tokens "
+        "FROM encoded"
     )
 
 

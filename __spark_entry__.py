@@ -3234,7 +3234,12 @@ def _q_kn_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = register_tables(spark, sf_dir)["documents"]
     pred = F.col("lang") == "en"
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_kn_artifact")
+    # per-run unique dir: a fixed shared path let two concurrent
+    # selfcheck/bench runs overwrite each other's parquet parts
+    # between fit and score (r12 advice).  Not removed here — the
+    # returned frame is lazy and the caller collects it after this
+    # function returns; a few KB per run in tmpdir.
+    path = tempfile.mkdtemp(prefix="spark_graft_kn_artifact_")
     kneser_ney_fit(docs.filter(pred.eqNullSafe(F.lit(True))), path)
     return kneser_ney_score_artifact(
         docs.filter(~pred.eqNullSafe(F.lit(True))), path

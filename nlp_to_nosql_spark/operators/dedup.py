@@ -15,6 +15,8 @@ Design rules for 100 TB:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -983,7 +985,12 @@ def paragraph_dedup(
     groupBy on the id to reassemble — paragraph TEXT shuffles exactly
     once, in the rebuild.  DuckDB twin: :func:`paragraph_dedup_sql`.
     """
-    split_pat = {"\n": r"\n"}.get(sep, sep)
+    # F.split takes a Java REGEX but the rejoin uses sep as a LITERAL,
+    # so escape it — re.escape never backslashes alphanumerics, which
+    # is exactly the subset Java regex also accepts as escaped
+    # literals; without this a sep like '.' or '|' splits on the wrong
+    # boundaries (r12 advice).
+    split_pat = re.escape(sep)
     base = persisted(
         df.select(
             F.col(id_col), F.split(F.col(text_col), split_pat).alias("_ps")

@@ -425,11 +425,17 @@ def aspect_bucket_plan(
     aspect in LOG space — the batching plan aspect-bucketed diffusion
     training runs (images in one batch share a bucket, so no
     destructive square-cropping; NovelAI's bucketing, adopted by SDXL).
-    Nearest = minimize ``|ln(w)−ln(h) − (ln(bw)−ln(bh))|`` floored to
-    integer micros; ties → the earliest bucket in the inventory.  Every
-    ``ln`` input is an exact small int, the same four-ln expression in
-    both engines, so the assignment carries a value-level DuckDB
-    oracle.
+    Nearest = minimize ``|ln(w·bh) − ln(h·bw)|`` floored to integer
+    micros; ties → the earliest bucket in the inventory.  Product form
+    (not the equivalent four-ln chain ``|ln w − ln h − ln bw + ln bh|``)
+    by the repo's float-floor discipline: each product is an exact
+    small-int multiply cast to double, so an image whose aspect EQUALS
+    a bucket's (w·bh = h·bw, e.g. 2048×1024 vs bucket 2:1) yields
+    bit-identical ln arguments and an exact 0 in every engine, where
+    the chained form leaves ±ulp association noise (absorbed here by
+    ``abs``+floor, but the r12 DSIR incident showed the chained shape
+    flips floors between JVM and Python libm — pinned by
+    ``tests/test_float_floor_property.py``).
 
     Input rows need ``meta.width``/``meta.height``; images with NULL or
     non-positive dims emit NULL bucket columns (unplannable, kept so
@@ -449,17 +455,18 @@ def aspect_bucket_plan(
     base = media.filter(F.col("kind") == "image").select(
         "media_id", w.alias("width"), h.alias("height")
     )
-    lw = F.log(F.col("width").cast("double"))
-    lh = F.log(F.col("height").cast("double"))
     cands = F.array(
         *[
             F.struct(
                 F.floor(
                     F.abs(
-                        (lw - lh)
-                        - (
-                            F.log(F.lit(float(bw)))
-                            - F.log(F.lit(float(bh)))
+                        F.log(
+                            (F.col("width").cast("long") * F.lit(int(bh)))
+                            .cast("double")
+                        )
+                        - F.log(
+                            (F.col("height").cast("long") * F.lit(int(bw)))
+                            .cast("double")
                         )
                     )
                     * F.lit(1_000_000.0)
@@ -501,13 +508,13 @@ def aspect_bucket_sql(
 ) -> str:
     """DuckDB twin of :func:`aspect_bucket_plan` over any media-shaped
     SQL (columns ``media_id``, ``kind``, ``width``, ``height``) — the
-    same literal inventory, the same four-ln micro floors, the same
-    (score, idx) struct-min tie-break."""
+    same literal inventory, the same product-form two-ln micro floors,
+    the same (score, idx) struct-min tie-break."""
     inv = tuple(buckets) if buckets is not None else DEFAULT_ASPECT_BUCKETS
     entries = ", ".join(
-        "{'score': CAST(FLOOR(abs((ln(CAST(width AS DOUBLE)) - "
-        "ln(CAST(height AS DOUBLE))) - "
-        f"(ln(CAST({bw} AS DOUBLE)) - ln(CAST({bh} AS DOUBLE)))) "
+        "{'score': CAST(FLOOR(abs("
+        f"ln(CAST(CAST(width AS BIGINT) * {bh} AS DOUBLE)) - "
+        f"ln(CAST(CAST(height AS BIGINT) * {bw} AS DOUBLE))) "
         f"* 1000000.0) AS BIGINT), 'idx': {i}, 'bw': {bw}, 'bh': {bh}}}"
         for i, (bw, bh) in enumerate(inv)
     )

@@ -176,19 +176,26 @@ def _bucket_ratios_from(feats: DataFrame, n_buckets: int) -> DataFrame:
         F.sum("pc").cast("long").alias("_tp"),
     )
     b = F.lit(n_buckets).cast("long")
+    # Product form: ln((tc+1)(Tp+B)) − ln((pc+1)(Tt+B)).  The r12 shape
+    # (four chained lns before one floor) was a knife edge — when the
+    # ratio is mathematically exact (tc=pc, Tt=Tp ⇒ true value 0), float
+    # association noise lands at ±4e-10 and the floor flips between JVM
+    # and Python libm.  Here each factor is an exact BIGINT cast to
+    # double (exact below 2^53), the IEEE multiply rounds identically in
+    # every engine, and equal ratios produce bit-identical products ⇒
+    # ln difference exactly 0 ⇒ floor 0 everywhere.  Doubles (not
+    # BIGINT) for the products because tc×Tp overflows int64 at scale.
+    tgt = (F.col("tc") + 1).cast("double") * (F.col("_tp") + b).cast(
+        "double"
+    )
+    pool = (F.col("pc") + 1).cast("double") * (F.col("_tt") + b).cast(
+        "double"
+    )
     return bc.crossJoin(F.broadcast(tot)).select(
         "bucket",
         "tc",
         "pc",
-        F.floor(
-            (
-                F.log(F.col("tc") + 1)
-                - F.log(F.col("_tt") + b)
-                - F.log(F.col("pc") + 1)
-                + F.log(F.col("_tp") + b)
-            )
-            * F.lit(float(_MICRO))
-        )
+        F.floor((F.log(tgt) - F.log(pool)) * F.lit(float(_MICRO)))
         .cast("long")
         .alias("lr_micro"),
     )
@@ -207,11 +214,14 @@ def dsir_bucket_ratios(
     feature counts and ``floor(1e6 * (ln p̂_target(b) − ln p̂_pool(b)))``
     under add-one smoothing, i.e. the micro-floored value of::
 
-        ln(tc+1) − ln(Tt+B) − ln(pc+1) + ln(Tp+B)
+        ln((tc+1) × (Tp+B)) − ln((pc+1) × (Tt+B))
 
-    evaluated left-to-right (both engines share the association; every
-    ``ln`` argument is an exactly-representable BIGINT).  At most
-    ``n_buckets`` rows — the fitted "model", cheap to broadcast.
+    — a DIFFERENCE OF TWO lns of exact integer PRODUCTS (each factor an
+    exact BIGINT cast to double, the product one correctly-rounded IEEE
+    multiply), so a mathematically-exact ratio of 1 yields bit-identical
+    ln arguments and an exact 0 in every engine (the r12 four-ln chain
+    flipped the floor at such boundaries between JVM and Python libm).
+    At most ``n_buckets`` rows — the fitted "model", cheap to broadcast.
     """
     return _bucket_ratios_from(
         _feature_buckets(df, target, n_buckets, text_col, id_col),
@@ -469,8 +479,9 @@ def _dsir_scored_ctes(
         "FROM feats GROUP BY bucket), "
         "tot AS (SELECT CAST(SUM(tc) AS BIGINT) AS tt, "
         "CAST(SUM(pc) AS BIGINT) AS tp FROM b), "
-        "lr AS (SELECT bucket, CAST(floor((ln(tc + 1) - "
-        f"ln(tt + {n_buckets}) - ln(pc + 1) + ln(tp + {n_buckets})) "
+        "lr AS (SELECT bucket, CAST(floor(("
+        f"ln(CAST(tc + 1 AS DOUBLE) * CAST(tp + {n_buckets} AS DOUBLE)) - "
+        f"ln(CAST(pc + 1 AS DOUBLE) * CAST(tt + {n_buckets} AS DOUBLE))) "
         f"* {_MICRO}) AS BIGINT) AS lr_micro FROM b, tot), "
         f"scored AS (SELECT f.{id_col}, "
         "CAST(count(*) AS BIGINT) AS n_feats, "

@@ -680,6 +680,26 @@ def test_paragraph_dedup_first_occurrence_and_rebuild(spark):
     assert got[5]["n_paragraphs"] is None and got[5]["n_removed"] is None
 
 
+def test_paragraph_dedup_regex_metachar_sep(spark):
+    """A separator that is a regex metacharacter ('.', '|') must split
+    on the LITERAL character — r12 advice: the unescaped sep reached
+    F.split as a Java regex ('.' split between every character) while
+    the rejoin used it literally."""
+    from nlp_to_nosql_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta.gamma delta"), (2, "gamma delta.epsilon")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r for r in paragraph_dedup(docs, sep=".").collect()
+    }
+    assert got[1]["clean_text"] == "alpha beta.gamma delta"
+    assert (got[1]["n_paragraphs"], got[1]["n_removed"]) == (2, 0)
+    assert got[2]["clean_text"] == "epsilon"
+    assert (got[2]["n_paragraphs"], got[2]["n_removed"]) == (2, 1)
+
+
 def test_paragraph_dedup_matches_duckdb_twin(spark):
     """Engine vs oracle on a handcrafted multi-line corpus."""
     import duckdb

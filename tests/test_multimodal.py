@@ -236,8 +236,7 @@ def test_aspect_buckets_pick_nearest_log_aspect(spark):
         for i, (bw, bh) in enumerate(DEFAULT_ASPECT_BUCKETS):
             s = math.floor(
                 abs(
-                    (math.log(w) - math.log(h))
-                    - (math.log(float(bw)) - math.log(float(bh)))
+                    math.log(float(w * bh)) - math.log(float(h * bw))
                 )
                 * 1_000_000.0
             )

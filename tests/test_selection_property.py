@@ -68,13 +68,15 @@ def _py_dsir(rows, k):
         for f in _feats(text):
             cnt[_h15(f) % N_BUCKETS] += 1
     tt, tp = sum(tc.values()), sum(pc.values())
+    # Product form, mirroring _bucket_ratios_from: each factor is an
+    # exact int cast to float, the IEEE multiply rounds identically in
+    # every engine, and equal ratios give bit-identical ln args (the
+    # four-ln chain flipped the floor on exact-0 boundaries).
     lr = {
         b: math.floor(
             (
-                math.log(tc[b] + 1)
-                - math.log(tt + N_BUCKETS)
-                - math.log(pc[b] + 1)
-                + math.log(tp + N_BUCKETS)
+                math.log(float(tc[b] + 1) * float(tp + N_BUCKETS))
+                - math.log(float(pc[b] + 1) * float(tt + N_BUCKETS))
             )
             * MICRO
         )

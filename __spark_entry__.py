@@ -33,6 +33,7 @@ from nlp_to_nosql_spark.operators.similarity import (
     RandomHyperplaneLSH,
     embedding_neardup_exact,
     int_srp_topk_sql,
+    knn_graph_celled_sql,
     knn_graph_sql,
     quantize_long_sql,
     topk_bruteforce,
@@ -103,6 +104,7 @@ from nlp_to_nosql_spark.operators.graph import pagerank_sql
 from nlp_to_nosql_spark.operators.evals import (
     calibration_table_sql,
     classification_metrics_sql,
+    knn_label_eval_celled_sql,
     knn_label_eval_sql,
     ndcg_at_k_sql,
     rank_correlation_sql,
@@ -660,6 +662,35 @@ def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = register_tables(spark, sf_dir)["embeddings"]
     return knn_graph(emb, k=5)
+
+
+def _q_knn_graph_celled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann14 — the documented 100 TB composition for ann13's exact
+    tier, now a first-class oracle-checked operator: partition the
+    corpus into IVF coarse cells via the ORACLE-REPLAYABLE integer
+    micro-k-means (semdedup's fit: seeded md5 sample, hash-spread
+    init, exact int64 assignment, BIGINT floor-division means), build
+    the exact k-NN graph WITHIN each cell with ann13's blocked-matmul
+    kernel, and union — pair work drops O(n²) → Σ|cell|², the
+    fail-fast ceiling gates the largest CELL, and the DuckDB twin
+    replays fit + assignment + per-cell edges value-exactly
+    (operators/similarity.py knn_graph_celled)."""
+    from nlp_to_nosql_spark.operators.similarity import knn_graph_celled
+
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    return knn_graph_celled(emb, n_cells=8, k=5)
+
+
+def _q_knn_eval_celled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eval10 — the kNN label probe (eval7) riding the PER-CELL graph
+    (ann14) instead of the all-pairs exact tier: votes come only from
+    same-cell neighbors, so eval7 vs eval10 side by side measures
+    exactly what the IVF coarse quantization costs the probe
+    (operators/evals.py knn_label_eval_celled)."""
+    from nlp_to_nosql_spark.operators.evals import knn_label_eval_celled
+
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    return knn_label_eval_celled(emb, n_cells=8, k=5)
 
 
 def _q_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3326,6 +3357,19 @@ def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.paragraph_dedup(_multiline_docs(docs), "doc_id", "text")
 
 
+def _q_paragraph_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup20 — the FUZZY tier at paragraph grain (RefinedWeb's
+    line-level dedup): dedup19's exact first-occurrence census, THEN
+    banded md5-MinHash-LSH over the surviving DISTINCT paragraphs so
+    near-identical paragraphs (est. Jaccard ≥ 0.5 over word shingles)
+    drop too, lower-(id, pos)-first-occurrence wins.  Same pseudo-
+    paragraph rendering and output contract as dedup19; the LSH pass
+    touches distinct paragraphs only (operators/dedup.py
+    paragraph_neardup)."""
+    docs = register_tables(spark, sf_dir)["documents"]
+    return dd.paragraph_neardup(_multiline_docs(docs), "doc_id", "text")
+
+
 def _q_exact_substring_decontaminate(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4549,6 +4593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dc3_exact_substring": _q_exact_substring_decontaminate,
         "dc4_longest_shared_span": _q_longest_shared_span,
         "dedup19_paragraph_dedup": _q_paragraph_dedup,
+        "dedup20_paragraph_neardup": _q_paragraph_neardup,
         "pipe7_ccnet_curation": _q_ccnet_pipeline,
         "pipe10_ccnet_paragraph": _q_ccnet_paragraph_pipeline,
         "quality2_gopher_rules": _q_gopher_rules,
@@ -4614,7 +4659,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup13_incremental": _q_incremental_ingest,
         "ann12_hard_negatives": _q_hard_negatives,
         "ann13_knn_graph": _q_knn_graph,
+        "ann14_knn_graph_celled": _q_knn_graph_celled,
         "eval7_knn_label_eval": _q_knn_label_eval,
+        "eval10_knn_eval_celled": _q_knn_eval_celled,
         "dedup18_mutual_knn_clusters": _q_mutual_knn_clusters,
         "eval8_cluster_purity": _q_cluster_purity,
         "eval9_ndcg": _q_ndcg,
@@ -5595,7 +5642,14 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY cos_sim DESC, e.vec_id) <= 5"
         ),
         "ann13_knn_graph": knn_graph_sql(k=5),
+        # ann14/eval10: per-IVF-cell graph — the twin replays the
+        # integer micro-k-means fit, the assignment, and the same-cell
+        # pair restriction relationally (similarity.knn_graph_celled_sql)
+        "ann14_knn_graph_celled": knn_graph_celled_sql(n_cells=8, k=5),
         "eval7_knn_label_eval": knn_label_eval_sql(k=5),
+        "eval10_knn_eval_celled": knn_label_eval_celled_sql(
+            n_cells=8, k=5
+        ),
         "eval8_cluster_purity": (
             "WITH RECURSIVE knn AS (SELECT src, dst FROM ("
             + knn_graph_sql(k=5)
@@ -5724,6 +5778,13 @@ def oracle_sql() -> dict[str, str]:
             + _ML_DOCS_CTE
             + " SELECT * FROM ("
             + dd.paragraph_dedup_sql(table="ml")
+            + ") t"
+        ),
+        "dedup20_paragraph_neardup": (
+            "WITH "
+            + _ML_DOCS_CTE
+            + " SELECT * FROM ("
+            + dd.paragraph_neardup_sql(table="ml")
             + ") t"
         ),
         "dc3_exact_substring": exact_substring_decontaminate_sql(

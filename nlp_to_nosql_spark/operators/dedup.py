@@ -985,6 +985,28 @@ def paragraph_dedup(
     groupBy on the id to reassemble — paragraph TEXT shuffles exactly
     once, in the rebuild.  DuckDB twin: :func:`paragraph_dedup_sql`.
     """
+    base, paras, firsts = _paragraph_stage(df, id_col, text_col, sep)
+    kept = paras.join(firsts, "_key", "left").filter(
+        F.col("_blank")
+        | (
+            (F.col("_f.i") == F.col(id_col))
+            & (F.col("_f.p") == F.col("pos"))
+        )
+    )
+    return _paragraph_rebuild(base, kept, id_col, sep)
+
+
+def _paragraph_stage(
+    df: DataFrame, id_col: str, text_col: str, sep: str
+) -> tuple:
+    """Shared paragraph staging of the dedup19/dedup20 family:
+    ``(base, paras, firsts)`` — the split document frame, the keyed
+    paragraph stream ``(id, pos, _para, _key, _blank)``, and the
+    first-occurrence census ``(_key, _f{i, p, t})`` (min ``(id, pos)``
+    per normalized-paragraph fingerprint, carrying the first
+    occurrence's raw text for the near-dup tier's signatures — any
+    occurrence would do, since keys fingerprint the NORMALIZED text
+    the signatures also tokenize)."""
     # F.split takes a Java REGEX but the rejoin uses sep as a LITERAL,
     # so escape it — re.escape never backslashes alphanumerics, which
     # is exactly the subset Java regex also accepts as escaped
@@ -1011,17 +1033,22 @@ def paragraph_dedup(
         .groupBy("_key")
         .agg(
             F.min(
-                F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+                F.struct(
+                    F.col(id_col).alias("i"),
+                    F.col("pos").alias("p"),
+                    F.col("_para").alias("t"),
+                )
             ).alias("_f")
         )
     )
-    kept = paras.join(firsts, "_key", "left").filter(
-        F.col("_blank")
-        | (
-            (F.col("_f.i") == F.col(id_col))
-            & (F.col("_f.p") == F.col("pos"))
-        )
-    )
+    return base, paras, firsts
+
+
+def _paragraph_rebuild(
+    base: DataFrame, kept: DataFrame, id_col: str, sep: str
+) -> DataFrame:
+    """Shared rebuild tail: surviving paragraphs rejoin in original
+    order; NULL text stays NULL; a fully-removed document reads ''."""
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -1074,6 +1101,193 @@ def paragraph_dedup_sql(
         f"pd_kept AS (SELECT k.{id_col}, k.pos, k._para "
         "FROM pd_keyed k LEFT JOIN pd_firsts f ON k.key = f.key "
         f"WHERE k.blank OR (k.{id_col} = f.fid AND k.pos = f.fpos)), "
+        f"pd_reb AS (SELECT {id_col}, "
+        "COALESCE(array_to_string(list(_para ORDER BY pos), chr(10)), '') "
+        "AS _clean, CAST(COUNT(*) AS BIGINT) AS n_kept "
+        f"FROM pd_kept GROUP BY {id_col}) "
+        f"SELECT b.{id_col}, "
+        "CASE WHEN b.ps IS NOT NULL THEN COALESCE(r._clean, '') END "
+        "AS clean_text, "
+        "CASE WHEN b.ps IS NOT NULL THEN CAST(len(b.ps) AS BIGINT) END "
+        "AS n_paragraphs, "
+        "CASE WHEN b.ps IS NOT NULL THEN "
+        "CAST(len(b.ps) - COALESCE(r.n_kept, 0) AS BIGINT) END "
+        "AS n_removed "
+        f"FROM pd_base b LEFT JOIN pd_reb r USING ({id_col})"
+    )
+
+
+def paragraph_neardup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    k: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The FUZZY tier at paragraph grain (RefinedWeb's line-level dedup
+    generalized: Penedo et al., arXiv:2306.01116 §3.4 dedup at
+    sub-document grain; CCNet §3.1 is the exact tier —
+    :func:`paragraph_dedup`): after exact first-occurrence dedup of
+    normalized paragraphs, NEAR-identical surviving paragraphs dedup
+    too via banded MinHash-LSH over the DISTINCT-paragraph stream.
+
+    Semantics, in order:
+
+    1. exact tier — every repeat of a normalized paragraph drops,
+       keeping the corpus-wide first ``(id, pos)`` occurrence
+       (:func:`paragraph_dedup` verbatim);
+    2. fuzzy tier — among the surviving DISTINCT paragraphs, MinHash
+       signatures (:func:`minhash_signatures_md5` — the
+       oracle-reproducible arithmetic-permutation family) band into
+       LSH buckets; verified candidate pairs with estimated Jaccard ≥
+       ``threshold`` orient by first-occurrence order, and the LATER
+       paragraph of each pair drops everywhere (lower-(id, pos)-wins,
+       the repo's drop-list convention — near-dup is not transitive,
+       so this is pairwise suppression, not clustering);
+    3. blank paragraphs always survive (structure preservation), and
+       documents rebuild from their remaining paragraphs in original
+       order — same output contract as dedup19: ``(id, clean_text,
+       n_paragraphs, n_removed)``.
+
+    Plan shape (100 TB): the exact tier's paragraph census PLUS one
+    LSH pass over DISTINCT paragraphs only (Heaps-law-ish — repeats
+    already collapsed), whose signatures are scan-side folds and whose
+    banding shuffle moves (key, band, bucket) ints; paragraph text
+    shuffles once, in the rebuild.  DuckDB twin:
+    :func:`paragraph_neardup_sql`.
+    """
+    base, paras, firsts = _paragraph_stage(df, id_col, text_col, sep)
+    reps = firsts.select(
+        F.col("_key"),
+        F.col("_f.i").alias("_fid"),
+        F.col("_f.p").alias("_fpos"),
+        F.col("_f.t").alias("_ptext"),
+    )
+    pairs = minhash_lsh_pairs(
+        reps,
+        "_key",
+        "_ptext",
+        k=k,
+        num_perm=num_perm,
+        bands=bands,
+        threshold=threshold,
+        sig_fn=minhash_signatures_md5,
+    )
+    oa = reps.select(
+        F.col("_key").alias("id_a"),
+        F.col("_fid").alias("_fa"),
+        F.col("_fpos").alias("_pa"),
+    )
+    ob = reps.select(
+        F.col("_key").alias("id_b"),
+        F.col("_fid").alias("_fb"),
+        F.col("_fpos").alias("_pb"),
+    )
+    a_earlier = (F.col("_fa") < F.col("_fb")) | (
+        (F.col("_fa") == F.col("_fb")) & (F.col("_pa") < F.col("_pb"))
+    )
+    drops = (
+        pairs.join(oa, "id_a")
+        .join(ob, "id_b")
+        .select(
+            F.when(a_earlier, F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("_key")
+        )
+        .distinct()
+        .withColumn("_near", F.lit(True))
+    )
+    kept = (
+        paras.join(firsts, "_key", "left")
+        .join(drops, "_key", "left")
+        .filter(
+            F.col("_blank")
+            | (
+                (F.col("_f.i") == F.col(id_col))
+                & (F.col("_f.p") == F.col("pos"))
+                & F.col("_near").isNull()
+            )
+        )
+    )
+    return _paragraph_rebuild(base, kept, id_col, sep)
+
+
+def paragraph_neardup_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`paragraph_neardup` (newline separator) —
+    the dedup19 census CTEs, the dedup3/dedup10-style md5
+    arithmetic-permutation MinHash over the distinct-paragraph stream,
+    the same banding/verification/orientation, the same rebuild."""
+    from nlp_to_nosql_spark.functions.text import FINGERPRINT_SQL
+
+    if bands <= 0 or bands > num_perm or num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    rows = num_perm // bands
+    key = FINGERPRINT_SQL.format(c="_para")
+    blank = NORMALIZE_SQL.format(c="_para") + " = ''"
+    norm_t = NORMALIZE_SQL.format(c="_ptext")
+    return (
+        f"WITH pd_base AS (SELECT {id_col}, "
+        f"string_split({text_col}, chr(10)) AS ps FROM {table}), "
+        f"pd_paras AS (SELECT {id_col}, CAST(i AS INT) AS pos, "
+        "ps[i] AS _para FROM pd_base, "
+        "UNNEST(range(1, len(ps) + 1)) u(i)), "
+        f"pd_keyed AS (SELECT {id_col}, pos, _para, {key} AS key, "
+        f"{blank} AS blank FROM pd_paras), "
+        f"pd_firsts AS (SELECT key, {id_col} AS fid, pos AS fpos, "
+        "_para AS _ptext FROM pd_keyed WHERE NOT blank "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY key "
+        f"ORDER BY {id_col}, pos) = 1), "
+        # minhash over the distinct-paragraph stream (dedup3's family)
+        f"pn_words AS (SELECT key, string_split({norm_t}, ' ') AS w "
+        "FROM pd_firsts), "
+        "pn_sh AS (SELECT key, unnest(list_distinct("
+        f"CASE WHEN len(w) >= {k} "
+        f"THEN [array_to_string(w[i:i+{k - 1}], ' ') "
+        f"for i in range(1, len(w) - {k - 2})] "
+        "ELSE [array_to_string(w, ' ')] END)) AS s FROM pn_words), "
+        "pn_hs AS (SELECT key, CAST(CAST('0x' || substr(md5(s), 1, 7) "
+        "AS UBIGINT) AS BIGINT) AS base FROM pn_sh), "
+        "pn_mh AS (SELECT key, i, "
+        "MIN(((2 * i + 1) * base + i * 2654435761) % 2147483647) AS h "
+        f"FROM pn_hs, UNNEST(range(0, {num_perm})) u(i) "
+        "GROUP BY key, i), "
+        "pn_sig AS (SELECT key, list(h ORDER BY i) AS sig "
+        "FROM pn_mh GROUP BY key), "
+        "pn_banded AS (SELECT key, b, "
+        f"sig[b*{rows}+1 : b*{rows}+{rows}] AS chunk "
+        f"FROM pn_sig, UNNEST(range(0, {bands})) v(b)), "
+        "pn_cand AS (SELECT DISTINCT a.key AS key_a, b.key AS key_b "
+        "FROM pn_banded a JOIN pn_banded b "
+        "ON a.b = b.b AND a.chunk = b.chunk AND a.key < b.key), "
+        "pn_pairs AS (SELECT key_a, key_b FROM ("
+        f"SELECT key_a, key_b, ROUND(CAST(len(list_filter("
+        f"range(1, {num_perm + 1}), j -> sa.sig[j] = sb.sig[j])) "
+        f"AS DOUBLE) / {num_perm}, 6) AS est_jaccard "
+        "FROM pn_cand JOIN pn_sig sa ON sa.key = key_a "
+        "JOIN pn_sig sb ON sb.key = key_b) t "
+        f"WHERE est_jaccard >= {threshold}), "
+        "pn_drops AS (SELECT DISTINCT CASE WHEN (fa.fid < fb.fid) OR "
+        "(fa.fid = fb.fid AND fa.fpos < fb.fpos) "
+        "THEN p.key_b ELSE p.key_a END AS key "
+        "FROM pn_pairs p "
+        "JOIN pd_firsts fa ON fa.key = p.key_a "
+        "JOIN pd_firsts fb ON fb.key = p.key_b), "
+        f"pd_kept AS (SELECT k.{id_col}, k.pos, k._para "
+        "FROM pd_keyed k LEFT JOIN pd_firsts f ON k.key = f.key "
+        "LEFT JOIN pn_drops d ON k.key = d.key "
+        f"WHERE k.blank OR (k.{id_col} = f.fid AND k.pos = f.fpos "
+        "AND d.key IS NULL)), "
         f"pd_reb AS (SELECT {id_col}, "
         "COALESCE(array_to_string(list(_para ORDER BY pos), chr(10)), '') "
         "AS _clean, CAST(COUNT(*) AS BIGINT) AS n_kept "

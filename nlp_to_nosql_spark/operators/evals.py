@@ -674,12 +674,57 @@ def knn_label_eval(
     output rows.
     """
     from nlp_to_nosql_spark.operators.similarity import knn_graph
-    from pyspark.sql import Window
 
     labels = emb.select(F.col(id_col), F.col(label_col))
     edges = knn_graph(emb, k=k, id_col=id_col, vec_col=vec_col).select(
         "src", "dst"
     )
+    return _knn_vote_tail(edges, labels, id_col, label_col)
+
+
+def knn_label_eval_celled(
+    emb: DataFrame,
+    n_cells: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    **cell_kwargs,
+) -> DataFrame:
+    """:func:`knn_label_eval` riding the PER-IVF-CELL graph
+    (:func:`~nlp_to_nosql_spark.operators.similarity.knn_graph_celled`)
+    instead of the all-pairs exact tier — the shape the probe actually
+    runs at corpus scale, where the exact graph's fail-fast ceiling
+    bites.  Votes come only from same-cell neighbors (the IVF recall
+    trade), so celled accuracy ≤ exact accuracy in expectation; the
+    two queries side by side measure exactly what the coarse
+    quantization costs the probe.  Same output contract and vote tail
+    as :func:`knn_label_eval`; twin: :func:`knn_label_eval_celled_sql`.
+    """
+    from nlp_to_nosql_spark.operators.similarity import knn_graph_celled
+
+    labels = emb.select(F.col(id_col), F.col(label_col))
+    edges = knn_graph_celled(
+        emb,
+        n_cells=n_cells,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        **cell_kwargs,
+    ).select("src", "dst")
+    return _knn_vote_tail(edges, labels, id_col, label_col)
+
+
+def _knn_vote_tail(
+    edges: DataFrame,
+    labels: DataFrame,
+    id_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Shared majority-vote + per-label accuracy tail of the kNN-probe
+    family (exact and celled graphs)."""
+    from pyspark.sql import Window
+
     votes = (
         edges.join(
             labels.select(
@@ -735,6 +780,43 @@ def knn_label_eval_sql(
         "WITH edges AS (SELECT src, dst FROM ("
         + knn_graph_sql(k=k, table=table, id_col=id_col, vec_col=vec_col)
         + ")), "
+        + _knn_vote_tail_sql(table, id_col, label_col)
+    )
+
+
+def knn_label_eval_celled_sql(
+    n_cells: int = 8,
+    k: int = 5,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    **cell_kwargs,
+) -> str:
+    """DuckDB twin of :func:`knn_label_eval_celled` — the celled-graph
+    oracle's edge list under the shared vote tail."""
+    from nlp_to_nosql_spark.operators.similarity import (
+        knn_graph_celled_sql,
+    )
+
+    return (
+        "WITH edges AS (SELECT src, dst FROM ("
+        + knn_graph_celled_sql(
+            n_cells=n_cells,
+            k=k,
+            table=table,
+            id_col=id_col,
+            vec_col=vec_col,
+            **cell_kwargs,
+        )
+        + ")), "
+        + _knn_vote_tail_sql(table, id_col, label_col)
+    )
+
+
+def _knn_vote_tail_sql(table: str, id_col: str, label_col: str) -> str:
+    """SQL twin of :func:`_knn_vote_tail` (expects an ``edges`` CTE)."""
+    return (
         f"lab AS (SELECT {id_col} AS node, {label_col} AS l FROM {table}), "
         "votes AS (SELECT e.src, lab.l AS nl, "
         "CAST(COUNT(*) AS BIGINT) AS v "

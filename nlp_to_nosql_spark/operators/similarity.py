@@ -810,6 +810,19 @@ def quantize_embeddings(
 
     Zero shuffle: one projection — array expressions only.
     """
+    maxabs, codes = _quant_cols(vec_col, levels)
+    return df.select(
+        F.col(id_col),
+        F.floor(maxabs * F.lit(1000000.0)).cast("long").alias("scale_micro"),
+        codes.alias("codes"),
+    )
+
+
+def _quant_cols(vec_col: str, levels: int):
+    """The ``(maxabs, codes)`` column pair of
+    :func:`quantize_embeddings`, reusable on any frame carrying
+    ``vec_col`` (:func:`knn_graph_celled` quantizes on the
+    cell-assigned frame so assignment and codes share one scan)."""
     x = F.col(vec_col)
     maxabs = F.array_max(
         F.transform(x, lambda v: F.abs(v.cast("double")))
@@ -825,11 +838,13 @@ def quantize_embeddings(
     ).otherwise(
         F.transform(x, lambda v: F.lit(0).cast("long"))
     )
-    return df.select(
-        F.col(id_col),
-        F.floor(maxabs * F.lit(1000000.0)).cast("long").alias("scale_micro"),
-        codes.alias("codes"),
-    )
+    return maxabs, codes
+
+
+def _with_quant_codes(df: DataFrame, vec_col: str, levels: int) -> DataFrame:
+    """``df`` plus a ``codes`` column (see :func:`_quant_cols`)."""
+    _maxabs, codes = _quant_cols(vec_col, levels)
+    return df.withColumn("codes", codes)
 
 
 def quantize_sql(
@@ -1158,10 +1173,19 @@ def knn_graph(
         F.greatest("blk", "other").alias("pb"),
     )
 
-    m = int(k + sel_margin)
+    cands = replicated.groupBy("pa", "pb").applyInPandas(
+        _knn_compare_fn(id_col, k, int(k + sel_margin)),
+        "src long, dst long, dot long, na long, nb long",
+    )
+    return _knn_rank_edges(cands, k)
+
+
+def _knn_local_topm(k: int, m: int):
+    """Per-block-pair local top-m selection kernel shared by
+    :func:`knn_graph` and :func:`knn_graph_celled` — selection only;
+    final ordering recomputes JVM-side from the exact ints."""
 
     def _local_topm(ids_src, ids_dst, dots, na, nb, out):
-        # selection only — final ordering recomputes from the exact ints
         with np.errstate(divide="ignore", invalid="ignore"):
             sims = dots / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
         sims[~np.isfinite(sims)] = 0.0
@@ -1174,7 +1198,8 @@ def knn_graph(
                 # everything within 2e-6 of the k-th raw sim — round(·,6)
                 # shifts a double by ≤ 5e-7, so a candidate > 1e-6 below
                 # k others can never post-round into the global top-k
-                # (see docstring); the slack set is the provable superset
+                # (see knn_graph docstring); the slack set is the
+                # provable superset
                 order = np.lexsort((ids_dst[cand], -row[cand]))
                 cand = cand[order]
                 kth = row[cand[k - 1]]
@@ -1191,8 +1216,20 @@ def knn_graph(
                     )
                 )
 
+    return _local_topm
+
+
+def _knn_compare_fn(id_col: str, k: int, m: int):
+    """The blocked-matmul ``applyInPandas`` kernel shared by
+    :func:`knn_graph` (key = (pa, pb)) and :func:`knn_graph_celled`
+    (key = (cell, pa, pb) — only the LAST TWO key fields are read, so
+    the same kernel serves both groupings)."""
+    import pandas as pd
+
+    local_topm = _knn_local_topm(k, m)
+
     def compare(key, pdf):
-        pa, pb = key
+        pa, pb = key[-2], key[-1]
         ids = pdf[id_col].to_numpy()
         x = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
         norms2 = (x * x).sum(axis=1)
@@ -1200,21 +1237,25 @@ def knn_graph(
         out: list = []
         if pa == pb:
             dots = x @ x.T
-            _local_topm(ids, ids, dots, norms2, norms2, out)
+            local_topm(ids, ids, dots, norms2, norms2, out)
         else:
             xa, xb = x[in_a], x[~in_a]
             ia, ib = ids[in_a], ids[~in_a]
             na2, nb2 = norms2[in_a], norms2[~in_a]
             dots = xa @ xb.T
-            _local_topm(ia, ib, dots, na2, nb2, out)
-            _local_topm(ib, ia, dots.T, nb2, na2, out)
+            local_topm(ia, ib, dots, na2, nb2, out)
+            local_topm(ib, ia, dots.T, nb2, na2, out)
         return pd.DataFrame(
             out, columns=["src", "dst", "dot", "na", "nb"]
         ).astype("int64")
 
-    cands = replicated.groupBy("pa", "pb").applyInPandas(
-        compare, "src long, dst long, dot long, na long, nb long"
-    )
+    return compare
+
+
+def _knn_rank_edges(cands: DataFrame, k: int) -> DataFrame:
+    """JVM-side tail shared by the graph builders: exact-int →
+    round-6 similarity, per-src (quant_sim DESC, dst ASC) top-k, and
+    the mutual self-join."""
     denom = F.sqrt(F.col("na").cast("double")) * F.sqrt(
         F.col("nb").cast("double")
     )
@@ -1276,6 +1317,186 @@ def knn_graph_sql(
         "ORDER BY quant_sim DESC, dst ASC) AS rnk FROM scored), "
         f"knn AS (SELECT * FROM ranked WHERE rnk <= {int(k)}) "
         "SELECT e.src, e.dst, CAST(e.rnk AS INT) AS rank, e.quant_sim, "
+        "r.src IS NOT NULL AS mutual "
+        "FROM knn e LEFT JOIN knn r ON e.src = r.dst AND e.dst = r.src"
+    )
+
+
+def knn_graph_celled(
+    df: DataFrame,
+    n_cells: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 127,
+    iters: int = 2,
+    seed: int = 7,
+    sample_mod: int = 4,
+    sample_keep: int = 2,
+    block_size: int = 1024,
+    sel_margin: int = 8,
+) -> DataFrame:
+    """The 100 TB composition :func:`knn_graph`'s fail-fast message
+    points at, as a first-class oracle-checked operator: partition the
+    corpus into IVF coarse cells, build the exact k-NN graph WITHIN
+    each cell, and union — edges never cross cells, so the pair work
+    drops from O(n²) to Σ|cell|² (n²/c for c balanced cells) and every
+    block-pair matmul stays executor-local to its cell.
+
+    Cells come from :func:`~nlp_to_nosql_spark.operators.semdedup.
+    micro_kmeans_fit` + ``assign_cells`` — the ORACLE-REPLAYABLE
+    sampled Lloyd's in the integer-micro domain (seeded md5 training
+    sample, hash-spread init, exact int64 squared-L2 argmin, BIGINT
+    floor-division means), NOT ``IVFIndex.fit``'s float means (a float
+    ``avg`` is partition-order-dependent, so a graph keyed on those
+    cells could never carry a value-level oracle).  The per-cell graph
+    is :func:`knn_graph`'s exact machinery verbatim (shared kernels:
+    blocked int64 matmuls emit exact ``(dot, na, nb)``; similarity,
+    ranking, and the mutual flag recompute JVM-side), just grouped by
+    ``(cell, pa, pb)`` instead of ``(pa, pb)``.
+
+    Returns ``(src, dst, cell, rank, quant_sim, mutual)`` — ``rank``
+    orders within the src's cell; ``mutual`` is within-cell by
+    construction (both endpoints of any edge share a cell).  This is
+    an ANN graph: a true neighbor assigned to a different coarse cell
+    is unreachable (the standard IVF recall trade — lower ``n_cells``
+    for bigger cells and higher recall, or run :func:`knn_graph` for
+    exactness).
+
+    Scale: the fit is sample-sized; assignment one zero-shuffle scan;
+    the ceiling (``spark.nlp2nosql.exact.maxRows``) applies PER CELL —
+    the operator measures cell sizes (≤ ``n_cells`` driver rows) and
+    fail-fasts if the LARGEST cell exceeds it, pointing at a larger
+    ``n_cells``.  DuckDB twin: :func:`knn_graph_celled_sql`.
+    """
+    from nlp_to_nosql_spark.operators.semdedup import (
+        assign_cells,
+        micro_kmeans_fit,
+    )
+
+    if k < 1:
+        raise ValueError("knn_graph_celled: k must be >= 1")
+    spark = df.sparkSession
+    ceiling = int(
+        spark.conf.get(_EXACT_MAX_ROWS_CONF, str(_EXACT_MAX_ROWS_DEFAULT))
+    )
+    cents = micro_kmeans_fit(
+        df,
+        n_clusters=n_cells,
+        iters=iters,
+        seed=seed,
+        sample_mod=sample_mod,
+        sample_keep=sample_keep,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    assigned = assign_cells(df, cents, id_col=id_col, vec_col=vec_col)
+    # quantize ON the assigned frame (one scan, no self-join): the
+    # quantization is a pure projection over vec_col, so it composes
+    # with the assignment UDF in the same stage
+    quant = persisted(
+        _with_quant_codes(assigned, vec_col, levels).select(
+            id_col, "codes", "cluster_id"
+        ),
+        "vectors",
+    )
+    sizes = {
+        int(r["cluster_id"]): int(r["n"])
+        for r in quant.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    biggest = max(sizes.values(), default=0)
+    if ceiling > 0 and biggest > ceiling:
+        quant.unpersist()
+        raise ValueError(
+            f"knn_graph_celled: largest cell has {biggest} rows "
+            f"(> {ceiling}); raise n_cells (or {_EXACT_MAX_ROWS_CONF}) "
+            "so per-cell pair work stays bounded"
+        )
+    n_blocks = max(1, -(-biggest // block_size))
+    blocks = fan_out(quant).withColumn(
+        "blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    )
+    replicated = blocks.select(
+        id_col,
+        "codes",
+        "cluster_id",
+        "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("other"),
+    ).select(
+        id_col,
+        "codes",
+        "cluster_id",
+        "blk",
+        F.least("blk", "other").alias("pa"),
+        F.greatest("blk", "other").alias("pb"),
+    )
+    cands = replicated.groupBy("cluster_id", "pa", "pb").applyInPandas(
+        _knn_compare_fn(id_col, k, int(k + sel_margin)),
+        "src long, dst long, dot long, na long, nb long",
+    )
+    edges = _knn_rank_edges(cands, k)
+    return edges.join(
+        quant.select(F.col(id_col).alias("src"),
+                     F.col("cluster_id").alias("cell")),
+        "src",
+    ).select("src", "dst", "cell", "rank", "quant_sim", "mutual")
+
+
+def knn_graph_celled_sql(
+    n_cells: int = 8,
+    k: int = 5,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 127,
+    iters: int = 2,
+    seed: int = 7,
+    sample_mod: int = 4,
+    sample_keep: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`knn_graph_celled` — semdedup's unrolled
+    micro-k-means fit+assign CTEs (``_fitted_fa_parts``: identical
+    seeded sample, init, integer assignment, floor-division means)
+    restrict the all-pairs quantized cosine to same-cell pairs; then
+    :func:`knn_graph_sql`'s ranking and mutual join."""
+    from nlp_to_nosql_spark.operators.semdedup import _fitted_fa_parts
+
+    parts = _fitted_fa_parts(
+        n_cells, iters, seed, sample_mod, sample_keep, dim,
+        table, id_col, vec_col,
+    )
+    parts.append(
+        "quant AS (" + quantize_sql(table, id_col, vec_col, levels) + ")"
+    )
+    parts.append(
+        "nrm AS (SELECT "
+        f"q.{id_col} AS vid, q.codes, a.cluster_id AS cell, "
+        "list_sum([q.codes[i] * q.codes[i] "
+        "for i in range(1, len(q.codes) + 1)]) AS n2 "
+        f"FROM quant q JOIN fa a USING ({id_col}))"
+    )
+    parts.append(
+        "scored AS (SELECT a.vid AS src, b.vid AS dst, a.cell, "
+        "CASE WHEN sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)) "
+        "> 0 THEN ROUND(CAST(list_sum([a.codes[i] * b.codes[i] "
+        "for i in range(1, len(a.codes) + 1)]) AS DOUBLE) / "
+        "(sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))), 6) "
+        "ELSE 0.0 END AS quant_sim "
+        "FROM nrm a JOIN nrm b ON a.vid <> b.vid AND a.cell = b.cell)"
+    )
+    parts.append(
+        "ranked AS (SELECT src, dst, cell, quant_sim, "
+        "ROW_NUMBER() OVER (PARTITION BY src "
+        "ORDER BY quant_sim DESC, dst ASC) AS rnk FROM scored)"
+    )
+    parts.append(f"knn AS (SELECT * FROM ranked WHERE rnk <= {int(k)})")
+    return (
+        ", ".join(parts)
+        + " SELECT e.src, e.dst, CAST(e.cell AS BIGINT) AS cell, "
+        "CAST(e.rnk AS INT) AS rank, e.quant_sim, "
         "r.src IS NOT NULL AS mutual "
         "FROM knn e LEFT JOIN knn r ON e.src = r.dst AND e.dst = r.src"
     )

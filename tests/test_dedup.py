@@ -726,3 +726,65 @@ def test_paragraph_dedup_matches_duckdb_twin(spark):
         tuple(r) for r in con.execute(paragraph_dedup_sql(table="t")).fetchall()
     )
     assert got == want
+
+
+def test_paragraph_neardup_drops_fuzzy_and_exact_tiers(spark):
+    """dedup20: exact repeats drop via the census, NEAR-identical
+    paragraphs (est. Jaccard >= 0.5) drop via the LSH tier with
+    first-(id, pos) occurrence winning, distinct paragraphs survive,
+    NULL text stays NULL."""
+    from nlp_to_nosql_spark.operators.dedup import paragraph_neardup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog\n"
+                "some unique paragraph one"),
+            # para 1 near-dups doc1 para1 (one word differs)
+            (2, "the quick brown fox jumps over the lazy dogs\n"
+                "some unique paragraph two"),
+            # para 1 exactly dups doc1 para1
+            (3, "the quick brown fox jumps over the lazy dog\n"
+                "completely different text here"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in paragraph_neardup(docs).collect()}
+    assert got[1]["clean_text"] == (
+        "the quick brown fox jumps over the lazy dog\n"
+        "some unique paragraph one"
+    )
+    assert (got[1]["n_paragraphs"], got[1]["n_removed"]) == (2, 0)
+    assert got[2]["clean_text"] == "some unique paragraph two"
+    assert (got[2]["n_paragraphs"], got[2]["n_removed"]) == (2, 1)
+    assert got[3]["clean_text"] == "completely different text here"
+    assert (got[3]["n_paragraphs"], got[3]["n_removed"]) == (2, 1)
+    assert got[4]["clean_text"] is None
+
+
+def test_paragraph_neardup_matches_duckdb_twin(spark):
+    import duckdb
+
+    from nlp_to_nosql_spark.operators.dedup import (
+        paragraph_neardup,
+        paragraph_neardup_sql,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta\nfirst unique line"),
+            (2, "alpha beta gamma delta epsilon zetas\nsecond unique"),
+            (3, "alpha beta gamma delta epsilon zeta\nthird"),
+            (4, "totally unrelated words in this one\n\nblank kept"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(tuple(r) for r in paragraph_neardup(docs).collect())
+    con = duckdb.connect()
+    con.register("t", docs.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.execute(paragraph_neardup_sql(table="t")).fetchall()
+    )
+    assert got == want

@@ -643,3 +643,104 @@ def test_knn_graph_scale_guard_refuses_oversize(spark):
             knn_graph(df, k=2)
     finally:
         spark.conf.unset("spark.nlp2nosql.exact.maxRows")
+
+
+# ---------------------------------------------------------------------------
+# knn_graph_celled (ann14): per-IVF-cell exact graph
+# ---------------------------------------------------------------------------
+
+
+def _celled_fixture(spark, n=40, dim=8, seed=11):
+    import random
+
+    rng = random.Random(seed)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)], i % 5)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label int"
+    )
+
+
+def test_knn_graph_celled_matches_duckdb_twin(spark):
+    """ann14: fit, assignment, per-cell blocked graph, ranking, and
+    mutual flag all replay value-exactly in the relational twin."""
+    import duckdb
+
+    from nlp_to_nosql_spark.operators.similarity import (
+        knn_graph_celled,
+        knn_graph_celled_sql,
+    )
+
+    df = _celled_fixture(spark)
+    got = sorted(
+        tuple(r)
+        for r in knn_graph_celled(
+            df, n_cells=3, k=2, block_size=4, sample_mod=1, sample_keep=1
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("emb_t", df.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            knn_graph_celled_sql(
+                n_cells=3, k=2, dim=8, sample_mod=1, sample_keep=1,
+                table="emb_t",
+            )
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_knn_graph_celled_edges_stay_within_cells(spark):
+    """No edge crosses a cell boundary, and per-src ranks are dense
+    from 1 — the IVF containment contract."""
+    from nlp_to_nosql_spark.operators.semdedup import (
+        assign_cells,
+        micro_kmeans_fit,
+    )
+    from nlp_to_nosql_spark.operators.similarity import knn_graph_celled
+
+    df = _celled_fixture(spark)
+    cents = micro_kmeans_fit(df, n_clusters=3, sample_mod=1, sample_keep=1)
+    cells = {
+        r["vec_id"]: r["cluster_id"]
+        for r in assign_cells(df, cents).collect()
+    }
+    rows = knn_graph_celled(
+        df, n_cells=3, k=2, sample_mod=1, sample_keep=1
+    ).collect()
+    by_src = {}
+    for r in rows:
+        assert cells[r["src"]] == cells[r["dst"]] == r["cell"]
+        by_src.setdefault(r["src"], []).append(r["rank"])
+    for ranks in by_src.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_knn_graph_celled_ceiling_applies_per_cell(spark):
+    """The exact-tier ceiling gates the LARGEST CELL, not the corpus:
+    20 rows over 3 cells pass a ceiling of 12 that the global graph
+    would refuse."""
+    from nlp_to_nosql_spark.operators.similarity import (
+        knn_graph,
+        knn_graph_celled,
+    )
+
+    df = _celled_fixture(spark, n=20)
+    spark.conf.set("spark.nlp2nosql.exact.maxRows", "12")
+    try:
+        with pytest.raises(ValueError, match="exact.maxRows"):
+            knn_graph(df, k=2)
+        rows = knn_graph_celled(
+            df, n_cells=3, k=2, sample_mod=1, sample_keep=1
+        ).collect()
+        assert len(rows) > 0
+        with pytest.raises(ValueError, match="largest cell"):
+            knn_graph_celled(
+                df, n_cells=1, k=2, sample_mod=1, sample_keep=1
+            ).collect()
+    finally:
+        spark.conf.unset("spark.nlp2nosql.exact.maxRows")

@@ -833,6 +833,30 @@ def main() -> int:
             "prof6_zipf_slope": lambda: __import__(
                 "nlp_to_nosql_spark.operators.terms", fromlist=["x"]
             ).zipf_slope(docs),
+            # round-13 additions
+            "ann14_knn_graph_celled": lambda: __import__(
+                "nlp_to_nosql_spark.operators.similarity", fromlist=["x"]
+            ).knn_graph_celled(emb, n_cells=8, k=5),
+            "eval10_knn_eval_celled": lambda: __import__(
+                "nlp_to_nosql_spark.operators.evals", fromlist=["x"]
+            ).knn_label_eval_celled(emb, n_cells=8, k=5),
+            "dedup20_paragraph_neardup": lambda: __import__(
+                "nlp_to_nosql_spark.operators.dedup", fromlist=["x"]
+            ).paragraph_neardup(_mldocs(docs), "doc_id", "text"),
+            "lm6_kn_artifact": lambda: (lambda cur, tmp: (
+                cur.kneser_ney_fit(
+                    docs.filter(F.col("lang") == "en"), tmp
+                ),
+                cur.kneser_ney_score_artifact(
+                    docs.filter(~(F.col("lang") == "en")
+                                .eqNullSafe(F.lit(True))), tmp
+                ),
+            )[1])(
+                __import__(
+                    "nlp_to_nosql_spark.operators.curation", fromlist=["x"]
+                ),
+                __import__("tempfile").mkdtemp(prefix="probe_kn_"),
+            ),
         }
 
     # Discarded warm-up pass at 1x: JVM/codegen/Arrow warm-up otherwise

@@ -2557,21 +2557,36 @@ def _q_unigram_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_trained_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pipe11 — the tok8 family closed end-to-end (what pipe6 is to the
-    BPE trainer): run the 2-round Viterbi-EM trainer, segment every
-    distinct word under the FINAL inventory, join token occurrences to
-    trained piece counts, and pack documents into contiguous 5k-token
-    batches via the distributed prefix sum.  The EM prefix never
-    touches the corpus after the word count; the encode adds pipe9's
-    two exchanges (operators/selection.py unigram_encode_len_trained)."""
+    BPE trainer), via the ARTIFACT split (lm6/tok6 pattern, r12 perf
+    advice): run the 2-round Viterbi-EM trainer ONCE and persist the
+    final inventory as a parquet artifact, then segment every distinct
+    word under the RELOADED scores, join token occurrences to trained
+    piece counts, and pack documents into contiguous 5k-token batches
+    via the distributed prefix sum.  Values are identical to the
+    in-plan form (the parquet roundtrip is BIGINT-exact — the oracle
+    is unchanged), but the encode/pack stages' lineage starts at the
+    tiny artifact scan instead of the unrolled-EM chain, whose
+    re-analysis at every eager point (persist, checkpoint, the pack
+    prefix-sum collect) dominated the in-plan wall time
+    (operators/selection.py unigram_save / unigram_encode_len_artifact)."""
+    import tempfile
+
     from nlp_to_nosql_spark.operators.packing import pack_by_token_budget
     from nlp_to_nosql_spark.operators.selection import (
-        unigram_encode_len_trained,
+        unigram_encode_len_artifact,
+        unigram_save,
+        unigram_train,
     )
 
     docs = register_tables(spark, sf_dir)["documents"]
-    enc = unigram_encode_len_trained(
-        docs, max_piece_len=4, min_count=2, n_iters=2, max_pieces=25
+    path = tempfile.mkdtemp(prefix="spark_graft_unigram_inv_")
+    unigram_save(
+        unigram_train(
+            docs, max_piece_len=4, min_count=2, n_iters=2, max_pieces=25
+        ),
+        path,
     )
+    enc = unigram_encode_len_artifact(docs, path, max_piece_len=4)
     return pack_by_token_budget(enc, "doc_id", "n_tokens", budget=5_000)
 
 

@@ -1191,3 +1191,69 @@ def test_unigram_train_prune_keeps_chars_segmentable(spark):
     assert rows[multi[0]]["c"] > 0
     # chars fully covered by the surviving piece carry 0 uses but stay
     assert all(rows[p]["lp_micro"] is not None for p in chars)
+
+
+def test_unigram_artifact_roundtrip_matches_in_plan_encode(spark):
+    """pipe11's artifact split (unigram_save -> unigram_load ->
+    unigram_encode_len_artifact) must produce exactly the in-plan
+    unigram_encode_len_trained counts — the parquet roundtrip is
+    BIGINT-exact, so only the lineage (not any value) changes."""
+    import tempfile
+
+    from nlp_to_nosql_spark.operators.selection import (
+        unigram_encode_len_artifact,
+        unigram_encode_len_trained,
+        unigram_load,
+        unigram_save,
+        unigram_train,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "banana band bandana"),
+            (2, "ana banana banal"),
+            (3, ""),
+            (4, "band ana ana"),
+        ],
+        "doc_id long, text string",
+    )
+    params = dict(max_piece_len=3, min_count=2, n_iters=2, max_pieces=5)
+    want = {
+        (r["doc_id"], r["n_tokens"])
+        for r in unigram_encode_len_trained(docs, **params).collect()
+    }
+    path = tempfile.mkdtemp(prefix="uni_inv_test_")
+    inv = unigram_train(docs, **params)
+    unigram_save(inv, path)
+    loaded = unigram_load(path, spark)
+    assert sorted(tuple(r) for r in loaded.collect()) == sorted(
+        tuple(r) for r in inv.collect()
+    )
+    got = {
+        (r["doc_id"], r["n_tokens"])
+        for r in unigram_encode_len_artifact(
+            docs, path, max_piece_len=3
+        ).collect()
+    }
+    assert got == want
+
+
+def test_unigram_load_rejects_corrupt_artifact(spark):
+    import tempfile
+
+    import pytest as _pytest
+
+    from nlp_to_nosql_spark.operators.selection import unigram_load
+
+    path = tempfile.mkdtemp(prefix="uni_bad_test_")
+    spark.createDataFrame(
+        [("a", 1)], "piece string, c long"
+    ).write.mode("overwrite").parquet(path)
+    with _pytest.raises(ValueError, match="columns"):
+        unigram_load(path, spark)
+    path2 = tempfile.mkdtemp(prefix="uni_bad2_test_")
+    spark.createDataFrame(
+        [("", 1, 2)], "piece string, c long, lp_micro long"
+    ).write.mode("overwrite").parquet(path2)
+    with _pytest.raises(ValueError, match="corrupt"):
+        unigram_load(path2, spark)

@@ -797,19 +797,28 @@ def main() -> int:
             ),
             "pipe10_ccnet_paragraph": lambda: pipe10_probe(docs),
             "tok8_unigram_train": lambda: tok8_probe(docs),
-            "pipe11_trained_pack": lambda: (lambda sel, pk:
-                pk.pack_by_token_budget(
-                    sel.unigram_encode_len_trained(
+            "pipe11_trained_pack": lambda: (lambda sel, pk, tmp: (
+                sel.unigram_save(
+                    sel.unigram_train(
                         docs, max_piece_len=4, min_count=2, n_iters=2,
                         max_pieces=25,
-                    ), "doc_id", "n_tokens", 5000,
-                ))(
+                    ),
+                    tmp,
+                ),
+                pk.pack_by_token_budget(
+                    sel.unigram_encode_len_artifact(
+                        docs, tmp, max_piece_len=4
+                    ),
+                    "doc_id", "n_tokens", 5000,
+                ),
+            )[1])(
                 __import__(
                     "nlp_to_nosql_spark.operators.selection", fromlist=["x"]
                 ),
                 __import__(
                     "nlp_to_nosql_spark.operators.packing", fromlist=["x"]
                 ),
+                __import__("tempfile").mkdtemp(prefix="probe_uni_"),
             ),
             "eval8_cluster_purity": lambda: cluster_purity_probe(emb),
             "eval9_ndcg": lambda: ndcg_probe(docs),

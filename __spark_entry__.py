@@ -1451,6 +1451,28 @@ def _q_admission_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_paragraph_admission_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """stream17 — dedup19's paragraph census as a continuously-
+    maintained STREAM: arriving documents (doc_id % 5 == 0, the
+    stream15 split) explode into non-blank paragraphs scan-side,
+    dedup within the stream on the 16-byte normalized-paragraph
+    fingerprint (dropDuplicates state = the census), and LEFT-ANTI
+    join the static corpus's paragraph census per micro-batch.
+    Emitted set equals batch distinct-paragraph-fps ANTI corpus SQL
+    (streaming/replay.py replay_paragraph_admission).  Runs over the
+    pseudo-paragraph rendering shared with dedup19/dedup20."""
+    from nlp_to_nosql_spark.streaming.replay import (
+        replay_paragraph_admission,
+    )
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return replay_paragraph_admission(
+        spark, _multiline_docs(docs), tag=f"sf{_sf_tag(sf_dir)}"
+    )
+
+
 def _q_running_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming keyed-state accumulator (applyInPandasWithState,
     update mode) replayed over two micro-batches; the final per-user
@@ -3385,6 +3407,86 @@ def _q_paragraph_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.paragraph_neardup(_multiline_docs(docs), "doc_id", "text")
 
 
+def _q_paragraph_dedup_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """eval11 — dedup20's fuzzy tier measured the way eval5 measures
+    dedup3: precision/recall of the paragraph-grain MinHash-LSH pair
+    set (k=3 shingles, 32 perms, 8 bands, est-Jaccard ≥ 0.5) against
+    the EXACT 3-gram Jaccard ≥ 0.5 pair set over the SAME
+    distinct-paragraph stream — the measurement that tunes the
+    paragraph tier's bands/threshold before a corpus-scale run.  Both
+    generators are banded/blocked (never all-pairs); ratios BIGINT
+    floor divisions (operators/dedup.py distinct_paragraphs,
+    operators/evals.py pair_set_quality)."""
+    from nlp_to_nosql_spark.operators.evals import pair_set_quality
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    reps = dd.distinct_paragraphs(_multiline_docs(docs), "doc_id", "text")
+    pred = dd.minhash_lsh_pairs(
+        reps,
+        "para_key",
+        "para_text",
+        k=3,
+        num_perm=32,
+        bands=8,
+        threshold=0.5,
+        sig_fn=dd.minhash_signatures_md5,
+    )
+    truth = dd.ngram_jaccard_pairs(
+        reps, "para_key", "para_text", k=3, threshold=0.5
+    )
+    return pair_set_quality(pred, truth)
+
+
+def _paragraph_quality_oracle_sql() -> str:
+    """eval11's oracle: the shared census CTEs feed BOTH the pn_*
+    minhash chain (predicted) and the rare-filtered exact-Jaccard pair
+    relation (truth) under pair_set_quality's full-outer-join SQL."""
+    from nlp_to_nosql_spark.operators.dedup import (
+        _paragraph_census_ctes,
+        _paragraph_minhash_ctes,
+    )
+    from nlp_to_nosql_spark.operators.evals import pair_set_quality_sql
+
+    census = (
+        "WITH " + _ML_DOCS_CTE + ", "
+        + _paragraph_census_ctes("ml", "doc_id", "text")
+    )
+    pred = (
+        census + ", "
+        + _paragraph_minhash_ctes(3, 32, 8, 0.5)
+        + " SELECT key_a AS id_a, key_b AS id_b FROM pn_pairs"
+    )
+    norm_t = tx.NORMALIZE_SQL.format(c="_ptext")
+    truth = (
+        census + ", "
+        "pq_words AS (SELECT key, "
+        f"string_split({norm_t}, ' ') AS w FROM pd_firsts), "
+        "pq_sh0 AS (SELECT key, unnest(list_distinct("
+        "CASE WHEN len(w) >= 3 "
+        "THEN [array_to_string(w[i:i+2], ' ') "
+        "for i in range(1, len(w) - 1)] "
+        "ELSE [array_to_string(w, ' ')] END)) AS shingle FROM pq_words), "
+        "pq_rare AS (SELECT shingle FROM pq_sh0 GROUP BY shingle "
+        "HAVING COUNT(*) <= 1000), "
+        "pq_shr AS (SELECT pq_sh0.key, pq_sh0.shingle FROM pq_sh0 "
+        "JOIN pq_rare USING (shingle)), "
+        "pq_sizes AS (SELECT key, COUNT(*) AS set_size "
+        "FROM pq_shr GROUP BY key), "
+        "pq_inter AS (SELECT a.key AS id_a, b.key AS id_b, "
+        "COUNT(*) AS n_inter FROM pq_shr a JOIN pq_shr b "
+        "ON a.shingle = b.shingle AND a.key < b.key GROUP BY 1, 2) "
+        "SELECT id_a, id_b FROM ("
+        "SELECT id_a, id_b, "
+        "ROUND(n_inter / (sa.set_size + sb.set_size - n_inter), 6) "
+        "AS jaccard "
+        "FROM pq_inter JOIN pq_sizes sa ON sa.key = id_a "
+        "JOIN pq_sizes sb ON sb.key = id_b) t WHERE jaccard >= 0.5"
+    )
+    return pair_set_quality_sql(pred, truth)
+
+
 def _q_exact_substring_decontaminate(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4609,6 +4711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dc4_longest_shared_span": _q_longest_shared_span,
         "dedup19_paragraph_dedup": _q_paragraph_dedup,
         "dedup20_paragraph_neardup": _q_paragraph_neardup,
+        "eval11_paragraph_dedup_quality": _q_paragraph_dedup_quality,
         "pipe7_ccnet_curation": _q_ccnet_pipeline,
         "pipe10_ccnet_paragraph": _q_ccnet_paragraph_pipeline,
         "quality2_gopher_rules": _q_gopher_rules,
@@ -4656,6 +4759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream3_windowed_counts_stream": _q_windowed_counts_stream,
         "stream4_dedup_stream": _q_dedup_stream,
         "stream15_admission_stream": _q_admission_stream,
+        "stream17_paragraph_admission": _q_paragraph_admission_stream,
         "stream5_dim_join_stream": _q_dim_join_stream,
         "stream6_running_totals": _q_running_totals_stream,
         "stream7_stream_stream_join": _q_stream_stream_join,
@@ -5802,6 +5906,7 @@ def oracle_sql() -> dict[str, str]:
             + dd.paragraph_neardup_sql(table="ml")
             + ") t"
         ),
+        "eval11_paragraph_dedup_quality": _paragraph_quality_oracle_sql(),
         "dc3_exact_substring": exact_substring_decontaminate_sql(
             "doc_id % 97 = 0", k=3
         ),
@@ -6312,6 +6417,23 @@ def oracle_sql() -> dict[str, str]:
             "bf AS (SELECT DISTINCT "
             + tx.FINGERPRINT_SQL.format(c="text")
             + " AS fp FROM documents WHERE doc_id % 5 = 0) "
+            "SELECT fp FROM bf ANTI JOIN cf USING (fp)"
+        ),
+        # stream17: admitted PARAGRAPH fingerprints = the stream
+        # split's distinct non-blank paragraph fps ANTI the corpus's,
+        # over the shared pseudo-paragraph rendering.
+        "stream17_paragraph_admission": (
+            "WITH "
+            + _ML_DOCS_CTE
+            + ", sp AS (SELECT doc_id, "
+            "unnest(string_split(text, chr(10))) AS _para FROM ml), "
+            "sk AS (SELECT doc_id, "
+            + tx.FINGERPRINT_SQL.format(c="_para")
+            + " AS fp FROM sp WHERE "
+            + tx.NORMALIZE_SQL.format(c="_para")
+            + " <> ''), "
+            "cf AS (SELECT DISTINCT fp FROM sk WHERE doc_id % 5 <> 0), "
+            "bf AS (SELECT DISTINCT fp FROM sk WHERE doc_id % 5 = 0) "
             "SELECT fp FROM bf ANTI JOIN cf USING (fp)"
         ),
         "stream5_dim_join_stream": (

@@ -1215,29 +1215,37 @@ def paragraph_neardup(
     return _paragraph_rebuild(base, kept, id_col, sep)
 
 
-def paragraph_neardup_sql(
-    table: str = "documents",
+def distinct_paragraphs(
+    df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    k: int = 3,
-    num_perm: int = 32,
-    bands: int = 8,
-    threshold: float = 0.5,
-) -> str:
-    """DuckDB twin of :func:`paragraph_neardup` (newline separator) —
-    the dedup19 census CTEs, the dedup3/dedup10-style md5
-    arithmetic-permutation MinHash over the distinct-paragraph stream,
-    the same banding/verification/orientation, the same rebuild."""
+    sep: str = "\n",
+) -> DataFrame:
+    """The corpus's DISTINCT non-blank paragraph stream — one row per
+    normalized-paragraph fingerprint with its first ``(id, pos)``
+    occurrence and that occurrence's raw text: ``(para_key, first_id,
+    first_pos, para_text)``.  The frame dedup19 censuses and dedup20's
+    LSH tier runs over, exposed so evals (``eval11``) and ad-hoc
+    paragraph analytics consume the same staging."""
+    _base, _paras, firsts = _paragraph_stage(df, id_col, text_col, sep)
+    return firsts.select(
+        F.col("_key").alias("para_key"),
+        F.col("_f.i").alias("first_id"),
+        F.col("_f.p").alias("first_pos"),
+        F.col("_f.t").alias("para_text"),
+    )
+
+
+def _paragraph_census_ctes(table: str, id_col: str, text_col: str) -> str:
+    """The dedup19/dedup20 census CTE chain (``pd_base`` →
+    ``pd_firsts``), shared by the rebuild twins and the eval11
+    ground-truth/predicted pair relations."""
     from nlp_to_nosql_spark.functions.text import FINGERPRINT_SQL
 
-    if bands <= 0 or bands > num_perm or num_perm % bands:
-        raise ValueError("bands must divide num_perm")
-    rows = num_perm // bands
     key = FINGERPRINT_SQL.format(c="_para")
     blank = NORMALIZE_SQL.format(c="_para") + " = ''"
-    norm_t = NORMALIZE_SQL.format(c="_ptext")
     return (
-        f"WITH pd_base AS (SELECT {id_col}, "
+        f"pd_base AS (SELECT {id_col}, "
         f"string_split({text_col}, chr(10)) AS ps FROM {table}), "
         f"pd_paras AS (SELECT {id_col}, CAST(i AS INT) AS pos, "
         "ps[i] AS _para FROM pd_base, "
@@ -1247,8 +1255,22 @@ def paragraph_neardup_sql(
         f"pd_firsts AS (SELECT key, {id_col} AS fid, pos AS fpos, "
         "_para AS _ptext FROM pd_keyed WHERE NOT blank "
         "QUALIFY ROW_NUMBER() OVER (PARTITION BY key "
-        f"ORDER BY {id_col}, pos) = 1), "
-        # minhash over the distinct-paragraph stream (dedup3's family)
+        f"ORDER BY {id_col}, pos) = 1)"
+    )
+
+
+def _paragraph_minhash_ctes(
+    k: int, num_perm: int, bands: int, threshold: float
+) -> str:
+    """dedup20's md5-arithmetic-permutation MinHash chain over the
+    ``pd_firsts`` census CTE (``pn_words`` → ``pn_pairs``) — the
+    dedup3/dedup10 family at paragraph grain, shared by the rebuild
+    twin and eval11's predicted side."""
+    if bands <= 0 or bands > num_perm or num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    rows = num_perm // bands
+    norm_t = NORMALIZE_SQL.format(c="_ptext")
+    return (
         f"pn_words AS (SELECT key, string_split({norm_t}, ' ') AS w "
         "FROM pd_firsts), "
         "pn_sh AS (SELECT key, unnest(list_distinct("
@@ -1276,7 +1298,29 @@ def paragraph_neardup_sql(
         f"AS DOUBLE) / {num_perm}, 6) AS est_jaccard "
         "FROM pn_cand JOIN pn_sig sa ON sa.key = key_a "
         "JOIN pn_sig sb ON sb.key = key_b) t "
-        f"WHERE est_jaccard >= {threshold}), "
+        f"WHERE est_jaccard >= {threshold})"
+    )
+
+
+def paragraph_neardup_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`paragraph_neardup` (newline separator) —
+    the dedup19 census CTEs, the dedup3/dedup10-style md5
+    arithmetic-permutation MinHash over the distinct-paragraph stream,
+    the same banding/verification/orientation, the same rebuild."""
+    return (
+        "WITH "
+        + _paragraph_census_ctes(table, id_col, text_col)
+        + ", "
+        + _paragraph_minhash_ctes(k, num_perm, bands, threshold)
+        + ", "
         "pn_drops AS (SELECT DISTINCT CASE WHEN (fa.fid < fb.fid) OR "
         "(fa.fid = fb.fid AND fa.fpos < fb.fpos) "
         "THEN p.key_b ELSE p.key_a END AS key "

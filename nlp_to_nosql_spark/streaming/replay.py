@@ -693,6 +693,73 @@ def replay_incremental_admission(
     return spark.table(name)
 
 
+def replay_paragraph_admission(
+    spark: SparkSession,
+    documents: DataFrame,
+    corpus_pred=None,
+    sep: str = "\n",
+    tag: str = "para",
+) -> DataFrame:
+    """Streaming PARAGRAPH-census admission: arriving documents'
+    paragraphs admitted against the static corpus's paragraph census —
+    dedup19 (CCNet stage 1) as a continuously-maintained stream, and
+    the paragraph-grain twin of :func:`replay_incremental_admission`'s
+    document gate.  This is how a continuously-ingesting pipeline
+    keeps paragraph-level dedup current without re-censusing the
+    corpus per shard.
+
+    The corpus splits by ``corpus_pred`` (default ``doc_id % 5 != 0``;
+    the rest is the stream).  Per micro-batch: the streaming shard
+    explodes into non-blank paragraphs SCAN-SIDE (a stateless
+    generator — streaming-safe), streaming ``dropDuplicates`` on the
+    normalized-paragraph fingerprint keeps the first arrival within
+    the stream (state = one row per distinct arriving paragraph, the
+    dedup19 census key — 16 bytes, never paragraph text), then a
+    stream-static LEFT ANTI join drops anything the corpus census
+    already holds.  The bounded replay emits exactly the SET of
+    admitted paragraph fingerprints — batch-distinct-paragraph-fps
+    ANTI corpus-paragraph-fps in SQL, which is the oracle.  At scale
+    the static side is the Bloom-backed admission filter (dedup13's
+    contract); the exact anti join keeps the replay value-checkable.
+    """
+    import re as _re
+
+    from nlp_to_nosql_spark.functions.text import (
+        fingerprint,
+        normalize_text,
+    )
+
+    if corpus_pred is None:
+        corpus_pred = F.col("doc_id") % 5 != 0
+    split_pat = _re.escape(sep)
+
+    def paras(df: DataFrame) -> DataFrame:
+        p = df.select(
+            F.col("doc_id"),
+            F.explode(F.split(F.col("text"), split_pat)).alias("_para"),
+        )
+        return p.filter(normalize_text(F.col("_para")) != "").select(
+            F.col("doc_id"), fingerprint(F.col("_para")).alias("fp")
+        )
+
+    corpus_fps = paras(documents.filter(corpus_pred)).select("fp").distinct()
+    batch = documents.filter(~corpus_pred).select("doc_id", "text")
+    path = _work_dir(f"{tag}_para_admission")
+    batch.coalesce(1).write.mode("overwrite").parquet(path)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        path
+    )
+    admitted = (
+        paras(stream)
+        .dropDuplicates(["fp"])
+        .join(corpus_fps, "fp", "left_anti")
+    )
+    name = f"replay_{tag}_para_admission"
+    _run_to_memory(admitted.select("fp"), name, "append")
+    return spark.table(name)
+
+
 def _fold_registers(
     spark: SparkSession, table: str, batch: DataFrame, m: int = 64
 ) -> None:

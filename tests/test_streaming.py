@@ -366,3 +366,35 @@ def test_streaming_admission_equals_batch_anti_join(spark):
         .collect()
     )
     assert got == want and len(got) == 2
+
+
+def test_streaming_paragraph_admission_equals_batch_anti_join(spark):
+    """stream17's bounded replay: the admitted PARAGRAPH-fingerprint
+    set equals the batch distinct-paragraph anti-join — within-stream
+    paragraph repeats collapse, corpus-known paragraphs never admit,
+    blank paragraphs carry no census key, and normalization-equal
+    paragraphs share one fingerprint."""
+    from nlp_to_nosql_spark.streaming.replay import (
+        replay_paragraph_admission,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # corpus (doc_id % 5 != 0)
+            (1, "known para one\nknown para two"),
+            (2, "known para three"),
+            # stream (doc_id % 5 == 0)
+            (5, "brand new para\nknown para one"),    # 1 admit, 1 reject
+            (10, "  Brand  New  Para \nsecond new"),  # norm-dup + 1 admit
+            (15, "\n\nknown para three"),             # blanks + reject
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["fp"]
+        for r in replay_paragraph_admission(
+            spark, docs, tag="para_test"
+        ).collect()
+    )
+    assert len(got) == 2  # "brand new para" (once) + "second new"
+    assert len(set(got)) == 2

@@ -852,6 +852,25 @@ def main() -> int:
             "dedup20_paragraph_neardup": lambda: __import__(
                 "nlp_to_nosql_spark.operators.dedup", fromlist=["x"]
             ).paragraph_neardup(_mldocs(docs), "doc_id", "text"),
+            "eval11_paragraph_dedup_quality": lambda: (lambda ddp, ev: (
+                lambda reps: ev.pair_set_quality(
+                    ddp.minhash_lsh_pairs(
+                        reps, "para_key", "para_text", k=3, num_perm=32,
+                        bands=8, threshold=0.5,
+                        sig_fn=ddp.minhash_signatures_md5,
+                    ),
+                    ddp.ngram_jaccard_pairs(
+                        reps, "para_key", "para_text", k=3, threshold=0.5
+                    ),
+                ))(ddp.distinct_paragraphs(_mldocs(docs), "doc_id", "text"))
+            )(
+                __import__(
+                    "nlp_to_nosql_spark.operators.dedup", fromlist=["x"]
+                ),
+                __import__(
+                    "nlp_to_nosql_spark.operators.evals", fromlist=["x"]
+                ),
+            ),
             "lm6_kn_artifact": lambda: (lambda cur, tmp: (
                 cur.kneser_ney_fit(
                     docs.filter(F.col("lang") == "en"), tmp

@@ -4830,71 +4830,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-#: Round-12 driver-window rotation (VERDICT r11 task 1): freshness is
-#: the only correctness metric left — every query has been driver-green
-#: at least once.  The five round-12 additions front the window
-#: (checked immediately, never left for a tail), followed by the FULL
-#: 25-member r07-stale cohort (last driver row CORRECTNESS_r07 —
-#: nothing is staler; the list the round-11 judge verified from the
-#: CORRECTNESS union), topped up with the alphabetically-first 20 of
-#: the 49-member r08-stale cohort.  The remaining 29 r08 queries are
-#: the natural round-13 window; everything outside the window stays
-#: selfcheck-verified at three SFs each round with the driver's exact
-#: methodology (tools/selfcheck.py).
+#: Round-13 driver-window rotation (VERDICT r12 task 3): freshness is
+#: the only correctness metric left — every query except this round's
+#: additions has been driver-green at least once.  The five round-13
+#: additions and the four r12 late additions front the window (checked
+#: immediately, never left for a tail), followed by the FULL 29-member
+#: r08-stale cohort (the exact list in VERDICT r12), topped up with 12
+#: from the r09 cohort — sel1/sel2 first because the round-13 DSIR
+#: product-form fix changed their oracles.  The remaining 38 r09
+#: queries are the natural round-14 window; everything outside the
+#: window stays selfcheck-verified at three SFs each round with the
+#: driver's exact methodology (tools/selfcheck.py; SELFCHECK_r13.log).
 _ROTATED_FRONT = (
-    # new in round 12 (driver-checked immediately)
-    "dedup19_paragraph_dedup",
-    "dc3_exact_substring",
-    "pipe10_ccnet_paragraph",
-    "lm5_kneser_ney",
-    "tok8_unigram_train",
-    # the complete r07-stale cohort (last driver row round 7)
-    "ann5_ivf_sampled_fit",
-    "ann9_pq_rerank",
-    "mm2_frame_plan",
-    "mm4_audio_decode",
-    "pii1_redaction",
-    "pr1_dup_pagerank",
-    "prof3_pair_degree_hist",
-    "quality3_model_filter",
-    "scd1_event_intervals",
-    "scd2_point_in_time",
-    "sketch1_hll_registers",
-    "sketch2_cms_heavy_hitters",
-    "stream1_windowed_counts",
-    "stream2_sessionize_stream",
-    "stream3_windowed_counts_stream",
-    "stream4_dedup_stream",
-    "stream5_dim_join_stream",
-    "stream6_running_totals",
-    "stream7_stream_stream_join",
-    "stream8_dedup_within_watermark",
-    "stream9_native_session_stream",
-    "stream10_cdc_compaction",
-    "stream11_cdc_upsert_sink",
-    "stream12_hll_accumulate",
-    "stream13_cms_accumulate",
-    # stalest r08 block, alphabetically-first 20 of 49
-    "agg3_ndv_by_type",
-    "agg4_value_histogram",
-    "asof3_click_view_tolerance",
-    "cap1_source_cap",
-    "chunk1_context_windows",
-    "cohort1_weekly_retention",
-    "colloc1_bigram_lift",
-    "dist1_segments",
-    "drift1_source_divergence",
-    "emb3_centroid_similarity",
-    "emb5_dimension_stats",
-    "expl1_word_counts",
-    "join10_binational_volume",
-    "join11_activity_reconciliation",
-    "join6_custdist",
-    "join7_big_orders",
-    "join8_local_supplier_volume",
-    "join9_supplier_counts",
-    "json1_props_extract",
-    "lm1_bigram_likelihood",
+    # new in round 13 + the four r12 late additions the r12 judge
+    # flagged as never-driver-checked (checked immediately)
+    "ann14_knn_graph_celled",
+    "eval10_knn_eval_celled",
+    "dedup20_paragraph_neardup",
+    "eval11_paragraph_dedup_quality",
+    "stream17_paragraph_admission",
+    "dc4_longest_shared_span",
+    "lm6_kn_artifact",
+    "lm7_sampled_tertiles",
+    "pipe11_trained_pack",
+    # the complete 29-member r08-stale cohort (last driver row
+    # CORRECTNESS_r08 — nothing is staler; VERDICT r12 task 3's list)
+    "mix1_lang_sample",
+    "mix2_temperature_sample",
+    "pipe2_multimodal_curation",
+    "pipe4_corpus_layout",
+    "pipe5_user_profile",
+    "prof1_table_profile",
+    "prof2_dup_group_sizes",
+    "prof4_key_skew",
+    "prof5_length_quantiles",
+    "quality1_repetition",
+    "s11_partitioned_roundtrip",
+    "s12_orc_roundtrip",
+    "sample1_hash_bucket",
+    "sample2_stratified",
+    "sample3_joinable_slice",
+    "seq1_event_transitions",
+    "set2_intersect_nations",
+    "set4_bag_semantics",
+    "split1_hash_split",
+    "split2_stratified_split",
+    "sub2_above_own_avg",
+    "text2_charngram_sketch",
+    "tok1_token_histogram",
+    "tok2_vocab_coverage",
+    "ts5_gapfill_hourly",
+    "unpivot1_status_long",
+    "win4_ntile_quartiles",
+    "win6_rank_distribution",
+    "zorder1_layout_profile",
+    # top-up from the r09 cohort: sel1/sel2 first (their oracles
+    # changed with the round-13 DSIR product-form fix), then the
+    # alphabetically-first of the rest
+    "sel1_dsir_select",
+    "sel2_dsir_per_source",
+    "agg8_rollup_region_nation",
+    "emb2_label_centroids",
+    "emb4_quantize",
+    "eval1_retrieval_metrics",
+    "eval2_classifier_metrics",
+    "eval3_classifier_calibration",
+    "eval4_ann_recall",
+    "eval5_dedup_quality",
+    "funnel1_ordered_conversion",
+    "fuse1_rrf_hybrid",
 )
 
 

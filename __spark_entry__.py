@@ -674,11 +674,16 @@ def _q_knn_graph_celled(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel, and union — pair work drops O(n²) → Σ|cell|², the
     fail-fast ceiling gates the largest CELL, and the DuckDB twin
     replays fit + assignment + per-cell edges value-exactly
-    (operators/similarity.py knn_graph_celled)."""
+    (operators/similarity.py knn_graph_celled).  Round 14: runs in
+    ``n_cells="auto"`` mode — the bounded-cell contract is CODE now
+    (max(8, ceil(count/target_cell_rows)) from one exact count job;
+    similarity.resolve_n_cells), not a caller knob; the twin derives
+    the identical count via a scalar-subquery LIMIT, so the oracle
+    covers the auto resolution itself."""
     from nlp_to_nosql_spark.operators.similarity import knn_graph_celled
 
     emb = register_tables(spark, sf_dir)["embeddings"]
-    return knn_graph_celled(emb, n_cells=8, k=5)
+    return knn_graph_celled(emb, n_cells="auto", k=5)
 
 
 def _q_knn_eval_celled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2397,7 +2402,7 @@ def _q_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = dd.ngram_jaccard_pairs(
         docs, "doc_id", "text", k=4, threshold=0.5
     )
-    return pair_set_quality(pred, truth)
+    return pair_set_quality(pred, truth, truth_universe=docs)
 
 
 def _dedup_quality_oracle_sql() -> str:
@@ -3436,13 +3441,59 @@ def _q_paragraph_dedup_quality(
     truth = dd.ngram_jaccard_pairs(
         reps, "para_key", "para_text", k=3, threshold=0.5
     )
-    return pair_set_quality(pred, truth)
+    return pair_set_quality(pred, truth, truth_universe=reps)
 
 
-def _paragraph_quality_oracle_sql() -> str:
+def _q_paragraph_dedup_quality_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """eval12 — eval11's measurement at the scale the full exact truth
+    join can't reach: consistent-hash-sample HALF the distinct-
+    paragraph universe (md5, seed 101 — engine-reproducible), build
+    BOTH the LSH pair set and the exact 3-gram-Jaccard truth over the
+    same sampled universe, and report the induced subgraph's
+    precision/recall — truth-side pair work drops ~rate², the lm7
+    sampled-cuts recipe applied to the pair evals
+    (operators/evals.py pair_set_quality_sampled)."""
+    from nlp_to_nosql_spark.operators.evals import pair_set_quality_sampled
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    reps = dd.distinct_paragraphs(_multiline_docs(docs), "doc_id", "text")
+    return pair_set_quality_sampled(
+        reps,
+        "para_key",
+        lambda s: dd.minhash_lsh_pairs(
+            s,
+            "para_key",
+            "para_text",
+            k=3,
+            num_perm=32,
+            bands=8,
+            threshold=0.5,
+            sig_fn=dd.minhash_signatures_md5,
+        ),
+        lambda s: dd.ngram_jaccard_pairs(
+            s, "para_key", "para_text", k=3, threshold=0.5
+        ),
+        rate=0.5,
+        seed=101,
+    )
+
+
+def _paragraph_quality_oracle_sql(
+    sampled: bool = False, rate: float = 0.5, seed: int = 101
+) -> str:
     """eval11's oracle: the shared census CTEs feed BOTH the pn_*
     minhash chain (predicted) and the rare-filtered exact-Jaccard pair
-    relation (truth) under pair_set_quality's full-outer-join SQL."""
+    relation (truth) under pair_set_quality's full-outer-join SQL.
+    ``sampled=True`` is eval12's twin — one consistent-hash sample CTE
+    (curation.MIX_HASH_SQL, the exact md5 recipe
+    evals.pair_set_quality_sampled applies Spark-side) between the
+    census and both pair chains."""
+    from nlp_to_nosql_spark.operators.curation import (
+        _MIX_BUCKETS,
+        MIX_HASH_SQL,
+    )
     from nlp_to_nosql_spark.operators.dedup import (
         _paragraph_census_ctes,
         _paragraph_minhash_ctes,
@@ -3453,16 +3504,24 @@ def _paragraph_quality_oracle_sql() -> str:
         "WITH " + _ML_DOCS_CTE + ", "
         + _paragraph_census_ctes("ml", "doc_id", "text")
     )
+    src = "pd_firsts"
+    if sampled:
+        h = MIX_HASH_SQL.format(c="key", seed=seed)
+        census += (
+            ", pd_s AS (SELECT * FROM pd_firsts "
+            f"WHERE {h} < {int(rate * _MIX_BUCKETS)})"
+        )
+        src = "pd_s"
     pred = (
         census + ", "
-        + _paragraph_minhash_ctes(3, 32, 8, 0.5)
+        + _paragraph_minhash_ctes(3, 32, 8, 0.5, source=src)
         + " SELECT key_a AS id_a, key_b AS id_b FROM pn_pairs"
     )
     norm_t = tx.NORMALIZE_SQL.format(c="_ptext")
     truth = (
         census + ", "
         "pq_words AS (SELECT key, "
-        f"string_split({norm_t}, ' ') AS w FROM pd_firsts), "
+        f"string_split({norm_t}, ' ') AS w FROM {src}), "
         "pq_sh0 AS (SELECT key, unnest(list_distinct("
         "CASE WHEN len(w) >= 3 "
         "THEN [array_to_string(w[i:i+2], ' ') "
@@ -4712,6 +4771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup19_paragraph_dedup": _q_paragraph_dedup,
         "dedup20_paragraph_neardup": _q_paragraph_neardup,
         "eval11_paragraph_dedup_quality": _q_paragraph_dedup_quality,
+        "eval12_pair_quality_sampled": _q_paragraph_dedup_quality_sampled,
         "pipe7_ccnet_curation": _q_ccnet_pipeline,
         "pipe10_ccnet_paragraph": _q_ccnet_paragraph_pipeline,
         "quality2_gopher_rules": _q_gopher_rules,
@@ -5767,8 +5827,13 @@ def oracle_sql() -> dict[str, str]:
         "ann13_knn_graph": knn_graph_sql(k=5),
         # ann14/eval10: per-IVF-cell graph — the twin replays the
         # integer micro-k-means fit, the assignment, and the same-cell
-        # pair restriction relationally (similarity.knn_graph_celled_sql)
-        "ann14_knn_graph_celled": knn_graph_celled_sql(n_cells=8, k=5),
+        # pair restriction relationally (similarity.knn_graph_celled_sql).
+        # ann14 runs auto-celled (round 14): the twin's scalar-subquery
+        # LIMIT derives the same max(8, ceil(count/512)) cell count, so
+        # one static string oracles the auto resolution at every SF.
+        "ann14_knn_graph_celled": knn_graph_celled_sql(
+            n_cells="auto", k=5
+        ),
         "eval7_knn_label_eval": knn_label_eval_sql(k=5),
         "eval10_knn_eval_celled": knn_label_eval_celled_sql(
             n_cells=8, k=5
@@ -5911,6 +5976,9 @@ def oracle_sql() -> dict[str, str]:
             + ") t"
         ),
         "eval11_paragraph_dedup_quality": _paragraph_quality_oracle_sql(),
+        "eval12_pair_quality_sampled": _paragraph_quality_oracle_sql(
+            sampled=True
+        ),
         "dc3_exact_substring": exact_substring_decontaminate_sql(
             "doc_id % 97 = 0", k=3
         ),

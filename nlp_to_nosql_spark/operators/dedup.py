@@ -1260,19 +1260,24 @@ def _paragraph_census_ctes(table: str, id_col: str, text_col: str) -> str:
 
 
 def _paragraph_minhash_ctes(
-    k: int, num_perm: int, bands: int, threshold: float
+    k: int,
+    num_perm: int,
+    bands: int,
+    threshold: float,
+    source: str = "pd_firsts",
 ) -> str:
     """dedup20's md5-arithmetic-permutation MinHash chain over the
     ``pd_firsts`` census CTE (``pn_words`` → ``pn_pairs``) — the
     dedup3/dedup10 family at paragraph grain, shared by the rebuild
-    twin and eval11's predicted side."""
+    twin and eval11's predicted side.  ``source`` swaps the input CTE
+    (eval12 feeds the consistent-hash-SAMPLED census instead)."""
     if bands <= 0 or bands > num_perm or num_perm % bands:
         raise ValueError("bands must divide num_perm")
     rows = num_perm // bands
     norm_t = NORMALIZE_SQL.format(c="_ptext")
     return (
         f"pn_words AS (SELECT key, string_split({norm_t}, ' ') AS w "
-        "FROM pd_firsts), "
+        f"FROM {source}), "
         "pn_sh AS (SELECT key, unnest(list_distinct("
         f"CASE WHEN len(w) >= {k} "
         f"THEN [array_to_string(w[i:i+{k - 1}], ' ') "

@@ -120,6 +120,7 @@ def pair_set_quality(
     truth: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    truth_universe: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate-pair quality of an approximate dedup tier against an
     exact ground-truth pair set — the measurement that tunes LSH
@@ -135,8 +136,40 @@ def pair_set_quality(
 
     Scale: one full outer join on the pair key plus a global partial
     aggregate — both sides are pair-set-sized (already banded/bounded
-    by their generators), never corpus-sized.
+    by their generators), never corpus-sized.  The TRUTH side is the
+    exception: an exact-Jaccard pair relation is quadratic-ish in
+    dense near-dup regimes, and this eval is a TUNING MEASUREMENT, not
+    a corpus-scale operator.  Pass ``truth_universe`` (the frame the
+    truth generator enumerates pairs over — the documents / distinct
+    paragraphs) to enforce that contract in code: one count-only job,
+    and a fail-fast above ``spark.nlp2nosql.exact.maxRows`` (the
+    ``embedding_neardup_exact`` ceiling pattern) pointing at
+    :func:`pair_set_quality_sampled` — instead of silently launching
+    the exact truth join over a full corpus.
     """
+    if truth_universe is not None:
+        from nlp_to_nosql_spark.operators.similarity import (
+            _EXACT_MAX_ROWS_CONF,
+            _EXACT_MAX_ROWS_DEFAULT,
+        )
+
+        spark = truth_universe.sparkSession
+        ceiling = int(
+            spark.conf.get(
+                _EXACT_MAX_ROWS_CONF, str(_EXACT_MAX_ROWS_DEFAULT)
+            )
+        )
+        if ceiling > 0:
+            n = truth_universe.count()
+            if n > ceiling:
+                raise ValueError(
+                    f"pair_set_quality: truth universe has {n} rows "
+                    f"(> {ceiling}); the exact-pair truth relation is "
+                    "a tuning measurement, not a corpus-scale "
+                    "operator — run pair_set_quality_sampled (the "
+                    "seeded consistent-hash sampled tier) or raise "
+                    f"{_EXACT_MAX_ROWS_CONF} deliberately."
+                )
     p = pred.select(id_a, id_b).distinct().withColumn("_p", F.lit(1))
     t = truth.select(id_a, id_b).distinct().withColumn("_t", F.lit(1))
     j = p.join(t, [id_a, id_b], "full")
@@ -213,6 +246,47 @@ def pair_set_quality_sql(
         "CAST(CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn) "
         "ELSE 0 END AS BIGINT) AS recall_micro FROM c"
     )
+
+
+def pair_set_quality_sampled(
+    universe: DataFrame,
+    key_col,
+    pred_fn,
+    truth_fn,
+    rate: float = 0.5,
+    seed: int = 101,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """The corpus-scale tier of :func:`pair_set_quality` — the lm7
+    recipe (``curation.ppl_buckets_sampled``): estimate the dedup
+    tier's precision/recall from a seeded consistent-hash SAMPLE of
+    the pair universe instead of the full exact truth relation.
+
+    ``universe`` is the frame both pair generators enumerate (the
+    documents, or the distinct-paragraph stream); ``pred_fn`` /
+    ``truth_fn`` map the sampled universe to their pair sets.  The
+    sample is taken ONCE at the universe level with
+    :func:`~nlp_to_nosql_spark.operators.curation.
+    consistent_key_sample`'s md5 discipline (engine-reproducible, so
+    the tier carries the same value-level oracle as the full eval):
+    a pair survives iff BOTH endpoints are sampled, i.e. the estimate
+    is the exact precision/recall of the induced subgraph on a
+    ``rate`` fraction of nodes — the standard way to tune LSH
+    bands/thresholds when the full truth join (quadratic-ish in dense
+    near-dup regimes) is unaffordable.  Truth-side pair work drops by
+    ~``rate²``.
+
+    Both generators see the SAME sampled frame, so the measurement
+    compares them on identical inputs; the full-eval ceiling
+    (``truth_universe``) is deliberately NOT re-applied here — the
+    sample IS the guard, and callers pick ``rate`` so the sampled
+    universe is exact-affordable.
+    """
+    from nlp_to_nosql_spark.operators.curation import consistent_key_sample
+
+    s = consistent_key_sample(universe, key_col, rate, seed)
+    return pair_set_quality(pred_fn(s), truth_fn(s), id_a, id_b)
 
 
 def retrieval_metrics(

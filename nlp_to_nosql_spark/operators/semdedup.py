@@ -778,7 +778,7 @@ def _sq_dist_sql(dim: int) -> str:
 
 
 def _fitted_fa_parts(
-    n_clusters: int,
+    n_clusters: "int | str",
     iters: int,
     seed: int,
     sample_mod: int,
@@ -787,12 +787,29 @@ def _fitted_fa_parts(
     table: str,
     id_col: str,
     vec_col: str,
+    target_cell_rows: int = 512,
 ) -> list[str]:
     """The fit+assign CTE chain shared by the fitted and incremental
     twins: ``m`` (micro vectors of ``table``), ``tr`` (seeded training
     sample), ``c0..cN`` (unrolled Lloyd's), ``fd``/``fa`` (full
     assignment of ``table``).  ``table`` may be a parenthesized
-    aliased subquery (the incremental twin's corpus split)."""
+    aliased subquery (the incremental twin's corpus split).
+
+    ``n_clusters="auto"`` emits a scalar-subquery ``LIMIT`` deriving
+    ``GREATEST(8, CEIL(COUNT(*) / target_cell_rows))`` from the ``m``
+    CTE — the exact integer :func:`~nlp_to_nosql_spark.operators.
+    similarity.resolve_n_cells` computes Spark-side, so ONE static SQL
+    string stays the value twin at every scale factor.  Only the
+    ``c0`` LIMIT depends on the cluster count (Lloyd's iterations and
+    assignment range over whatever centroids ``c0`` holds), which is
+    what makes the dynamic form possible."""
+    if n_clusters == "auto":
+        limit_expr = (
+            "(SELECT GREATEST(8, CAST(CEIL(COUNT(*) / "
+            f"{float(target_cell_rows)}) AS BIGINT)) FROM m)"
+        )
+    else:
+        limit_expr = str(int(n_clusters))
     hs = _H28_SQL.format(tag=f"kmfit{seed}:", c=id_col)
     hi = _H28_SQL.format(tag=f"kminit{seed}:", c=id_col)
     sq = _sq_dist_sql(dim)
@@ -806,7 +823,7 @@ def _fitted_fa_parts(
         "c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, "
         f"{id_col}) - 1 AS BIGINT) AS c, mv AS cm "
         f"FROM (SELECT {id_col}, mv, {hi} AS h FROM tr) "
-        f"ORDER BY h, {id_col} LIMIT {n_clusters})"
+        f"ORDER BY h, {id_col} LIMIT {limit_expr})"
     ]
     for k in range(1, int(iters) + 1):
         d = sq.format(a="t.mv", b="c.cm")

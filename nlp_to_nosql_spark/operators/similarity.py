@@ -1322,9 +1322,36 @@ def knn_graph_sql(
     )
 
 
+#: Default rows-per-cell target for ``knn_graph_celled(n_cells="auto")``:
+#: auto resolves ``max(8, ceil(count / target_cell_rows))``, so per-cell
+#: exact pair work is bounded by ~``target_cell_rows²`` regardless of
+#: corpus size — the bounded-cell scale contract as CODE rather than a
+#: caller knob (constant ``n_cells`` measured 56× wall at 100× data,
+#: PERFORMANCE.md round 13).
+_AUTO_TARGET_CELL_ROWS = 512
+
+
+def resolve_n_cells(
+    n_cells: "int | str",
+    count: int,
+    target_cell_rows: int = _AUTO_TARGET_CELL_ROWS,
+) -> int:
+    """Resolve the ``n_cells="auto"`` contract deterministically from a
+    corpus row count: ``max(8, ceil(count / target_cell_rows))``.  Kept
+    as a pure int function so the DuckDB twin (which derives the same
+    value via a scalar-subquery ``LIMIT``) and tests can replay it."""
+    if n_cells == "auto":
+        if target_cell_rows < 1:
+            raise ValueError(
+                "knn_graph_celled: target_cell_rows must be >= 1"
+            )
+        return max(8, -(-int(count) // int(target_cell_rows)))
+    return int(n_cells)
+
+
 def knn_graph_celled(
     df: DataFrame,
-    n_cells: int = 8,
+    n_cells: "int | str" = 8,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1335,6 +1362,7 @@ def knn_graph_celled(
     sample_keep: int = 2,
     block_size: int = 1024,
     sel_margin: int = 8,
+    target_cell_rows: int = _AUTO_TARGET_CELL_ROWS,
 ) -> DataFrame:
     """The 100 TB composition :func:`knn_graph`'s fail-fast message
     points at, as a first-class oracle-checked operator: partition the
@@ -1367,7 +1395,18 @@ def knn_graph_celled(
     the ceiling (``spark.nlp2nosql.exact.maxRows``) applies PER CELL —
     the operator measures cell sizes (≤ ``n_cells`` driver rows) and
     fail-fasts if the LARGEST cell exceeds it, pointing at a larger
-    ``n_cells``.  DuckDB twin: :func:`knn_graph_celled_sql`.
+    ``n_cells``.  ``n_cells="auto"`` (the production mode) CODIFIES
+    the bounded-cell contract instead of leaving it to the caller:
+    one exact ``COUNT`` job resolves
+    ``max(8, ceil(count / target_cell_rows))`` via
+    :func:`resolve_n_cells`, so per-cell pair work stays ~
+    ``target_cell_rows²`` at any corpus size (constant ``n_cells``
+    measured 56× wall at 100× data; auto re-measured ~linear —
+    PERFORMANCE.md round 14).  The count is exact rather than an HLL
+    estimate so the DuckDB twin (scalar-subquery ``LIMIT`` over the
+    same ``COUNT(*)``) resolves the identical cell count and the auto
+    mode stays value-oracled at every SF.  DuckDB twin:
+    :func:`knn_graph_celled_sql`.
     """
     from nlp_to_nosql_spark.operators.semdedup import (
         assign_cells,
@@ -1380,6 +1419,16 @@ def knn_graph_celled(
     ceiling = int(
         spark.conf.get(_EXACT_MAX_ROWS_CONF, str(_EXACT_MAX_ROWS_DEFAULT))
     )
+    if n_cells == "auto":
+        # one count-only job (column-pruned scan; parquet answers it
+        # from footer metadata) — the function is already eager (the
+        # per-cell size collect below), so this adds a metadata job,
+        # not a new materialization of the corpus
+        n_cells = resolve_n_cells(
+            "auto", df.select(id_col).count(), target_cell_rows
+        )
+    else:
+        n_cells = int(n_cells)
     cents = micro_kmeans_fit(
         df,
         n_clusters=n_cells,
@@ -1445,7 +1494,7 @@ def knn_graph_celled(
 
 
 def knn_graph_celled_sql(
-    n_cells: int = 8,
+    n_cells: "int | str" = 8,
     k: int = 5,
     table: str = "embeddings",
     id_col: str = "vec_id",
@@ -1456,17 +1505,21 @@ def knn_graph_celled_sql(
     sample_mod: int = 4,
     sample_keep: int = 2,
     dim: int = 64,
+    target_cell_rows: int = _AUTO_TARGET_CELL_ROWS,
 ) -> str:
     """DuckDB twin of :func:`knn_graph_celled` — semdedup's unrolled
     micro-k-means fit+assign CTEs (``_fitted_fa_parts``: identical
     seeded sample, init, integer assignment, floor-division means)
     restrict the all-pairs quantized cosine to same-cell pairs; then
-    :func:`knn_graph_sql`'s ranking and mutual join."""
+    :func:`knn_graph_sql`'s ranking and mutual join.
+    ``n_cells="auto"`` emits a scalar-subquery ``LIMIT`` replaying
+    :func:`resolve_n_cells` over the same ``COUNT(*)``, so the static
+    string stays the value twin of auto mode at every SF."""
     from nlp_to_nosql_spark.operators.semdedup import _fitted_fa_parts
 
     parts = _fitted_fa_parts(
         n_cells, iters, seed, sample_mod, sample_keep, dim,
-        table, id_col, vec_col,
+        table, id_col, vec_col, target_cell_rows=target_cell_rows,
     )
     parts.append(
         "quant AS (" + quantize_sql(table, id_col, vec_col, levels) + ")"

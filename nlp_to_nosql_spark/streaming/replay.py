@@ -49,7 +49,17 @@ def _as_event_time(col: str = "ts"):
 
 
 def _work_dir(tag: str) -> str:
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_replay_{tag}")
+    """Per-PROCESS-unique staging directory for a replay's parquet
+    shards / checkpoints.  The pid suffix isolates concurrent runs (two
+    selfcheck/bench processes at the same SF previously shared a fixed
+    per-tag path and could clobber each other's staging between the
+    batch write and the stream replay — silently wrong results, the r13
+    advice item).  Within one process the path is stable, which the
+    crash-recovery replays rely on (they re-open the same staging
+    table/checkpoint across simulated restarts in a single session)."""
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_replay_{os.getpid()}_{tag}"
+    )
 
 
 #: State/shuffle partition count for replay runs.  Stateful streaming

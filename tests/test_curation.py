@@ -805,7 +805,10 @@ except ImportError:  # pragma: no cover
 
 
 @pytest.mark.skipif(not HAVE_HYPOTHESIS, reason="hypothesis not installed")
-@settings(max_examples=60, deadline=None)
+# libm-floor pin (the model floors ln-of-exact-product differences
+# against DuckDB's ln): derandomized per test_float_floor_property's
+# docstring — a 1-ulp libm divergence must fail deterministically
+@settings(max_examples=60, deadline=None, derandomize=True)
 @given(
     texts=st.lists(
         st.text(alphabet="ab ", min_size=0, max_size=18),

@@ -564,3 +564,64 @@ def test_ndcg_matches_pure_python(spark):
     q2 = spark.createDataFrame(qrels2, "query_id string, doc_id long")
     row = ndcg_at_k(r2, q2, k=5).collect()[0]
     assert row["ndcg"] == 1.0
+
+
+def test_pair_set_quality_truth_universe_ceiling(spark):
+    """The exact-pair eval is a tuning measurement: pointing it at a
+    truth universe above spark.nlp2nosql.exact.maxRows fail-fasts with
+    a message naming the sampled tier, instead of silently launching
+    the quadratic-ish truth join; under the ceiling it runs."""
+    from nlp_to_nosql_spark.operators.evals import pair_set_quality
+
+    pred = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    truth = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    universe = spark.range(20).withColumnRenamed("id", "doc_id")
+    spark.conf.set("spark.nlp2nosql.exact.maxRows", "10")
+    try:
+        with pytest.raises(ValueError, match="pair_set_quality_sampled"):
+            pair_set_quality(pred, truth, truth_universe=universe)
+        row = pair_set_quality(
+            pred, truth, truth_universe=universe.limit(5)
+        ).collect()[0]
+        assert row["tp"] == 1
+    finally:
+        spark.conf.unset("spark.nlp2nosql.exact.maxRows")
+
+
+def test_pair_set_quality_sampled_is_induced_subgraph(spark):
+    """eval12's operator: the sampled tier equals pair_set_quality run
+    over the pair sets RESTRICTED to sampled endpoints — both
+    generators see the same md5-sampled universe, so a pair survives
+    iff both endpoints are sampled."""
+    from nlp_to_nosql_spark.operators.curation import consistent_key_sample
+    from nlp_to_nosql_spark.operators.evals import (
+        pair_set_quality,
+        pair_set_quality_sampled,
+    )
+
+    universe = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(30)], "node long, tag string"
+    )
+    all_pred = [(i, i + 1) for i in range(0, 28, 2)]
+    all_truth = [(i, i + 1) for i in range(0, 28, 3)]
+
+    def gen(pairs):
+        def fn(s):
+            keep = {r["node"] for r in s.collect()}
+            rows = [p for p in pairs if p[0] in keep and p[1] in keep]
+            return s.sparkSession.createDataFrame(
+                rows or [(None, None)], "id_a long, id_b long"
+            ).filter(F.col("id_a").isNotNull())
+        return fn
+
+    got = pair_set_quality_sampled(
+        universe, "node", gen(all_pred), gen(all_truth), rate=0.5, seed=7
+    ).collect()[0]
+    s = consistent_key_sample(universe, "node", 0.5, 7)
+    want = pair_set_quality(
+        gen(all_pred)(s), gen(all_truth)(s)
+    ).collect()[0]
+    assert tuple(got) == tuple(want)
+    # the sample is a strict, non-empty subset for this seed
+    n = s.count()
+    assert 0 < n < 30

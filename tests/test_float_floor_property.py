@@ -22,6 +22,18 @@ Sites covered: mm6 aspect buckets (restructured to product form this
 round), colloc1 lift (IEEE-only), drift1 chi-square terms (IEEE-only),
 lm5's final two-ln lp floor (exact-BIGINT args).  DSIR's own pin lives
 in ``test_selection_property.py``.
+
+DERANDOMIZATION (r13 VERDICT "next round" #3): every pin whose model
+floors a LIBM value (``ln``) runs ``derandomize=True``.  ``ln`` is not
+required by IEEE 754 to be correctly rounded, so these pins rest on
+JVM ``Math.log``, CPython ``math.log``, and DuckDB ``ln`` agreeing to
+the ulp on the same double — empirically true on this host for 13
+rounds, but a 1-ulp divergence on a future host must surface as a
+DETERMINISTIC failure pointing at the exact example, never as a
+seed-dependent suite flake (the r12 failure mode).  The pure-IEEE
+pins (colloc lift, drift chi-square: mul/div/sub only, all correctly
+rounded by the standard and hence bit-deterministic across engines)
+keep full randomization — there is nothing host-dependent to flake.
 """
 
 from __future__ import annotations
@@ -82,6 +94,7 @@ def _py_aspect(w: int, h: int):
 @settings(
     max_examples=20,
     deadline=None,
+    derandomize=True,  # libm-floor pin: see module docstring
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_aspect_bucket_matches_python_model(spark, dims):
@@ -252,6 +265,7 @@ nanos_st = st.lists(
 @settings(
     max_examples=20,
     deadline=None,
+    derandomize=True,  # libm-floor pin: see module docstring
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_kn_lp_floor_matches_python_model(spark, nanos):

@@ -107,6 +107,11 @@ def _py_bpe(rows, top_n):
 @settings(
     max_examples=25,
     deadline=None,
+    # libm-floor pin (weight_micro floors a two-ln difference):
+    # derandomized so a 1-ulp Math.log/math.log divergence on a future
+    # host fails deterministically, never as a seed flake — the
+    # documented discipline in test_float_floor_property's docstring
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_dsir_matches_python_model(spark, corpus, k):
@@ -151,6 +156,9 @@ def test_bpe_matches_python_model(spark, corpus, top_n):
 @settings(
     max_examples=15,
     deadline=None,
+    # libm-floor pin (lp_micro floors a two-ln difference — tok8's
+    # _score): derandomized per test_float_floor_property's docstring
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_unigram_train_matches_python_model(spark, corpus, n_iters, max_pieces):

@@ -744,3 +744,58 @@ def test_knn_graph_celled_ceiling_applies_per_cell(spark):
             ).collect()
     finally:
         spark.conf.unset("spark.nlp2nosql.exact.maxRows")
+
+
+def test_resolve_n_cells_contract():
+    """auto = max(8, ceil(count / target)): floor at 8, exact integer
+    ceiling above it, explicit ints pass through untouched."""
+    from nlp_to_nosql_spark.operators.similarity import resolve_n_cells
+
+    assert resolve_n_cells("auto", 0) == 8
+    assert resolve_n_cells("auto", 512) == 8
+    assert resolve_n_cells("auto", 4096) == 8
+    assert resolve_n_cells("auto", 4097) == 9
+    assert resolve_n_cells("auto", 512 * 1000) == 1000
+    assert resolve_n_cells("auto", 512 * 1000 + 1) == 1001
+    assert resolve_n_cells("auto", 100, target_cell_rows=7) == 15
+    assert resolve_n_cells(3, 10**9) == 3
+    with pytest.raises(ValueError, match="target_cell_rows"):
+        resolve_n_cells("auto", 100, target_cell_rows=0)
+
+
+def test_knn_graph_celled_auto_matches_duckdb_twin(spark):
+    """ann14 auto mode, NON-floor resolution: 40 rows at
+    target_cell_rows=4 resolve to 10 cells (> the floor of 8) on both
+    engines — the scalar-subquery LIMIT in the twin derives the same
+    count resolve_n_cells computes, so the auto path itself is
+    value-oracled, not just the fixed-int path."""
+    import duckdb
+
+    from nlp_to_nosql_spark.operators.similarity import (
+        knn_graph_celled,
+        knn_graph_celled_sql,
+        resolve_n_cells,
+    )
+
+    df = _celled_fixture(spark)
+    assert resolve_n_cells("auto", 40, target_cell_rows=4) == 10
+    got_df = knn_graph_celled(
+        df, n_cells="auto", target_cell_rows=4, k=2, block_size=4,
+        sample_mod=1, sample_keep=1,
+    )
+    got = sorted(tuple(r) for r in got_df.collect())
+    # auto actually grew past the 8-cell floor: some edge lands in a
+    # cell id >= 8 (singleton cells legitimately contribute no edges)
+    assert max(r[2] for r in got) >= 8
+    con = duckdb.connect()
+    con.register("emb_t", df.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            knn_graph_celled_sql(
+                n_cells="auto", target_cell_rows=4, k=2, dim=8,
+                sample_mod=1, sample_keep=1, table="emb_t",
+            )
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0

@@ -48,6 +48,7 @@ from nlp_to_nosql_spark.operators.curation import (
     PII_PATTERNS,
     REPETITION_SQL,
     boilerplate_removal_sql,
+    c4_sql,
     cap_per_group_sql,
     chunk_sql,
     consistent_sample_sql,
@@ -3168,16 +3169,33 @@ def _q_target_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FineWeb/Dolma-style filter ablation table: run the three-gate
-    production stack (Gopher rules, hashed-linear classifier, CCNet
-    perplexity tertile) over the same pool and report per gate the
-    unconditional kills AND the marginal kills (docs only this gate
-    fails) — the number an ablation argues from.  Exact BIGINT counts;
-    the oracle nests the three gates' own proven SQL."""
+    """FineWeb/Dolma-style filter ablation table: run the four-gate
+    production stack (C4 heuristics, Gopher rules, hashed-linear
+    classifier, CCNet perplexity tertile) over the same pool and
+    report per gate the unconditional kills AND the marginal kills
+    (docs only this gate fails) — the number an ablation argues from.
+    Exact BIGINT counts; the oracle nests the four gates' own proven
+    SQL (round 14: quality6's c4 gate joined the stack)."""
     from nlp_to_nosql_spark.operators.curation import filter_attribution
 
     docs = register_tables(spark, sf_dir)["documents"]
     return filter_attribution(docs, F.col("lang") == "en")
+
+
+def _q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality6 — C4's heuristic line/document filter (Raffel et al.
+    2020 §2.2), the widely-replicated cleanup that precedes the
+    statistical gates: keep only ≥5-word terminal-punctuated lines
+    with no Javascript/boilerplate phrase, then drop documents with a
+    curly bracket, 'lorem ipsum', or <3 sentences of retained text.
+    Emits the line-filtered rebuild (clean_text) plus per-doc
+    diagnostics and the keep decision — ONE zero-shuffle projection,
+    document text never enters a shuffle
+    (operators/curation.py c4_rules)."""
+    from nlp_to_nosql_spark.operators.curation import c4_rules
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    return c4_rules(docs, "doc_id", "text")
 
 
 def _q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4858,6 +4876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid1_charngram_nb": _q_nb_langid,
         "quality4_weighted_filter": _q_weighted_filter,
         "quality5_filter_attribution": _q_filter_attribution,
+        "quality6_c4_rules": _q_c4_rules,
         "eval1_retrieval_metrics": _q_retrieval_metrics,
         "eval2_classifier_metrics": _q_classifier_metrics,
         "eval3_classifier_calibration": _q_classifier_calibration,
@@ -6037,6 +6056,7 @@ def oracle_sql() -> dict[str, str]:
             group_col="lang",
         ),
         "quality2_gopher_rules": gopher_sql(),
+        "quality6_c4_rules": c4_sql(),
         "clean1_boilerplate_removal": boilerplate_removal_sql(
             k=5, max_df=2
         ),

@@ -290,6 +290,191 @@ def gopher_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# C4-style heuristic line/document filter (Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+
+#: C4 thresholds (Raffel et al., arXiv:1910.10683 §2.2): lines must hold
+#: ≥5 words; pages must hold ≥3 sentences.  ONE source of truth — both
+#: the Column expressions and the SQL twin format from this dict.
+C4_THRESHOLDS: dict[str, int] = {
+    "min_words_per_line": 5,
+    "min_sentences": 3,
+}
+
+#: Lowercase substrings that DROP a line: the paper's "any line with the
+#: word Javascript" rule plus the standard cookie/policy boilerplate
+#: phrases the C4-descendant pipelines (RefinedWeb, Dolma) strip at line
+#: grain.  Substring containment, not regex — portable by construction.
+C4_LINE_DROP_PHRASES: tuple[str, ...] = (
+    "javascript",
+    "cookie policy",
+    "privacy policy",
+    "terms of use",
+    "all rights reserved",
+)
+
+#: Lowercase substrings that DROP the whole document ("any page where
+#: the phrase 'lorem ipsum' appeared").
+C4_DOC_DROP_PHRASES: tuple[str, ...] = ("lorem ipsum",)
+
+#: Terminal-punctuation test for a trimmed line ("ended in a terminal
+#: punctuation mark (i.e. a period, exclamation mark, question mark, or
+#: end quotation mark)").  Plain character class + ``$`` — parses
+#: identically in Java regex and RE2.
+_C4_TERMINAL_RE = "[.!?\"']$"
+
+#: Intra-line whitespace for word counting (no ``\s``: Java's includes
+#: \x0B where RE2's does not — the pii1/_SYMBOL_CLASS portability
+#: discipline).  \n never appears inside a split line.
+_C4_LINE_WS = "[ \t\x0B\f\r]"
+
+
+def c4_rules(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4's heuristic line/document filter (Raffel et al. 2020 §2.2) —
+    the widely-replicated pretraining cleanup that precedes the
+    statistical gates: per LINE keep only ≥5-word lines ending in
+    terminal punctuation with no Javascript/boilerplate phrase; per
+    DOCUMENT drop anything containing a curly bracket or "lorem
+    ipsum", or whose retained text holds fewer than 3 sentences.
+
+    Returns one row per input row: ``(id, n_lines, n_kept_lines,
+    n_sentences, has_brace, has_doc_phrase, clean_text, keep)`` —
+    ``clean_text`` is the line-filtered rebuild (newline-joined kept
+    lines, usable as a transformation stage like the paragraph-dedup
+    rebuild), ``keep`` the document decision.  Deliberate deltas from
+    the paper, chosen for engine-portable determinism: sentences are
+    counted as terminal-punctuation marks in the RETAINED text (the
+    original uses an English sentence tokenizer — a model dependency
+    no value-level oracle could replay), and the badword list is out
+    of scope (pii1 covers pattern-based redaction).
+
+    Plan shape: ONE zero-shuffle projection — line split, lambda
+    filter, rebuild, and every count are per-row expressions; no
+    explode, no re-grouping, so document text never enters a shuffle
+    (the quality2 discipline).  Line-level work runs in interpreted
+    lambdas (short lines, few per doc); the doc-level scans are
+    codegen'd ``contains``/``regexp_count``.  Thresholds/phrases:
+    :data:`C4_THRESHOLDS`, :data:`C4_LINE_DROP_PHRASES`,
+    :data:`C4_DOC_DROP_PHRASES` — the SQL twin (:func:`c4_sql`)
+    formats from the same constants, so they cannot desynchronize.
+    """
+    import functools
+    import operator
+
+    t = C4_THRESHOLDS
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+
+    def line_keep(x: Column) -> Column:
+        trimmed = F.btrim(x, F.lit(" \t\r"))
+        words = F.filter(
+            F.split(
+                F.regexp_replace(trimmed, _C4_LINE_WS + "+", " "), " "
+            ),
+            lambda w: w != F.lit(""),
+        )
+        low = F.lower(trimmed)
+        dropped = functools.reduce(
+            operator.or_,
+            [low.contains(p) for p in C4_LINE_DROP_PHRASES],
+        )
+        return (
+            (F.size(words) >= F.lit(int(t["min_words_per_line"])))
+            & trimmed.rlike(_C4_TERMINAL_RE)
+            & ~dropped
+        )
+
+    staged = df.select(
+        F.col(id_col),
+        raw.alias("_raw"),
+        F.split(raw, "\n").alias("_ls"),
+    ).select(
+        id_col,
+        "_raw",
+        "_ls",
+        F.filter(F.col("_ls"), line_keep).alias("_kept"),
+    )
+    doc_phrase = functools.reduce(
+        operator.or_,
+        [F.lower(F.col("_raw")).contains(p) for p in C4_DOC_DROP_PHRASES],
+    )
+    out = staged.select(
+        F.col(id_col),
+        F.size("_ls").cast("long").alias("n_lines"),
+        F.size("_kept").cast("long").alias("n_kept_lines"),
+        F.regexp_count(
+            F.array_join("_kept", "\n"), F.lit("[.!?]")
+        ).cast("long").alias("n_sentences"),
+        (
+            F.col("_raw").contains("{") | F.col("_raw").contains("}")
+        ).alias("has_brace"),
+        doc_phrase.alias("has_doc_phrase"),
+        F.array_join("_kept", "\n").alias("clean_text"),
+    )
+    keep = (
+        (F.col("n_kept_lines") >= F.lit(1))
+        & (F.col("n_sentences") >= F.lit(int(t["min_sentences"])))
+        & ~F.col("has_brace")
+        & ~F.col("has_doc_phrase")
+    )
+    return out.select("*", keep.alias("keep"))
+
+
+def c4_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`c4_rules` — same lambda line filter,
+    rebuild, counts, and keep predicate, formatted from the SAME
+    threshold/phrase constants."""
+    t = C4_THRESHOLDS
+    term = _C4_TERMINAL_RE.replace("'", "''")
+    trimmed = "trim(x, ' ' || chr(9) || chr(13))"
+    line_drop = " OR ".join(
+        f"contains(lower({trimmed}), '{p}')" for p in C4_LINE_DROP_PHRASES
+    )
+    # DuckDB regexp_replace is first-match-only without the 'g' flag
+    # (Spark's is global by default) — the flag is load-bearing
+    words = (
+        f"list_filter(string_split(regexp_replace({trimmed}, "
+        f"'{_C4_LINE_WS}+', ' ', 'g'), ' '), w -> w <> '')"
+    )
+    pred = (
+        f"len({words}) >= {int(t['min_words_per_line'])} "
+        f"AND regexp_matches({trimmed}, '{term}') "
+        f"AND NOT ({line_drop})"
+    )
+    doc_phrase = " OR ".join(
+        f"contains(lower(raw), '{p}')" for p in C4_DOC_DROP_PHRASES
+    )
+    return (
+        f"WITH c4b AS (SELECT {id_col}, "
+        f"COALESCE({text_col}, '') AS raw, "
+        f"string_split(COALESCE({text_col}, ''), chr(10)) AS ls "
+        f"FROM {table}), "
+        f"c4k AS (SELECT {id_col}, raw, ls, "
+        f"list_filter(ls, x -> {pred}) AS kept FROM c4b), "
+        f"c4s AS (SELECT {id_col}, "
+        "CAST(len(ls) AS BIGINT) AS n_lines, "
+        "CAST(len(kept) AS BIGINT) AS n_kept_lines, "
+        # array_to_string([]) is NULL in DuckDB where Spark's
+        # array_join([]) is '' — coalesce to the Spark behavior
+        "CAST(len(regexp_extract_all(COALESCE(array_to_string(kept, "
+        "chr(10)), ''), '[.!?]')) AS BIGINT) AS n_sentences, "
+        "(contains(raw, '{') OR contains(raw, '}')) AS has_brace, "
+        f"({doc_phrase}) AS has_doc_phrase, "
+        "COALESCE(array_to_string(kept, chr(10)), '') AS clean_text "
+        "FROM c4k) "
+        f"SELECT {id_col}, n_lines, n_kept_lines, n_sentences, "
+        "has_brace, has_doc_phrase, clean_text, "
+        f"(n_kept_lines >= 1 AND n_sentences >= {int(t['min_sentences'])} "
+        "AND NOT has_brace AND NOT has_doc_phrase) AS keep FROM c4s"
+    )
+
+
+# ---------------------------------------------------------------------------
 # temperature-scaled mixture sampling (data-dependent rates)
 # ---------------------------------------------------------------------------
 
@@ -2523,38 +2708,44 @@ def filter_attribution(
     text_col: str = "text",
     group_col: str = "lang",
 ) -> DataFrame:
-    """Per-gate kill attribution for the three-gate production filter
+    """Per-gate kill attribution for the four-gate production filter
     stack (the FineWeb/Dolma ablation table, Penedo et al.
     arXiv:2406.17557 §3; Soldaini et al. arXiv:2402.00159): run the
-    Gopher structural rules, the hashed-linear quality classifier, and
-    the CCNet perplexity-tertile gate over the same pool and report,
-    per gate, how many documents it fails UNCONDITIONALLY (``n_fail``)
-    and how many it ALONE fails (``n_fail_only`` — passing both other
-    gates), plus the surviving intersection (``n_pass_all``, identical
-    on every row).  ``n_fail_only`` is the marginal-kill number an
-    ablation actually argues from: a gate whose kills are all covered
-    by the other two is removable.
+    C4 heuristic line/document rules, the Gopher structural rules, the
+    hashed-linear quality classifier, and the CCNet perplexity-tertile
+    gate over the same pool and report, per gate, how many documents
+    it fails UNCONDITIONALLY (``n_fail``) and how many it ALONE fails
+    (``n_fail_only`` — passing every other gate), plus the surviving
+    intersection (``n_pass_all``, identical on every row).
+    ``n_fail_only`` is the marginal-kill number an ablation actually
+    argues from: a gate whose kills are all covered by the others is
+    removable.
 
-    Gates: ``gopher`` = :func:`gopher_rules` keep; ``classifier`` =
+    Gates: ``c4`` = :func:`c4_rules` keep (quality6 — the heuristic
+    tier that historically runs FIRST); ``gopher`` =
+    :func:`gopher_rules` keep; ``classifier`` =
     ``classify.hashed_linear_score`` keep (absent rows — zero-token
     docs — count as fail); ``ppl`` = :func:`ppl_buckets` bucket ≤ 2
     under the ``target``-trained LM (CCNet keeps head+middle), scored
     over the NON-target pool per the lm3 convention — documents
     matching ``target_pred`` are definitionally in-domain and PASS the
     ppl gate.  All counts are exact BIGINTs; the DuckDB twin
-    (:func:`filter_attribution_sql`) nests the three gates' own proven
+    (:func:`filter_attribution_sql`) nests the four gates' own proven
     oracle SQL as CTEs, so this query's correctness is inherited, not
     re-derived.
 
-    Scale: three scans of the pool (each gate's own plan — the
-    classifier zero-shuffle, Gopher one (id, gram) partial agg, the LM
-    gate lm2's two corpus-independent exchanges), one three-way id
-    join of one-row-per-doc boolean frames, one global aggregate to a
-    single counts row exploded to 3 gate rows.
+    Scale: four scans of the pool (each gate's own plan — the C4 and
+    classifier gates zero-shuffle, Gopher one (id, gram) partial agg,
+    the LM gate lm2's two corpus-independent exchanges), one four-way
+    id join of one-row-per-doc boolean frames, one global aggregate to
+    a single counts row exploded to 4 gate rows.
     """
     from nlp_to_nosql_spark.operators.classify import hashed_linear_score
 
     is_target = target_pred.eqNullSafe(F.lit(True))
+    g4 = c4_rules(pool, id_col, text_col).select(
+        F.col(id_col), F.col("keep").alias("_g4")
+    )
     gg = gopher_rules(pool, id_col, text_col).select(
         F.col(id_col), F.col("keep").alias("_gg")
     )
@@ -2571,10 +2762,12 @@ def filter_attribution(
     ).select(F.col(id_col), (F.col("ppl_bucket") <= 2).alias("_gp"))
     flags = (
         pool.select(F.col(id_col), is_target.alias("_t"))
+        .join(g4, id_col, "left")
         .join(gg, id_col, "left")
         .join(gc, id_col, "left")
         .join(gp, id_col, "left")
         .select(
+            F.coalesce("_g4", F.lit(False)).alias("_g4"),
             F.coalesce("_gg", F.lit(False)).alias("_gg"),
             F.coalesce("_gc", F.lit(False)).alias("_gc"),
             # target docs are in-domain by definition → ppl gate passes
@@ -2585,20 +2778,27 @@ def filter_attribution(
     def cnt(cond):
         return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
 
-    g, c, p = F.col("_gg"), F.col("_gc"), F.col("_gp")
+    h, g, c, p = F.col("_g4"), F.col("_gg"), F.col("_gc"), F.col("_gp")
     agg = flags.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
+        cnt(~h).alias("f_h"),
         cnt(~g).alias("f_g"),
         cnt(~c).alias("f_c"),
         cnt(~p).alias("f_p"),
-        cnt(~g & c & p).alias("o_g"),
-        cnt(g & ~c & p).alias("o_c"),
-        cnt(g & c & ~p).alias("o_p"),
-        cnt(g & c & p).alias("pass_all"),
+        cnt(~h & g & c & p).alias("o_h"),
+        cnt(h & ~g & c & p).alias("o_g"),
+        cnt(h & g & ~c & p).alias("o_c"),
+        cnt(h & g & c & ~p).alias("o_p"),
+        cnt(h & g & c & p).alias("pass_all"),
     )
     rows = agg.select(
         F.explode(
             F.array(
+                F.struct(
+                    F.lit("c4").alias("gate"),
+                    F.col("f_h").alias("n_fail"),
+                    F.col("o_h").alias("n_fail_only"),
+                ),
                 F.struct(
                     F.lit("gopher").alias("gate"),
                     F.col("f_g").alias("n_fail"),
@@ -2635,38 +2835,46 @@ def filter_attribution_sql(
     text_col: str = "text",
     group_col: str = "lang",
 ) -> str:
-    """DuckDB twin of :func:`filter_attribution` — the three gates'
+    """DuckDB twin of :func:`filter_attribution` — the four gates'
     proven oracle SQL nested as CTEs, the same boolean algebra, the
-    same 3-row explosion (UNION ALL)."""
+    same 4-row explosion (UNION ALL)."""
     from nlp_to_nosql_spark.operators.classify import hashed_linear_score_sql
 
+    c4 = c4_sql(table, id_col, text_col)
     gopher = gopher_sql()
     cls = hashed_linear_score_sql(n_buckets=1024, scale=1000)
     ppl = ppl_buckets_sql(target_sql, group_col, 3, table, text_col, id_col)
     return (
-        f"WITH gg AS (SELECT {id_col}, keep AS g FROM ({gopher})), "
+        f"WITH g4 AS (SELECT {id_col}, keep AS h FROM ({c4})), "
+        f"gg AS (SELECT {id_col}, keep AS g FROM ({gopher})), "
         f"gc AS (SELECT {id_col}, keep AS c FROM ({cls})), "
         f"gp AS (SELECT {id_col}, ppl_bucket <= 2 AS p FROM ({ppl})), "
-        f"flags AS (SELECT COALESCE(g, FALSE) AS g, COALESCE(c, FALSE) AS c, "
+        f"flags AS (SELECT COALESCE(h, FALSE) AS h, "
+        f"COALESCE(g, FALSE) AS g, COALESCE(c, FALSE) AS c, "
         # target docs never appear in gp (lm3 scores the complement):
         # they are in-domain by definition and pass the ppl gate
         f"COALESCE(p, COALESCE(({target_sql}), FALSE)) AS p FROM {table} d "
+        f"LEFT JOIN g4 USING ({id_col}) "
         f"LEFT JOIN gg USING ({id_col}) LEFT JOIN gc USING ({id_col}) "
         f"LEFT JOIN gp USING ({id_col})), "
         "agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(CASE WHEN NOT h THEN 1 ELSE 0 END) AS BIGINT) AS f_h, "
         "CAST(SUM(CASE WHEN NOT g THEN 1 ELSE 0 END) AS BIGINT) AS f_g, "
         "CAST(SUM(CASE WHEN NOT c THEN 1 ELSE 0 END) AS BIGINT) AS f_c, "
         "CAST(SUM(CASE WHEN NOT p THEN 1 ELSE 0 END) AS BIGINT) AS f_p, "
-        "CAST(SUM(CASE WHEN NOT g AND c AND p THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS o_g, "
-        "CAST(SUM(CASE WHEN g AND NOT c AND p THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS o_c, "
-        "CAST(SUM(CASE WHEN g AND c AND NOT p THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS o_p, "
-        "CAST(SUM(CASE WHEN g AND c AND p THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS pass_all FROM flags) "
-        "SELECT 'gopher' AS gate, n_docs, f_g AS n_fail, o_g AS n_fail_only, "
+        "CAST(SUM(CASE WHEN NOT h AND g AND c AND p THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS o_h, "
+        "CAST(SUM(CASE WHEN h AND NOT g AND c AND p THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS o_g, "
+        "CAST(SUM(CASE WHEN h AND g AND NOT c AND p THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS o_c, "
+        "CAST(SUM(CASE WHEN h AND g AND c AND NOT p THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS o_p, "
+        "CAST(SUM(CASE WHEN h AND g AND c AND p THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS pass_all FROM flags) "
+        "SELECT 'c4' AS gate, n_docs, f_h AS n_fail, o_h AS n_fail_only, "
         "pass_all AS n_pass_all FROM agg "
+        "UNION ALL SELECT 'gopher', n_docs, f_g, o_g, pass_all FROM agg "
         "UNION ALL SELECT 'classifier', n_docs, f_c, o_c, pass_all FROM agg "
         "UNION ALL SELECT 'ppl', n_docs, f_p, o_p, pass_all FROM agg"
     )

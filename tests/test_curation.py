@@ -974,7 +974,7 @@ def test_filter_attribution_counts_are_consistent(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     out = filter_attribution(df, F.col("lang") == "en").collect()
-    assert {r["gate"] for r in out} == {"gopher", "classifier", "ppl"}
+    assert {r["gate"] for r in out} == {"c4", "gopher", "classifier", "ppl"}
     pass_all = {r["n_pass_all"] for r in out}
     assert len(pass_all) == 1
     for r in out:
@@ -1341,3 +1341,63 @@ def test_longest_shared_span_islands(spark):
     assert got[2] == (2, 3)   # two 1-gram islands, both spans of 3
     assert got[3] == (0, 0)
     assert got[4] == (0, 0)
+
+
+def test_c4_rules_hand_checked_and_twin(spark):
+    """quality6 fixtures: terminal-punct and ≥5-word line gates,
+    javascript/policy line drops, brace / lorem-ipsum / <3-sentence
+    document drops, NULL text, CRLF trims, tab word splits, quote
+    terminators — and the DuckDB twin agrees row-for-row."""
+    import duckdb
+    import pandas as pd
+
+    from nlp_to_nosql_spark.operators.curation import c4_rules, c4_sql
+
+    rows = [
+        (0, "This is a good sentence with many words.\n"
+            "Another fine long sentence right here!\n"
+            "A third proper sentence stands here too."),
+        (1, "Too short.\nNo terminal punctuation on this line here"),
+        (2, "This page has braces { inside } of it. "
+            "With sentences. Three of them even."),
+        (3, "Lorem Ipsum dolor sit amet is placeholder text here.\n"
+            "Second real sentence sits right here.\n"
+            "Third sentence completes the document now."),
+        (4, "Enable javascript to view this content properly please.\n"
+            "This line is a real sentence with words.\n"
+            "Another actual sentence follows it right here.\n"
+            "And one final sentence to be safe here."),
+        (5, None),
+        (6, "Check our privacy policy for more details please.\n"
+            "All rights reserved by the site owner entirely.\n"
+            "One genuine sentence lives in this document here.\n"
+            "A second genuine sentence arrives right now!\n"
+            "The third one asks a question, does it not?"),
+        (7, "  Padded line with five words here.  \r\n"
+            "Tabs\tbetween\twords\tcount\tproperly now.\n"
+            'Quote ended line has enough words "indeed"'),
+        (8, "One two three four five.\nSix seven eight nine ten!\n"
+            "Is this eleven twelve thirteen?"),  # exactly 5w/3s: keeps
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in c4_rules(df).collect()}
+    # line gates
+    assert got[1]["n_kept_lines"] == 0 and not got[1]["keep"]
+    # doc gates: brace, lorem ipsum (case-insensitive), javascript line
+    assert got[2]["has_brace"] and not got[2]["keep"]
+    assert got[3]["has_doc_phrase"] and not got[3]["keep"]
+    assert got[4]["n_kept_lines"] == 3 and got[4]["keep"]
+    # policy boilerplate lines dropped, remaining 3 sentences keep
+    assert got[6]["n_kept_lines"] == 3 and got[6]["keep"]
+    # NULL text: empty, dropped, never NULL outputs
+    assert got[5]["clean_text"] == "" and not got[5]["keep"]
+    # CRLF trim + tab word count + quote terminator all pass the line
+    # gate; only 2 sentences among kept lines → doc dropped
+    assert got[7]["n_kept_lines"] == 3 and got[7]["n_sentences"] == 2
+    assert not got[7]["keep"]
+    assert got[8]["keep"] and got[8]["n_sentences"] == 3
+    # exact twin equality
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = sorted(tuple(r) for r in con.execute(c4_sql()).fetchall())
+    assert sorted(tuple(r) for r in got.values()) == want

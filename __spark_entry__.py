@@ -67,6 +67,7 @@ from nlp_to_nosql_spark.operators.curation import (
     temperature_rate_ctes,
     temperature_sql,
 )
+from nlp_to_nosql_spark.operators.packing import best_fit_pack_sql
 from nlp_to_nosql_spark.operators.changelog import (
     latest_wins_sql,
     scd2_snapshot_sql,
@@ -2926,6 +2927,24 @@ def _q_token_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_manifest(packed, "doc_id", "n_tokens")
 
 
+def _q_best_fit_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack3 — straddle-free sequence packing by length-bucketed
+    best-fit-decreasing slotting: exact-integer-log2 length buckets,
+    slots per bin from the realized bucket maximum, ranks via the same
+    two-pass distributed prefix sum as pack1 — whole documents only
+    (no cross-sequence split), bounded pad waste (measured at sf0.1,
+    budget 100: pad 24.7% vs 45.9% for the one-doc-per-sequence
+    baseline; pack1's stream cut is 0% pad but splits boundary docs —
+    PERFORMANCE.md round 14; operators/packing.py best_fit_pack)."""
+    from nlp_to_nosql_spark.functions.text import token_count
+    from nlp_to_nosql_spark.operators.packing import best_fit_pack
+
+    docs = register_tables(spark, sf_dir)["documents"].select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return best_fit_pack(docs, "doc_id", "n_tokens", budget=100)
+
+
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination (``dedup.contamination_report``): split
     documents into pseudo train (even ids) / eval (odd ids) corpora and
@@ -4763,6 +4782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup11_winnowed_spans": _q_winnowed_spans,
         "pack1_token_budget": _q_token_packing,
         "pack2_batch_manifest": _q_token_batches,
+        "pack3_best_fit": _q_best_fit_pack,
         "ord1_shuffle_shards": _q_shuffle_shards,
         "dc1_contamination": _q_contamination,
         "dedup3_minhash_lsh": _q_minhash_lsh,
@@ -6598,6 +6618,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(dst_w * dst_h AS BIGINT) AS n_resized_bytes, "
             "sha256(text || '|' || CAST(dst_w AS VARCHAR) || 'x' || "
             "CAST(dst_h AS VARCHAR)) AS resized_sha256 FROM d"
+        ),
+        "pack3_best_fit": best_fit_pack_sql(
+            100, tx.TOKEN_COUNT_SQL.format(c="text")
         ),
         "pack1_token_budget": (
             _PACKING_CTE.format(tc=tx.TOKEN_COUNT_SQL.format(c="text"))

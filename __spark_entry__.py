@@ -4929,75 +4929,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-#: Round-13 driver-window rotation (VERDICT r12 task 3): freshness is
-#: the only correctness metric left — every query except this round's
-#: additions has been driver-green at least once.  The five round-13
-#: additions and the four r12 late additions front the window (checked
-#: immediately, never left for a tail), followed by the FULL 29-member
-#: r08-stale cohort (the exact list in VERDICT r12), topped up with 12
-#: from the r09 cohort — sel1/sel2 first because the round-13 DSIR
-#: product-form fix changed their oracles.  The remaining 38 r09
-#: queries are the natural round-14 window; everything outside the
-#: window stays selfcheck-verified at three SFs each round with the
-#: driver's exact methodology (tools/selfcheck.py; SELFCHECK_r13.log).
+#: Round-14 driver-window rotation (VERDICT r13 task 2): freshness is
+#: the only correctness metric left — unioning CORRECTNESS_r01-r13,
+#: every query has been driver-green at least once.  The three
+#: round-14 additions (eval12/quality6/pack3) and the two queries
+#: whose ORACLES changed this round (ann14 now runs auto-celled;
+#: quality5 gained the c4 gate, 3 rows → 4) front the window (checked
+#: immediately, never left for a tail), followed by the FULL 38-member
+#: r09-stale cohort (the exact list in VERDICT r13 task 2 — nothing is
+#: staler), topped up to 50 with the alphabetically-first 7 of the
+#: 50-member r10 cohort (the natural round-15 window).  Everything
+#: outside the window stays selfcheck-verified at three SFs each round
+#: with the driver's exact methodology (tools/selfcheck.py;
+#: SELFCHECK_r14.log).
 _ROTATED_FRONT = (
-    # new in round 13 + the four r12 late additions the r12 judge
-    # flagged as never-driver-checked (checked immediately)
+    # new in round 14 + this round's changed-oracle queries
+    "eval12_pair_quality_sampled",
+    "quality6_c4_rules",
+    "pack3_best_fit",
     "ann14_knn_graph_celled",
-    "eval10_knn_eval_celled",
-    "dedup20_paragraph_neardup",
-    "eval11_paragraph_dedup_quality",
-    "stream17_paragraph_admission",
-    "dc4_longest_shared_span",
-    "lm6_kn_artifact",
-    "lm7_sampled_tertiles",
-    "pipe11_trained_pack",
-    # the complete 29-member r08-stale cohort (last driver row
-    # CORRECTNESS_r08 — nothing is staler; VERDICT r12 task 3's list)
-    "mix1_lang_sample",
-    "mix2_temperature_sample",
-    "pipe2_multimodal_curation",
-    "pipe4_corpus_layout",
-    "pipe5_user_profile",
-    "prof1_table_profile",
-    "prof2_dup_group_sizes",
-    "prof4_key_skew",
-    "prof5_length_quantiles",
-    "quality1_repetition",
-    "s11_partitioned_roundtrip",
-    "s12_orc_roundtrip",
-    "sample1_hash_bucket",
-    "sample2_stratified",
-    "sample3_joinable_slice",
-    "seq1_event_transitions",
-    "set2_intersect_nations",
-    "set4_bag_semantics",
-    "split1_hash_split",
-    "split2_stratified_split",
-    "sub2_above_own_avg",
-    "text2_charngram_sketch",
-    "tok1_token_histogram",
-    "tok2_vocab_coverage",
-    "ts5_gapfill_hourly",
-    "unpivot1_status_long",
-    "win4_ntile_quartiles",
-    "win6_rank_distribution",
-    "zorder1_layout_profile",
-    # top-up from the r09 cohort: sel1/sel2 first (their oracles
-    # changed with the round-13 DSIR product-form fix), then the
-    # alphabetically-first of the rest
-    "sel1_dsir_select",
-    "sel2_dsir_per_source",
-    "agg8_rollup_region_nation",
-    "emb2_label_centroids",
-    "emb4_quantize",
-    "eval1_retrieval_metrics",
-    "eval2_classifier_metrics",
-    "eval3_classifier_calibration",
-    "eval4_ann_recall",
-    "eval5_dedup_quality",
-    "funnel1_ordered_conversion",
-    "fuse1_rrf_hybrid",
+    "quality5_filter_attribution",
+    # the complete 38-member r09-stale cohort (last driver row
+    # CORRECTNESS_r09; VERDICT r13 task 2's list)
+    "j1_projection",
+    "j2_select_all",
+    "join1_revenue_by_nation",
+    "join2_salted_skew",
+    "join3_semi_customers",
+    "nl1_salary_gt",
+    "nl2_names_projection",
+    "nl3_department_regex",
+    "nl4_find_all",
+    "nl5_salary_lt",
+    "nl6_experience_gt",
+    "nl7_age_gt",
+    "nl8_age_lt",
+    "nl9_salary_eq",
+    "nl10_department_synonym",
+    "p1_gt",
+    "p2_lt",
+    "p3_p4_range",
+    "p5_eq",
+    "p6_implicit_eq",
+    "p7_ne",
+    "p8_in",
+    "p9_regex_i",
+    "p10_find_all",
+    "p11_conjunction",
+    "p12_unknown_field",
+    "pipe3_pretraining_e2e",
+    "quality2_gopher_rules",
+    "quality4_weighted_filter",
+    "s13_jsonl_gz_roundtrip",
+    "sess2_native_session_window",
+    "sketch3_hll_ndv_by_lang",
+    "sketch4_hll_snapshot_overlap",
+    "sketch5_cms_heavy_by_lang",
+    "stream14_hll_by_accumulate",
+    "text4_bm25_topk",
+    "tok3_bpe_merge_pairs",
+    "win7_first_last_orders",
+    # top-up: the alphabetically-first 7 of the r10 cohort
+    "a1_count_filtered",
+    "a2_count_all",
+    "a5_a6_a7_event_metrics",
+    "agg1_pricing_summary",
+    "agg2_order_percentiles",
+    "agg5_cube_status",
+    "agg6_corr_bal_orders",
 )
 
 

@@ -1157,7 +1157,14 @@ def paragraph_neardup(
     already collapsed), whose signatures are scan-side folds and whose
     banding shuffle moves (key, band, bucket) ints; paragraph text
     shuffles once, in the rebuild.  DuckDB twin:
-    :func:`paragraph_neardup_sql`.
+    :func:`paragraph_neardup_sql` — with one collision-bounded
+    divergence (the :func:`minhash_lsh_pairs` banding caveat at
+    paragraph grain): Spark bands on ``xxhash64`` of the signature
+    slice while the twin compares slices directly, so a 64-bit
+    slice-hash collision could admit a verified pair (est_jaccard ≥
+    threshold spread across bands with no fully-equal band) that the
+    SQL lacks — birthday-bounded, never observed, and pinned as
+    understood in the property test's docstring.
     """
     base, paras, firsts = _paragraph_stage(df, id_col, text_col, sep)
     reps = firsts.select(

@@ -1609,8 +1609,15 @@ def unigram_train(
     vocabulary-sized work — the span explode, the piece-keyed join,
     the map-building groupBy, the zero-shuffle DP projection, and a
     use-count groupBy; the corpus text is never touched after the
-    word count (the BPE-trainer contract), and no state reaches the
-    driver (the loop composes lazily; ``n_iters`` is a constant).
+    word count (the BPE-trainer contract), and no driver-side DATA
+    state accumulates (``n_iters`` is a constant).  The loop is NOT
+    lazy: each iteration ends in ``localCheckpoint(eager=True)`` —
+    Spark jobs run at plan-construction time — because the unrolled
+    lineage's repeated Catalyst re-analysis dominated wall time
+    (15.4 → 7.7 s at sf0.1, the A/B in ``_unigram_em``).  The trade
+    is non-replayable lineage on executor loss; each checkpoint is
+    ≤ (alphabet + max_pieces) rows, re-derivable by re-running the
+    fit.
     """
     staged, kept, score = _unigram_em(
         df, text_col, max_piece_len, min_count, n_iters, max_pieces, scale
@@ -1697,6 +1704,15 @@ def _unigram_em(
     kept = kept.localCheckpoint(eager=True)
     for _ in range(int(n_iters)):
         seg = _viterbi_segment(staged, _score(kept), L)
+        # 'used' feeds BOTH the multi filter and the chars left-join
+        # below unpersisted, so the iteration's Viterbi DP subtree
+        # evaluates twice inside the eager checkpoint job — a
+        # deliberate trade: the DP is a zero-shuffle projection over
+        # the Heaps'-bounded word frame (already persisted as
+        # 'staged'), and the checkpoint A/B above was measured in
+        # exactly this 2×-DP form; persisting a per-iteration
+        # vocabulary-sized frame would add cache churn for a subtree
+        # that costs less than the analysis time the checkpoint saves.
         used = seg.select(
             "wc", F.explode(F.col("_wk").getField("ps")).alias("piece")
         ).groupBy("piece").agg(F.sum("wc").cast("long").alias("c"))

@@ -885,6 +885,51 @@ def main() -> int:
                 ),
                 __import__("tempfile").mkdtemp(prefix="probe_kn_"),
             ),
+            # round-14 additions
+            "ann14_auto_cells": lambda: __import__(
+                "nlp_to_nosql_spark.operators.similarity", fromlist=["x"]
+            ).knn_graph_celled(emb, n_cells="auto", k=5),
+            "eval12_pair_quality_sampled": lambda: (lambda ddp, ev: (
+                ev.pair_set_quality_sampled(
+                    ddp.distinct_paragraphs(_mldocs(docs), "doc_id", "text"),
+                    "para_key",
+                    lambda s: ddp.minhash_lsh_pairs(
+                        s, "para_key", "para_text", k=3, num_perm=32,
+                        bands=8, threshold=0.5,
+                        sig_fn=ddp.minhash_signatures_md5,
+                    ),
+                    lambda s: ddp.ngram_jaccard_pairs(
+                        s, "para_key", "para_text", k=3, threshold=0.5
+                    ),
+                    rate=0.5,
+                    seed=101,
+                )
+            ))(
+                __import__(
+                    "nlp_to_nosql_spark.operators.dedup", fromlist=["x"]
+                ),
+                __import__(
+                    "nlp_to_nosql_spark.operators.evals", fromlist=["x"]
+                ),
+            ),
+            "pack3_best_fit": lambda: (lambda pk, txf: pk.best_fit_pack(
+                docs.select(
+                    "doc_id", txf.token_count(F.col("text")).alias("n_tokens")
+                ),
+                "doc_id",
+                "n_tokens",
+                budget=100,
+            ))(
+                __import__(
+                    "nlp_to_nosql_spark.operators.packing", fromlist=["x"]
+                ),
+                __import__(
+                    "nlp_to_nosql_spark.functions.text", fromlist=["x"]
+                ),
+            ),
+            "quality6_c4_rules": lambda: __import__(
+                "nlp_to_nosql_spark.operators.curation", fromlist=["x"]
+            ).c4_rules(docs, "doc_id", "text"),
         }
 
     # Discarded warm-up pass at 1x: JVM/codegen/Arrow warm-up otherwise

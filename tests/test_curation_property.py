@@ -269,3 +269,96 @@ def test_boilerplate_removal_matches_python_reference(spark, docs, max_df):
     }
     want = _py_boilerplate(dict(enumerate(docs)), 3, max_df)
     assert got == want, (docs, max_df)
+
+
+# ---------------------------------------------------------------------------
+# quality6: C4 heuristic line/document rules vs pure-Python model
+# ---------------------------------------------------------------------------
+
+_c4_line = st.one_of(
+    st.text(alphabet="ab .!?\"'{}\t", min_size=0, max_size=40),
+    st.sampled_from(
+        [
+            "enable javascript to view this page now.",
+            "read our privacy policy before continuing here.",
+            "lorem ipsum dolor sit amet consectetur adipiscing.",
+            "a b a b a b.",
+            "  padded words sit here fine.  ",
+            'quote terminated line with many words "here"',
+        ]
+    ),
+)
+_c4_docs = st.lists(
+    st.lists(_c4_line, min_size=0, max_size=5).map("\n".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _py_c4(text):
+    import re
+
+    from nlp_to_nosql_spark.operators.curation import (
+        C4_DOC_DROP_PHRASES,
+        C4_LINE_DROP_PHRASES,
+        C4_THRESHOLDS,
+    )
+
+    raw = text or ""
+    lines = raw.split("\n")
+
+    def keep_line(x):
+        t = x.strip(" \t\r")
+        words = [
+            w
+            for w in re.sub("[ \t\x0b\f\r]+", " ", t).split(" ")
+            if w != ""
+        ]
+        if len(words) < C4_THRESHOLDS["min_words_per_line"]:
+            return False
+        if not (t and t[-1] in ".!?\"'"):
+            return False
+        low = t.lower()
+        return not any(p in low for p in C4_LINE_DROP_PHRASES)
+
+    kept = [x for x in lines if keep_line(x)]
+    clean = "\n".join(kept)
+    n_sent = len(re.findall(r"[.!?]", clean))
+    brace = "{" in raw or "}" in raw
+    phrase = any(p in raw.lower() for p in C4_DOC_DROP_PHRASES)
+    keep = (
+        len(kept) >= 1
+        and n_sent >= C4_THRESHOLDS["min_sentences"]
+        and not brace
+        and not phrase
+    )
+    return (len(lines), len(kept), n_sent, brace, phrase, clean, keep)
+
+
+@pytest.mark.usefixtures("spark")
+@given(_c4_docs)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_c4_rules_matches_python_model(spark, docs):
+    """quality6 vs the pure-Python twin over randomized multi-line
+    documents — empty lines/docs, whitespace-only lines, tab word
+    splits, quote terminators, drop phrases mid-line, and brace /
+    lorem-ipsum doc kills."""
+    from nlp_to_nosql_spark.operators.curation import c4_rules
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_lines"], r["n_kept_lines"], r["n_sentences"],
+            r["has_brace"], r["has_doc_phrase"], r["clean_text"],
+            r["keep"],
+        )
+        for r in c4_rules(df).collect()
+    }
+    want = {i: _py_c4(t) for i, t in enumerate(docs)}
+    assert got == want, docs

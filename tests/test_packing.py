@@ -157,3 +157,60 @@ def test_best_fit_pack_beats_baseline_pad(spark):
     # the bound asserts the structural win (fill factor ≈ bucket
     # avg/max beats one-doc-per-sequence by ≥2× on long-tailed lengths)
     assert s["pad_frac_micro"] < s["baseline_pad_frac_micro"] // 2
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+def _py_best_fit(rows, budget):
+    """Pure-Python twin of best_fit_pack: exact-integer buckets,
+    realized-max slots, (bucket, n DESC, id) ranks, offset arithmetic."""
+    buck = {}
+    for i, n in rows:
+        k = -1 if n > budget else (budget // max(n, 1)).bit_length() - 1
+        buck.setdefault(k, []).append((i, n))
+    out = {}
+    bin_off = 0
+    for k in sorted(buck):
+        docs = sorted(buck[k], key=lambda t: (-t[1], t[0]))
+        slots = 1 if k == -1 else max(
+            1, budget // max(max(n for _, n in docs), 1)
+        )
+        for r, (i, n) in enumerate(docs):
+            out[i] = (n, k, slots, bin_off + r // slots, r % slots)
+        bin_off += -(-len(docs) // slots)
+    return out
+
+
+@pytest.mark.skipif(not HAVE_HYPOTHESIS, reason="hypothesis not installed")
+@pytest.mark.usefixtures("spark")
+@given(
+    lens=st.lists(
+        st.integers(min_value=0, max_value=260), min_size=1, max_size=60
+    ),
+    budget=st.sampled_from([1, 7, 64, 100]),
+)
+@settings(max_examples=20, deadline=None)
+def test_best_fit_pack_matches_python_model(spark, lens, budget):
+    """pack3 vs the 15-line pure-Python model over randomized lengths —
+    zero-length docs, n == budget boundaries, oversize rows, budget 1
+    (every doc oversize or single-slot), and rank ties by id."""
+    from nlp_to_nosql_spark.operators.packing import best_fit_pack
+
+    rows = list(enumerate(lens))
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["bucket"], r["bin_slots"], r["bin_id"],
+            r["slot"],
+        )
+        for r in best_fit_pack(df, "doc_id", "n_tokens", budget=budget)
+        .collect()
+    }
+    assert got == _py_best_fit(rows, budget)

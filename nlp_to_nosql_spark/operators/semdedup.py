@@ -94,13 +94,14 @@ def _micro_vec(vec_col: str) -> Column:
 
 def micro_kmeans_fit(
     df: DataFrame,
-    n_clusters: int = 8,
+    n_clusters: "int | str" = 8,
     iters: int = 2,
     seed: int = 7,
     sample_mod: int = 4,
     sample_keep: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cell_rows: int = 512,
 ) -> np.ndarray:
     """Oracle-replayable sampled Lloyd's k-means in the integer-micro
     domain; returns the fitted ``k×dim`` int64 micro centroid matrix.
@@ -135,7 +136,26 @@ def micro_kmeans_fit(
     Driver state is ``k×dim`` ints + one ≤ ``k×dim``-row collect per
     iteration — the IVF centroid contract; the corpus never leaves
     executors.
+
+    ``n_clusters="auto"`` codifies the module docstring's "n_clusters
+    grows with n" contract in code (the ann14 bounded-cell pattern):
+    one exact count job resolves ``max(8, ceil(count /
+    target_cell_rows))`` via :func:`~nlp_to_nosql_spark.operators.
+    similarity.resolve_n_cells`, and the unrolled twins derive the
+    identical value with a scalar-subquery ``LIMIT``
+    (:func:`_fitted_fa_parts` with ``n_clusters="auto"``) — so the
+    auto mode stays value-oracled at every corpus size.  Every caller
+    (semantic_dedup's fitted path, the incremental split, ann14) gains
+    the mode through this single resolution point.
     """
+    if n_clusters == "auto":
+        from nlp_to_nosql_spark.operators.similarity import resolve_n_cells
+
+        n_clusters = resolve_n_cells(
+            "auto", df.select(id_col).count(), target_cell_rows
+        )
+    else:
+        n_clusters = int(n_clusters)
     if iters < 1 or n_clusters < 1:
         raise ValueError("micro_kmeans_fit: iters and n_clusters must be >= 1")
     from nlp_to_nosql_spark.plans.caching import persisted
@@ -288,7 +308,7 @@ def _sub_blocked(
 
 def semantic_dedup(
     df: DataFrame,
-    n_clusters: int = 8,
+    n_clusters: "int | str" = 8,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -298,6 +318,7 @@ def semantic_dedup(
     fit_iters: int = 2,
     fit_seed: int = 7,
     centroids_micro: np.ndarray | None = None,
+    target_cell_rows: int = 512,
 ) -> DataFrame:
     """SemDeDup keep/drop decisions: ``(id, cluster_id, kept)`` per vector.
 
@@ -346,6 +367,13 @@ def semantic_dedup(
     :func:`_sub_blocked`); it never changes the result, only the
     partitioning of the within-cell comparisons.
     """
+    if n_clusters == "auto" and fit != "micro_kmeans":
+        raise ValueError(
+            "semantic_dedup: n_clusters='auto' requires "
+            "fit='micro_kmeans' (the oracle-replayable fitted tier — "
+            "the contract config's lowest-id centroids and IVFIndex's "
+            "n_lists take explicit ints)"
+        )
     cents_micro: np.ndarray | None = None
     metric = "dot"
     if centroids_micro is not None:
@@ -369,6 +397,9 @@ def semantic_dedup(
             index.fit(df, id_col=id_col, vec_col=vec_col)
             centroids = index.centroids
         elif fit == "micro_kmeans":
+            # n_clusters="auto" resolves inside the fit (the ann14
+            # bounded-cell contract); size downstream state from the
+            # returned matrix, not the unresolved knob
             cents_micro = micro_kmeans_fit(
                 df,
                 n_clusters,
@@ -376,8 +407,9 @@ def semantic_dedup(
                 seed=fit_seed,
                 id_col=id_col,
                 vec_col=vec_col,
+                target_cell_rows=target_cell_rows,
             )
-            centroid_ids = np.arange(n_clusters, dtype=np.int64)
+            centroid_ids = np.arange(cents_micro.shape[0], dtype=np.int64)
             metric = "l2"  # the fit's own objective; oracle-replayable
         else:
             raise ValueError(
@@ -721,7 +753,7 @@ _H28_SQL = (
 
 
 def semantic_dedup_fitted_sql(
-    n_clusters: int = 8,
+    n_clusters: "int | str" = 8,
     iters: int = 2,
     threshold: float = 0.4,
     seed: int = 7,
@@ -731,6 +763,7 @@ def semantic_dedup_fitted_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cell_rows: int = 512,
 ) -> str:
     """DuckDB twin of ``semantic_dedup(fit="micro_kmeans")`` — the
     ENTIRE sampled-Lloyd's fit replayed relationally: the seeded md5
@@ -749,7 +782,7 @@ def semantic_dedup_fitted_sql(
     """
     parts = _fitted_fa_parts(
         n_clusters, iters, seed, sample_mod, sample_keep, dim,
-        table, id_col, vec_col,
+        table, id_col, vec_col, target_cell_rows=target_cell_rows,
     )
     parts.append(
         f"pairs AS (SELECT sb.{id_col} AS id_b "

@@ -523,3 +523,58 @@ def test_semantic_dedup_centroids_micro_matches_fit_path(planted):
     assert via_param == via_fit
     with pytest.raises(ValueError, match="exclusive"):
         semantic_dedup(df, centroids_micro=cents, fit="micro_kmeans")
+
+
+def test_semantic_dedup_fitted_auto_matches_duckdb_twin(spark):
+    """The bounded-cell auto contract generalized to the SemDeDup tier:
+    n_clusters='auto' resolves max(8, ceil(count/target)) inside
+    micro_kmeans_fit, and the twin's scalar-subquery LIMIT derives the
+    identical count — 40 vectors at target_cell_rows=4 resolve to 10
+    cells (> the floor) on both engines."""
+    import duckdb
+    import random
+
+    from nlp_to_nosql_spark.operators.semdedup import (
+        semantic_dedup,
+        semantic_dedup_fitted_sql,
+    )
+    from nlp_to_nosql_spark.operators.similarity import resolve_n_cells
+
+    rng = random.Random(23)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert resolve_n_cells("auto", 40, target_cell_rows=4) == 10
+    got = sorted(
+        tuple(r)
+        for r in semantic_dedup(
+            df, n_clusters="auto", target_cell_rows=4, threshold=0.2,
+            fit="micro_kmeans",
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("emb_t", df.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            semantic_dedup_fitted_sql(
+                n_clusters="auto", target_cell_rows=4, threshold=0.2,
+                dim=8, table="emb_t",
+            )
+        ).fetchall()
+    )
+    assert got == want and len(got) == 40
+    assert max(r[1] for r in got) >= 8  # auto grew past the floor
+
+
+def test_semantic_dedup_auto_requires_fitted_tier(spark):
+    """'auto' is a fitted-tier contract: the lowest-id contract config
+    and IVFIndex's n_lists take explicit ints."""
+    from nlp_to_nosql_spark.operators.semdedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="auto"):
+        semantic_dedup(df, n_clusters="auto")

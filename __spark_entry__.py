@@ -3194,7 +3194,13 @@ def _q_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     report per gate the unconditional kills AND the marginal kills
     (docs only this gate fails) — the number an ablation argues from.
     Exact BIGINT counts; the oracle nests the four gates' own proven
-    SQL (round 14: quality6's c4 gate joined the stack)."""
+    SQL (round 14: quality6's c4 gate joined the stack).  On this
+    corpus the c4 gate fails every document (non-prose synthetic text
+    — see quality6), so the OTHER gates' n_fail_only columns read 0
+    and c4's reads its kills-not-covered-by-the-rest: the degenerate
+    regime is itself the ablation's answer here ("c4 dominates; the
+    corpus is not prose"), and the 4-way algebra is exercised
+    non-degenerately by the unit fixtures."""
     from nlp_to_nosql_spark.operators.curation import filter_attribution
 
     docs = register_tables(spark, sf_dir)["documents"]
@@ -3210,7 +3216,12 @@ def _q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emits the line-filtered rebuild (clean_text) plus per-doc
     diagnostics and the keep decision — ONE zero-shuffle projection,
     document text never enters a shuffle
-    (operators/curation.py c4_rules)."""
+    (operators/curation.py c4_rules).  On THIS corpus the verdict is
+    uniformly keep=false — the synthetic documents are punctuation-
+    free word streams, exactly the non-prose shape C4's terminal-
+    punctuation and sentence-count rules exist to kill (the real
+    pipeline drops such pages too); the unit/property fixtures carry
+    the prose cases where lines and documents survive."""
     from nlp_to_nosql_spark.operators.curation import c4_rules
 
     docs = register_tables(spark, sf_dir)["documents"]

@@ -1401,3 +1401,34 @@ def test_c4_rules_hand_checked_and_twin(spark):
     con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
     want = sorted(tuple(r) for r in con.execute(c4_sql()).fetchall())
     assert sorted(tuple(r) for r in got.values()) == want
+
+
+def test_filter_attribution_c4_gate_nondegenerate(spark):
+    """The 4-way marginal algebra with a PARTIALLY-passing c4 gate
+    (the synthetic corpus kills it uniformly — non-prose): prose docs
+    pass c4, soup docs fail it, and the kill accounting stays exact."""
+    from pyspark.sql import functions as F
+
+    from nlp_to_nosql_spark.operators.curation import filter_attribution
+
+    prose = (
+        "The quick brown fox jumps over the lazy dog today.\n"
+        "A second proper sentence follows the first one here.\n"
+        "And a third sentence completes this very document nicely."
+    )
+    rows = [(i, prose, "en" if i % 3 == 0 else "fr") for i in range(12)] + [
+        (100 + i, " ".join(f"w{j % 7}" for j in range(25)), "fr")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["gate"]: r for r in filter_attribution(
+        df, F.col("lang") == "en").collect()}
+    # c4 fails exactly the 6 punctuation-free soup docs
+    assert out["c4"]["n_fail"] == 6
+    assert out["c4"]["n_fail"] < out["c4"]["n_docs"] == 18
+    # exact union bound: killed docs <= sum of per-gate fails
+    pass_all = out["c4"]["n_pass_all"]
+    killed = 18 - pass_all
+    assert killed <= sum(r["n_fail"] for r in out.values())
+    for r in out.values():
+        assert 0 <= r["n_fail_only"] <= r["n_fail"]

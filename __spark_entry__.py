@@ -68,6 +68,7 @@ from nlp_to_nosql_spark.operators.curation import (
     temperature_sql,
 )
 from nlp_to_nosql_spark.operators.packing import best_fit_pack_sql
+from nlp_to_nosql_spark.plans.localrel import local_df
 from nlp_to_nosql_spark.operators.changelog import (
     latest_wins_sql,
     scd2_snapshot_sql,
@@ -2211,8 +2212,8 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nlp_to_nosql_spark.operators.terms import bm25_topk
 
     docs = register_tables(spark, sf_dir)["documents"]
-    qterms = spark.createDataFrame(
-        list(_BM25_QUERY_ROWS), schema="query_id string, token string"
+    qterms = local_df(
+        spark, list(_BM25_QUERY_ROWS), "query_id string, token string"
     )
     return bm25_topk(docs, qterms, "doc_id", "text", k=5)
 
@@ -2296,8 +2297,8 @@ def _q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nlp_to_nosql_spark.operators.terms import bm25_topk
 
     docs = register_tables(spark, sf_dir)["documents"]
-    qterms = spark.createDataFrame(
-        list(_BM25_QUERY_ROWS), schema="query_id string, token string"
+    qterms = local_df(
+        spark, list(_BM25_QUERY_ROWS), "query_id string, token string"
     )
     results = bm25_topk(docs, qterms, "doc_id", "text", k=5)
     qrels = _bm25_qrels_frame(spark, docs, qterms)
@@ -2325,8 +2326,8 @@ def _q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register_tables(spark, sf_dir)
     docs, emb = t["documents"], t["embeddings"]
-    qterms = spark.createDataFrame(
-        list(_BM25_QUERY_ROWS), schema="query_id string, token string"
+    qterms = local_df(
+        spark, list(_BM25_QUERY_ROWS), "query_id string, token string"
     )
     sparse = bm25_topk(docs, qterms, "doc_id", "text", k=10).select(
         "query_id", "rk", "doc_id"
@@ -2495,8 +2496,8 @@ def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = register_tables(spark, sf_dir)["documents"]
     merges = bpe_train(docs, n_merges=4)
-    return spark.createDataFrame(
-        merges, "merge_rank int, lhs string, rhs string, pair_count long"
+    return local_df(
+        spark, merges, "merge_rank int, lhs string, rhs string, pair_count long"
     )
 
 
@@ -2679,8 +2680,8 @@ def _q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nlp_to_nosql_spark.operators.terms import bm25_topk
 
     docs = register_tables(spark, sf_dir)["documents"]
-    qterms = spark.createDataFrame(
-        list(_BM25_QUERY_ROWS), schema="query_id string, token string"
+    qterms = local_df(
+        spark, list(_BM25_QUERY_ROWS), "query_id string, token string"
     )
     results = bm25_topk(docs, qterms, "doc_id", "text", k=5)
     qrels = _bm25_qrels_frame(spark, docs, qterms)
@@ -3910,7 +3911,8 @@ def _q_weighted_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nlp_to_nosql_spark.operators.classify import hashed_linear_score
 
     docs = register_tables(spark, sf_dir)["documents"]
-    wdf = spark.createDataFrame(
+    wdf = local_df(
+        spark,
         [(b, w) for b, w in enumerate(_QUALITY4_WEIGHTS) if w],
         "bucket int, weight long",
     )

@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nlp_to_nosql_spark.plans.localrel import local_df
+
 #: Edge-count ceiling for the driver-side union-find fast path.  The
 #: decision is read off the checkpoint-materializing count — large graphs
 #: never pay a probe or collect job at all — and the collect only happens
@@ -132,16 +134,16 @@ def connected_components(
                 # The endpoints ARE the node set: the mapping is the answer.
                 mapping = _union_find_min_labels(pairs)
                 if not mapping:
-                    return spark.createDataFrame([], "id long, label long")
-                return spark.createDataFrame(mapping, "id long, label long")
+                    return local_df(spark, [], "id long, label long")
+                return local_df(spark, mapping, "id long, label long")
             # Iterative-path semantics: an edge conducts only through
             # endpoints that have a label row (i.e. appear in `nodes`).
             # The node table may be corpus-sized, so membership is checked
             # distributed — one semi-join of node_ids against the bounded
             # endpoint set (≤ 2·threshold ids), collect bounded likewise.
             endpoints = {x for p in pairs for x in p}
-            endpoints_df = spark.createDataFrame(
-                [(x,) for x in endpoints], "id long"
+            endpoints_df = local_df(
+                spark, [(x,) for x in endpoints], "id long"
             )
             present = {
                 r["id"]
@@ -154,7 +156,7 @@ def connected_components(
             )
             if not mapping:
                 return node_ids.select("id", F.col("id").alias("label"))
-            mapping_df = spark.createDataFrame(mapping, "id long, label long")
+            mapping_df = local_df(spark, mapping, "id long, label long")
             return node_ids.join(F.broadcast(mapping_df), "id", "left").select(
                 "id", F.coalesce("label", "id").alias("label")
             )

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from nlp_to_nosql_spark.plans.localrel import local_df
+
 
 def pack_by_token_budget(
     df: DataFrame,
@@ -99,8 +101,8 @@ def pack_by_token_budget(
     for row in sorted(totals, key=lambda r: r["_pid"]):
         offsets[row["_pid"]] = acc
         acc += row["_total"]
-    offset_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+    offset_df = local_df(
+        spark, [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
     )
 
     out = (
@@ -255,7 +257,8 @@ def best_fit_pack(
     for row in sorted(totals, key=lambda r: r["_pid"]):
         offsets[row["_pid"]] = acc
         acc += row["_total"]
-    offset_df = spark.createDataFrame(
+    offset_df = local_df(
+        spark,
         [(pid, off) for pid, off in offsets.items()],
         "_pid int, _off long",
     )
@@ -283,8 +286,8 @@ def best_fit_pack(
         )
         rows.append((int(r["bucket"]), int(r["_start"]), slots, bin_acc))
         bin_acc += -(-int(r["_cnt"]) // slots)
-    bstats = spark.createDataFrame(
-        rows, "bucket int, _start long, bin_slots int, _bin_off long"
+    bstats = local_df(
+        spark, rows, "bucket int, _start long, bin_slots int, _bin_off long"
     )
     return (
         ranked.join(F.broadcast(bstats), "bucket")

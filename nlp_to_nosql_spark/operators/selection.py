@@ -65,6 +65,7 @@ from pyspark.sql import functions as F
 from nlp_to_nosql_spark.functions import text as tx
 from nlp_to_nosql_spark.operators.classify import _h15
 from nlp_to_nosql_spark.operators.dedup import md5_hash28
+from nlp_to_nosql_spark.plans.localrel import local_df
 from nlp_to_nosql_spark.plans.partitioning import fan_out
 
 #: DuckDB rendering of the 60-bit md5 hash family (``_h15``).
@@ -969,7 +970,7 @@ def bpe_save(merges: list, path: str, spark) -> None:
     rows = [
         (int(m[0]), str(m[1]), str(m[2]), int(m[3])) for m in merges
     ]
-    spark.createDataFrame(rows, BPE_MERGES_SCHEMA).coalesce(1).write.mode(
+    local_df(spark, rows, BPE_MERGES_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(path)
 
@@ -2211,7 +2212,7 @@ def kcenter_select(
 
     seed = m.orderBy(F.col(id_col).asc()).limit(1).collect()
     if not seed:
-        return spark.createDataFrame([], out_schema)
+        return local_df(spark, [], out_schema)
     picks = [(1, seed[0][id_col], 0, list(seed[0]["_mv"]))]
     for r in range(2, int(k) + 1):
         chosen_ids = [p[1] for p in picks]
@@ -2228,9 +2229,7 @@ def kcenter_select(
             break
         row = cand[0]
         picks.append((r, row[id_col], int(row["_d"]), list(row["_mv"])))
-    return spark.createDataFrame(
-        [(r, i, d) for r, i, d, _ in picks], out_schema
-    )
+    return local_df(spark, [(r, i, d) for r, i, d, _ in picks], out_schema)
 
 
 def kcenter_sql(

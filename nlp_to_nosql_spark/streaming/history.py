@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from nlp_to_nosql_spark.plans.localrel import local_df
+
 #: FIXTURES.md §2 — the reference's history-record shape.
 HISTORY_SCHEMA = T.StructType(
     [
@@ -33,7 +35,7 @@ def append_history(spark: SparkSession, records: list[dict], path: str) -> None:
     rows = [
         tuple(rec.get(f.name) for f in HISTORY_SCHEMA.fields) for rec in records
     ]
-    spark.createDataFrame(rows, HISTORY_SCHEMA).write.mode("append").parquet(path)
+    local_df(spark, rows, HISTORY_SCHEMA).write.mode("append").parquet(path)
 
 
 def history_aggregates(history: DataFrame) -> DataFrame:

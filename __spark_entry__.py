@@ -3474,9 +3474,16 @@ def _q_paragraph_dedup_quality(
     floor divisions (operators/dedup.py distinct_paragraphs,
     operators/evals.py pair_set_quality)."""
     from nlp_to_nosql_spark.operators.evals import pair_set_quality
+    from nlp_to_nosql_spark.plans.caching import persisted
 
     docs = register_tables(spark, sf_dir)["documents"]
-    reps = dd.distinct_paragraphs(_multiline_docs(docs), "doc_id", "text")
+    # The census feeds THREE consumers (the LSH signature pass, the
+    # exact-Jaccard shingle pass, and pair_set_quality's ceiling count):
+    # persist it so the paragraph explode+groupBy runs once, not thrice.
+    reps = persisted(
+        dd.distinct_paragraphs(_multiline_docs(docs), "doc_id", "text"),
+        "documents",
+    )
     pred = dd.minhash_lsh_pairs(
         reps,
         "para_key",

@@ -284,8 +284,12 @@ def pair_set_quality_sampled(
     universe is exact-affordable.
     """
     from nlp_to_nosql_spark.operators.curation import consistent_key_sample
+    from nlp_to_nosql_spark.plans.caching import persisted
 
-    s = consistent_key_sample(universe, key_col, rate, seed)
+    # Both pair generators consume the sampled universe (and its whole
+    # upstream census lineage): persist the sample so that lineage runs
+    # once, not once per generator.
+    s = persisted(consistent_key_sample(universe, key_col, rate, seed), "documents")
     return pair_set_quality(pred_fn(s), truth_fn(s), id_a, id_b)
 
 

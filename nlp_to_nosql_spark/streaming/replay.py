@@ -62,18 +62,39 @@ def _work_dir(tag: str) -> str:
     )
 
 
-#: State/shuffle partition count for replay runs.  Stateful streaming
-#: cost is dominated by per-state-partition overhead (one Python worker
-#: dispatch + one state-store commit per partition per micro-batch), so a
-#: bounded replay sizes partitions to its input volume — the same
-#: "shuffle partitions follow data size" rule as batch; a production
-#: deployment over unbounded input would raise it with executor count.
-#: Measured at sf0.1: 8 partitions run the sessionize replay 3× faster
-#: than 32, and 4 shaves a further ~10 % (stream2 3.67→3.33 s,
-#: stream6 2.49→2.27 s, stream9 2.39→1.96 s, min-of-2 each); 2 gains
-#: nothing more, so 4 is the floor where commit overhead stops
-#: dominating without starving the Python state workers.
-_REPLAY_PARTITIONS = 4
+#: Shuffle partitions for the foreachBatch replays (CDC upsert sink,
+#: sketch folds): per-micro-batch BATCH merges with no keyed state store
+#: and no per-key Python dispatch, so the measured 4-partition floor
+#: from the JVM-stateful replays applies (see _replay_partitions).
+_FOREACH_BATCH_PARTITIONS = 4
+
+#: Conf override for the replay state-partition derivation below.
+_REPLAY_PARTITIONS_CONF = "spark.nlp2nosql.replay.partitions"
+
+
+def _replay_partitions(spark: SparkSession) -> int:
+    """State/shuffle partition count for replay runs — scale-adaptive.
+
+    Stateful streaming pays two opposing per-micro-batch costs: the
+    per-KEY Python dispatch of ``applyInPandasWithState`` (parallelizes
+    across state partitions, bounded by cores) and the per-PARTITION
+    state-store commit (serial overhead that grows with the partition
+    count).  A bounded replay therefore sizes partitions from the
+    session's parallelism rather than a constant: ``clamp(cores/2, 4,
+    16)``.  Measured at sf0.1 (1 500 keys, warm, this host): the CDC
+    replay runs 5.7 s at 2 partitions, 4.6 at 4, 3.1 at 8, 2.8 at 16;
+    the sessionize replay 3.5 at 4, 3.0 at 8, 2.8 at 16 — dispatch
+    parallelism dominates up to ~cores/2, and past 16 the extra commits
+    buy nothing on replays this size (an earlier round measured 32
+    partitions 3× SLOWER than 8 on the same replay).  A production
+    deployment over unbounded input raises the cap with executor count
+    via ``spark.nlp2nosql.replay.partitions``.
+    """
+    conf = spark.conf.get(_REPLAY_PARTITIONS_CONF, "")
+    if conf:
+        return max(1, int(conf))
+    cores = spark.sparkContext.defaultParallelism
+    return max(4, min(16, cores // 2))
 
 
 #: Serializes the shuffle-partition conf swap below: the conf is
@@ -87,9 +108,11 @@ def _run_to_memory(
     stream_df: DataFrame,
     name: str,
     output_mode: str,
-    partitions: int = _REPLAY_PARTITIONS,
+    partitions: int | None = None,
 ) -> None:
     spark = stream_df.sparkSession
+    if partitions is None:
+        partitions = _replay_partitions(spark)
     with _REPLAY_CONF_LOCK:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
@@ -223,7 +246,11 @@ def replay_native_session_window(
         )
     )
     name = f"replay_{tag}_native_sessions"
-    _run_to_memory(rolled, name, "append")
+    # JVM-native stateful op: no per-key Python dispatch, so state
+    # partitions stay at the measured 4-partition floor (see
+    # _replay_partitions - the auto rule is for applyInPandasWithState
+    # replays whose per-key dispatch parallelizes).
+    _run_to_memory(rolled, name, "append", partitions=4)
     return (
         spark.table(name)
         .filter(F.col("session_window.start") <= F.lit(max_ts))
@@ -254,7 +281,8 @@ def replay_windowed_counts(
     ).parquet(path)
     name = f"replay_{tag}_windows"
     _run_to_memory(
-        windowed_event_counts(stream, window=window), name, "complete"
+        windowed_event_counts(stream, window=window), name, "complete",
+        partitions=4,
     )
     return spark.table(name)
 
@@ -283,7 +311,8 @@ def replay_dedup_distinct(
     stream = spark.readStream.schema("doc_id long, fp string").parquet(path)
     name = f"replay_{tag}_distinct"
     _run_to_memory(
-        stream.dropDuplicates(["fp"]).select("fp"), name, "append"
+        stream.dropDuplicates(["fp"]).select("fp"), name, "append",
+        partitions=4,
     )
     return spark.table(name)
 
@@ -330,7 +359,7 @@ def replay_dim_join(
         )
     )
     name = f"replay_{tag}_dimjoin"
-    _run_to_memory(rolled, name, "complete")
+    _run_to_memory(rolled, name, "complete", partitions=4)
     return spark.table(name)
 
 
@@ -374,13 +403,11 @@ def replay_latest_state(
         .parquet(path)
     )
     name = f"replay_{tag}_latest"
-    # 2 state partitions: per-micro-batch cost is one Python worker
-    # dispatch + one state-store commit PER PARTITION, and the bounded
-    # replay has few keys — the production sizing note on
-    # _REPLAY_PARTITIONS applies.
-    _run_to_memory(
-        latest_state_stream(stream, keys=keys), name, "update", partitions=2
-    )
+    # State partitions from _replay_partitions: the per-key Python
+    # dispatch (|keys| calls per micro-batch) parallelizes across state
+    # partitions — measured 5.7 s at 2 partitions vs 2.8 s at 16 on the
+    # sf0.1 replay (1 500 keys, warm).
+    _run_to_memory(latest_state_stream(stream, keys=keys), name, "update")
 
     out = spark.table(name)
     w = Window.partitionBy(*keys).orderBy(
@@ -490,7 +517,7 @@ def replay_cdc_upsert_sink(
 
     with _REPLAY_CONF_LOCK:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(_REPLAY_PARTITIONS))
+        spark.conf.set("spark.sql.shuffle.partitions", str(_FOREACH_BATCH_PARTITIONS))
         try:
             q = (
                 stream.writeStream.foreachBatch(upsert)
@@ -534,10 +561,10 @@ def replay_running_totals(
     )
 
     name = f"replay_{tag}_running"
-    # Two micro-batches × one Python worker dispatch + state commit per
-    # partition: at a few hundred keys, 4 state partitions halve the
-    # fixed dispatch cost vs the default 8.
-    _run_to_memory(running_totals_stream(stream), name, "update", partitions=4)
+    # Two micro-batches x one Python dispatch per key: state partitions
+    # from _replay_partitions (dispatch parallelism beats per-partition
+    # commit overhead at this key count — see the derivation note).
+    _run_to_memory(running_totals_stream(stream), name, "update")
 
     # Update-mode sink holds one row per (user, batch-they-appeared-in);
     # n_events strictly increases per user, so rank 1 by n_events desc is
@@ -611,10 +638,10 @@ def replay_click_purchase_join(
     )
 
     name = f"replay_{tag}_ssjoin"
-    # The join keeps TWO state stores; per-partition store init/commit is
-    # the bounded-replay cost driver, so run it at 4 state partitions
-    # (~40 k input rows — a production deployment scales this with
-    # executor count, not a constant).
+    # The join keeps TWO state stores and no per-key Python dispatch:
+    # measured at sf0.1 it is stable at 4 partitions (2.5 s min-of-5)
+    # and degrades badly past that (5-36 s at 16 — per-partition store
+    # init/commit x2 stores dominates), so it pins the JVM-replay floor.
     _run_to_memory(joined, name, "append", partitions=4)
     return spark.table(name)
 
@@ -650,6 +677,7 @@ def replay_dedup_within_watermark(
         ),
         name,
         "append",
+        partitions=4,
     )
     return spark.table(name)
 
@@ -699,7 +727,7 @@ def replay_incremental_admission(
         corpus_fps, "fp", "left_anti"
     )
     name = f"replay_{tag}_admission"
-    _run_to_memory(admitted.select("fp"), name, "append")
+    _run_to_memory(admitted.select("fp"), name, "append", partitions=4)
     return spark.table(name)
 
 
@@ -766,7 +794,7 @@ def replay_paragraph_admission(
         .join(corpus_fps, "fp", "left_anti")
     )
     name = f"replay_{tag}_para_admission"
-    _run_to_memory(admitted.select("fp"), name, "append")
+    _run_to_memory(admitted.select("fp"), name, "append", partitions=4)
     return spark.table(name)
 
 
@@ -880,7 +908,7 @@ def replay_hll_by_accumulate(
 
     with _REPLAY_CONF_LOCK:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(_REPLAY_PARTITIONS))
+        spark.conf.set("spark.sql.shuffle.partitions", str(_FOREACH_BATCH_PARTITIONS))
         try:
             q = (
                 stream.writeStream.foreachBatch(fold)
@@ -943,7 +971,7 @@ def replay_hll_accumulate(
 
     with _REPLAY_CONF_LOCK:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(_REPLAY_PARTITIONS))
+        spark.conf.set("spark.sql.shuffle.partitions", str(_FOREACH_BATCH_PARTITIONS))
         try:
             q = (
                 stream.writeStream.foreachBatch(fold)
@@ -1037,7 +1065,7 @@ def replay_kmv_accumulate(
 
     with _REPLAY_CONF_LOCK:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(_REPLAY_PARTITIONS))
+        spark.conf.set("spark.sql.shuffle.partitions", str(_FOREACH_BATCH_PARTITIONS))
         try:
             q = (
                 stream.writeStream.foreachBatch(fold)
@@ -1106,7 +1134,7 @@ def replay_cms_accumulate(
 
     with _REPLAY_CONF_LOCK:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(_REPLAY_PARTITIONS))
+        spark.conf.set("spark.sql.shuffle.partitions", str(_FOREACH_BATCH_PARTITIONS))
         try:
             q = (
                 stream.writeStream.foreachBatch(fold)

@@ -1114,10 +1114,16 @@ def _q_name_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nation, segment) blocks by Levenshtein distance, aggregated per
     block.  Blocking bounds the quadratic pair count the same way the
     shingle/LSH blocking does for documents; the distance runs JVM-side."""
+    from nlp_to_nosql_spark.plans.partitioning import fan_out
+
     c = register_tables(spark, sf_dir)["customer"].select(
         "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
     )
-    a, b = c.alias("a"), c.alias("b")
+    # fan_out the PROBE side: the blocked self-join broadcasts one copy,
+    # so the per-pair levenshtein work runs in the probe side's tasks —
+    # a single-split scan would compute every block's quadratic pair set
+    # on one core (metadata no-op once the input spans many splits).
+    a, b = fan_out(c).alias("a"), c.alias("b")
     pairs = a.join(
         b,
         (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
@@ -2807,8 +2813,29 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim = len(queries[0][1])
     lsh = IntSRPLSH(dim=dim, nbits=16, seed=42)
+    # ONE signature pass shared by all probes (add_signatures is the
+    # batch form — the 100 TB shape the docstring promises): each
+    # per-query probe is then a Hamming filter + TakeOrdered over the
+    # persisted (id, vec, sign_bits) frame instead of its own corpus
+    # scan + Arrow round-trip.  Identical values to lsh.topk per query
+    # (same signatures, same filter, same re-rank — oracle unchanged).
+    from nlp_to_nosql_spark.operators.similarity import topk_bruteforce
+    from nlp_to_nosql_spark.plans.caching import persisted
+
+    sig = persisted(
+        lsh.add_signatures(emb.select("vec_id", "embedding")), "signatures"
+    )
     parts = [
-        lsh.topk(emb, qv, k=10, max_hamming=6).select(
+        topk_bruteforce(
+            sig.filter(
+                F.bit_count(
+                    F.col("sign_bits").bitwiseXOR(F.lit(lsh.signature_of(qv)))
+                )
+                <= 6
+            ),
+            qv,
+            10,
+        ).select(
             F.lit(qid).cast("long").alias("query_id"), "vec_id", "cos_sim"
         )
         for qid, qv in queries

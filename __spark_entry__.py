@@ -805,11 +805,20 @@ def _q_langid_unimax_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan a sampler would execute."""
     from nlp_to_nosql_spark.operators.classify import nb_charngram_langid
     from nlp_to_nosql_spark.operators.curation import unimax_allocation
+    from nlp_to_nosql_spark.plans.caching import persisted
 
     docs = register_tables(spark, sf_dir)["documents"]
     pred = nb_charngram_langid(docs, n=3, seed=11)
+    # keep feeds BOTH the fingerprint census and the survivor join; the
+    # id set is one row per kept doc, but its lineage is the whole NB
+    # scoring chain (explode + gram join + argmax window) — persist the
+    # ids so the classifier runs once, not once per consumer.
     keep = docs.join(
-        pred.filter(F.col("pred_lang") == "en").select("doc_id"), "doc_id"
+        persisted(
+            pred.filter(F.col("pred_lang") == "en").select("doc_id"),
+            "documents",
+        ),
+        "doc_id",
     )
     rep = keep.groupBy(tx.fingerprint(F.col("text")).alias("_fp")).agg(
         F.min("doc_id").alias("doc_id")

@@ -353,26 +353,28 @@ def pagerank_micro(
     plan shallow (the CC operator shows the ``localCheckpoint``
     discipline for deeper loops).
     """
-    from nlp_to_nosql_spark.plans.caching import persisted
-
     # Persist the (possibly expensive) upstream pair pipeline's edge
     # expansion ONCE: every iteration joins against edges and deg, and
-    # without the persist each of the 2·iterations reuses would replay
-    # the full pair-generation lineage (measured 27 s → 15 s end-to-end
-    # on the Jaccard graph at sf0.01, where ~8 s is session+Jaccard).
-    edges = persisted(
-        pairs.select(
-            F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-        ).unionAll(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-        ),
-        "edges",
-    )
-    deg = persisted(
+    # without it each of the 2·iterations reuses would replay the full
+    # pair-generation lineage (measured 27 s → 15 s end-to-end on the
+    # Jaccard graph at sf0.01, where ~8 s is session+Jaccard).  A LAZY
+    # localCheckpoint (the connected_components discipline) rather than
+    # a bare persist: it also TRUNCATES the logical plan, so the
+    # unrolled iteration chain analyzes against a LogicalRDD leaf
+    # instead of embedding the whole pair plan at every edges/deg
+    # reference (pr1's analyzed plan was 2729 lines / 362 Exchanges in
+    # the persisted form; r14 A/B at sf0.1 min-of-5: 5.46 → 4.79 s, uniform across runs).
+    # No extra job — the first iteration's action materializes both.
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionAll(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).localCheckpoint(eager=False)
+    deg = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-        .select(F.col("src").alias("node"), "deg"),
-        "edges",
+        .select(F.col("src").alias("node"), "deg")
+        .localCheckpoint(eager=False)
     )
     ranks = deg.select("node", "deg", F.lit(1000000).cast("long").alias("r"))
     base = F.lit(150000).cast("long")

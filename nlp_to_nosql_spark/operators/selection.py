@@ -1706,17 +1706,25 @@ def _unigram_em(
     for _ in range(int(n_iters)):
         seg = _viterbi_segment(staged, _score(kept), L)
         # 'used' feeds BOTH the multi filter and the chars left-join
-        # below unpersisted, so the iteration's Viterbi DP subtree
-        # evaluates twice inside the eager checkpoint job — a
-        # deliberate trade: the DP is a zero-shuffle projection over
-        # the Heaps'-bounded word frame (already persisted as
-        # 'staged'), and the checkpoint A/B above was measured in
-        # exactly this 2×-DP form; persisting a per-iteration
-        # vocabulary-sized frame would add cache churn for a subtree
-        # that costs less than the analysis time the checkpoint saves.
+        # below; the RDD materialization path the eager checkpoint
+        # takes does NOT apply exchange reuse (plan check: 78
+        # Exchanges, 1 ReusedExchange in one iteration's kept plan),
+        # so without its own checkpoint the iteration's Viterbi DP
+        # subtree evaluates twice inside the kept job.  A LAZY
+        # checkpoint on the vocabulary-sized (piece, c) aggregate
+        # persists it at first materialization (no extra job — the
+        # kept checkpoint stays the materializing action), so the DP
+        # runs once per iteration and the kept plan shrinks to two
+        # scans of a tiny leaf.  A/B at sf0.1 (min-of-5, two rounds):
+        # pipe11 4.85→4.72 and 5.78→4.10 s, tok8 3.05→2.74 and
+        # 2.78→2.66 s; the eager variant was neutral (its extra
+        # per-iteration job cancels the saved DP) — supersedes the
+        # r13 2×-DP trade note.
         used = seg.select(
             "wc", F.explode(F.col("_wk").getField("ps")).alias("piece")
-        ).groupBy("piece").agg(F.sum("wc").cast("long").alias("c"))
+        ).groupBy("piece").agg(
+            F.sum("wc").cast("long").alias("c")
+        ).localCheckpoint(eager=False)
         multi = used.filter(F.length("piece") >= 2)
         if max_pieces is not None:
             w_rank = Window.orderBy(F.col("c").desc(), F.col("piece").asc())

@@ -808,26 +808,40 @@ def quantize_embeddings(
     ``code · maxabs / levels``, with per-component error bounded by the
     quantization step ``maxabs / levels`` (pinned by test).
 
-    Zero shuffle: one projection — array expressions only.
+    Zero shuffle: two stacked projections — array expressions only.
+    ``maxabs`` is STAGED into its own projection so the per-element
+    code lambda divides by a cheap attribute: Catalyst does not
+    common-subexpression-eliminate across HOF lambda bodies, so the
+    single-projection form re-evaluated the O(d) ``array_max`` once
+    PER ELEMENT — O(d²) per vector (the winnowing-kernel trap; same
+    IEEE ops in the same association, so values are unchanged and the
+    DuckDB twin still matches bit-for-bit).
     """
-    maxabs, codes = _quant_cols(vec_col, levels)
-    return df.select(
+    staged = df.select(
         F.col(id_col),
-        F.floor(maxabs * F.lit(1000000.0)).cast("long").alias("scale_micro"),
-        codes.alias("codes"),
+        F.col(vec_col).alias("_x"),
+        _maxabs_col(F.col(vec_col)).alias("_m"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.floor(F.col("_m") * F.lit(1000000.0))
+        .cast("long")
+        .alias("scale_micro"),
+        _codes_col(F.col("_x"), F.col("_m"), levels).alias("codes"),
     )
 
 
-def _quant_cols(vec_col: str, levels: int):
-    """The ``(maxabs, codes)`` column pair of
-    :func:`quantize_embeddings`, reusable on any frame carrying
-    ``vec_col`` (:func:`knn_graph_celled` quantizes on the
-    cell-assigned frame so assignment and codes share one scan)."""
-    x = F.col(vec_col)
-    maxabs = F.array_max(
-        F.transform(x, lambda v: F.abs(v.cast("double")))
-    )
-    codes = F.when(
+def _maxabs_col(x) -> Column:
+    """``max|x_i|`` of an embedding array column."""
+    return F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+
+
+def _codes_col(x, maxabs, levels: int) -> Column:
+    """Quantized code array given a STAGED ``maxabs`` attribute — pass a
+    projected column, not a computed expression: ``maxabs`` sits inside
+    the per-element lambda, where Catalyst re-evaluates non-attribute
+    expressions once per element (see :func:`quantize_embeddings`)."""
+    return F.when(
         maxabs > 0,
         F.transform(
             x,
@@ -835,16 +849,19 @@ def _quant_cols(vec_col: str, levels: int):
                 v.cast("double") / maxabs * F.lit(float(levels))
             ).cast("long"),
         ),
-    ).otherwise(
-        F.transform(x, lambda v: F.lit(0).cast("long"))
-    )
-    return maxabs, codes
+    ).otherwise(F.transform(x, lambda v: F.lit(0).cast("long")))
 
 
 def _with_quant_codes(df: DataFrame, vec_col: str, levels: int) -> DataFrame:
-    """``df`` plus a ``codes`` column (see :func:`_quant_cols`)."""
-    _maxabs, codes = _quant_cols(vec_col, levels)
-    return df.withColumn("codes", codes)
+    """``df`` plus a ``codes`` column, ``maxabs`` staged first (see
+    :func:`quantize_embeddings`)."""
+    return (
+        df.withColumn("_qmax", _maxabs_col(F.col(vec_col)))
+        .withColumn(
+            "codes", _codes_col(F.col(vec_col), F.col("_qmax"), levels)
+        )
+        .drop("_qmax")
+    )
 
 
 def quantize_sql(

@@ -283,6 +283,33 @@ def test_quantize_embeddings_matches_duckdb_twin(spark):
     assert got == want
 
 
+def test_quantize_maxabs_staged_once(spark):
+    """The quantizer's maxabs must stay STAGED in its own projection:
+    Catalyst does not CSE across HOF lambda bodies, so an inlined
+    ``array_max`` inside the per-element code lambda re-evaluates O(d)
+    work per element — O(d²) per vector (the winnowing-kernel trap).
+    The optimized plan must carry exactly ONE ``array_max`` (the ``_m``
+    alias), with the code lambda dividing by that attribute; the
+    unstaged form showed three (scale_micro + the keep-condition + the
+    lambda body).  If CollapseProject ever re-inlines the alias, this
+    count goes back up and the regression is caught here."""
+    from pyspark.sql import types as T
+
+    from nlp_to_nosql_spark.operators.similarity import quantize_embeddings
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame([(1, [1.0, -1.0, 0.5])], schema)
+    plan = (
+        quantize_embeddings(df)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("array_max") == 1, plan
+
+
 def test_quantize_long_form_equals_array_form(spark):
     """The contract's long form is a pure reshape of the array form: one
     (id, scale_micro, dim, code) row per component, no value drift — and

@@ -473,6 +473,19 @@ def nb_charngram_langid(
     )
     train = base.filter(F.col("_train"))
     score = base.filter(~F.col("_train"))
+    # The CHEAP side frames (per-doc gram counts, true labels, the
+    # training doc counts) are scalar projections/tiny aggregates — no
+    # per-char explosion — so they read the raw scan directly instead
+    # of riding base's fan_out: same expressions, same values, minus
+    # one round-robin Exchange + 32-task stage per consumer.
+    base_raw = df.select(
+        F.col(id_col),
+        F.col(label_col).alias("_label"),
+        tx.normalize_text(F.col(text_col)).alias("_norm"),
+        is_train.alias("_train"),
+    )
+    train_raw = base_raw.filter(F.col("_train"))
+    score_raw = base_raw.filter(~F.col("_train"))
 
     # Gram production explodes POSITIONS and computes the substring
     # AFTER the Generate as a top-level codegen'd expression: a
@@ -510,10 +523,10 @@ def nb_charngram_langid(
     vocab = counts.select("g").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("_v")
     )
-    doc_counts = train.groupBy("_label").agg(
+    doc_counts = train_raw.groupBy("_label").agg(
         F.count(F.lit(1)).cast("long").alias("_dl")
     )
-    tot_docs = train.agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    tot_docs = train_raw.agg(F.count(F.lit(1)).cast("long").alias("_d"))
     gram_tots = counts.groupBy("_label").agg(
         F.sum("c").cast("long").alias("_tot")
     )
@@ -554,7 +567,7 @@ def nb_charngram_langid(
     # greatest(len−(n−1), 1) elements when text is non-empty) — a pure
     # projection, so the exploded frame is consumed once (the join) and
     # needs no persist either.
-    per_doc = score.select(
+    per_doc = score_raw.select(
         F.col(id_col),
         F.when(
             F.length("_norm") > 0,
@@ -580,9 +593,9 @@ def nb_charngram_langid(
             F.sum(F.col("_cnt") * F.col("_lp")).cast("long").alias("_slp"),
         )
     )
-    ids = score.select(F.col(id_col), F.col("_label").alias("_true")).join(
-        per_doc, id_col, "left"
-    )
+    ids = score_raw.select(
+        F.col(id_col), F.col("_label").alias("_true")
+    ).join(per_doc, id_col, "left")
     scored = (
         ids.crossJoin(F.broadcast(lconst))
         .join(matched, [id_col, "_label"], "left")

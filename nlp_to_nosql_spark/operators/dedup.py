@@ -185,10 +185,19 @@ def ngram_jaccard_pairs(
     ex_rare = ex.join(stop, "shingle", "left_anti")
 
     # Per-doc sizes over the SAME stop-filtered universe as the
-    # intersection counts.  This is one extra groupBy on the cached rare
-    # index; its post-agg output is tiny (one row per doc) and the two
-    # sizes joins below stay AQE-broadcast.
-    sizes = ex_rare.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    # intersection counts.  One extra groupBy on the cached rare index;
+    # its post-agg output is tiny (one row per doc) and the two sizes
+    # joins below stay AQE-broadcast.  PERSISTED because BOTH size
+    # joins reference it: plan-inlined twice, each reference re-runs
+    # the census + anti-join + groupBy chain, and consumers that
+    # materialize through the RDD path (pagerank/CC localCheckpoints)
+    # get no exchange reuse at all — the r15 in-session A/B measured
+    # the persist at 4.26 → 3.63 s on pr1 (min-of-5) and neutral on
+    # the standalone pair queries.
+    sizes = persisted(
+        ex_rare.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size")),
+        "results",
+    )
 
     a, b = ex_rare.alias("a"), ex_rare.alias("b")
     inter = (

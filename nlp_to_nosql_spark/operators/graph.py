@@ -353,29 +353,47 @@ def pagerank_micro(
     plan shallow (the CC operator shows the ``localCheckpoint``
     discipline for deeper loops).
     """
-    # Persist the (possibly expensive) upstream pair pipeline's edge
-    # expansion ONCE: every iteration joins against edges and deg, and
-    # without it each of the 2·iterations reuses would replay the full
-    # pair-generation lineage (measured 27 s → 15 s end-to-end on the
-    # Jaccard graph at sf0.01, where ~8 s is session+Jaccard).  A LAZY
-    # localCheckpoint (the connected_components discipline) rather than
-    # a bare persist: it also TRUNCATES the logical plan, so the
+    # Persist the (possibly expensive) upstream pair pipeline ONCE —
+    # and BEFORE the symmetric-edge union: the union references
+    # ``pairs`` twice, and the checkpoint's RDD materialization path
+    # applies no exchange reuse, so checkpointing the union (the r14
+    # form) computed the whole pair pipeline twice in the
+    # materializing job (r15 in-session A/B min-of-5: pr1 4.20 →
+    # 3.64 s with the checkpoint hoisted to ``pairs``).  A LAZY
+    # localCheckpoint (the connected_components discipline) rather
+    # than a bare persist: it also TRUNCATES the logical plan, so the
     # unrolled iteration chain analyzes against a LogicalRDD leaf
     # instead of embedding the whole pair plan at every edges/deg
     # reference (pr1's analyzed plan was 2729 lines / 362 Exchanges in
-    # the persisted form; r14 A/B at sf0.1 min-of-5: 5.46 → 4.79 s, uniform across runs).
-    # No extra job — the first iteration's action materializes both.
-    edges = pairs.select(
+    # the persisted form; r14 A/B at sf0.1 min-of-5: 5.46 → 4.79 s).
+    # The union over the checkpointed leaf is two cache reads — cheap
+    # enough to re-derive per consumer, so it needs no checkpoint of
+    # its own.  No extra job — the first iteration's action
+    # materializes everything.  ``spark.nlp2nosql.cache.edges = NONE``
+    # restores the un-truncated lazy form (the escape hatch for
+    # one-pass sessions; note the checkpoint is LOCAL — non-reliable
+    # storage — so on a multi-executor deployment an executor loss
+    # mid-iteration recomputes nothing and fails the job; acceptable
+    # for local[...] and retry-at-job-level deployments).
+    use_ckpt = (
+        pairs.sparkSession.conf.get(
+            "spark.nlp2nosql.cache.edges", "MEMORY_AND_DISK"
+        ).upper()
+        != "NONE"
+    )
+    p = pairs.localCheckpoint(eager=False) if use_ckpt else pairs
+    edges = p.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).unionAll(
-        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    ).localCheckpoint(eager=False)
+        p.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
     deg = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         .select(F.col("src").alias("node"), "deg")
-        .localCheckpoint(eager=False)
     )
+    if use_ckpt:
+        deg = deg.localCheckpoint(eager=False)
     ranks = deg.select("node", "deg", F.lit(1000000).cast("long").alias("r"))
     base = F.lit(150000).cast("long")
     for _ in range(int(iterations)):

@@ -3,7 +3,12 @@
 full 241-query sweep — for optimization iteration only; the driver's
 artifact is still bench.py.
 
-Usage: python tools/microbench.py [-n RUNS] [sf_dir] query [query ...]
+Usage: python tools/microbench.py [-n RUNS] [--jobs] [sf_dir] query [query ...]
+
+``--jobs`` additionally reports how many Spark jobs each query run
+dispatched (construct + noop action), via a per-run job group — the
+fixed-dispatch cost a floor-bound query pays is ~proportional to this
+count, so it is the number the job-count optimizations move.
 """
 
 from __future__ import annotations
@@ -21,6 +26,10 @@ def main() -> int:
     if args and args[0] == "-n":
         runs = int(args[1])
         args = args[2:]
+    count_jobs = False
+    if args and args[0] == "--jobs":
+        count_jobs = True
+        args = args[1:]
     if args and os.path.isdir(args[0]):
         sf_dir, names = args[0], args[1:]
     else:
@@ -58,13 +67,23 @@ def main() -> int:
             print(f"SKIP unknown query: {want}")
             continue
         times = []
-        for _ in range(runs):
+        jobs = []
+        for i in range(runs):
+            group = f"mb:{name}:{i}"
+            if count_jobs:
+                spark.sparkContext.setJobGroup(group, name)
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             times.append(round(time.time() - t0, 3))
+            if count_jobs:
+                jobs.append(
+                    len(spark.sparkContext.statusTracker().getJobIdsForGroup(group))
+                )
+                spark.sparkContext.setJobGroup(None, None)
             spark.catalog.clearCache()
-        print(f"{name:42s} min={min(times):6.3f}  all={times}  load={os.getloadavg()[0]:.1f}")
+        jtxt = f"  jobs={jobs}" if count_jobs else ""
+        print(f"{name:42s} min={min(times):6.3f}  all={times}{jtxt}  load={os.getloadavg()[0]:.1f}")
     spark.stop()
     return 0
 

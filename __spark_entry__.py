@@ -3520,6 +3520,12 @@ def _q_paragraph_dedup_quality(
         dd.distinct_paragraphs(_multiline_docs(docs), "doc_id", "text"),
         "documents",
     )
+    # BOTH pair generators shingle the same census at the same k: build
+    # the distinct-shingle sets once and share them (the tokenize +
+    # shingle pass is the generators' common scan-side CPU).
+    sh = persisted(
+        dd.shingle_arrays(reps, "para_key", "para_text", k=3), "tokens"
+    )
     pred = dd.minhash_lsh_pairs(
         reps,
         "para_key",
@@ -3529,9 +3535,10 @@ def _q_paragraph_dedup_quality(
         bands=8,
         threshold=0.5,
         sig_fn=dd.minhash_signatures_md5,
+        shingle_arrays=sh,
     )
     truth = dd.ngram_jaccard_pairs(
-        reps, "para_key", "para_text", k=3, threshold=0.5
+        reps, "para_key", "para_text", k=3, threshold=0.5, shingle_arrays=sh
     )
     return pair_set_quality(pred, truth, truth_universe=reps)
 
@@ -3549,8 +3556,25 @@ def _q_paragraph_dedup_quality_sampled(
     (operators/evals.py pair_set_quality_sampled)."""
     from nlp_to_nosql_spark.operators.evals import pair_set_quality_sampled
 
+    from nlp_to_nosql_spark.plans.caching import persisted
+
     docs = register_tables(spark, sf_dir)["documents"]
     reps = dd.distinct_paragraphs(_multiline_docs(docs), "doc_id", "text")
+
+    # Both generators shingle the SAME sampled universe at the same k:
+    # memoize one persisted shingle-set frame per sampled frame object
+    # so the tokenize+shingle pass runs once, not per generator (the
+    # eval11 sharing, one level inside the sampling harness).
+    _sh_cache: dict[int, DataFrame] = {}
+
+    def _shared_sh(s: DataFrame) -> DataFrame:
+        key = id(s)
+        if key not in _sh_cache:
+            _sh_cache[key] = persisted(
+                dd.shingle_arrays(s, "para_key", "para_text", k=3), "tokens"
+            )
+        return _sh_cache[key]
+
     return pair_set_quality_sampled(
         reps,
         "para_key",
@@ -3563,9 +3587,11 @@ def _q_paragraph_dedup_quality_sampled(
             bands=8,
             threshold=0.5,
             sig_fn=dd.minhash_signatures_md5,
+            shingle_arrays=_shared_sh(s),
         ),
         lambda s: dd.ngram_jaccard_pairs(
-            s, "para_key", "para_text", k=3, threshold=0.5
+            s, "para_key", "para_text", k=3, threshold=0.5,
+            shingle_arrays=_shared_sh(s),
         ),
         rate=0.5,
         seed=101,

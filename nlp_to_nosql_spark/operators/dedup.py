@@ -102,8 +102,30 @@ def tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def shingle_table(
+def shingle_arrays(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(id, ``_sh`` array<string>) — each row's DISTINCT k-word shingle
+    set as an array attribute, the shared frontier of the shingle-based
+    pair generators: :func:`shingle_table` explodes it,
+    :func:`minhash_signatures` / :func:`minhash_signatures_md5` fold it.
+    Callers that run SEVERAL generators over the same frame (the
+    eval11/eval12 precision-recall measurements) build this once,
+    persist it, and pass it via the generators' ``shingle_arrays``
+    parameter so the tokenize+shingle CPU runs once, not per generator.
+    """
+    return tokenized(df, id_col, text_col).select(
+        F.col(id_col),
+        F.array_distinct(shingles_of_words(F.col("_words"), k)).alias("_sh"),
+    )
+
+
+def shingle_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Exploded distinct (id, shingle) inverted-index table.
 
@@ -112,12 +134,20 @@ def shingle_table(
     ``array_distinct`` before the explode already makes each (id, shingle)
     pair unique, so no post-explode ``distinct`` is needed.  Tokenization
     happens in its own projection (see :func:`shingles_of_words`).
+
+    ``shingle_arrays`` (a prebuilt :func:`shingle_arrays` frame for the
+    same ``df``/``k``) skips the tokenize+shingle pass entirely.
     """
-    return tokenized(df, id_col, text_col).select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(shingles_of_words(F.col("_words"), k))
-        ).alias("shingle"),
+    sh = shingle_arrays
+    if sh is None:
+        sh = tokenized(df, id_col, text_col).select(
+            F.col(id_col),
+            F.array_distinct(shingles_of_words(F.col("_words"), k)).alias(
+                "_sh"
+            ),
+        )
+    return sh.select(
+        F.col(id_col), F.explode(F.col("_sh")).alias("shingle")
     )
 
 
@@ -133,6 +163,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_df: int = 1000,
     hash_keys: bool = True,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
 
@@ -159,11 +190,16 @@ def ngram_jaccard_pairs(
     set sizes are computed over the same stop-filtered universe (a
     numerator-only filter would systematically underestimate Jaccard for
     documents containing stop shingles).
+
+    ``shingle_arrays`` (a prebuilt :func:`shingle_arrays` frame for the
+    same ``df``/``k``) skips the tokenize+shingle pass — pass it when
+    another generator over the same frame shares the persisted shingle
+    sets (the eval11/eval12 measurements).
     """
     # Reused 3× (stop-shingle census, index join, set sizes) but it is the
     # engine's biggest intermediate — shingle-factor × the documents — so
     # it defaults to DISK_ONLY, not executor memory (conf-overridable).
-    index = shingle_table(df, id_col, text_col, k)
+    index = shingle_table(df, id_col, text_col, k, shingle_arrays=shingle_arrays)
     if hash_keys:
         index = index.select(
             F.col(id_col), F.xxhash64(F.col("shingle")).alias("shingle")
@@ -255,7 +291,12 @@ def md5_hash28(c: Column) -> Column:
 
 
 def minhash_signatures_md5(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_perm: int = 64
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_perm: int = 64,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Oracle-reproducible minhash signatures: ONE md5 per shingle, then
     ``num_perm`` arithmetic permutations of the 28-bit base — versus the
@@ -264,11 +305,18 @@ def minhash_signatures_md5(
     part; the permutations are mul-adds), and every step is integer
     arithmetic DuckDB replays exactly.  The base hashes live in their
     own projection so the permutation lambda references an attribute
-    array, not a re-hashed subexpression."""
-    sh = tokenized(df, id_col, text_col).select(
-        F.col(id_col),
-        F.array_distinct(shingles_of_words(F.col("_words"), k)).alias("_sh"),
-    ).select(
+    array, not a re-hashed subexpression.  ``shingle_arrays`` (a
+    prebuilt :func:`shingle_arrays` frame for the same ``df``/``k``)
+    skips the tokenize+shingle pass."""
+    base = shingle_arrays
+    if base is None:
+        base = tokenized(df, id_col, text_col).select(
+            F.col(id_col),
+            F.array_distinct(shingles_of_words(F.col("_words"), k)).alias(
+                "_sh"
+            ),
+        )
+    sh = base.select(
         F.col(id_col),
         F.transform(F.col("_sh"), lambda s: md5_hash28(s)).alias("_hs"),
     )
@@ -298,6 +346,7 @@ def minhash_signatures(
     k: int = 3,
     num_perm: int = 64,
     hash_fn=None,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig array<long>) — one xxhash64 family member per permutation.
     ``hash_fn`` overrides the string→long hash (default ``F.xxhash64``;
@@ -314,10 +363,14 @@ def minhash_signatures(
     generate pathological whole-stage code — and equal warm.)
     """
     hasher = hash_fn if hash_fn is not None else F.xxhash64
-    sh = tokenized(df, id_col, text_col).select(
-        F.col(id_col),
-        F.array_distinct(shingles_of_words(F.col("_words"), k)).alias("_sh"),
-    )
+    sh = shingle_arrays
+    if sh is None:
+        sh = tokenized(df, id_col, text_col).select(
+            F.col(id_col),
+            F.array_distinct(shingles_of_words(F.col("_words"), k)).alias(
+                "_sh"
+            ),
+        )
     return sh.select(
         F.col(id_col),
         F.aggregate(
@@ -346,6 +399,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     sig_fn=None,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH + signature-level verification.
 
@@ -355,6 +409,9 @@ def minhash_lsh_pairs(
     full shingle sets are never rejoined.  ``sig_fn`` selects the
     signature family (default :func:`minhash_signatures`; pass
     :func:`minhash_signatures_md5` for the oracle-reproducible form).
+    ``shingle_arrays`` (a prebuilt :func:`shingle_arrays` frame for the
+    same ``df``/``k``) is forwarded to the signature builder so the
+    tokenize+shingle pass is shared with other generators.
     """
     if bands <= 0 or bands > num_perm or num_perm % bands:
         # bands > num_perm would make every band slice empty — one global
@@ -368,7 +425,9 @@ def minhash_lsh_pairs(
     # Narrow (id + num_perm longs), reused by banding and verification:
     # memory with disk spillover (conf-overridable).
     sig = persisted(
-        (sig_fn or minhash_signatures)(df, id_col, text_col, k, num_perm),
+        (sig_fn or minhash_signatures)(
+            df, id_col, text_col, k, num_perm, shingle_arrays=shingle_arrays
+        ),
         "signatures",
     )
 

@@ -614,21 +614,29 @@ def nb_charngram_langid(
             ).alias("_score"),
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_score").desc(), F.col("_label").asc()
+    # Argmax as a partially-aggregated min_by over the (-score, label)
+    # ordering struct rather than a row_number window: same winner (the
+    # struct order IS "score DESC, label ASC" — labels are distinct
+    # within a doc, so the order is total), but the docs×labels frame
+    # partial-aggregates to one row per doc map-side instead of
+    # shuffling and sorting every row (r15 in-session A/B: value-equal
+    # on all 2510 held-out docs, 3.01 → 2.93 s at sf0.1 — the window
+    # sort is small at this SF; at corpus scale the removed sort is
+    # #docs×#labels).
+    best = scored.groupBy(id_col).agg(
+        F.min_by(
+            F.struct("_true", "_label", "_ngp", "_score"),
+            F.struct(
+                (-F.col("_score")).alias("_o1"), F.col("_label").alias("_o2")
+            ),
+        ).alias("_b"),
     )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            F.col(id_col),
-            F.col("_true").alias(label_col),
-            F.col("_label").alias("pred_" + label_col),
-            F.col("_ngp").alias("n_grams"),
-            F.col("_score").alias("score_micro"),
-        )
+    return best.select(
+        F.col(id_col),
+        F.col("_b._true").alias(label_col),
+        F.col("_b._label").alias("pred_" + label_col),
+        F.col("_b._ngp").alias("n_grams"),
+        F.col("_b._score").alias("score_micro"),
     )
 
 

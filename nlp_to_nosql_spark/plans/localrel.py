@@ -35,9 +35,24 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     driver-resident tables are all flat); ``schema``: DDL string or
     ``StructType``.  Exact-typed via Arrow; falls back to
     ``spark.createDataFrame`` for anything Arrow can't represent.
+
+    TimestampType caveat: the Arrow path types timestamps tz=UTC (naive
+    datetimes read as UTC) while the fallback reads them in the session
+    zone — the two branches agree because the engine pins its sessions
+    to UTC (``session.py``); a non-UTC session would shift fallback
+    values by the zone offset.
     """
     st = schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
     data = [tuple(r) for r in rows]
+    # Arity check up front: zip(*data)/zip(cols, schema) silently
+    # TRUNCATE over-long rows, where the fallback createDataFrame
+    # raises — malformed calls must fail the same way on both paths.
+    bad = next((t for t in data if len(t) != len(st.fields)), None)
+    if bad is not None:
+        raise ValueError(
+            f"local_df: row has {len(bad)} fields but schema has "
+            f"{len(st.fields)}: {bad!r}"
+        )
     try:
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema

@@ -71,6 +71,11 @@ _FOREACH_BATCH_PARTITIONS = 4
 #: Conf override for the replay state-partition derivation below.
 _REPLAY_PARTITIONS_CONF = "spark.nlp2nosql.replay.partitions"
 
+#: Per-process memo of the resolved replay partition count (see
+#: _replay_partitions — re-opened checkpoints must see the count they
+#: were created with).
+_REPLAY_PARTITIONS_CACHE: dict[str, int] = {}
+
 
 def _replay_partitions(spark: SparkSession) -> int:
     """State/shuffle partition count for replay runs — scale-adaptive.
@@ -90,11 +95,26 @@ def _replay_partitions(spark: SparkSession) -> int:
     deployment over unbounded input raises the cap with executor count
     via ``spark.nlp2nosql.replay.partitions``.
     """
+    cached = _REPLAY_PARTITIONS_CACHE.get("n")
+    if cached is not None:
+        return cached
     conf = spark.conf.get(_REPLAY_PARTITIONS_CONF, "")
     if conf:
-        return max(1, int(conf))
-    cores = spark.sparkContext.defaultParallelism
-    return max(4, min(16, cores // 2))
+        try:
+            n = max(1, int(conf))
+        except ValueError as exc:
+            raise ValueError(
+                f"{_REPLAY_PARTITIONS_CONF}={conf!r} is not an integer"
+            ) from exc
+    else:
+        cores = spark.sparkContext.defaultParallelism
+        n = max(4, min(16, cores // 2))
+    # Resolve ONCE per process: state-store checkpoints fix their
+    # partition count at creation, and the crash-recovery replays
+    # re-open the same pid-stable checkpoint dir — a mid-process conf
+    # change would otherwise mismatch them.
+    _REPLAY_PARTITIONS_CACHE["n"] = n
+    return n
 
 
 #: Serializes the shuffle-partition conf swap below: the conf is

@@ -1181,10 +1181,28 @@ def target_lm_fit(
     scoring job; here the artifact is three BIGINT count tables any
     engine (including the DuckDB oracle) can read.  The (N, V) totals
     re-derive from ``uni`` at load, so the artifact carries no scalar
-    sidecar to drift out of sync."""
+    sidecar to drift out of sync.
+
+    The three writes are independent jobs over the same input, so they
+    run CONCURRENTLY (guide-style job overlap): each job's straggler
+    tail back-fills with the next job's tasks (r15 A/B min-of-4 at
+    sf0.1: 1.83 → 1.19 s).  Each write re-tokenizes the target rather
+    than sharing a persisted token frame — the persist barrier measured
+    SLOWER (1.43 s) than the redundant scans, and the target corpus is
+    the small trusted sample by design (the CCNet contract), so the
+    extra CPU stays bounded at scale."""
     uni, bi, tri = _lm_count_tables(target, id_col, text_col)
-    for name, df in (("uni", uni), ("bi", bi), ("tri", tri)):
-        df.write.mode("overwrite").parquet(f"{path}/{name}")
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(
+            pool.map(
+                lambda t: t[1].write.mode("overwrite").parquet(
+                    f"{path}/{t[0]}"
+                ),
+                (("uni", uni), ("bi", bi), ("tri", tri)),
+            )
+        )
 
 
 def target_lm_load(path: str, spark) -> tuple:
@@ -1516,10 +1534,20 @@ def kneser_ney_fit(
     stores ONLY the raw count tables: all four continuation-count
     tables and the ``(N1+(··), V)`` totals re-derive from them at
     load, so the artifact has no derived state to drift out of sync
-    with the smoothing arithmetic."""
+    with the smoothing arithmetic.  The two writes are independent
+    jobs and run concurrently (see :func:`target_lm_fit` — same A/B)."""
     uni, _bi, tri = _lm_count_tables(target, id_col, text_col)
-    for name, df in (("uni", uni), ("tri", tri)):
-        df.write.mode("overwrite").parquet(f"{path}/{name}")
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(
+            pool.map(
+                lambda t: t[1].write.mode("overwrite").parquet(
+                    f"{path}/{t[0]}"
+                ),
+                (("uni", uni), ("tri", tri)),
+            )
+        )
 
 
 def kneser_ney_load(path: str, spark) -> tuple:

@@ -136,18 +136,26 @@ def shingle_table(
     happens in its own projection (see :func:`shingles_of_words`).
 
     ``shingle_arrays`` (a prebuilt :func:`shingle_arrays` frame for the
-    same ``df``/``k``) skips the tokenize+shingle pass entirely.
+    same ``df``/``k``) skips the tokenize+shingle pass entirely.  That
+    path may explode the ``_sh`` ATTRIBUTE only because the prebuilt
+    frame is persisted by its callers: explode-of-attribute makes
+    InferFiltersFromGenerate push a ``size(_sh) > 0`` filter below the
+    fan-out exchange, which re-evaluates the whole tokenize+shingle
+    chain on the single-split scan — ONE core doing all the shingle CPU
+    (measured 12× on the default path, r15; the _pool_contexts trap).
+    The cache boundary stops that pushdown; the default path keeps the
+    shingle expression INLINE in the explode, which the rule leaves
+    alone.
     """
-    sh = shingle_arrays
-    if sh is None:
-        sh = tokenized(df, id_col, text_col).select(
-            F.col(id_col),
-            F.array_distinct(shingles_of_words(F.col("_words"), k)).alias(
-                "_sh"
-            ),
+    if shingle_arrays is not None:
+        return shingle_arrays.select(
+            F.col(id_col), F.explode(F.col("_sh")).alias("shingle")
         )
-    return sh.select(
-        F.col(id_col), F.explode(F.col("_sh")).alias("shingle")
+    return tokenized(df, id_col, text_col).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles_of_words(F.col("_words"), k))
+        ).alias("shingle"),
     )
 
 

@@ -788,3 +788,36 @@ def test_paragraph_neardup_matches_duckdb_twin(spark):
         for r in con.execute(paragraph_neardup_sql(table="t")).fetchall()
     )
     assert got == want
+
+
+def test_shingle_table_single_shingle_evaluation(spark):
+    """The shingle expression must appear ONCE in shingle_table's
+    physical plan.  Exploding a staged ``_sh`` attribute lets
+    InferFiltersFromGenerate push a ``size(_sh) > 0`` filter below the
+    fan-out exchange, re-evaluating the whole tokenize+shingle chain on
+    the pre-fan-out (single-split) scan — measured 12x at sf0.1 (r15).
+    The prebuilt shingle_arrays path is exempt because its callers
+    persist the frame (the cache boundary stops the pushdown) — pinned
+    here too via an explicit persist."""
+    from nlp_to_nosql_spark.operators.dedup import shingle_arrays, shingle_table
+    from nlp_to_nosql_spark.plans.caching import persisted
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h i j"), (3, "")],
+        "doc_id long, text string",
+    )
+    plan = (
+        shingle_table(df, "doc_id", "text", 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("array_distinct") == 1
+
+    sh = persisted(shingle_arrays(df, "doc_id", "text", 3), "tokens")
+    pre = shingle_table(df, "doc_id", "text", 3, shingle_arrays=sh)
+    plan2 = pre._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("array_distinct") == 1
+
+    a = sorted(map(tuple, shingle_table(df, "doc_id", "text", 3).collect()))
+    b = sorted(map(tuple, pre.collect()))
+    assert a == b
+    sh.unpersist()
